@@ -1,0 +1,78 @@
+"""Shared helpers for algorithm drivers."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.graph import GraphTables
+from neo4j_graph_algorithms_ray.registry import GraphCatalog
+
+
+def default_partitions(g: GraphTables, requested: Optional[int]) -> int:
+    """P defaults to the cluster CPU count, capped so tiny graphs don't
+    pay per-actor overhead (≥ ~10k edges per shard when possible)."""
+    if requested:
+        return max(1, min(requested, g.num_vertices))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    by_size = max(1, (g.num_edges + 9_999) // 10_000)
+    return max(1, min(cpus, by_size, g.num_vertices))
+
+
+def attach_node_ids(g: GraphTables, ds: rd.Dataset, vid_col: str = "vid",
+                    out_col: str = "node", keep_vid: bool = False) -> rd.Dataset:
+    """Translate dense vids back to original node ids (the reference's
+    ``toOriginalNodeId`` output boundary, core/.../api/IdMapping.java:44).
+
+    Broadcasts the vid→node array (ray.put once, read per task) — the
+    small-side lookup, not a shuffle join.
+    """
+    ref = ray.put(g.vid_to_node_map())
+
+    def translate(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nodes = m.take(batch[vid_col])
+        batch = batch.append_column(out_col, nodes)
+        if not keep_vid:
+            batch = batch.drop_columns([vid_col])
+        # put node id first
+        names = [out_col] + [c for c in batch.column_names if c != out_col]
+        return batch.select(names)
+
+    return ds.map_batches(translate, batch_format="pyarrow")
+
+
+@dataclass
+class IterativeResult:
+    """Common result shape for iterative algorithms (the reference's
+    stats row — loadMillis/computeMillis/iterations etc.,
+    algo/.../results/AbstractResultBuilder.java — plus our per-partition
+    metrics/lineage)."""
+
+    dataset: rd.Dataset
+    iterations: int
+    converged: bool
+    metrics: list = field(default_factory=list)   # per-iteration per-partition dicts
+    stats: dict = field(default_factory=dict)
+
+    @property
+    def edges_scattered(self) -> int:
+        return sum(m.get("edges_scattered", 0) for it in self.metrics for m in it)
+
+
+def get_engine(g: GraphTables, num_partitions: Optional[int], *, weighted=False,
+               reverse=False):
+    p = default_partitions(g, num_partitions)
+    return GraphCatalog.engine(g, p, weighted=weighted, reverse=reverse)
+
+
+def ensure_ckpt_dir(algo: str, g: GraphTables, explicit: Optional[str]) -> str:
+    if explicit:
+        return explicit
+    base = g.graph_dir or os.path.join("/tmp/nga_ray/ckpt")
+    return os.path.join(base, "ckpt", algo)

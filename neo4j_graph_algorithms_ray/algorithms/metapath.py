@@ -1,0 +1,268 @@
+"""MetaPath suite — typed-path aggregation (the fork's addition).
+
+Reference semantics (algo/.../impl/metapath/ComputeAllMetaPaths.java,
+verified against tests/.../metaPathComputationTests/ComputeAllMetaPathsTest.java):
+the graph is loaded **undirected** (test: .asUndirected(true)); a
+metapath of "length" ℓ is a label/type-alternating token sequence
+``L0 | T1 | L1 | ... | Lk`` with 1..ℓ node labels (k = 0..ℓ-1 edges);
+its count is the number of *walks* realizing it — backtracking allowed
+(the reference test's own comment: returning to the previous node is
+counted). Single-label paths count nodes with that label.
+
+Relational shape (SURVEY.md §2.5): the reference's BFS over states
+keyed by (edgeType,label) holding node→instanceCount maps
+(ComputeAllMetaPaths.java:141-174) is exactly an iterated
+``paths ⋈ edges ON paths.end = edges.src`` hash join followed by
+``groupby(path_tokens, end).sum(count)`` — one shuffle per expansion
+level — with a final ``groupby(path_tokens).sum``.
+
+Input: a typed edge Dataset with columns
+(src, dst, src_label:string, edge_type:string, dst_label:string).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+SEP = " | "
+
+
+def _symmetrize(edges: rd.Dataset) -> rd.Dataset:
+    rev = edges.select_columns(["dst", "src", "dst_label", "edge_type", "src_label"]) \
+               .rename_columns({"dst": "src", "src": "dst",
+                                "dst_label": "src_label", "src_label": "dst_label"}) \
+               .select_columns(["src", "dst", "src_label", "edge_type", "dst_label"])
+    return edges.select_columns(["src", "dst", "src_label", "edge_type", "dst_label"]).union(rev)
+
+
+def _nodes_with_labels(edges: rd.Dataset) -> rd.Dataset:
+    """(node, label) distinct over both endpoints."""
+    a = edges.select_columns(["src", "src_label"]).rename_columns(
+        {"src": "node", "src_label": "label"})
+    b = edges.select_columns(["dst", "dst_label"]).rename_columns(
+        {"dst": "node", "dst_label": "label"})
+    return a.union(b).groupby(["node", "label"]).count().select_columns(["node", "label"])
+
+
+def compute_all_metapaths(
+    typed_edges: rd.Dataset,
+    length: int = 3,
+    *,
+    undirected: bool = True,
+    num_partitions: int = 8,
+    start_labels: Optional[Sequence[str]] = None,
+    end_labels: Optional[Sequence[str]] = None,
+) -> rd.Dataset:
+    """All metapaths of 1..``length`` node labels with walk counts →
+    Dataset (path:string, count:int64).
+
+    ``start_labels``/``end_labels`` give ComputeAllMetaPathsBetweenTypes
+    parity (ComputeAllMetaPathsBetweenTypes.java:18-60): restrict to
+    paths starting/ending at the given node types.
+    """
+    e = _symmetrize(typed_edges) if undirected else typed_edges.select_columns(
+        ["src", "dst", "src_label", "edge_type", "dst_label"])
+    e = e.materialize()
+
+    # single-label paths: one per node of that label
+    nodes = _nodes_with_labels(e)
+    level0 = nodes.groupby("label").count() \
+                  .rename_columns({"label": "path", "count()": "count"})
+
+    def first_hop(batch: pa.Table) -> pa.Table:
+        path = pc.binary_join_element_wise(
+            batch["src_label"].cast(pa.string()),
+            batch["edge_type"].cast(pa.string()),
+            batch["dst_label"].cast(pa.string()), SEP)
+        return pa.table({"path": path, "end": batch["dst"],
+                         "count": pa.array([1] * batch.num_rows, pa.int64())})
+
+    frontier = e.map_batches(first_hop, batch_format="pyarrow") \
+                .groupby(["path", "end"]).sum("count") \
+                .rename_columns({"sum(count)": "count"})
+
+    levels = [frontier]
+    for _ in range(length - 2):
+        joined = frontier.join(e, "inner", num_partitions=num_partitions,
+                               on=("end",), right_on=("src",))
+
+        def extend(batch: pa.Table) -> pa.Table:
+            path = pc.binary_join_element_wise(
+                batch["path"], batch["edge_type"].cast(pa.string()),
+                batch["dst_label"].cast(pa.string()), SEP)
+            return pa.table({"path": path, "end": batch["dst"], "count": batch["count"]})
+
+        frontier = joined.map_batches(extend, batch_format="pyarrow") \
+                         .groupby(["path", "end"]).sum("count") \
+                         .rename_columns({"sum(count)": "count"})
+        levels.append(frontier)
+
+    total = levels[0].select_columns(["path", "count"])
+    for lv in levels[1:]:
+        total = total.union(lv.select_columns(["path", "count"]))
+    out = level0
+    out = out.union(total)
+    out = out.groupby("path").sum("count").rename_columns({"sum(count)": "count"})
+    if start_labels is not None or end_labels is not None:
+        out = filter_metapaths(out, start_labels, end_labels)
+    return out
+
+
+def filter_metapaths(paths: rd.Dataset, start_labels: Optional[Sequence[str]] = None,
+                     end_labels: Optional[Sequence[str]] = None) -> rd.Dataset:
+    """algo.filterMetaPaths parity (impl/FilterMetaPaths.java:17-55):
+    keep metapaths whose first/last label token matches."""
+    starts = list(start_labels) if start_labels else None
+    ends = list(end_labels) if end_labels else None
+
+    def flt(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["path"], SEP)
+        keep = pa.array([True] * batch.num_rows)
+        if starts is not None:
+            first = pc.list_element(toks, 0)
+            keep = pc.and_(keep, pc.is_in(first, value_set=pa.array(starts)))
+        if ends is not None:
+            lens = pc.list_value_length(toks)
+            last = pa.array([t[-1].as_py() for t in toks])
+            del lens
+            keep = pc.and_(keep, pc.is_in(last, value_set=pa.array(ends)))
+        return batch.filter(keep)
+
+    return paths.map_batches(flt, batch_format="pyarrow")
+
+
+def compute_metapaths_for_instances(
+    typed_edges: rd.Dataset,
+    start_nodes: Sequence,
+    end_nodes: Sequence,
+    length: int = 3,
+    *,
+    undirected: bool = True,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """ComputeAllMetaPathsForInstances parity: metapaths (with walk
+    counts) between two concrete node sets → (path, count)."""
+    e = _symmetrize(typed_edges) if undirected else typed_edges
+    e = e.materialize()
+    start_set = pa.array(list(start_nodes))
+    end_set = pa.array(list(end_nodes))
+
+    def first_hop(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["src"], value_set=start_set)
+        batch = batch.filter(keep)
+        path = pc.binary_join_element_wise(
+            batch["src_label"].cast(pa.string()),
+            batch["edge_type"].cast(pa.string()),
+            batch["dst_label"].cast(pa.string()), SEP)
+        return pa.table({"path": path, "end": batch["dst"],
+                         "count": pa.array([1] * batch.num_rows, pa.int64())})
+
+    frontier = e.map_batches(first_hop, batch_format="pyarrow") \
+                .groupby(["path", "end"]).sum("count") \
+                .rename_columns({"sum(count)": "count"})
+    levels = [frontier]
+    for _ in range(length - 2):
+        joined = frontier.join(e, "inner", num_partitions=num_partitions,
+                               on=("end",), right_on=("src",))
+
+        def extend(batch: pa.Table) -> pa.Table:
+            path = pc.binary_join_element_wise(
+                batch["path"], batch["edge_type"].cast(pa.string()),
+                batch["dst_label"].cast(pa.string()), SEP)
+            return pa.table({"path": path, "end": batch["dst"], "count": batch["count"]})
+
+        frontier = joined.map_batches(extend, batch_format="pyarrow") \
+                         .groupby(["path", "end"]).sum("count") \
+                         .rename_columns({"sum(count)": "count"})
+        levels.append(frontier)
+
+    out = None
+    for lv in levels:
+        part = lv.map_batches(
+            lambda b: b.filter(pc.is_in(b["end"], value_set=end_set)),
+            batch_format="pyarrow").select_columns(["path", "count"])
+        out = part if out is None else out.union(part)
+    return out.groupby("path").sum("count").rename_columns({"sum(count)": "count"})
+
+
+def get_schema(typed_edges: rd.Dataset) -> rd.Dataset:
+    """algo.GetSchema parity (getSchema/GetSchema.java:46-100): the
+    label-level adjacency — distinct (src_label, edge_type, dst_label)
+    triples. One groupby."""
+    return typed_edges.select_columns(["src_label", "edge_type", "dst_label"]) \
+        .groupby(["src_label", "edge_type", "dst_label"]).count() \
+        .select_columns(["src_label", "edge_type", "dst_label"])
+
+
+def graph_reducer(typed_edges: rd.Dataset, keep_labels: Sequence[str],
+                  keep_types: Optional[Sequence[str]] = None) -> rd.Dataset:
+    """algo.graphReducer parity (GraphReducer.java:30-100) as a pure
+    filter (non-destructive): keep edges whose endpoint labels are all
+    in the keep-list (and type in keep_types when given)."""
+    labs = pa.array(list(keep_labels))
+    typs = pa.array(list(keep_types)) if keep_types is not None else None
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(batch["src_label"], value_set=labs),
+                       pc.is_in(batch["dst_label"], value_set=labs))
+        if typs is not None:
+            keep = pc.and_(keep, pc.is_in(batch["edge_type"], value_set=typs))
+        return batch.filter(keep)
+
+    return typed_edges.map_batches(flt, batch_format="pyarrow")
+
+
+def metapath_precompute_high_degree_nodes(
+    typed_edges: rd.Dataset,
+    ratio: float = 0.01,
+    length: int = 3,
+    *,
+    undirected: bool = True,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """MetaPathPrecomputeHighDegreeNodes parity
+    (MetaPathPrecomputeHighDegreeNodes.java:18-76): for the top-``ratio``
+    highest-degree nodes, precompute (start, path, end) reachable
+    instance rows — the hub-precompute skew idea. Returns a Dataset
+    (start, path, end) with distinct rows."""
+    e = _symmetrize(typed_edges) if undirected else typed_edges
+    e = e.materialize()
+    deg = e.groupby("src").count()
+    k = max(1, int(deg.count() * ratio))
+    hubs = pa.array([r["src"] for r in deg.sort("count()", descending=True).limit(k).take_all()])
+
+    def first_hop(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["src"], value_set=hubs))
+        path = pc.binary_join_element_wise(
+            batch["src_label"].cast(pa.string()),
+            batch["edge_type"].cast(pa.string()),
+            batch["dst_label"].cast(pa.string()), SEP)
+        return pa.table({"start": batch["src"], "path": path, "end": batch["dst"]})
+
+    frontier = e.map_batches(first_hop, batch_format="pyarrow") \
+                .groupby(["start", "path", "end"]).count() \
+                .select_columns(["start", "path", "end"])
+    levels = [frontier]
+    for _ in range(length - 2):
+        joined = frontier.join(e, "inner", num_partitions=num_partitions,
+                               on=("end",), right_on=("src",))
+
+        def extend(batch: pa.Table) -> pa.Table:
+            path = pc.binary_join_element_wise(
+                batch["path"], batch["edge_type"].cast(pa.string()),
+                batch["dst_label"].cast(pa.string()), SEP)
+            return pa.table({"start": batch["start"], "path": path, "end": batch["dst"]})
+
+        frontier = joined.map_batches(extend, batch_format="pyarrow") \
+                         .groupby(["start", "path", "end"]).count() \
+                         .select_columns(["start", "path", "end"])
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.groupby(["start", "path", "end"]).count() \
+              .select_columns(["start", "path", "end"])

@@ -1,0 +1,92 @@
+"""PageRank — delta-push formulation over CSR shards.
+
+Semantics match the reference (algo/.../impl/PageRank.java, surveyed in
+SURVEY.md §2.4): the unnormalized Neo4j convention
+``PR(v) = (1-d) + d * Σ_{u→v} PR(u)/outdeg(u)`` (doc/pagerank.adoc:15-17),
+rank initialized to ``1-d``, dangling nodes simply stop pushing (no
+dangling-mass redistribution, PageRank.java:455-469), fixed iteration
+count supported for golden parity. Differences (documented, not bugs):
+float64 deltas instead of the reference's ×100_000 int quantization
+(PageRank.java:54), and an optional L∞ convergence tolerance (the north
+rule's 1e-6 stopping rule) on top of fixed-k.
+
+Each BSP superstep is the reference's CALC (push d·delta/outdeg to
+out-neighbors) + transpose + SYNC (combine + update) cycle
+(PageRank.java:432-519) as a scatter → shard-to-shard exchange →
+update over range-partitioned CSR shards with map-side combine.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from neo4j_graph_algorithms_ray.algorithms.common import (
+    IterativeResult, attach_node_ids, ensure_ckpt_dir, get_engine)
+from neo4j_graph_algorithms_ray.graph import GraphTables
+from neo4j_graph_algorithms_ray.state.checkpoint import read_manifest, write_manifest
+
+
+def pagerank(
+    g: GraphTables,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tolerance: Optional[float] = None,
+    *,
+    num_partitions: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    keep_vid: bool = False,
+) -> IterativeResult:
+    """Run PageRank; returns (node, score) plus iteration stats.
+
+    ``tolerance=None`` reproduces the reference's fixed-iteration mode
+    (default 20 iterations, ProcedureConstants.java:27-65);
+    ``tolerance=1e-6`` is the north-rule convergence mode.
+    """
+    eng = get_engine(g, num_partitions)
+    config = {"damping": damping, "max_iterations": max_iterations,
+              "tolerance": tolerance, "P": eng.P}
+
+    start_iter = 0
+    if resume:
+        ckpt = ensure_ckpt_dir("pagerank", g, checkpoint_dir)
+        man = read_manifest(ckpt)
+        if man and man.get("algo") == "pagerank":
+            start_iter = man["iteration"]
+            eng.restore(ckpt, start_iter, ["rank", "delta"])
+    if start_iter == 0:
+        eng.init_state("rank", "const", 1.0 - damping)
+        eng.init_state("delta", "const", 1.0 - damping)
+
+    metrics, it, converged = [], start_iter, False
+    t0 = time.perf_counter()
+    while it < max_iterations:
+        stats = eng.step("pr_push", "pr_update", scatter_kw={"damping": damping})
+        it += 1
+        iter_metrics = eng.drain_metrics()
+        for m in iter_metrics:
+            m["iteration"] = it
+        metrics.append(iter_metrics)
+        max_delta = max(s["max_delta"] for s in stats)
+        if checkpoint_every and (it % checkpoint_every == 0):
+            ckpt = ensure_ckpt_dir("pagerank", g, checkpoint_dir)
+            parts = eng.checkpoint(ckpt, it, ["rank", "delta"])
+            write_manifest(ckpt, iteration=it, algo="pagerank", config=config,
+                           partitions=parts, metrics=iter_metrics,
+                           extra={"max_delta": max_delta})
+        if tolerance is not None and max_delta <= tolerance:
+            converged = True
+            break
+    elapsed = time.perf_counter() - t0
+
+    ds = eng.state_dataset(["rank"]).rename_columns({"rank": "score"})
+    ds = attach_node_ids(g, ds, keep_vid=keep_vid)
+    edges_scattered = sum(m.get("edges_scattered", 0) for im in metrics for m in im)
+    return IterativeResult(
+        dataset=ds, iterations=it - start_iter, converged=converged, metrics=metrics,
+        stats={"computeSec": elapsed, "dampingFactor": damping, "nodes": g.num_vertices,
+               "edges": g.num_edges, "edges_scattered": edges_scattered,
+               "edges_scattered_per_sec": edges_scattered / elapsed if elapsed else 0.0},
+    )

@@ -1,0 +1,157 @@
+"""Triangle counting / clustering coefficient.
+
+Reference semantics (algo/.../impl/TriangleCount.java, SURVEY.md §2.4):
+treat the graph as undirected (D=BOTH, TriangleCount.java:42), count
+each triangle once, report the global count, per-node triangle counts,
+local clustering coefficient ``2T / (deg·(deg-1))`` (:132-137) and its
+average; ``algo.triangle.stream`` emits (a,b,c) node triples.
+
+Distributed shape (different from the iterative kernels — this is the
+canonical two-shuffle Dataset pipeline): orient each undirected edge
+from lower to higher (degree, vid) rank — which kills hub wedge
+explosion, the same reason the reference sorts adjacencies for
+intersections (AdjacencyMatrix.sortAll:289-305) — generate wedges per
+source via groupby(src).map_groups, then hash-join wedges back against
+the oriented edge table. Per-node counts are one more groupby.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.algorithms.common import attach_node_ids, default_partitions
+from neo4j_graph_algorithms_ray.graph import GraphTables
+
+
+def _undirected_simple_edges(g: GraphTables) -> rd.Dataset:
+    """Canonical (lo, hi) undirected edge set, self-loops dropped.
+
+    Works whether ``g`` was built directed or undirected."""
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": np.minimum(s, d), "v": np.maximum(s, d)})
+
+    e = g.edges.map_batches(canon, batch_format="pyarrow")
+    return e.groupby(["u", "v"]).count().select_columns(["u", "v"])
+
+
+def _degree_array(und: rd.Dataset, n: int) -> np.ndarray:
+    """Undirected degree per vid, as a driver-side numpy vector.
+
+    Scale note: fine to ~1e8 vertices (8n bytes); beyond that the
+    orientation step should switch to a degree-table Dataset.join —
+    same pipeline, one extra shuffle."""
+    deg = np.zeros(n, dtype=np.int64)
+    for col in ("u", "v"):
+        cnt = und.groupby(col).count()
+        for b in cnt.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            deg[b.column(col).to_numpy(zero_copy_only=False)] += \
+                b.column("count()").to_numpy(zero_copy_only=False)
+    return deg
+
+
+def triangle_count(
+    g: GraphTables,
+    *,
+    num_partitions: Optional[int] = None,
+    keep_vid: bool = False,
+):
+    """Returns (per_node Dataset (node, triangles, coefficient),
+    stats dict with triangleCount / averageClusteringCoefficient)."""
+    p = max(2, default_partitions(g, num_partitions))
+    und = _undirected_simple_edges(g)
+    deg = _degree_array(und, g.num_vertices)
+    deg_ref = ray.put(deg)
+
+    # orient by (degree, vid) rank: lower endpoint keeps the edge
+    def orient(batch: pa.Table) -> pa.Table:
+        dg = ray.get(deg_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        u_first = (dg[u] < dg[v]) | ((dg[u] == dg[v]) & (u < v))
+        return pa.table({"s": np.where(u_first, u, v), "t": np.where(u_first, v, u)})
+
+    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges: for every source s with oriented neighbors {t1<t2<...} (by
+    # rank), emit all pairs — the candidate third edges
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        dg = ray.get(deg_ref)
+        t = df["t"].to_numpy()
+        order = np.lexsort((t, dg[t]))
+        t = t[order]
+        k = len(t)
+        if k < 2:
+            return pd.DataFrame({"ws": np.empty(0, np.int64),
+                                 "wt": np.empty(0, np.int64),
+                                 "center": np.empty(0, np.int64)})
+        i, j = np.triu_indices(k, k=1)
+        return pd.DataFrame({"ws": t[i], "wt": t[j],
+                             "center": np.full(len(i), df["s"].iloc[0])})
+
+    w = oriented.groupby("s").map_groups(wedges, batch_format="pandas").materialize()
+
+    # close the wedge: (ws, wt) must be an oriented edge. Orientation is
+    # consistent (rank order), so a plain equi-join finds each triangle
+    # exactly once.
+    if w.count() == 0 or oriented.count() == 0:
+        tri = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                      "b": pa.array([], pa.int64()),
+                                      "c": pa.array([], pa.int64())}))
+    else:
+        tri = w.join(oriented, "inner", num_partitions=p, on=("ws", "wt"),
+                     right_on=("s", "t"))
+        tri = tri.select_columns(["center", "ws", "wt"]) \
+                 .rename_columns({"center": "a", "ws": "b", "wt": "c"})
+    tri = tri.materialize()
+    n_triangles = tri.count()
+
+    # per-node counts: every triangle credits its three corners
+    def explode(batch: pa.Table) -> pa.Table:
+        arr = np.concatenate([batch.column(c).to_numpy(zero_copy_only=False)
+                              for c in ("a", "b", "c")])
+        return pa.table({"vid": arr})
+
+    if n_triangles:
+        per = tri.map_batches(explode, batch_format="pyarrow") \
+                 .groupby("vid").count().rename_columns({"count()": "triangles"})
+        counts = np.zeros(g.num_vertices, dtype=np.int64)
+        for b in per.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            counts[b.column("vid").to_numpy(zero_copy_only=False)] = \
+                b.column("triangles").to_numpy(zero_copy_only=False)
+    else:
+        counts = np.zeros(g.num_vertices, dtype=np.int64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = np.where(deg > 1, 2.0 * counts / (deg * (deg - 1.0)), 0.0)
+    out = rd.from_arrow(pa.table({
+        "vid": np.arange(g.num_vertices, dtype=np.int64),
+        "triangles": counts, "coefficient": coeff,
+    }))
+    out = attach_node_ids(g, out, keep_vid=keep_vid)
+    stats = {"triangleCount": int(n_triangles),
+             "averageClusteringCoefficient": float(coeff.mean()) if g.num_vertices else 0.0,
+             "nodeCount": g.num_vertices}
+    return out, stats, tri
+
+
+def triangle_stream(g: GraphTables, *, num_partitions: Optional[int] = None) -> rd.Dataset:
+    """(a, b, c) original-id triples, one row per triangle
+    (algo.triangle.stream parity, TriangleStream.java)."""
+    _, _, tri = triangle_count(g, num_partitions=num_partitions)
+    ref = ray.put(g.vid_to_node_map())
+
+    def translate(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        return pa.table({c: m.take(batch[c]) for c in ("a", "b", "c")})
+
+    return tri.map_batches(translate, batch_format="pyarrow")

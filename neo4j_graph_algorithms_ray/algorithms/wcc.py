@@ -1,0 +1,92 @@
+"""Weakly-connected components (the reference's unionFind family).
+
+The reference's parallel variants all compute per-thread partial
+disjoint-set structures then merge them sequentially in shared memory
+(algo/.../impl/ParallelUnionFind*.java,
+core/.../core/utils/dss/DisjointSetStruct.java). A shared-memory DSS
+merge has no distributed equivalent, so the idiomatic Ray form is
+**min-label propagation to fixpoint** over the symmetrized edge table —
+deterministic exact components with the canonical id = min dense vid in
+the component (SURVEY.md §2.4 unionFind row, and MSColoring which is
+the same kernel with max, algo/.../impl/MSColoring.java:46-125).
+
+Per iteration: each shard scatters min(component[src]) per unique
+destination (map-side combine), receivers take elementwise minima;
+fixpoint when no component id changed — `changed` is itself an
+aggregate, like the reference's DisjointSetStruct merge loop
+termination. Weight-threshold unions (GraphUnionFind.java:82-104) are
+supported by filtering the edge table before graph build.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from neo4j_graph_algorithms_ray.algorithms.common import (
+    IterativeResult, attach_node_ids, ensure_ckpt_dir, get_engine)
+from neo4j_graph_algorithms_ray.graph import GraphTables
+from neo4j_graph_algorithms_ray.state.checkpoint import read_manifest, write_manifest
+
+
+def wcc(
+    g: GraphTables,
+    *,
+    num_partitions: Optional[int] = None,
+    max_iterations: int = 10_000,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    keep_vid: bool = False,
+) -> IterativeResult:
+    """Exact WCC. ``g`` must be built with ``undirected=True`` (the
+    engine treats the edge table as directed; symmetrize at build time,
+    like the reference's loadAsUndirected)."""
+    eng = get_engine(g, num_partitions)
+    config = {"P": eng.P}
+
+    start_iter = 0
+    if resume:
+        ckpt = ensure_ckpt_dir("wcc", g, checkpoint_dir)
+        man = read_manifest(ckpt)
+        if man and man.get("algo") == "wcc":
+            start_iter = man["iteration"]
+            eng.restore(ckpt, start_iter, ["component"])
+    if start_iter == 0:
+        eng.init_state("component", "vid")
+
+    metrics, it, converged = [], start_iter, False
+    t0 = time.perf_counter()
+    while it < max_iterations:
+        stats = eng.step("min_state", "min_update",
+                         scatter_kw={"name": "component"},
+                         update_kw={"name": "component"})
+        it += 1
+        iter_metrics = eng.drain_metrics()
+        for m in iter_metrics:
+            m["iteration"] = it
+        metrics.append(iter_metrics)
+        changed = sum(s["changed"] for s in stats)
+        if checkpoint_every and (it % checkpoint_every == 0):
+            ckpt = ensure_ckpt_dir("wcc", g, checkpoint_dir)
+            parts = eng.checkpoint(ckpt, it, ["component"])
+            write_manifest(ckpt, iteration=it, algo="wcc", config=config,
+                           partitions=parts, metrics=iter_metrics,
+                           extra={"changed": changed})
+        if changed == 0:
+            converged = True
+            break
+    elapsed = time.perf_counter() - t0
+
+    ds = eng.state_dataset(["component"])
+    ds = attach_node_ids(g, ds, keep_vid=keep_vid)
+    return IterativeResult(
+        dataset=ds, iterations=it - start_iter, converged=converged, metrics=metrics,
+        stats={"computeSec": elapsed, "nodes": g.num_vertices, "edges": g.num_edges},
+    )
+
+
+def wcc_component_sizes(result: IterativeResult):
+    """setCount/setSize histogram parity
+    (DisjointSetStruct.resultStream, dss/DisjointSetStruct.java:113-120)."""
+    return result.dataset.groupby("component").count()

@@ -1,0 +1,282 @@
+"""Graph construction: edge table → dense ids → range-partitioned CSR shards.
+
+Reference parity (SURVEY.md §1): the reference materializes an immutable
+dense-id graph snapshot before any algorithm runs (IdMap +
+AdjacencyMatrix/CSR — core/.../core/IdMap.java:71-84,
+core/.../core/huge/HugeGraphFactory.java:66-146). Here the same
+lifecycle is a Ray Data pipeline:
+
+  edges Dataset (original ids) → dense-id assignment (sorted-distinct
+  vertex table, ascending order like HugeIdMap) → degree histogram →
+  **accumulated-degree range partitioning** (the reference's anti-skew
+  policy, algo/.../impl/PageRank.java:85-91,184-218) → partitioned
+  Parquet edge shards (the resumable checkpoint of the graph) → shard
+  actors build in-memory CSR once and reuse it across iterations.
+
+Partitioning contract: vertices are split into ``P`` contiguous dense-id
+ranges chosen so each range owns ≈ equal *edge* count (not node count).
+A shard owns (a) the out-edges of its vertex range and (b) the state
+vector slice for its range. Scatter messages are pre-aggregated per
+unique destination inside the sending shard (map-side combine), so a
+hub destination receives at most P messages per iteration regardless of
+its in-degree — this plus degree-balanced ranges is the explicit skew
+handling required at 10^12-edge scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.util import zip_with_index
+
+DEFAULT_GRAPH_ROOT = os.environ.get("NGA_GRAPH_ROOT", "/tmp/nga_ray/graphs")
+
+# Below this vertex count the vid-mapping array is broadcast via ray.put
+# and applied with pc.index_in inside map_batches (no shuffle); above it
+# we fall back to two Dataset.join shuffles. 50M int64 ids ≈ 400 MB.
+BROADCAST_VERTEX_LIMIT = 50_000_000
+
+
+@dataclass
+class GraphTables:
+    """The materialized graph bundle every algorithm consumes.
+
+    vertices: Dataset (vid:int64, node:<original id type>) — vid dense in
+      [0, num_vertices), assigned in ascending original-id order.
+    edges:    Dataset (src:int64, dst:int64 [, weight:float64]) in dense ids.
+    """
+
+    vertices: rd.Dataset
+    edges: rd.Dataset
+    num_vertices: int
+    num_edges: int
+    weighted: bool = False
+    name: str = ""
+    node_dtype: str = "int64"
+    # filled by partition_edges(): checkpointed shard layout
+    graph_dir: Optional[str] = None
+    bounds: Optional[np.ndarray] = None  # P+1 vid range boundaries
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def num_partitions(self) -> int:
+        return 0 if self.bounds is None else len(self.bounds) - 1
+
+    def vid_to_node_map(self) -> pa.Array:
+        """Original-id array indexed by vid (small/driver-side use only)."""
+        batches = list(self.vertices.sort("vid")
+                       .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+        if not batches:
+            return pa.array([], type=pa.int64())
+        return pa.concat_tables(batches).column("node").combine_chunks()
+
+
+def _unique_endpoint_ids(edges: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
+    """Distinct node ids across both endpoint columns (distributed, via groupby)."""
+    srcs = edges.select_columns([src_col]).rename_columns({src_col: "node"})
+    dsts = edges.select_columns([dst_col]).rename_columns({dst_col: "node"})
+    both = srcs.union(dsts)
+    # groupby().count() is the distributed distinct (ds.unique() would
+    # collect values to the driver).
+    return both.groupby("node").count().select_columns(["node"])
+
+
+def build_graph(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: Optional[str] = None,
+    *,
+    undirected: bool = False,
+    accumulate_weights: bool = False,
+    dedup: bool = False,
+    extra_vertices: Optional[rd.Dataset] = None,
+    name: str = "",
+) -> GraphTables:
+    """Materialize a GraphTables bundle from an edge Dataset of original ids.
+
+    Mirrors the reference's GraphLoader contract
+    (core/.../core/GraphLoader.java:90-496): direction handling
+    (``undirected`` = loadAsUndirected: emit the reversed copy before
+    the CSR build), duplicate-edge handling (``accumulate_weights`` =
+    GraphSetup.accumulateWeights: sum parallel edges' weights;
+    ``dedup`` = keep one), and weight defaulting.
+    ``extra_vertices``: Dataset with a ``node`` column of ids that must
+    exist even if isolated (the reference loads all label-matching nodes
+    whether or not they have relationships).
+    """
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    e = edges.select_columns(cols)
+    ren = {src_col: "src", dst_col: "dst"}
+    if weight_col:
+        ren[weight_col] = "weight"
+    e = e.rename_columns(ren)
+
+    if undirected:
+        swapped = e.rename_columns({"src": "dst", "dst": "src"}) \
+                   .select_columns(["src", "dst"] + (["weight"] if weight_col else []))
+        e = e.union(swapped)
+
+    if accumulate_weights and weight_col:
+        e = e.groupby(["src", "dst"]).sum("weight")
+        e = e.rename_columns({"sum(weight)": "weight"})
+    elif dedup:
+        e = e.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+    # --- dense-id assignment (IdMap analogue; ascending original-id order) ---
+    verts = _unique_endpoint_ids(e, "src", "dst")
+    if extra_vertices is not None:
+        verts = verts.union(extra_vertices.select_columns(["node"])) \
+                     .groupby("node").count().select_columns(["node"])
+    verts = zip_with_index(verts.sort("node"), index_col="vid")
+    verts = verts.materialize()
+    n = verts.count()
+
+    if n <= BROADCAST_VERTEX_LIMIT:
+        # broadcast mapping: vid == position in the vid-ordered node array
+        vbatches = list(verts.sort("vid")
+                        .iter_batches(batch_format="pyarrow", batch_size=1 << 22))
+        node_arr = (pa.concat_tables(vbatches).column("node").combine_chunks()
+                    if vbatches else pa.array([], type=pa.int64()))
+        map_ref = ray.put(node_arr)
+
+        def to_dense(batch: pa.Table, _ref=map_ref) -> pa.Table:
+            m = ray.get(_ref)
+            out = {
+                "src": pc.index_in(batch["src"], value_set=m).cast(pa.int64()),
+                "dst": pc.index_in(batch["dst"], value_set=m).cast(pa.int64()),
+            }
+            if "weight" in batch.column_names:
+                out["weight"] = batch["weight"].cast(pa.float64())
+            return pa.table(out)
+
+        dense = e.map_batches(to_dense, batch_format="pyarrow")
+    else:
+        # big-graph path: two hash joins against the vertex table
+        p = max(32, verts.num_blocks())
+        dense = e.join(verts, "inner", num_partitions=p, on=("src",), right_on=("node",))
+        dense = dense.drop_columns(["src", "node"]).rename_columns({"vid": "src"})
+        dense = dense.join(verts, "inner", num_partitions=p, on=("dst",), right_on=("node",))
+        dense = dense.drop_columns(["dst", "node"]).rename_columns({"vid": "dst"})
+        keep = ["src", "dst"] + (["weight"] if weight_col else [])
+        dense = dense.select_columns(keep)
+
+    dense = dense.materialize()
+    m = dense.count()
+    sch = verts.schema()
+    node_dtype = str(dict(zip(sch.names, sch.types)).get("node", "int64"))
+    return GraphTables(
+        vertices=verts, edges=dense, num_vertices=n, num_edges=m,
+        weighted=bool(weight_col), name=name, node_dtype=node_dtype,
+    )
+
+
+def degree_histogram(g: GraphTables, nbuckets: int = 4096) -> np.ndarray:
+    """Edge count per coarse src-vid bucket (driver-sized; map-side partials).
+
+    Used for accumulated-degree range partitioning; the full per-vertex
+    degree table never leaves the cluster.
+    """
+    nbuckets = min(nbuckets, max(1, g.num_vertices))
+    if g.num_edges == 0:
+        return np.zeros(nbuckets, dtype=np.int64)
+    bucket_size = (g.num_vertices + nbuckets - 1) // nbuckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.column("src").to_numpy(zero_copy_only=False) // bucket_size
+        cnt = np.bincount(b, minlength=nbuckets)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": nz.astype(np.int64), "cnt": cnt[nz].astype(np.int64)})
+
+    parts = g.edges.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("bucket").sum("cnt").to_pandas()
+    hist = np.zeros(nbuckets, dtype=np.int64)
+    hist[agg["bucket"].to_numpy()] = agg["sum(cnt)"].to_numpy()
+    return hist
+
+
+def choose_bounds(g: GraphTables, num_partitions: int, hist: Optional[np.ndarray] = None) -> np.ndarray:
+    """P+1 vid boundaries balancing *accumulated degree* per range.
+
+    This is the reference's PageRank partitioning policy
+    (algo/.../impl/PageRank.java:85-91 "partition by accumulated degree
+    to avoid having one partition with super nodes") generalized to
+    range partitioning shared by every shard-based algorithm.
+    """
+    n = g.num_vertices
+    p = max(1, min(num_partitions, n))
+    if hist is None:
+        hist = degree_histogram(g)
+    nbuckets = len(hist)
+    bucket_size = (n + nbuckets - 1) // nbuckets
+    cum = np.cumsum(hist)
+    total = cum[-1] if len(cum) else 0
+    if total == 0:
+        bounds = np.linspace(0, n, p + 1).astype(np.int64)
+        bounds[-1] = n
+        return bounds
+    targets = (np.arange(1, p) * (total / p))
+    cut_buckets = np.searchsorted(cum, targets, side="left")
+    bounds = np.concatenate([[0], (cut_buckets + 1) * bucket_size, [n]]).astype(np.int64)
+    bounds = np.clip(bounds, 0, n)
+    bounds = np.maximum.accumulate(bounds)  # monotone (empty ranges allowed)
+    return bounds
+
+
+def partition_edges(
+    g: GraphTables,
+    num_partitions: int,
+    *,
+    graph_dir: Optional[str] = None,
+    reverse: bool = False,
+) -> GraphTables:
+    """Range-partition the dense edge table by src (or dst when ``reverse``)
+    and checkpoint it as Hive-partitioned Parquet — the durable graph
+    layout shard actors rebuild their CSR from (lineage/resume).
+
+    Layout: ``{graph_dir}/edges[{_rev}]/part=<i>/*.parquet`` plus
+    ``{graph_dir}/bounds.npy``. Analogous to the reference's named graph
+    cache (algo.graph.load — core/.../core/loadgraph/LoadGraphFactory.java:31-60)
+    except durable on storage rather than pinned in heap.
+    """
+    if g.bounds is None:
+        g.bounds = choose_bounds(g, num_partitions)
+    bounds = g.bounds
+    if graph_dir is None:
+        # fingerprint = name + shape + bounds: a re-built graph with the
+        # same name but different content must not reuse stale shards
+        fp = hashlib.md5(
+            f"{g.name}:{g.num_vertices}:{g.num_edges}:{g.weighted}:"
+            f"{bounds.tobytes().hex()}".encode()).hexdigest()[:10]
+        key = f"{g.name or 'g'}-{fp}"
+        graph_dir = os.path.join(DEFAULT_GRAPH_ROOT, key)
+    sub = "edges_rev" if reverse else "edges"
+    out_dir = os.path.join(graph_dir, sub)
+    os.makedirs(graph_dir, exist_ok=True)
+    np.save(os.path.join(graph_dir, "bounds.npy"), bounds)
+
+    key_col = "dst" if reverse else "src"
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        v = batch.column(key_col).to_numpy(zero_copy_only=False)
+        part = (np.searchsorted(bounds, v, side="right") - 1).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    done_marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(done_marker):
+        g.edges.map_batches(add_part, batch_format="pyarrow") \
+               .write_parquet(out_dir, partition_cols=["part"])
+        os.makedirs(out_dir, exist_ok=True)  # empty dataset writes nothing
+        with open(done_marker, "w") as f:
+            f.write("ok")
+    g.graph_dir = graph_dir
+    return g

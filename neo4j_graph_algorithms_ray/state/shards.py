@@ -1,0 +1,476 @@
+"""Range-partitioned CSR shard actors + BSP driver loop.
+
+This is the one deliberate drop below the Dataset API: every iterative
+algorithm (PageRank, WCC, label propagation, MSBFS, SSSP, SCC coloring)
+needs a mutable per-vertex state vector and a static adjacency reused
+across tens of iterations. Re-shuffling the edge table through a
+``Dataset.join`` every iteration would move the (huge) edge table per
+step; instead each shard actor builds its CSR once from the
+checkpointed partitioned Parquet (graph.partition_edges) and iterations
+exchange only the small pre-aggregated message vectors — the same
+gather → scatter → combine → update cycle the reference runs between
+thread barriers (PageRank CALC/transpose/SYNC,
+algo/.../impl/PageRank.java:432-519), made distributed.
+
+Scale notes:
+- shard i owns dense vids [bounds[i], bounds[i+1]) — ranges chosen by
+  accumulated degree (graph.choose_bounds), the reference's anti-skew
+  partitioning policy;
+- scatter pre-aggregates per unique destination inside the sender
+  (np.*.reduceat over a once-precomputed dst-sorted permutation), so
+  any destination receives ≤ P messages per iteration (hub-proof);
+- messages route shard→shard as Ray objects (num_returns=P), an
+  all-to-all of O(touched vertices) not O(edges);
+- state checkpoints to Parquet per iteration with a manifest
+  (per-partition lineage + metrics) and can resume (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from neo4j_graph_algorithms_ray.util import popcount64
+
+
+# num_cpus=0: shard actors are resident state holders that compute only
+# during BSP supersteps. Reserving whole CPUs would (a) deadlock when
+# P > cluster CPUs (actors are long-lived, the pool must fully
+# materialize) and (b) starve concurrent Dataset stages. Parallelism is
+# governed by P (default = cluster CPU count), each step being
+# single-threaded numpy per shard.
+@ray.remote(num_cpus=0)
+class ShardActor:
+    """Holds one vertex range's out-edge CSR + state slices.
+
+    ``reverse=True`` loads the dst-partitioned layout (in-edge CSR) used
+    by backward passes (SCC).
+    """
+
+    def __init__(self, part: int, bounds: np.ndarray, graph_dir: str,
+                 weighted: bool = False, reverse: bool = False):
+        self.part = int(part)
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.P = len(bounds) - 1
+        self.lo = int(bounds[part])
+        self.hi = int(bounds[part + 1])
+        self.n_local = self.hi - self.lo
+        self.graph_dir = graph_dir
+        self.reverse = reverse
+        sub = "edges_rev" if reverse else "edges"
+        part_dir = os.path.join(graph_dir, sub, f"part={part}")
+        files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+        cols = ["src", "dst"] + (["weight"] if weighted else [])
+        if files:
+            tbl = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+        else:
+            tbl = pa.table({c: pa.array([], type=pa.float64() if c == "weight" else pa.int64())
+                            for c in cols})
+        key, other = ("dst", "src") if reverse else ("src", "dst")
+        k = tbl.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = tbl.column(other).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (tbl.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+             if weighted else None)
+        order = np.argsort(k, kind="stable")
+        self.key_local = (k[order] - self.lo).astype(np.int64)   # owning-side vertex per edge
+        self.nbr = o[order]                                       # global vid of the other side
+        self.w = w[order] if w is not None else None
+        self.m = len(self.nbr)
+        self.deg = np.bincount(self.key_local, minlength=self.n_local).astype(np.int64)
+        # scatter plan: permutation sorting edges by destination + segment
+        # starts per unique destination + slice per target shard.
+        self.perm = np.argsort(self.nbr, kind="stable")
+        nbr_sorted = self.nbr[self.perm]
+        self.uniq_dst, self.seg_starts = np.unique(nbr_sorted, return_index=True)
+        self.dst_slices = np.searchsorted(self.uniq_dst, self.bounds)
+        self.state: dict[str, np.ndarray] = {}
+        self.metrics = self._fresh_metrics()
+
+    def _fresh_metrics(self):
+        return {"part": self.part, "edges_scattered": 0, "msgs_out": 0,
+                "scatter_ms": 0.0, "update_ms": 0.0}
+
+    # ---- introspection ----
+    def info(self):
+        return {"part": self.part, "lo": self.lo, "hi": self.hi,
+                "n_local": self.n_local, "m": self.m}
+
+    def drain_metrics(self):
+        m, self.metrics = self.metrics, self._fresh_metrics()
+        return m
+
+    # ---- state management ----
+    def init_state(self, name: str, kind: str, value: float = 0.0, dtype="float64"):
+        if kind == "const":
+            self.state[name] = np.full(self.n_local, value, dtype=dtype)
+        elif kind == "vid":
+            self.state[name] = np.arange(self.lo, self.hi, dtype=np.int64)
+        else:
+            raise ValueError(kind)
+        return True
+
+    def set_rows(self, name: str, vids: np.ndarray, values: np.ndarray):
+        self.state[name][np.asarray(vids) - self.lo] = values
+        return True
+
+    def get_state(self, name: str) -> np.ndarray:
+        return self.state[name]
+
+    def set_state(self, name: str, arr: np.ndarray):
+        assert len(arr) == self.n_local
+        self.state[name] = np.array(arr)
+        return True
+
+    def state_table(self, names: list[str], node_col: str = "vid") -> pa.Table:
+        cols = {node_col: pa.array(np.arange(self.lo, self.hi, dtype=np.int64))}
+        for nm in names:
+            cols[nm] = pa.array(self.state[nm])
+        return pa.table(cols)
+
+    def out_degree_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
+                         "degree": pa.array(self.deg)})
+
+    # ---- checkpoint / restore (per-partition lineage) ----
+    def checkpoint(self, ckpt_dir: str, iteration: int, names: list[str]) -> dict:
+        d = os.path.join(ckpt_dir, f"iter={iteration}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{self.part:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(self.state_table(names), tmp)
+        os.replace(tmp, path)
+        return {"part": self.part, "file": path, "rows": self.n_local}
+
+    def restore(self, ckpt_dir: str, iteration: int, names: list[str]) -> bool:
+        path = os.path.join(ckpt_dir, f"iter={iteration}", f"part-{self.part:05d}.parquet")
+        tbl = pq.read_table(path)
+        for nm in names:
+            self.state[nm] = tbl.column(nm).to_numpy(zero_copy_only=False).copy()
+        return True
+
+    # ---- message plumbing ----
+    def _route(self, uniq_idx: np.ndarray, *vals: np.ndarray) -> list:
+        """Split (uniq_dst-subset, values...) message arrays by target shard."""
+        out = []
+        dsts = self.uniq_dst[uniq_idx] if uniq_idx is not None else self.uniq_dst
+        cuts = np.searchsorted(dsts, self.bounds)
+        for j in range(self.P):
+            sl = slice(cuts[j], cuts[j + 1])
+            out.append((dsts[sl],) + tuple(v[sl] for v in vals))
+        return out
+
+    def _empty_msgs(self, nvals: int = 1) -> list:
+        e = np.empty(0, dtype=np.int64)
+        return [(e,) + tuple(np.empty(0) for _ in range(nvals)) for _ in range(self.P)]
+
+    # ---- scatter ops (sender side; map-side combine per unique dst) ----
+    def scatter(self, op: str, **kw) -> list:
+        t0 = time.perf_counter()
+        try:
+            if self.m == 0:
+                return self._empty_msgs(2 if op == "lpa" else 1)
+            if op == "pr_push":
+                d = kw["damping"]
+                push = np.zeros(self.n_local)
+                nz = self.deg > 0
+                push[nz] = d * self.state["delta"][nz] / self.deg[nz]
+                vals = push[self.key_local][self.perm]
+                sums = np.add.reduceat(vals, self.seg_starts)
+                self.metrics["edges_scattered"] += self.m
+                return self._route(None, sums)
+            if op == "min_state":
+                vals = self.state[kw["name"]][self.key_local][self.perm]
+                mins = np.minimum.reduceat(vals, self.seg_starts)
+                self.metrics["edges_scattered"] += self.m
+                return self._route(None, mins)
+            if op == "max_state_masked":
+                vals = self.state[kw["name"]][self.key_local]
+                active = self.state["active"][self.key_local] > 0
+                vals = np.where(active, vals, np.int64(-1))[self.perm]
+                maxs = np.maximum.reduceat(vals, self.seg_starts)
+                keep = maxs >= 0
+                self.metrics["edges_scattered"] += self.m
+                idx = np.nonzero(keep)[0]
+                return self._route(idx, maxs[keep])
+            if op == "lpa":
+                lab = self.state["label"][self.key_local]
+                wgt = self.w if self.w is not None else np.ones(self.m)
+                order = np.lexsort((lab, self.nbr))
+                dsts, labs, ws = self.nbr[order], lab[order], wgt[order]
+                newseg = np.empty(self.m, dtype=bool)
+                newseg[0] = True
+                np.not_equal(dsts[1:], dsts[:-1], out=newseg[1:])
+                newseg[1:] |= labs[1:] != labs[:-1]
+                starts = np.nonzero(newseg)[0]
+                sums = np.add.reduceat(ws, starts)
+                gd, gl = dsts[starts], labs[starts]
+                parity = kw.get("parity")
+                if parity is not None:
+                    # semi-synchronous LPA: only dsts of this parity update
+                    # this superstep — don't ship the other half's votes
+                    keep = (gd & 1) == parity
+                    gd, gl, sums = gd[keep], gl[keep], sums[keep]
+                self.metrics["edges_scattered"] += self.m
+                cuts = np.searchsorted(gd, self.bounds)
+                return [(gd[cuts[j]:cuts[j + 1]], gl[cuts[j]:cuts[j + 1]],
+                         sums[cuts[j]:cuts[j + 1]]) for j in range(self.P)]
+            if op == "bits":
+                fr = self.state["frontier"]
+                if not fr.any():
+                    return self._empty_msgs(1)
+                vals = fr[self.key_local][self.perm]
+                ors = np.bitwise_or.reduceat(vals, self.seg_starts)
+                nz = np.nonzero(ors)[0]
+                self.metrics["edges_scattered"] += self.m
+                return self._route(nz, ors[nz])
+            if op == "relax":
+                dist = self.state["dist"][self.key_local]
+                w = self.w if self.w is not None else np.ones(self.m)
+                vals = (dist + w)[self.perm]
+                mins = np.minimum.reduceat(vals, self.seg_starts)
+                fin = np.isfinite(mins)
+                idx = np.nonzero(fin)[0]
+                self.metrics["edges_scattered"] += int(np.isfinite(dist).sum())
+                return self._route(idx, mins[fin])
+            if op == "bwd_color":
+                # SCC backward pass over the reverse CSR: frontier vertices w
+                # (in_flag newly set) push their color to in-neighbors u of
+                # edge u→w; receiver accepts iff color matches. No reduce —
+                # exact (dst, color) pairs, deduped.
+                fr = self.state["bwd_frontier"] > 0
+                edge_sel = fr[self.key_local]
+                if not edge_sel.any():
+                    return self._empty_msgs(1)
+                dsts = self.nbr[edge_sel]
+                cols = self.state["color"][self.key_local][edge_sel]
+                key = np.stack([dsts, cols])
+                _, ui = np.unique(key, axis=1, return_index=True)
+                dsts, cols = dsts[ui], cols[ui]
+                order = np.argsort(dsts, kind="stable")
+                dsts, cols = dsts[order], cols[order]
+                self.metrics["edges_scattered"] += int(edge_sel.sum())
+                cuts = np.searchsorted(dsts, self.bounds)
+                return [(dsts[cuts[j]:cuts[j + 1]], cols[cuts[j]:cuts[j + 1]])
+                        for j in range(self.P)]
+            raise ValueError(f"unknown scatter op {op}")
+        finally:
+            self.metrics["scatter_ms"] += (time.perf_counter() - t0) * 1e3
+
+    # ---- update ops (receiver side) ----
+    def update(self, op: str, *msgs, **kw):
+        t0 = time.perf_counter()
+        try:
+            self.metrics["msgs_out"] += sum(len(m[0]) for m in msgs)
+            if op == "pr_update":
+                incoming = np.zeros(self.n_local)
+                for dsts, vals in msgs:
+                    incoming[dsts - self.lo] += vals
+                self.state["delta"] = incoming
+                self.state["rank"] += incoming
+                return {"max_delta": float(np.abs(incoming).max()) if self.n_local else 0.0}
+            if op == "min_update":
+                name = kw["name"]
+                st = self.state[name]
+                cand = np.full(self.n_local, np.iinfo(np.int64).max
+                               if st.dtype == np.int64 else np.inf, dtype=st.dtype)
+                for dsts, vals in msgs:
+                    idx = dsts - self.lo
+                    np.minimum.at(cand, idx, vals.astype(st.dtype))
+                changed = cand < st
+                st[changed] = cand[changed]
+                return {"changed": int(changed.sum())}
+            if op == "max_update_masked":
+                st = self.state[kw["name"]]
+                act = self.state["active"] > 0
+                cand = np.full(self.n_local, -1, dtype=np.int64)
+                for dsts, vals in msgs:
+                    idx = dsts - self.lo
+                    np.maximum.at(cand, idx, vals.astype(np.int64))
+                changed = act & (cand > st)
+                st[changed] = cand[changed]
+                return {"changed": int(changed.sum())}
+            if op == "lpa_update":
+                prev = self.state["label"]
+                parity = kw.get("parity")
+                if msgs:
+                    dsts = np.concatenate([m[0] for m in msgs]) - self.lo
+                    labs = np.concatenate([m[1] for m in msgs])
+                    ws = np.concatenate([m[2] for m in msgs])
+                else:
+                    dsts = np.empty(0, np.int64); labs = dsts; ws = np.empty(0)
+                if len(dsts):
+                    order = np.lexsort((labs, dsts))
+                    dsts, labs, ws = dsts[order], labs[order], ws[order]
+                    newseg = np.empty(len(dsts), dtype=bool)
+                    newseg[0] = True
+                    newseg[1:] = (dsts[1:] != dsts[:-1]) | (labs[1:] != labs[:-1])
+                    starts = np.nonzero(newseg)[0]
+                    gd, gl = dsts[starts], labs[starts]
+                    gw = np.add.reduceat(ws, starts)
+                    # per dst: argmax weight, tie-break min label (deterministic)
+                    pick = np.lexsort((gl, -gw, gd))
+                    gd, gl, gw = gd[pick], gl[pick], gw[pick]
+                    first = np.unique(gd, return_index=True)[1]
+                    upd_idx, upd_lab = gd[first], gl[first]
+                    if parity is not None:
+                        keep = ((upd_idx + self.lo) & 1) == parity
+                        upd_idx, upd_lab = upd_idx[keep], upd_lab[keep]
+                    changed = int((prev[upd_idx] != upd_lab).sum())
+                    prev[upd_idx] = upd_lab
+                else:
+                    changed = 0
+                return {"changed": changed}
+            if op == "bits_update":
+                depth = kw["depth"]
+                inc = np.zeros(self.n_local, dtype=np.uint64)
+                for dsts, vals in msgs:
+                    idx = dsts - self.lo
+                    np.bitwise_or.at(inc, idx, vals.astype(np.uint64))
+                new = inc & ~self.state["seen"]
+                self.state["seen"] |= new
+                self.state["frontier"] = new
+                nz = np.nonzero(new)[0]
+                npop = popcount64(new[nz]) if len(nz) else np.empty(0, np.int64)
+                if "farness" in self.state:
+                    self.state["farness"][nz] += npop * depth
+                if "inv_farness" in self.state:
+                    self.state["inv_farness"][nz] += npop / depth
+                out = {"new_visits": int(npop.sum())}
+                if kw.get("emit_hops") and len(nz):
+                    rows_v, rows_b = [], []
+                    rem = new[nz].copy()
+                    for b in range(64):
+                        hit = (rem >> np.uint64(b)) & np.uint64(1)
+                        sel = np.nonzero(hit)[0]
+                        if len(sel):
+                            rows_v.append(nz[sel] + self.lo)
+                            rows_b.append(np.full(len(sel), b, dtype=np.int64))
+                    out["hops"] = (np.concatenate(rows_v), np.concatenate(rows_b))
+                elif kw.get("emit_hops"):
+                    out["hops"] = (np.empty(0, np.int64), np.empty(0, np.int64))
+                return out
+            if op == "relax_update":
+                st = self.state["dist"]
+                cand = np.full(self.n_local, np.inf)
+                for dsts, vals in msgs:
+                    idx = dsts - self.lo
+                    np.minimum.at(cand, idx, vals)
+                changed = cand < st
+                st[changed] = cand[changed]
+                return {"changed": int(changed.sum())}
+            if op == "bwd_color_update":
+                color = self.state["color"]
+                act = self.state["active"] > 0
+                inb = self.state["in_bwd"] > 0
+                hit = np.zeros(self.n_local, dtype=bool)
+                for dsts, cols in msgs:
+                    idx = dsts - self.lo
+                    hit[idx] |= (color[idx] == cols)
+                new = hit & act & ~inb
+                self.state["in_bwd"][new] = 1
+                self.state["bwd_frontier"] = new.astype(np.int8)
+                return {"changed": int(new.sum())}
+            raise ValueError(f"unknown update op {op}")
+        finally:
+            self.metrics["update_ms"] += (time.perf_counter() - t0) * 1e3
+
+
+class ShardEngine:
+    """Driver-side coordinator over a pool of ShardActors (the role the
+    reference's ParallelUtil barrier loop plays,
+    core/.../core/utils/ParallelUtil.java:208-713)."""
+
+    def __init__(self, g, num_partitions: int, *, weighted: bool = False,
+                 reverse: bool = False):
+        from neo4j_graph_algorithms_ray.graph import partition_edges
+        partition_edges(g, num_partitions, reverse=False)
+        if reverse:
+            partition_edges(g, num_partitions, reverse=True)
+        self.g = g
+        self.bounds = g.bounds
+        self.P = len(self.bounds) - 1
+        self.actors = [ShardActor.remote(i, self.bounds, g.graph_dir, weighted, False)
+                       for i in range(self.P)]
+        self.rev_actors = ([ShardActor.remote(i, self.bounds, g.graph_dir, weighted, True)
+                            for i in range(self.P)] if reverse else None)
+        ray.get([a.info.remote() for a in self.actors])
+        if self.rev_actors:
+            ray.get([a.info.remote() for a in self.rev_actors])
+
+    # -- state plumbing --
+    def init_state(self, name, kind, value=0.0, dtype="float64"):
+        ray.get([a.init_state.remote(name, kind, value, dtype) for a in self.actors])
+
+    def broadcast_state(self, name: str):
+        """Copy a state vector from forward actors to reverse actors."""
+        if not self.rev_actors:
+            return
+        refs = [a.get_state.remote(name) for a in self.actors]
+        ray.get([ra.set_state.remote(name, r)
+                 for ra, r in zip(self.rev_actors, refs)])
+
+    def set_state_from_table(self, name: str, vids: np.ndarray, values: np.ndarray):
+        part = np.searchsorted(self.bounds, vids, side="right") - 1
+        order = np.argsort(part, kind="stable")
+        vids, values, part = vids[order], values[order], part[order]
+        cuts = np.searchsorted(part, np.arange(self.P + 1))
+        ray.get([self.actors[j].set_rows.remote(name, vids[cuts[j]:cuts[j + 1]],
+                                                values[cuts[j]:cuts[j + 1]])
+                 for j in range(self.P) if cuts[j + 1] > cuts[j]])
+
+    def step(self, scatter_op: str, update_op: str, *, actors=None,
+             update_actors=None, scatter_kw=None, update_kw=None) -> list[dict]:
+        """One BSP superstep: scatter on all shards → route → update."""
+        actors = actors or self.actors
+        update_actors = update_actors or self.actors
+        sk, uk = scatter_kw or {}, update_kw or {}
+        if self.P == 1:
+            msgs = [actors[0].scatter.remote(scatter_op, **sk)]
+            # single ref holding the list of 1 message
+            stats = [ray.get(update_actors[0].update.remote(
+                update_op, *ray.get(msgs[0]), **uk))]
+            return stats
+        refs = [a.scatter.options(num_returns=self.P).remote(scatter_op, **sk)
+                for a in actors]
+        upd = [update_actors[j].update.remote(update_op,
+                                              *[refs[i][j] for i in range(self.P)], **uk)
+               for j in range(self.P)]
+        return ray.get(upd)
+
+    def drain_metrics(self) -> list[dict]:
+        out = ray.get([a.drain_metrics.remote() for a in self.actors])
+        if self.rev_actors:
+            out += ray.get([a.drain_metrics.remote() for a in self.rev_actors])
+        return out
+
+    def state_dataset(self, names: list[str], node_col: str = "vid"):
+        import ray.data as rd
+        refs = [a.state_table.remote(names, node_col) for a in self.actors]
+        return rd.from_arrow_refs(refs)
+
+    def degrees_dataset(self):
+        import ray.data as rd
+        return rd.from_arrow_refs([a.out_degree_table.remote() for a in self.actors])
+
+    def fetch_state(self, name: str) -> np.ndarray:
+        """Concatenated full state vector — small graphs / tests only."""
+        return np.concatenate(ray.get([a.get_state.remote(name) for a in self.actors]))
+
+    def checkpoint(self, ckpt_dir: str, iteration: int, names: list[str]) -> list[dict]:
+        return ray.get([a.checkpoint.remote(ckpt_dir, iteration, names)
+                        for a in self.actors])
+
+    def restore(self, ckpt_dir: str, iteration: int, names: list[str]):
+        ray.get([a.restore.remote(ckpt_dir, iteration, names) for a in self.actors])
+
+    def close(self):
+        for a in self.actors + (self.rev_actors or []):
+            ray.kill(a)
+        self.actors, self.rev_actors = [], None

@@ -1,0 +1,99 @@
+"""PageRank oracles — re-expressed from the reference's unit tests
+(tests/.../impl/PageRankTest.java, PageRankWikiTest.java): same fixture
+edges, same goldens at 40 iterations / damping 0.85 / tolerance 1e-2,
+parameterized across partition counts instead of graph implementations;
+plus the north rule's 1e-6 convergence check against an independent
+numpy power iteration with identical (1-d) + d·Σ semantics."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray import build_graph, fixtures as fx
+from neo4j_graph_algorithms_ray.algorithms import pagerank
+
+
+def numpy_pagerank(nodes, edges, damping=0.85, iters=200):
+    idx = {n: i for i, n in enumerate(sorted(nodes))}
+    n = len(idx)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    r = np.full(n, 1 - damping)
+    for _ in range(iters):
+        nxt = np.full(n, 1 - damping)
+        for s, d in edges:
+            nxt[idx[d]] += damping * r[idx[s]] / outdeg[idx[s]]
+        r = nxt
+    return {n_: r[i] for n_, i in idx.items()}
+
+
+def _build(nodes, edges, parts, name):
+    g = build_graph(rd.from_arrow(fx.edge_table(edges)),
+                    extra_vertices=rd.from_items([{"node": n} for n in nodes]),
+                    name=f"{name}_p{parts}")
+    return g
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+@pytest.mark.parametrize("fixture", ["f1", "f2"])
+def test_pagerank_goldens(parts, fixture):
+    nodes, edges, golden = {
+        "f1": (fx.F1_NODES, fx.F1_EDGES, fx.F1_GOLDEN),
+        "f2": (fx.F2_NODES, fx.F2_EDGES, fx.F2_GOLDEN),
+    }[fixture]
+    g = _build(nodes, edges, parts, fixture)
+    res = pagerank(g, 0.85, 40, num_partitions=parts)
+    scores = {r["node"]: r["score"] for r in res.dataset.take_all()}
+    for k, v in golden.items():
+        assert scores[k] == pytest.approx(v, abs=1e-2), k
+    assert res.iterations == 40
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_pagerank_convergence_1e6(parts):
+    g = _build(fx.F2_NODES, fx.F2_EDGES, parts, "f2conv")
+    # stop at max|delta| <= 1e-7: the fixpoint residual is bounded by
+    # d/(1-d) * max_delta ≈ 5.7x, so 1e-7 guarantees 1e-6 closeness
+    res = pagerank(g, 0.85, max_iterations=500, tolerance=1e-7, num_partitions=parts)
+    assert res.converged
+    expect = numpy_pagerank(fx.F2_NODES, fx.F2_EDGES)
+    scores = {r["node"]: r["score"] for r in res.dataset.take_all()}
+    for k, v in expect.items():
+        assert scores[k] == pytest.approx(v, abs=1e-6), k
+
+
+def test_pagerank_partition_invariance():
+    """Same result at 1 partition vs 4 partitions (replaces the
+    reference's cross-graph-impl parameterization)."""
+    tbl = fx.scale_free_edges(2000, seed=7)
+    r = {}
+    for p in (1, 4):
+        g = build_graph(rd.from_arrow(tbl), name=f"sf2000_p{p}")
+        res = pagerank(g, 0.85, max_iterations=300, tolerance=1e-9, num_partitions=p)
+        df = res.dataset.to_pandas().sort_values("node").reset_index(drop=True)
+        r[p] = df
+    assert np.allclose(r[1]["score"], r[4]["score"], atol=1e-9)
+
+
+def test_pagerank_checkpoint_resume(tmp_path):
+    """Kill-and-resume: run 5 iterations with checkpointing, then resume
+    to 40; must equal a straight 40-iteration run."""
+    tbl = fx.edge_table(fx.F2_EDGES)
+    g1 = build_graph(rd.from_arrow(tbl), name="ckpt_a")
+    straight = pagerank(g1, 0.85, 40, num_partitions=2)
+    s1 = straight.dataset.to_pandas().sort_values("node")["score"].to_numpy()
+
+    g2 = build_graph(rd.from_arrow(tbl), name="ckpt_b")
+    ck = str(tmp_path / "pr")
+    pagerank(g2, 0.85, 5, num_partitions=2, checkpoint_dir=ck, checkpoint_every=5)
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+    # simulate loss of in-memory state: rebuild engine actors from shards
+    GraphCatalog.remove("ckpt_b")
+    g2b = build_graph(rd.from_arrow(tbl), name="ckpt_b2")
+    g2b.graph_dir = g2.graph_dir  # same checkpointed layout
+    g2b.bounds = g2.bounds
+    resumed = pagerank(g2b, 0.85, 40, num_partitions=2, checkpoint_dir=ck, resume=True)
+    s2 = resumed.dataset.to_pandas().sort_values("node")["score"].to_numpy()
+    assert resumed.iterations == 35
+    assert np.allclose(s1, s2, atol=0)

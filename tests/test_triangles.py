@@ -1,0 +1,42 @@
+"""Triangle count oracles (TriangleCountTest.java ring fixture,
+TriangleProcTest 3-community fixture)."""
+
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray import build_graph, fixtures as fx
+from neo4j_graph_algorithms_ray.algorithms import triangle_count, triangle_stream
+
+
+def test_triangle_ring():
+    """F4: 1000 triangles sharing a center (TriangleCountTest.java:50-135):
+    global count 1000, center 1000, ring nodes 2; ring coefficient 2/3."""
+    n = 1000
+    g = build_graph(rd.from_arrow(fx.triangle_ring_table(n)), undirected=True,
+                    name="ring1000")
+    per, stats, _ = triangle_count(g)
+    assert stats["triangleCount"] == n
+    rows = {r["node"]: r for r in per.take_all()}
+    assert rows[0]["triangles"] == n
+    for i in range(1, n + 1):
+        assert rows[i]["triangles"] == 2
+        assert rows[i]["coefficient"] == pytest.approx(2 * 2 / (3 * 2), abs=1e-3)
+
+
+@pytest.mark.parametrize("parts", [2, 4])
+def test_triangle_three_communities(parts):
+    """F5: directed edges treated as undirected (TriangleCount.java:42);
+    3 triangles, per-node count 1, bridges create none."""
+    g = build_graph(rd.from_arrow(fx.edge_table(fx.F5_EDGES)), name=f"tri3_p{parts}")
+    per, stats, _ = triangle_count(g, num_partitions=parts)
+    assert stats["triangleCount"] == 3
+    rows = {r["node"]: r["triangles"] for r in per.take_all()}
+    for v in "abcdefghi":
+        assert rows[v] == 1, v
+
+
+def test_triangle_stream_triples():
+    g = build_graph(rd.from_arrow(fx.edge_table(fx.F5_EDGES)), name="tri3s")
+    triples = {tuple(sorted((r["a"], r["b"], r["c"])))
+               for r in triangle_stream(g).take_all()}
+    assert triples == {("a", "b", "c"), ("d", "e", "f"), ("g", "h", "i")}

@@ -1,0 +1,91 @@
+"""WCC and label propagation oracles (reference tests re-expressed:
+UnionFindsTest.java line fixture; label-propagation doc fixture)."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray import build_graph, fixtures as fx
+from neo4j_graph_algorithms_ray.algorithms import label_propagation, wcc
+from neo4j_graph_algorithms_ray.algorithms.wcc import wcc_component_sizes
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_wcc_lines(parts):
+    tbl = fx.wcc_lines_table(10, 10)
+    g = build_graph(rd.from_arrow(tbl), undirected=True, name=f"lines_p{parts}")
+    res = wcc(g, num_partitions=parts)
+    assert res.converged
+    comp = {r["node"]: r["component"] for r in res.dataset.take_all()}
+    assert len(comp) == 100
+    for n_, c in comp.items():
+        assert c == 10 * (n_ // 10), n_
+    sizes = {r["component"]: r["count()"] for r in wcc_component_sizes(res).take_all()}
+    assert len(sizes) == 10 and all(v == 10 for v in sizes.values())
+
+
+def test_wcc_threshold():
+    """Weighted threshold union (GraphUnionFind.java:82-104): only edges
+    with weight >= threshold union — expressed as an edge filter."""
+    import pyarrow as pa
+    tbl = pa.table({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4],
+                    "weight": [5.0, 1.0, 5.0, 5.0]})
+    ds = rd.from_arrow(tbl).filter(lambda r: r["weight"] >= 2.0)
+    g = build_graph(ds, weight_col="weight", undirected=True,
+                    extra_vertices=rd.from_items([{"node": i} for i in range(5)]),
+                    name="thresh")
+    res = wcc(g)
+    comp = {r["node"]: r["component"] for r in res.dataset.take_all()}
+    assert comp[0] == comp[1]
+    assert comp[2] == comp[3] == comp[4]
+    assert comp[0] != comp[2]
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_lpa_fixture_partition(parts):
+    """F6: the {Alice,Bridget,Michael} / {Charles,Doug,Mark} partition
+    from doc/label-propagation.adoc:60-78 / LabelPropagation420Test
+    (direction OUTGOING like the 420 test's lp.compute(OUTGOING, 10):
+    each node votes among its out-neighbors' labels, i.e. labels flow
+    along reversed edges — build the engine graph with edges reversed)."""
+    names = sorted(fx.F6_SEEDS)
+    tbl = fx.edge_table([(b, a) for a, b in fx.F6_EDGES])
+    g = build_graph(rd.from_arrow(tbl), name=f"lpa6_p{parts}")
+    seeds = (np.array(names), np.array([fx.F6_SEEDS[n] for n in names]))
+    res = label_propagation(g, max_iterations=50, seeds=seeds, num_partitions=parts)
+    assert res.converged
+    lab = {r["node"]: r["label"] for r in res.dataset.take_all()}
+    assert lab["Alice"] == lab["Bridget"] == lab["Michael"]
+    assert lab["Charles"] == lab["Doug"] == lab["Mark"]
+    assert lab["Alice"] != lab["Charles"]
+
+
+def test_lpa_default_seeds_and_determinism():
+    """Without seed property, initial label = node id (dense vid); two
+    runs at different partition counts agree exactly."""
+    tbl = fx.scale_free_edges(500, seed=3)
+    outs = []
+    for p in (1, 4):
+        g = build_graph(rd.from_arrow(tbl), undirected=True, name=f"lpad_p{p}")
+        res = label_propagation(g, max_iterations=20, num_partitions=p)
+        outs.append(res.dataset.to_pandas().sort_values("node")["label"].to_numpy())
+    assert np.array_equal(outs[0], outs[1])
+
+
+def test_wcc_checkpoint_resume(tmp_path):
+    tbl = fx.wcc_lines_table(4, 25)  # diameter 24 → ~24 iterations
+    g = build_graph(rd.from_arrow(tbl), undirected=True, name="wccck_a")
+    straight = wcc(g, num_partitions=2)
+    c1 = straight.dataset.to_pandas().sort_values("node")["component"].to_numpy()
+
+    g2 = build_graph(rd.from_arrow(tbl), undirected=True, name="wccck_b")
+    ck = str(tmp_path / "wcc")
+    wcc(g2, num_partitions=2, max_iterations=5, checkpoint_dir=ck, checkpoint_every=5)
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+    GraphCatalog.remove("wccck_b")
+    g2b = build_graph(rd.from_arrow(tbl), undirected=True, name="wccck_b2")
+    g2b.graph_dir, g2b.bounds = g2.graph_dir, g2.bounds
+    resumed = wcc(g2b, num_partitions=2, checkpoint_dir=ck, resume=True)
+    c2 = resumed.dataset.to_pandas().sort_values("node")["component"].to_numpy()
+    assert np.array_equal(c1, c2)
+    assert resumed.converged
