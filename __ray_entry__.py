@@ -1,44 +1,285 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown(). Each ``queries()[name](sf_dir)``
+returns a Dataset / pandas DataFrame / pyarrow Table, and (where
+SQL-expressible) ``oracle_sql()[name]`` is the exactly-equivalent DuckDB
+query over the same parquet tables — identical column names, floats
+rounded to 6 decimals on both sides, iterative algorithms matched by
+running the engine for the same fixed number of supersteps the SQL
+unrolls (see neo4j_graph_algorithms_ray/pipelines/oracles.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PR_ITERS = 20
+WCC_SQL_ITERS = 25
+LPA_SWEEPS = 6
+TOPK = 20
+
+
+def _round6(ds, col):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def r(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index(col)
+        # half_towards_infinity matches DuckDB's round()
+        return batch.set_column(idx, col, pc.round(
+            batch[col], ndigits=6, round_mode="half_towards_infinity"))
+
+    return ds.map_batches(r, batch_format="pyarrow")
+
+
+# ---------------- graph queries ----------------
+
+def _q_pagerank(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS)
+    return _round6(res.dataset, "score")
+
+
+def _q_pagerank_topk(sf_dir: str):
+    ds = _q_pagerank(sf_dir)
+    return ds.sort(["score", "node"], descending=[True, False]).limit(TOPK)
+
+
+def _q_wcc(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase_und")
+    res = wcc(g)
+    return translate_vid_columns(g, res.dataset, ["component"])
+
+
+def _q_wcc_sizes(sf_dir: str):
+    ds = _q_wcc(sf_dir)
+    return ds.groupby("component").count().rename_columns({"count()": "size"})
+
+
+def _q_labelprop(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import label_propagation
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+    res = label_propagation(g, max_iterations=LPA_SWEEPS, mode="semi")
+    return translate_vid_columns(g, res.dataset, ["label"])
+
+
+def _q_triangle_global(sf_dir: str):
+    import pandas as pd
+    from neo4j_graph_algorithms_ray.algorithms import triangle_count
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "copart")
+    _, stats, _ = triangle_count(g)
+    return pd.DataFrame({"triangle_count": [stats["triangleCount"]]})
+
+
+def _q_triangle_per_node(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import triangle_count
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "copart")
+    per, _, _ = triangle_count(g)
+    return _round6(per, "coefficient")
+
+
+def _q_degrees(sf_dir: str):
+    import pyarrow as pa
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+    from neo4j_graph_algorithms_ray.algorithms.common import attach_node_ids
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+    eng = get_engine(g, None)
+    ds = eng.degrees_dataset().rename_columns({"degree": "out_degree"})
+    return attach_node_ids(g, ds)
+
+
+def _q_graph_stats(sf_dir: str):
+    import pandas as pd
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+    eng = get_engine(g, None)
+    deg = eng.degrees_dataset()
+    dangling = deg.filter(lambda r: r["degree"] == 0).count()
+    return pd.DataFrame({"nodes": [g.num_vertices], "relationships": [g.num_edges],
+                         "dangling_nodes": [dangling]})
+
+
+def _q_metapaths(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import compute_all_metapaths
+    from neo4j_graph_algorithms_ray.pipelines.tpch import typed_edge_ds
+    return compute_all_metapaths(typed_edge_ds(sf_dir), length=3, undirected=True)
+
+
+def _q_get_schema(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import get_schema
+    from neo4j_graph_algorithms_ray.pipelines.tpch import typed_edge_ds
+    return get_schema(typed_edge_ds(sf_dir))
+
+
+# ---------------- documents / embeddings pipeline queries ----------------
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_token_count(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import TokenCount
+    return _docs(sf_dir).map_batches(TokenCount, batch_format="pandas",
+                                     batch_size=4096, concurrency=2)
+
+
+def _q_quality(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import QualityScore
+    return _docs(sf_dir).map_batches(QualityScore, batch_format="pandas",
+                                     batch_size=4096, concurrency=2)
+
+
+def _q_langid(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import LangId
+    return _docs(sf_dir).map_batches(LangId, batch_format="pandas",
+                                     batch_size=4096, concurrency=2)
+
+
+def _q_fingerprint(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import Fingerprint
+    return _docs(sf_dir).map_batches(Fingerprint, batch_format="pandas",
+                                     batch_size=4096, concurrency=2)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir), num_perm=8, bands=4, threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.dedup import simhash_pairs
+    return simhash_pairs(_docs(sf_dir), max_hamming=8)
+
+
+def _q_emb_neardup(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.dedup import embedding_neardup_pairs
+    return embedding_neardup_pairs(_emb(sf_dir), threshold=0.95)
+
+
+def _ann_queries(sf_dir: str):
+    import numpy as np
+    q = _emb(sf_dir).sort("vec_id").limit(5).take_all()
+    ids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
+    return vecs, ids
+
+
+def _q_ann_topk(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.ann import brute_force_topk
+    vecs, ids = _ann_queries(sf_dir)
+    return brute_force_topk(_emb(sf_dir), vecs, ids, k=10)
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.ann import lsh_topk
+    vecs, ids = _ann_queries(sf_dir)
+    return lsh_topk(_emb(sf_dir), vecs, ids, k=10)
+
+
+def _q_media(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.multimodal import media_pipeline
+    out = media_pipeline(_docs(sf_dir))
+    return out.select_columns(["doc_id", "n_bytes", "first_byte"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: purchase graph from sf0.001 → PageRank to
+    1e-6 convergence → top-20 scores."""
+    sf_dir = "/root/testdata/sf0.001"
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+    res = pagerank(g, 0.85, max_iterations=200, tolerance=1e-7)
+    return res.dataset.sort(["score", "node"], descending=[True, False]).limit(TOPK)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pagerank": _q_pagerank,
+        "pagerank_topk": _q_pagerank_topk,
+        "wcc": _q_wcc,
+        "wcc_sizes": _q_wcc_sizes,
+        "labelprop": _q_labelprop,
+        "triangle_count_global": _q_triangle_global,
+        "triangle_count_per_node": _q_triangle_per_node,
+        "degrees": _q_degrees,
+        "graph_stats": _q_graph_stats,
+        "metapaths": _q_metapaths,
+        "get_schema": _q_get_schema,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_emb_neardup,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "media_pipeline": _q_media,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from neo4j_graph_algorithms_ray.pipelines import oracles as o
+    from neo4j_graph_algorithms_ray.pipelines import oracles_docs as od
+    return {
+        "pagerank": o.pagerank_sql(PR_ITERS),
+        "pagerank_topk": o.pagerank_topk_sql(PR_ITERS, TOPK),
+        "wcc": o.wcc_sql(WCC_SQL_ITERS, "components"),
+        "wcc_sizes": o.wcc_sql(WCC_SQL_ITERS, "sizes"),
+        "labelprop": o.lpa_sql(LPA_SWEEPS),
+        "triangle_count_global": o.TRIANGLE_GLOBAL_SQL,
+        "triangle_count_per_node": o.TRIANGLE_PER_NODE_SQL,
+        "degrees": o.DEGREE_SQL,
+        "graph_stats": o.GRAPH_STATS_SQL,
+        "metapaths": o.metapath_sql(3),
+        "get_schema": o.GET_SCHEMA_SQL,
+        # documents / embeddings pipelines (oracles_docs.py). minhash /
+        # simhash / LSH-ANN are deliberately rows-only: their hash-sketch
+        # semantics are not SQL-expressible; they are verified in pytest
+        # against brute-force implementations instead.
+        "exact_dedup": od.EXACT_DEDUP_SQL,
+        "token_count": od.TOKEN_COUNT_SQL,
+        "quality_score": od.QUALITY_SQL,
+        "langid": od.langid_sql(),
+        "fingerprint": od.FINGERPRINT_SQL,
+        "ngram_jaccard_pairs": od.NGRAM_JACCARD_SQL,
+        "embedding_neardup": od.EMB_NEARDUP_SQL,
+        "ann_cosine_topk": od.ANN_TOPK_SQL,
+        "media_pipeline": od.MEDIA_SQL,
+    }

@@ -1,0 +1,157 @@
+"""Bench harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+print ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "edges_scattered_per_sec": ...}
+
+--scaling: run the north-metric workload (PageRank over a deterministic
+seed-pinned scale-free graph, ~6.5M edges) twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the identical input, and report both
+throughputs plus scaling efficiency = (T_32/T_8)/4. This is the
+sandbox stand-in for the N→4N two-cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALE_N = int(os.environ.get("NGA_SCALE_NODES", "2000000"))
+
+
+def _init_ray(num_cpus: int):
+    import logging
+
+    import ray
+    import ray.data as rd
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray").setLevel(logging.CRITICAL)
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+    return ray
+
+
+def headline(num_cpus: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    os.environ["NGA_GRAPH_ROOT"] = tempfile.mkdtemp(prefix="nga_bench_")
+    ray = _init_ray(num_cpus)
+    from neo4j_graph_algorithms_ray.algorithms import (
+        compute_all_metapaths, label_propagation, pagerank, triangle_count, wcc)
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph, typed_edge_ds
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # graph load (the reference's loadMillis) measured separately
+    g = timed("load_purchase", lambda: get_graph(SF_DIR, "purchase"))
+    res = timed("pagerank", lambda: pagerank(
+        g, 0.85, max_iterations=100, tolerance=1e-6))
+    extras["pagerank_iterations"] = res.iterations
+    extras["edges_scattered_per_sec"] = round(res.stats["edges_scattered_per_sec"], 1)
+
+    gu = timed("load_purchase_und", lambda: get_graph(SF_DIR, "purchase_und"))
+    timed("wcc", lambda: wcc(gu).dataset.materialize())
+    timed("labelprop", lambda: label_propagation(g, max_iterations=6).dataset.materialize())
+
+    gc = timed("load_copart", lambda: get_graph(SF_DIR, "copart"))
+    timed("triangles", lambda: triangle_count(gc)[0].materialize())
+    timed("metapaths_l2", lambda: compute_all_metapaths(
+        typed_edge_ds(SF_DIR), length=2).materialize())
+
+    total = round(sum(queries.values()), 3)
+    ray.shutdown()
+    return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",
+            "queries": queries, "sf": SF_DIR, "num_cpus": num_cpus, **extras}
+
+
+def scaling_workload(num_cpus: int) -> dict:
+    """North-metric workload: PageRank over the seed-pinned scale-free
+    graph; throughput = edges-scattered/sec across fixed 10 iterations."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # stable root: the second CPU-count run reuses the identical
+    # partitioned-parquet graph layout (same content fingerprint)
+    os.environ["NGA_GRAPH_ROOT"] = os.environ.get(
+        "NGA_SCALE_ROOT", "/tmp/nga_scale_shared")
+    ray = _init_ray(num_cpus)
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray import build_graph, fixtures as fx
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+
+    t0 = time.perf_counter()
+    tbl = fx.scale_free_edges(SCALE_N,
+                              mean_deg=int(os.environ.get("NGA_SCALE_DEG", "64")),
+                              seed=42)
+    gen_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    g = build_graph(rd.from_arrow(tbl).repartition(max(8, num_cpus)),
+                    name=f"scalefree{SCALE_N}")
+    build_sec = time.perf_counter() - t0
+    # engine warm-up = the reference's load phase (loadMillis); the north
+    # metric is edges-scattered/sec per *iteration*, i.e. compute only
+    # P is FIXED at 32 shards for both CPU counts: the two runs differ
+    # only in execution parallelism, exactly like growing a cluster
+    # under a fixed sharding — partitioning, message volume and results
+    # are bit-identical across the two measurements.
+    P = int(os.environ.get("NGA_SCALE_P", "32"))
+    t0 = time.perf_counter()
+    get_engine(g, P)
+    load_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = pagerank(g, 0.85, max_iterations=10, num_partitions=P)
+    compute = time.perf_counter() - t0
+    out = {"num_cpus": num_cpus, "edges": g.num_edges,
+           "iterations": res.iterations,
+           "edges_scattered": res.stats["edges_scattered"],
+           "gen_sec": round(gen_sec, 3), "build_sec": round(build_sec, 3),
+           "load_sec": round(load_sec, 3), "sec": round(compute, 3),
+           "edges_scattered_per_sec": round(res.stats["edges_scattered"] / compute, 1)}
+    ray.shutdown()
+    return out
+
+
+def main():
+    if "--scaling-worker" in sys.argv:
+        print(json.dumps(scaling_workload(NUM_CPUS)))
+        return
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                  "--scaling-worker"],
+                                 env=env, capture_output=True, text=True, check=True)
+            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8 = results[8]["edges_scattered_per_sec"]
+        t32 = results[32]["edges_scattered_per_sec"]
+        eff = (t32 / t8) / 4 if t8 else 0.0
+        print(json.dumps({"metric": "scaling_efficiency_8_to_32",
+                          "value": round(eff, 3), "unit": "ratio",
+                          "throughput_8": t8, "throughput_32": t32,
+                          "runs": results}))
+        return
+    print(json.dumps(headline(NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,23 @@ def attach_node_ids(g: GraphTables, ds: rd.Dataset, vid_col: str = "vid",
     return ds.map_batches(translate, batch_format="pyarrow")
 
 
+def translate_vid_columns(g: GraphTables, ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Map dense-vid-valued columns (component ids, label values) back to
+    original node ids. Because vids are assigned in ascending original-id
+    order, min-vid canonical ids translate to min-original-id canonical
+    ids. Broadcast lookup, no shuffle."""
+    ref = ray.put(g.vid_to_node_map())
+
+    def tr(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        for c in cols:
+            idx = batch.column_names.index(c)
+            batch = batch.set_column(idx, c, m.take(batch[c]))
+        return batch
+
+    return ds.map_batches(tr, batch_format="pyarrow")
+
+
 @dataclass
 class IterativeResult:
     """Common result shape for iterative algorithms (the reference's

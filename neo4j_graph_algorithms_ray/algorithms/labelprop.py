@@ -97,13 +97,13 @@ def label_propagation(
         kw = {"parity": it % 2} if mode == "semi" else {}
         stats = eng.step("lpa", "lpa_update", scatter_kw=kw, update_kw=kw)
         it += 1
-        iter_metrics = eng.drain_metrics()
-        for m in iter_metrics:
-            m["iteration"] = it
-        metrics.append(iter_metrics)
         changed = sum(s["changed"] for s in stats)
         if checkpoint_every and (it % checkpoint_every == 0):
             ckpt = ensure_ckpt_dir("lpa", g, checkpoint_dir)
+            iter_metrics = eng.drain_metrics()
+            for m in iter_metrics:
+                m["through_iteration"] = it
+            metrics.append(iter_metrics)
             parts = eng.checkpoint(ckpt, it, ["label"])
             write_manifest(ckpt, iteration=it, algo="lpa", config=config,
                            partitions=parts, metrics=iter_metrics,
@@ -114,6 +114,10 @@ def label_propagation(
             converged = True
             break
     elapsed = time.perf_counter() - t0
+    final_metrics = eng.drain_metrics()
+    for m in final_metrics:
+        m["through_iteration"] = it
+    metrics.append(final_metrics)
 
     ds = eng.state_dataset(["label"])
     ds = attach_node_ids(g, ds, keep_vid=keep_vid)

@@ -28,6 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from neo4j_graph_algorithms_ray.util import safe_join
+
 SEP = " | "
 
 
@@ -87,8 +89,8 @@ def compute_all_metapaths(
 
     levels = [frontier]
     for _ in range(length - 2):
-        joined = frontier.join(e, "inner", num_partitions=num_partitions,
-                               on=("end",), right_on=("src",))
+        joined = safe_join(frontier, e, "inner", num_partitions,
+                           on=("end",), right_on=("src",))
 
         def extend(batch: pa.Table) -> pa.Table:
             path = pc.binary_join_element_wise(
@@ -166,8 +168,8 @@ def compute_metapaths_for_instances(
                 .rename_columns({"sum(count)": "count"})
     levels = [frontier]
     for _ in range(length - 2):
-        joined = frontier.join(e, "inner", num_partitions=num_partitions,
-                               on=("end",), right_on=("src",))
+        joined = safe_join(frontier, e, "inner", num_partitions,
+                           on=("end",), right_on=("src",))
 
         def extend(batch: pa.Table) -> pa.Table:
             path = pc.binary_join_element_wise(
@@ -248,8 +250,8 @@ def metapath_precompute_high_degree_nodes(
                 .select_columns(["start", "path", "end"])
     levels = [frontier]
     for _ in range(length - 2):
-        joined = frontier.join(e, "inner", num_partitions=num_partitions,
-                               on=("end",), right_on=("src",))
+        joined = safe_join(frontier, e, "inner", num_partitions,
+                           on=("end",), right_on=("src",))
 
         def extend(batch: pa.Table) -> pa.Table:
             path = pc.binary_join_element_wise(

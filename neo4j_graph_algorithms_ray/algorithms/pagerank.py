@@ -65,13 +65,13 @@ def pagerank(
     while it < max_iterations:
         stats = eng.step("pr_push", "pr_update", scatter_kw={"damping": damping})
         it += 1
-        iter_metrics = eng.drain_metrics()
-        for m in iter_metrics:
-            m["iteration"] = it
-        metrics.append(iter_metrics)
         max_delta = max(s["max_delta"] for s in stats)
         if checkpoint_every and (it % checkpoint_every == 0):
             ckpt = ensure_ckpt_dir("pagerank", g, checkpoint_dir)
+            iter_metrics = eng.drain_metrics()
+            for m in iter_metrics:
+                m["through_iteration"] = it
+            metrics.append(iter_metrics)
             parts = eng.checkpoint(ckpt, it, ["rank", "delta"])
             write_manifest(ckpt, iteration=it, algo="pagerank", config=config,
                            partitions=parts, metrics=iter_metrics,
@@ -80,6 +80,10 @@ def pagerank(
             converged = True
             break
     elapsed = time.perf_counter() - t0
+    final_metrics = eng.drain_metrics()
+    for m in final_metrics:
+        m["through_iteration"] = it
+    metrics.append(final_metrics)
 
     ds = eng.state_dataset(["rank"]).rename_columns({"rank": "score"})
     ds = attach_node_ids(g, ds, keep_vid=keep_vid)

@@ -27,6 +27,7 @@ import ray.data as rd
 
 from neo4j_graph_algorithms_ray.algorithms.common import attach_node_ids, default_partitions
 from neo4j_graph_algorithms_ray.graph import GraphTables
+from neo4j_graph_algorithms_ray.util import safe_join
 
 
 def _undirected_simple_edges(g: GraphTables) -> rd.Dataset:
@@ -82,23 +83,21 @@ def triangle_count(
 
     oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
 
-    # wedges: for every source s with oriented neighbors {t1<t2<...} (by
-    # rank), emit all pairs — the candidate third edges
-    def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        dg = ray.get(deg_ref)
-        t = df["t"].to_numpy()
-        order = np.lexsort((t, dg[t]))
-        t = t[order]
-        k = len(t)
-        if k < 2:
-            return pd.DataFrame({"ws": np.empty(0, np.int64),
-                                 "wt": np.empty(0, np.int64),
-                                 "center": np.empty(0, np.int64)})
-        i, j = np.triu_indices(k, k=1)
-        return pd.DataFrame({"ws": t[i], "wt": t[j],
-                             "center": np.full(len(i), df["s"].iloc[0])})
+    # wedges via SELF-JOIN on the shared lower-rank vertex (faster than
+    # per-group python: one hash shuffle, vectorized filter). Keep the
+    # (t_l, t_r) pair once, oriented by rank.
+    wj = safe_join(oriented, oriented, "inner", p, on=("s",), right_on=("s",),
+                   left_suffix="_l", right_suffix="_r")
 
-    w = oriented.groupby("s").map_groups(wedges, batch_format="pandas").materialize()
+    def mkwedge(batch: pa.Table) -> pa.Table:
+        dg = ray.get(deg_ref)
+        t1 = batch.column("t_l").to_numpy(zero_copy_only=False)
+        t2 = batch.column("t_r").to_numpy(zero_copy_only=False)
+        keep = (dg[t1] < dg[t2]) | ((dg[t1] == dg[t2]) & (t1 < t2))
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({"ws": t1[keep], "wt": t2[keep], "center": s[keep]})
+
+    w = wj.map_batches(mkwedge, batch_format="pyarrow").materialize()
 
     # close the wedge: (ws, wt) must be an oriented edge. Orientation is
     # consistent (rank order), so a plain equi-join finds each triangle
@@ -108,8 +107,8 @@ def triangle_count(
                                       "b": pa.array([], pa.int64()),
                                       "c": pa.array([], pa.int64())}))
     else:
-        tri = w.join(oriented, "inner", num_partitions=p, on=("ws", "wt"),
-                     right_on=("s", "t"))
+        tri = safe_join(w, oriented, "inner", p, on=("ws", "wt"),
+                        right_on=("s", "t"))
         tri = tri.select_columns(["center", "ws", "wt"]) \
                  .rename_columns({"center": "a", "ws": "b", "wt": "c"})
     tri = tri.materialize()

@@ -62,13 +62,13 @@ def wcc(
                          scatter_kw={"name": "component"},
                          update_kw={"name": "component"})
         it += 1
-        iter_metrics = eng.drain_metrics()
-        for m in iter_metrics:
-            m["iteration"] = it
-        metrics.append(iter_metrics)
         changed = sum(s["changed"] for s in stats)
         if checkpoint_every and (it % checkpoint_every == 0):
             ckpt = ensure_ckpt_dir("wcc", g, checkpoint_dir)
+            iter_metrics = eng.drain_metrics()
+            for m in iter_metrics:
+                m["through_iteration"] = it
+            metrics.append(iter_metrics)
             parts = eng.checkpoint(ckpt, it, ["component"])
             write_manifest(ckpt, iteration=it, algo="wcc", config=config,
                            partitions=parts, metrics=iter_metrics,
@@ -77,6 +77,10 @@ def wcc(
             converged = True
             break
     elapsed = time.perf_counter() - t0
+    final_metrics = eng.drain_metrics()
+    for m in final_metrics:
+        m["through_iteration"] = it
+    metrics.append(final_metrics)
 
     ds = eng.state_dataset(["component"])
     ds = attach_node_ids(g, ds, keep_vid=keep_vid)

@@ -98,15 +98,19 @@ def scale_free_edges(n_nodes: int = 10_000, mean_deg: int = 8, seed: int = 42,
     one deliberate hub with degree ~ n*hub_fraction) for skew/bench
     tests. Seed-pinned; no external data."""
     rng = np.random.default_rng(seed)
-    deg = np.minimum(rng.zipf(2.1, size=n_nodes) * mean_deg // 2, n_nodes // 10)
-    deg = np.maximum(deg, 1).astype(np.int64)
+    # discrete power-law out-degree via inverse transform (vectorized —
+    # rng.zipf's rejection sampling is far too slow at 1e8-edge scale):
+    # tail exponent alpha=2.1 → D ∝ u^(-1/(alpha-1))
+    u = rng.random(n_nodes)
+    deg = (mean_deg / 5.5 * np.power(u, -1 / 1.1)).astype(np.int64)
+    deg = np.clip(deg, 1, n_nodes // 10)
     hub = int(rng.integers(0, n_nodes))
     deg[hub] = max(deg[hub], int(n_nodes * hub_fraction))
     src = np.repeat(np.arange(n_nodes, dtype=np.int64), deg)
-    # preferential-ish targets: mix of uniform and low-id bias
+    # targets: half uniform, half power-law popularity (low-id bias)
     m = len(src)
     t_uni = rng.integers(0, n_nodes, size=m)
-    t_bias = (rng.pareto(1.5, size=m) * 10).astype(np.int64) % n_nodes
+    t_bias = (n_nodes * np.power(rng.random(m), 3.0)).astype(np.int64)
     dst = np.where(rng.random(m) < 0.5, t_uni, t_bias).astype(np.int64)
     keep = src != dst
     return pa.table({"src": src[keep], "dst": dst[keep]})

@@ -1,0 +1,129 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k — numpy matmul per batch
+  against a broadcast query matrix (ray.put once, read per task). The
+  baseline, and the verifier for the approximate variants.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path:
+  candidates restricted to query-colliding buckets (multi-probe over
+  bands), exact re-rank inside. Deterministic planes from a pinned seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.functions.text import round6
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+                     k: int = 10, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     exclude_self: bool = True) -> rd.Dataset:
+    """(query_id, vec_id, cosine) top-k per query; ties broken by vec_id.
+
+    Per-batch partial top-k (numpy matmul against the broadcast query
+    matrix) then a final tiny per-query merge — only n_queries × k rows
+    per batch cross the cluster, never the full similarity matrix."""
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((qm, np.asarray(query_ids, dtype=np.int64)))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qmat, qids = ray.get(q_ref)
+        ids = batch[id_col].to_numpy()
+        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        sims = qmat @ m.T  # (Q, B)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            mask = np.ones(len(ids), dtype=bool)
+            if exclude_self:
+                mask &= ids != qids[qi]
+            order = np.lexsort((ids[mask], -s[mask]))[:k]
+            sel = np.nonzero(mask)[0][order]
+            out_q.append(np.full(len(sel), qids[qi]))
+            out_v.append(ids[sel])
+            out_s.append(s[sel])
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "vec_id": np.concatenate(out_v),
+                             "cosine": np.concatenate(out_s)})
+
+    partials = emb.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["cosine"] = round6(g["cosine"].to_numpy())
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def lsh_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+             k: int = 10, *, nbits: int = 12, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = True) -> rd.Dataset:
+    """LSH-bucketed ANN: sign-random-projection code per vector;
+    candidates = vectors whose code is within hamming 1 of the query's
+    (multi-probe); exact cosine re-rank. Returns the same schema as
+    brute_force_topk; recall measured in tests."""
+    dim = len(np.asarray(queries)[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qcodes = (qm @ planes.T > 0).astype(np.uint64)
+    qcode_int = (qcodes << np.arange(nbits, dtype=np.uint64)).sum(axis=1)
+    # multi-probe: query code + all 1-bit flips
+    probe = {int(c) for c in qcode_int}
+    for c in qcode_int:
+        for b in range(nbits):
+            probe.add(int(c) ^ (1 << b))
+    state = ray.put((planes, qm, np.asarray(query_ids, dtype=np.int64),
+                     np.array(sorted(probe), dtype=np.uint64)))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pl, qmat, qids, probes = ray.get(state)
+        ids = batch[id_col].to_numpy()
+        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        codes = ((m @ pl.T > 0).astype(np.uint64)
+                 << np.arange(pl.shape[0], dtype=np.uint64)).sum(axis=1)
+        cand = np.isin(codes, probes)
+        ids, m = ids[cand], m[cand]
+        if not len(ids):
+            return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                                 "vec_id": np.empty(0, np.int64),
+                                 "cosine": np.empty(0)})
+        sims = qmat @ m.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            mask = np.ones(len(ids), dtype=bool)
+            if exclude_self:
+                mask &= ids != qids[qi]
+            order = np.lexsort((ids[mask], -s[mask]))[:k]
+            sel = np.nonzero(mask)[0][order]
+            out_q.append(np.full(len(sel), qids[qi]))
+            out_v.append(ids[sel])
+            out_s.append(s[sel])
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "vec_id": np.concatenate(out_v),
+                             "cosine": np.concatenate(out_s)})
+
+    partials = emb.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["cosine"] = round6(g["cosine"].to_numpy())
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

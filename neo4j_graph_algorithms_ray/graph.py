@@ -44,6 +44,9 @@ DEFAULT_GRAPH_ROOT = os.environ.get("NGA_GRAPH_ROOT", "/tmp/nga_ray/graphs")
 # and applied with pc.index_in inside map_batches (no shuffle); above it
 # we fall back to two Dataset.join shuffles. 50M int64 ids ≈ 400 MB.
 BROADCAST_VERTEX_LIMIT = 50_000_000
+# Below this edge count, distinct-vertex extraction merges per-block
+# uniques on the driver (O(n) memory — same order as the broadcast map).
+EDGE_DRIVER_DISTINCT_LIMIT = 200_000_000
 
 
 @dataclass
@@ -81,13 +84,39 @@ class GraphTables:
 
 
 def _unique_endpoint_ids(edges: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
-    """Distinct node ids across both endpoint columns (distributed, via groupby)."""
-    srcs = edges.select_columns([src_col]).rename_columns({src_col: "node"})
-    dsts = edges.select_columns([dst_col]).rename_columns({dst_col: "node"})
-    both = srcs.union(dsts)
-    # groupby().count() is the distributed distinct (ds.unique() would
-    # collect values to the driver).
+    """Distinct node ids across both endpoint columns (distributed path:
+    per-batch partial unique → groupby). Used above the broadcast limit."""
+    def partial(batch: pa.Table) -> pa.Table:
+        u = pc.unique(pa.chunked_array([batch[src_col].combine_chunks(),
+                                        batch[dst_col].combine_chunks()]))
+        return pa.table({"node": u})
+
+    both = edges.map_batches(partial, batch_format="pyarrow")
     return both.groupby("node").count().select_columns(["node"])
+
+
+def _unique_endpoints_driver(edges: rd.Dataset, src_col: str, dst_col: str,
+                             extra: Optional[rd.Dataset]) -> pa.Array:
+    """Driver-side distinct+sort of node ids for the broadcast regime:
+    tiny Ray tasks compute per-block uniques; the driver merges. Memory
+    is O(n + blocks·block_uniques) — same order as the broadcast vid map
+    itself, so this costs nothing extra below BROADCAST_VERTEX_LIMIT.
+    Returns the vid-ordered (ascending) node array."""
+    @ray.remote
+    def block_unique(tbl: pa.Table, cols: list[str]) -> pa.Array:
+        return pc.unique(pa.chunked_array(
+            [tbl[c].combine_chunks() for c in cols if c in tbl.column_names]))
+
+    refs = [block_unique.remote(r, [src_col, dst_col])
+            for r in edges.materialize().to_arrow_refs()]
+    if extra is not None:
+        refs += [block_unique.remote(r, ["node"])
+                 for r in extra.materialize().to_arrow_refs()]
+    parts = ray.get(refs)
+    allv = pc.unique(pa.chunked_array(parts)) if parts else pa.array([], pa.int64())
+    order = pc.sort_indices(allv)
+    res = allv.take(order)
+    return res.combine_chunks() if isinstance(res, pa.ChunkedArray) else res
 
 
 def build_graph(
@@ -133,20 +162,37 @@ def build_graph(
         e = e.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
 
     # --- dense-id assignment (IdMap analogue; ascending original-id order) ---
-    verts = _unique_endpoint_ids(e, "src", "dst")
-    if extra_vertices is not None:
-        verts = verts.union(extra_vertices.select_columns(["node"])) \
-                     .groupby("node").count().select_columns(["node"])
-    verts = zip_with_index(verts.sort("node"), index_col="vid")
-    verts = verts.materialize()
-    n = verts.count()
+    e = e.materialize()
+    m_in = e.count()
+    node_arr = None
+    if m_in <= EDGE_DRIVER_DISTINCT_LIMIT:
+        # broadcast regime: distinct+sort merged on the driver from
+        # per-block uniques (a 35M-row groupby-distinct costs minutes in
+        # a hash shuffle; this path is seconds and the result is the
+        # broadcast vid map we need anyway)
+        node_arr = _unique_endpoints_driver(
+            e, "src", "dst",
+            extra_vertices.select_columns(["node"]) if extra_vertices is not None else None)
+        n = len(node_arr)
+        vt = pa.table({"node": node_arr,
+                       "vid": pa.array(np.arange(n, dtype=np.int64))})
+        verts = rd.from_arrow(vt).materialize()
+    else:
+        verts = _unique_endpoint_ids(e, "src", "dst")
+        if extra_vertices is not None:
+            verts = verts.union(extra_vertices.select_columns(["node"])) \
+                         .groupby("node").count().select_columns(["node"])
+        verts = zip_with_index(verts.sort("node"), index_col="vid")
+        verts = verts.materialize()
+        n = verts.count()
 
     if n <= BROADCAST_VERTEX_LIMIT:
         # broadcast mapping: vid == position in the vid-ordered node array
-        vbatches = list(verts.sort("vid")
-                        .iter_batches(batch_format="pyarrow", batch_size=1 << 22))
-        node_arr = (pa.concat_tables(vbatches).column("node").combine_chunks()
-                    if vbatches else pa.array([], type=pa.int64()))
+        if node_arr is None:
+            vbatches = list(verts.sort("vid")
+                            .iter_batches(batch_format="pyarrow", batch_size=1 << 22))
+            node_arr = (pa.concat_tables(vbatches).column("node").combine_chunks()
+                        if vbatches else pa.array([], type=pa.int64()))
         map_ref = ray.put(node_arr)
 
         def to_dense(batch: pa.Table, _ref=map_ref) -> pa.Table:

@@ -1,0 +1,176 @@
+"""DuckDB oracle SQL for every SQL-expressible query in __ray_entry__.
+
+Iterative algorithms are expressed by *unrolling* a fixed number of
+iterations into chained CTEs (generated here), with semantics matching
+the engine exactly:
+
+- pagerank: r0 = 0.15, k sweeps of r = 0.15 + 0.85 * Σ r/outdeg
+  (identical to the engine's delta-push after k supersteps);
+- wcc: min-label propagation over the symmetrized edge table, k sweeps
+  (k chosen ≥ graph diameter for the derived graphs);
+- lpa: alternating-parity semi-synchronous majority vote in dense-vid
+  space (vid = row_number over sorted node id, same as the engine's
+  id assignment), min-label tie-break.
+
+Floats are rounded to 6 decimals on BOTH sides before comparison.
+"""
+
+from __future__ import annotations
+
+G1_EDGES = """edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)"""
+
+G1_NODES = """nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+)"""
+
+CO_EDGES = """co AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+TYPED_EDGES = """te AS MATERIALIZED (
+  SELECT c_custkey AS src, 2000000 + c_nationkey AS dst,
+         'Customer' AS sl, 'IN' AS et, 'Nation' AS dl FROM customer
+  UNION ALL
+  SELECT 1000000 + s_suppkey, 2000000 + s_nationkey,
+         'Supplier', 'IN', 'Nation' FROM supplier
+  UNION ALL
+  SELECT b.src, b.dst, 'Customer', 'BUYS', 'Supplier' FROM (
+    SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey) b
+)"""
+
+
+def pagerank_sql(iters: int = 20) -> str:
+    ctes = [G1_EDGES, G1_NODES,
+            "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src)",
+            "r0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM nodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.d), 0) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r{k-1} p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT node, round(r, 6) AS score FROM r{iters} ORDER BY node")
+
+
+def pagerank_topk_sql(iters: int = 20, k: int = 20) -> str:
+    base = pagerank_sql(iters)
+    base = base.replace(f"\nSELECT node, round(r, 6) AS score FROM r{iters} ORDER BY node",
+                        f"\nSELECT node, round(r, 6) AS score FROM r{iters} "
+                        f"ORDER BY score DESC, node ASC LIMIT {k}")
+    return base
+
+
+def wcc_sql(iters: int = 25, final: str = "components") -> str:
+    ctes = [G1_EDGES, G1_NODES,
+            "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges "
+            "UNION ALL SELECT dst AS a, src AS b FROM edges)",
+            "c0 AS (SELECT node, node AS c FROM nodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""c{k} AS MATERIALIZED (
+  SELECT n.node, least(p.c, coalesce(min(q.c), p.c)) AS c
+  FROM nodes n
+  JOIN c{k-1} p ON p.node = n.node
+  LEFT JOIN sym e ON e.a = n.node
+  LEFT JOIN c{k-1} q ON q.node = e.b
+  GROUP BY n.node, p.c)""")
+    head = "WITH " + ",\n".join(ctes)
+    if final == "components":
+        return head + f"\nSELECT node, c AS component FROM c{iters} ORDER BY node"
+    return head + (f"\nSELECT c AS component, count(*) AS size FROM c{iters} "
+                   "GROUP BY c ORDER BY component")
+
+
+def lpa_sql(sweeps: int = 6) -> str:
+    ctes = [G1_EDGES, G1_NODES,
+            "vn AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) - 1 AS vid FROM nodes)",
+            "ev AS MATERIALIZED (SELECT s.vid AS sv, t.vid AS tv FROM edges e "
+            "JOIN vn s ON s.node = e.src JOIN vn t ON t.node = e.dst)",
+            "l0 AS (SELECT vid, vid AS lab FROM vn)"]
+    for k in range(1, sweeps + 1):
+        parity = (k - 1) % 2
+        ctes.append(f"""v{k} AS MATERIALIZED (
+  SELECT e.tv AS vid, p.lab AS lab, count(*) AS c
+  FROM ev e JOIN l{k-1} p ON p.vid = e.sv GROUP BY e.tv, p.lab)""")
+        ctes.append(f"""b{k} AS MATERIALIZED (
+  SELECT vid, lab AS best FROM (
+    SELECT vid, lab, row_number() OVER (PARTITION BY vid ORDER BY c DESC, lab ASC) AS rn
+    FROM v{k}) t WHERE rn = 1)""")
+        ctes.append(f"""l{k} AS MATERIALIZED (
+  SELECT n.vid,
+         CASE WHEN n.vid % 2 = {parity} AND b.best IS NOT NULL THEN b.best ELSE p.lab END AS lab
+  FROM vn n JOIN l{k-1} p ON p.vid = n.vid LEFT JOIN b{k} b ON b.vid = n.vid)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT n.node AS node, ln.node AS label
+FROM vn n JOIN l{sweeps} l ON l.vid = n.vid JOIN vn ln ON ln.vid = l.lab
+ORDER BY n.node""")
+
+
+TRIANGLE_GLOBAL_SQL = f"""WITH {CO_EDGES}
+SELECT count(*) AS triangle_count
+FROM co e1
+JOIN co e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN co e3 ON e3.u = e1.v AND e3.v = e2.v"""
+
+TRIANGLE_PER_NODE_SQL = f"""WITH {CO_EDGES},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM co e1
+  JOIN co e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN co e3 ON e3.u = e1.v AND e3.v = e2.v),
+nodes AS (SELECT u AS node FROM co UNION SELECT v AS node FROM co),
+deg AS (SELECT node, count(*) AS d FROM
+        (SELECT u AS node FROM co UNION ALL SELECT v AS node FROM co) t GROUP BY node),
+cnt AS (SELECT node, count(*) AS t FROM
+        (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) x
+        GROUP BY node)
+SELECT n.node, coalesce(cnt.t, 0) AS triangles,
+       round(CASE WHEN deg.d > 1 THEN 2.0 * coalesce(cnt.t, 0) / (deg.d * (deg.d - 1.0))
+                  ELSE 0 END, 6) AS coefficient
+FROM nodes n JOIN deg ON deg.node = n.node LEFT JOIN cnt ON cnt.node = n.node
+ORDER BY n.node"""
+
+DEGREE_SQL = f"""WITH {G1_EDGES},
+{G1_NODES},
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+SELECT n.node, coalesce(deg.d, 0) AS out_degree
+FROM nodes n LEFT JOIN deg ON deg.src = n.node ORDER BY n.node"""
+
+GRAPH_STATS_SQL = f"""WITH {G1_EDGES},
+{G1_NODES}
+SELECT (SELECT count(*) FROM nodes) AS nodes,
+       (SELECT count(*) FROM edges) AS relationships,
+       (SELECT count(*) FROM nodes
+        WHERE node NOT IN (SELECT src FROM edges)) AS dangling_nodes"""
+
+
+def metapath_sql(length: int = 3) -> str:
+    assert length == 3
+    return f"""WITH {TYPED_EDGES},
+sym AS MATERIALIZED (SELECT src, dst, sl, et, dl FROM te
+        UNION ALL SELECT dst, src, dl, et, sl FROM te),
+lv1 AS (SELECT label AS path, count(*) AS cnt FROM (
+          SELECT DISTINCT node, label FROM (
+            SELECT src AS node, sl AS label FROM sym
+            UNION ALL SELECT dst, dl FROM sym) t) u GROUP BY label),
+lv2 AS (SELECT sl || ' | ' || et || ' | ' || dl AS path, count(*) AS cnt
+        FROM sym GROUP BY 1),
+lv3 AS (SELECT e1.sl || ' | ' || e1.et || ' | ' || e1.dl || ' | ' || e2.et || ' | ' || e2.dl AS path,
+               count(*) AS cnt
+        FROM sym e1 JOIN sym e2 ON e2.src = e1.dst GROUP BY 1)
+SELECT path, CAST(sum(cnt) AS BIGINT) AS "count"
+FROM (SELECT * FROM lv1 UNION ALL SELECT * FROM lv2 UNION ALL SELECT * FROM lv3) allp
+GROUP BY path ORDER BY path"""
+
+
+GET_SCHEMA_SQL = f"""WITH {TYPED_EDGES}
+SELECT DISTINCT sl AS src_label, et AS edge_type, dl AS dst_label
+FROM te ORDER BY src_label, edge_type, dst_label"""

@@ -1,0 +1,140 @@
+"""Graph derivations over the driver's TPC-H-ish tables (TESTDATA.md).
+
+The correctness gate runs each ``queries()[name](sf_dir)`` against a
+DuckDB oracle on the same parquet tables, so every derivation here has
+an exactly-matching SQL definition in ``pipelines/oracles.py``. Node id
+spaces are made disjoint by fixed offsets (suppliers +1_000_000,
+nations +2_000_000).
+
+Graphs:
+- G1 ``purchase``: directed bipartite customer → supplier, one edge per
+  distinct (customer, supplier) purchase relation (lineitem ⋈ orders).
+- G2 ``copart``: undirected part–part co-occurrence within an order.
+- G3 ``typed``: customer/supplier/nation typed graph for the metapath
+  suite (IN = lives-in nation, BUYS = purchase relation).
+- G4 ``trade``: G1 plus supplier → customer edges within the same
+  nation (adds cycles, used by SCC).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.graph import GraphTables, build_graph
+from neo4j_graph_algorithms_ray.util import to_arrow_blocks
+from neo4j_graph_algorithms_ray.registry import GraphCatalog
+
+SUPP_OFF = 1_000_000
+NATION_OFF = 2_000_000
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def purchase_edge_ds(sf_dir: str) -> rd.Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",),
+                right_on=("o_orderkey",))
+
+    def mk(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("o_custkey").cast(pa.int64()),
+            "dst": pa.compute.add(batch.column("l_suppkey").cast(pa.int64()), SUPP_OFF),
+        })
+
+    e = j.map_batches(mk, batch_format="pyarrow")
+    return e.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def copart_edge_ds(sf_dir: str) -> rd.Dataset:
+    """Part–part co-occurrence within an order, via self-join on the
+    order key (one hash shuffle; per-order python groups would be ~10x
+    slower at 15k+ orders)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    j = li.join(li, "inner", num_partitions=8, on=("l_orderkey",),
+                right_on=("l_orderkey",), left_suffix="_a", right_suffix="_b")
+
+    def mk(batch: pa.Table) -> pa.Table:
+        a = batch.column("l_partkey_a").to_numpy(zero_copy_only=False)
+        b = batch.column("l_partkey_b").to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({"src": a[keep].astype(np.int64),
+                         "dst": b[keep].astype(np.int64)})
+
+    e = j.map_batches(mk, batch_format="pyarrow")
+    return e.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def trade_edge_ds(sf_dir: str) -> rd.Dataset:
+    g1 = purchase_edge_ds(sf_dir)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j = supp.join(cust, "inner", num_partitions=4, on=("s_nationkey",),
+                  right_on=("c_nationkey",))
+
+    def mk(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.compute.add(batch.column("s_suppkey").cast(pa.int64()), SUPP_OFF),
+            "dst": batch.column("c_custkey").cast(pa.int64()),
+        })
+
+    back = j.map_batches(mk, batch_format="pyarrow") \
+            .groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    return g1.union(back)
+
+
+def typed_edge_ds(sf_dir: str) -> rd.Dataset:
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def cust_in(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "src": batch.column("c_custkey").cast(pa.int64()),
+            "dst": pa.compute.add(batch.column("c_nationkey").cast(pa.int64()), NATION_OFF),
+            "src_label": pa.array(["Customer"] * n), "edge_type": pa.array(["IN"] * n),
+            "dst_label": pa.array(["Nation"] * n)})
+
+    def supp_in(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "src": pa.compute.add(batch.column("s_suppkey").cast(pa.int64()), SUPP_OFF),
+            "dst": pa.compute.add(batch.column("s_nationkey").cast(pa.int64()), NATION_OFF),
+            "src_label": pa.array(["Supplier"] * n), "edge_type": pa.array(["IN"] * n),
+            "dst_label": pa.array(["Nation"] * n)})
+
+    def buys(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "src": batch.column("src"), "dst": batch.column("dst"),
+            "src_label": pa.array(["Customer"] * n), "edge_type": pa.array(["BUYS"] * n),
+            "dst_label": pa.array(["Supplier"] * n)})
+
+    return cust.map_batches(cust_in, batch_format="pyarrow") \
+        .union(supp.map_batches(supp_in, batch_format="pyarrow")) \
+        .union(purchase_edge_ds(sf_dir).map_batches(buys, batch_format="pyarrow"))
+
+
+_BUILDERS = {
+    "purchase": (purchase_edge_ds, False),
+    "purchase_und": (purchase_edge_ds, True),
+    "copart": (copart_edge_ds, True),
+    "trade": (trade_edge_ds, False),
+}
+
+
+def get_graph(sf_dir: str, which: str) -> GraphTables:
+    """Build-once graph cache per (sf_dir, derivation) — the
+    algo.graph.load usage pattern: many algorithm calls over one load."""
+    name = f"tpch:{sf_dir}:{which}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        builder, undirected = _BUILDERS[which]
+        g = build_graph(builder(sf_dir), undirected=undirected, name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    return g

@@ -69,7 +69,8 @@ class ShardActor:
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         cols = ["src", "dst"] + (["weight"] if weighted else [])
         if files:
-            tbl = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+            # directory read → pyarrow dataset API, multithreaded
+            tbl = pq.read_table(part_dir, columns=cols)
         else:
             tbl = pa.table({c: pa.array([], type=pa.float64() if c == "weight" else pa.int64())
                             for c in cols})
@@ -85,11 +86,21 @@ class ShardActor:
         self.m = len(self.nbr)
         self.deg = np.bincount(self.key_local, minlength=self.n_local).astype(np.int64)
         # scatter plan: permutation sorting edges by destination + segment
-        # starts per unique destination + slice per target shard.
+        # starts per unique destination + slice per target shard. The
+        # composed gather src_in_dst_order = key_local[perm] is
+        # precomputed so each scatter does ONE gather over E, not two.
         self.perm = np.argsort(self.nbr, kind="stable")
         nbr_sorted = self.nbr[self.perm]
+        self.src_in_dst_order = self.key_local[self.perm]
         self.uniq_dst, self.seg_starts = np.unique(nbr_sorted, return_index=True)
         self.dst_slices = np.searchsorted(self.uniq_dst, self.bounds)
+        # per-unique-dst target shard + local index (int32 when ranges
+        # allow): messages ship (local_idx, value), 12B/row not 16B
+        part_of_uniq = np.searchsorted(self.bounds, self.uniq_dst, side="right") - 1
+        local_of_uniq = self.uniq_dst - self.bounds[part_of_uniq]
+        max_range = int(np.max(self.bounds[1:] - self.bounds[:-1])) if self.P else 0
+        self.idx_dtype = np.int32 if max_range < (1 << 31) else np.int64
+        self.uniq_local = local_of_uniq.astype(self.idx_dtype)
         self.state: dict[str, np.ndarray] = {}
         self.metrics = self._fresh_metrics()
 
@@ -157,13 +168,17 @@ class ShardActor:
 
     # ---- message plumbing ----
     def _route(self, uniq_idx: np.ndarray, *vals: np.ndarray) -> list:
-        """Split (uniq_dst-subset, values...) message arrays by target shard."""
+        """Split (local_dst_idx, values...) message arrays by target shard.
+        Indices are LOCAL to the receiving shard (int32 when possible)."""
         out = []
-        dsts = self.uniq_dst[uniq_idx] if uniq_idx is not None else self.uniq_dst
+        if uniq_idx is None:
+            locs, dsts = self.uniq_local, self.uniq_dst
+        else:
+            locs, dsts = self.uniq_local[uniq_idx], self.uniq_dst[uniq_idx]
         cuts = np.searchsorted(dsts, self.bounds)
         for j in range(self.P):
             sl = slice(cuts[j], cuts[j + 1])
-            out.append((dsts[sl],) + tuple(v[sl] for v in vals))
+            out.append((locs[sl],) + tuple(v[sl] for v in vals))
         return out
 
     def _empty_msgs(self, nvals: int = 1) -> list:
@@ -181,12 +196,12 @@ class ShardActor:
                 push = np.zeros(self.n_local)
                 nz = self.deg > 0
                 push[nz] = d * self.state["delta"][nz] / self.deg[nz]
-                vals = push[self.key_local][self.perm]
+                vals = push[self.src_in_dst_order]
                 sums = np.add.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, sums)
             if op == "min_state":
-                vals = self.state[kw["name"]][self.key_local][self.perm]
+                vals = self.state[kw["name"]][self.src_in_dst_order]
                 mins = np.minimum.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, mins)
@@ -219,21 +234,21 @@ class ShardActor:
                     gd, gl, sums = gd[keep], gl[keep], sums[keep]
                 self.metrics["edges_scattered"] += self.m
                 cuts = np.searchsorted(gd, self.bounds)
-                return [(gd[cuts[j]:cuts[j + 1]], gl[cuts[j]:cuts[j + 1]],
+                return [((gd[cuts[j]:cuts[j + 1]] - self.bounds[j]).astype(self.idx_dtype),
+                         gl[cuts[j]:cuts[j + 1]],
                          sums[cuts[j]:cuts[j + 1]]) for j in range(self.P)]
             if op == "bits":
                 fr = self.state["frontier"]
                 if not fr.any():
                     return self._empty_msgs(1)
-                vals = fr[self.key_local][self.perm]
+                vals = fr[self.src_in_dst_order]
                 ors = np.bitwise_or.reduceat(vals, self.seg_starts)
                 nz = np.nonzero(ors)[0]
                 self.metrics["edges_scattered"] += self.m
                 return self._route(nz, ors[nz])
             if op == "relax":
-                dist = self.state["dist"][self.key_local]
-                w = self.w if self.w is not None else np.ones(self.m)
-                vals = (dist + w)[self.perm]
+                w = self.w[self.perm] if self.w is not None else 1.0
+                vals = self.state["dist"][self.src_in_dst_order] + w
                 mins = np.minimum.reduceat(vals, self.seg_starts)
                 fin = np.isfinite(mins)
                 idx = np.nonzero(fin)[0]
@@ -257,7 +272,8 @@ class ShardActor:
                 dsts, cols = dsts[order], cols[order]
                 self.metrics["edges_scattered"] += int(edge_sel.sum())
                 cuts = np.searchsorted(dsts, self.bounds)
-                return [(dsts[cuts[j]:cuts[j + 1]], cols[cuts[j]:cuts[j + 1]])
+                return [((dsts[cuts[j]:cuts[j + 1]] - self.bounds[j]).astype(self.idx_dtype),
+                         cols[cuts[j]:cuts[j + 1]])
                         for j in range(self.P)]
             raise ValueError(f"unknown scatter op {op}")
         finally:
@@ -271,7 +287,7 @@ class ShardActor:
             if op == "pr_update":
                 incoming = np.zeros(self.n_local)
                 for dsts, vals in msgs:
-                    incoming[dsts - self.lo] += vals
+                    incoming[dsts] += vals
                 self.state["delta"] = incoming
                 self.state["rank"] += incoming
                 return {"max_delta": float(np.abs(incoming).max()) if self.n_local else 0.0}
@@ -281,8 +297,7 @@ class ShardActor:
                 cand = np.full(self.n_local, np.iinfo(np.int64).max
                                if st.dtype == np.int64 else np.inf, dtype=st.dtype)
                 for dsts, vals in msgs:
-                    idx = dsts - self.lo
-                    np.minimum.at(cand, idx, vals.astype(st.dtype))
+                    np.minimum.at(cand, dsts, vals.astype(st.dtype))
                 changed = cand < st
                 st[changed] = cand[changed]
                 return {"changed": int(changed.sum())}
@@ -291,8 +306,7 @@ class ShardActor:
                 act = self.state["active"] > 0
                 cand = np.full(self.n_local, -1, dtype=np.int64)
                 for dsts, vals in msgs:
-                    idx = dsts - self.lo
-                    np.maximum.at(cand, idx, vals.astype(np.int64))
+                    np.maximum.at(cand, dsts, vals.astype(np.int64))
                 changed = act & (cand > st)
                 st[changed] = cand[changed]
                 return {"changed": int(changed.sum())}
@@ -300,7 +314,7 @@ class ShardActor:
                 prev = self.state["label"]
                 parity = kw.get("parity")
                 if msgs:
-                    dsts = np.concatenate([m[0] for m in msgs]) - self.lo
+                    dsts = np.concatenate([m[0] for m in msgs]).astype(np.int64)
                     labs = np.concatenate([m[1] for m in msgs])
                     ws = np.concatenate([m[2] for m in msgs])
                 else:
@@ -331,8 +345,7 @@ class ShardActor:
                 depth = kw["depth"]
                 inc = np.zeros(self.n_local, dtype=np.uint64)
                 for dsts, vals in msgs:
-                    idx = dsts - self.lo
-                    np.bitwise_or.at(inc, idx, vals.astype(np.uint64))
+                    np.bitwise_or.at(inc, dsts, vals.astype(np.uint64))
                 new = inc & ~self.state["seen"]
                 self.state["seen"] |= new
                 self.state["frontier"] = new
@@ -360,8 +373,7 @@ class ShardActor:
                 st = self.state["dist"]
                 cand = np.full(self.n_local, np.inf)
                 for dsts, vals in msgs:
-                    idx = dsts - self.lo
-                    np.minimum.at(cand, idx, vals)
+                    np.minimum.at(cand, dsts, vals)
                 changed = cand < st
                 st[changed] = cand[changed]
                 return {"changed": int(changed.sum())}
@@ -371,7 +383,7 @@ class ShardActor:
                 inb = self.state["in_bwd"] > 0
                 hit = np.zeros(self.n_local, dtype=bool)
                 for dsts, cols in msgs:
-                    idx = dsts - self.lo
+                    idx = dsts.astype(np.int64)
                     hit[idx] |= (color[idx] == cols)
                 new = hit & act & ~inb
                 self.state["in_bwd"][new] = 1

@@ -47,6 +47,42 @@ def zip_with_index(ds: rd.Dataset, index_col: str = "vid") -> rd.Dataset:
     return rd.from_arrow_refs(stamped)
 
 
+def to_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Normalize block format to Arrow. Datasets produced by
+    pandas-format map_groups carry pandas blocks, on which downstream
+    Project ops (rename_columns / select_columns) fail in Ray 2.49 —
+    route them through an identity pyarrow map_batches."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Remove schema-less empty blocks (emitted by groupby/map_groups for
+    empty partitions) — they crash pyarrow's acero hash join with
+    "No match ... for key field reference". Materializes the dataset."""
+    ds = ds.materialize()
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_rows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts) if c > 0]
+    if not keep:
+        return ds  # fully empty; caller must handle
+    return rd.from_arrow_refs(keep)
+
+
+def safe_join(left: rd.Dataset, right: rd.Dataset, join_type: str,
+              num_partitions: int, on: tuple, right_on: tuple | None = None,
+              **kw) -> rd.Dataset:
+    """Dataset.join that tolerates empty upstream partitions."""
+    left = drop_empty_blocks(left)
+    right = drop_empty_blocks(right)
+    return left.join(right, join_type, num_partitions, on=on,
+                     right_on=right_on, **kw)
+
+
 def table_from_arrays(**cols) -> pa.Table:
     """pa.Table from name→numpy/arrow arrays (order preserved)."""
     return pa.table({k: v for k, v in cols.items()})
