@@ -215,19 +215,71 @@ def _q_media(sf_dir: str):
     return out.select_columns(["doc_id", "n_bytes", "first_byte"])
 
 
+# ---------------- web-pages pipeline (the north-star flagship) ----------------
+
+def _q_page_text(sf_dir: str):
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import extracted_text_ds
+    return extracted_text_ds(sf_dir).select_columns(["url", "text"])
+
+
+def _q_page_links(sf_dir: str):
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    return web_edge_ds(sf_dir)
+
+
+def _q_web_degrees(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.common import attach_node_ids, get_engine
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    ds = get_engine(g, None).degrees_dataset() \
+        .rename_columns({"degree": "out_degree"})
+    return attach_node_ids(g, ds, out_col="url")
+
+
+def _q_web_pagerank(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.algorithms.common import attach_node_ids
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url")
+    return _round6(res.dataset, "score")
+
+
+def _q_web_pagerank_topk(sf_dir: str):
+    ds = _q_web_pagerank(sf_dir)
+    return ds.sort(["score", "url"], descending=[True, False]).limit(TOPK)
+
+
+def _q_web_wcc_sizes(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir, undirected=True)
+    res = wcc(g)
+    comp = translate_vid_columns(g, res.dataset, ["component"])
+    return comp.groupby("component").count().rename_columns({"count()": "size"})
+
+
 def entry() -> Any:
-    """Flagship pipeline: purchase graph from sf0.001 → PageRank to
-    1e-6 convergence → top-20 scores."""
+    """Flagship pipeline (the north star end-to-end): Common-Crawl-style
+    pages parquet → actor-pool href extraction over zero-copy Arrow →
+    CSR link graph → PageRank to 1e-7 convergence → top-20 urls."""
     sf_dir = "/root/testdata/sf0.001"
     from neo4j_graph_algorithms_ray.algorithms import pagerank
-    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
-    g = get_graph(sf_dir, "purchase")
-    res = pagerank(g, 0.85, max_iterations=200, tolerance=1e-7)
-    return res.dataset.sort(["score", "node"], descending=[True, False]).limit(TOPK)
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    res = pagerank(g, 0.85, max_iterations=200, tolerance=1e-7, node_col="url")
+    return res.dataset.sort(["score", "url"], descending=[True, False]).limit(TOPK)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "page_text": _q_page_text,
+        "page_links": _q_page_links,
+        "web_degrees": _q_web_degrees,
+        "web_pagerank": _q_web_pagerank,
+        "web_pagerank_topk": _q_web_pagerank_topk,
+        "web_wcc_sizes": _q_web_wcc_sizes,
         "pagerank": _q_pagerank,
         "pagerank_topk": _q_pagerank_topk,
         "wcc": _q_wcc,
@@ -257,7 +309,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from neo4j_graph_algorithms_ray.pipelines import oracles as o
     from neo4j_graph_algorithms_ray.pipelines import oracles_docs as od
+    from neo4j_graph_algorithms_ray.pipelines import oracles_web as ow
     return {
+        "page_text": ow.PAGE_TEXT_SQL,
+        "page_links": ow.PAGE_LINKS_SQL,
+        "web_degrees": ow.WEB_DEGREES_SQL,
+        "web_pagerank": ow.web_pagerank_sql(PR_ITERS),
+        "web_pagerank_topk": ow.web_pagerank_sql(PR_ITERS, topk=TOPK),
+        "web_wcc_sizes": ow.web_wcc_sql(30, "sizes"),
         "pagerank": o.pagerank_sql(PR_ITERS),
         "pagerank_topk": o.pagerank_topk_sql(PR_ITERS, TOPK),
         "wcc": o.wcc_sql(WCC_SQL_ITERS, "components"),

@@ -76,6 +76,13 @@ def headline(num_cpus: int) -> dict:
     timed("metapaths_l2", lambda: compute_all_metapaths(
         typed_edge_ds(SF_DIR), length=2).materialize())
 
+    # flagship web pipeline: pages → extraction → link graph → PageRank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    gw = timed("load_webgraph", lambda: get_web_graph(SF_DIR))
+    timed("web_pagerank", lambda: pagerank(
+        gw, 0.85, max_iterations=100, tolerance=1e-6,
+        node_col="url").dataset.materialize())
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",

@@ -38,6 +38,7 @@ def pagerank(
     checkpoint_every: int = 0,
     resume: bool = False,
     keep_vid: bool = False,
+    node_col: str = "node",
 ) -> IterativeResult:
     """Run PageRank; returns (node, score) plus iteration stats.
 
@@ -86,7 +87,7 @@ def pagerank(
     metrics.append(final_metrics)
 
     ds = eng.state_dataset(["rank"]).rename_columns({"rank": "score"})
-    ds = attach_node_ids(g, ds, keep_vid=keep_vid)
+    ds = attach_node_ids(g, ds, out_col=node_col, keep_vid=keep_vid)
     edges_scattered = sum(m.get("edges_scattered", 0) for im in metrics for m in im)
     return IterativeResult(
         dataset=ds, iterations=it - start_iter, converged=converged, metrics=metrics,

@@ -1,0 +1,98 @@
+"""DuckDB oracles for the web-pages pipeline.
+
+The pages table (sources/pages.py) is a pure deterministic function of
+``documents.parquet``, so every oracle here reconstructs pages/links
+with SQL arithmetic only — no access to the generated parquet — and
+must match the Ray pipeline (extraction included) byte-for-byte.
+"""
+
+from __future__ import annotations
+
+
+def _url(x: str) -> str:
+    return f"'http://site-' || ({x} % 20) || '.test/page/' || {x}"
+
+
+# link rule mirror of sources/pages.py: deg(d), t = (d*31 + j*17 + 1) % N,
+# self-links skipped
+WEB_BASE = """nn AS (SELECT count(*) AS n FROM documents),
+degs AS (SELECT doc_id AS d, text,
+                CASE WHEN doc_id % 50 = 0 THEN 40 ELSE 1 + doc_id % 7 END AS deg
+         FROM documents),
+links AS MATERIALIZED (
+  SELECT d, j, t FROM (
+    SELECT d, j, (d * 31 + j * 17 + 1) % (SELECT n FROM nn) AS t
+    FROM (SELECT d, unnest(generate_series(1, deg)) AS j FROM degs) e) x
+  WHERE t != d)"""
+
+WEB_EDGES = f"""wedges AS MATERIALIZED (
+  SELECT DISTINCT {_url('d')} AS src, {_url('t')} AS dst FROM links)"""
+
+WEB_NODES = """wnodes AS MATERIALIZED (
+  SELECT src AS node FROM wedges UNION SELECT dst FROM wedges)"""
+
+_ESC = ("replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+        "'>', '&gt;')")
+
+PAGE_TEXT_SQL = f"""WITH {WEB_BASE},
+lab AS (SELECT d, string_agg('link ' || j, ' ' ORDER BY j) AS labels
+        FROM links GROUP BY d)
+SELECT {_url('degs.d')} AS url,
+       trim(regexp_replace(
+         'Doc ' || degs.d || ' Doc ' || degs.d || ' ' || {_ESC}
+           || coalesce(' ' || lab.labels, ''),
+         '\\s+', ' ', 'g')) AS text
+FROM degs LEFT JOIN lab ON lab.d = degs.d
+ORDER BY url"""
+
+PAGE_LINKS_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES}
+SELECT src AS src_url, dst AS dst_url FROM wedges ORDER BY src_url, dst_url"""
+
+WEB_DEGREES_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{WEB_NODES},
+wdeg AS (SELECT src, count(*) AS dg FROM wedges GROUP BY src)
+SELECT n.node AS url, coalesce(wdeg.dg, 0) AS out_degree
+FROM wnodes n LEFT JOIN wdeg ON wdeg.src = n.node ORDER BY url"""
+
+
+def web_pagerank_sql(iters: int = 20, topk: int = 0) -> str:
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+            "FROM wedges GROUP BY src)",
+            "r0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN r{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    head = "WITH " + ",\n".join(ctes)
+    if topk:
+        return head + (f"\nSELECT node AS url, round(r, 6) AS score FROM r{iters} "
+                       f"ORDER BY score DESC, url ASC LIMIT {topk}")
+    return head + (f"\nSELECT node AS url, round(r, 6) AS score FROM r{iters} "
+                   "ORDER BY url")
+
+
+def web_wcc_sql(iters: int = 30, final: str = "sizes") -> str:
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM wedges "
+            "UNION ALL SELECT dst, src FROM wedges)",
+            "c0 AS (SELECT node, node AS c FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""c{k} AS MATERIALIZED (
+  SELECT n.node, least(p.c, coalesce(min(q.c), p.c)) AS c
+  FROM wnodes n
+  JOIN c{k-1} p ON p.node = n.node
+  LEFT JOIN sym e ON e.a = n.node
+  LEFT JOIN c{k-1} q ON q.node = e.b
+  GROUP BY n.node, p.c)""")
+    head = "WITH " + ",\n".join(ctes)
+    if final == "components":
+        return head + f"\nSELECT node AS url, c AS component FROM c{iters} ORDER BY url"
+    return head + (f"\nSELECT c AS component, count(*) AS size FROM c{iters} "
+                   "GROUP BY c ORDER BY component")

@@ -1,0 +1,55 @@
+"""The flagship web-link-graph pipeline (the north star end-to-end):
+
+    pages parquet (url, warc_ts, html, text, lang)
+      → actor-pool ExtractLinks (zero-copy Arrow batches)
+      → (src_url, dst_url) href edges, self-link filter + distinct
+      → dense-id assignment + accumulated-degree CSR shards
+      → PageRank / WCC / … over the link graph, scores per url.
+
+Node "original ids" are url strings (the reference's IdMapping maps any
+external id space to dense ints — core/.../core/IdMap.java:71-84; ours
+maps strings the same way via the vid-ordered vertex table).
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.graph import GraphTables, build_graph
+from neo4j_graph_algorithms_ray.registry import GraphCatalog
+from neo4j_graph_algorithms_ray.sources.pages import read_pages
+from neo4j_graph_algorithms_ray.stages.extract import ExtractLinks, ExtractText
+
+EXTRACT_CONCURRENCY = 2
+EXTRACT_BATCH = 4096
+
+
+def extracted_text_ds(sf_dir: str) -> rd.Dataset:
+    """(url, text, lang, warc_ts) with text re-extracted from html
+    (must equal the pages table's own text column byte-for-byte)."""
+    pages = read_pages(sf_dir, columns=["url", "html", "lang", "warc_ts"])
+    return pages.map_batches(ExtractText, batch_format="pyarrow",
+                             batch_size=EXTRACT_BATCH,
+                             concurrency=EXTRACT_CONCURRENCY)
+
+
+def web_edge_ds(sf_dir: str) -> rd.Dataset:
+    """Distinct (src_url, dst_url) href edges, self-links dropped."""
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edges = pages.map_batches(ExtractLinks, batch_format="pyarrow",
+                              batch_size=EXTRACT_BATCH,
+                              concurrency=EXTRACT_CONCURRENCY)
+    edges = edges.filter(expr="src_url != dst_url")
+    return edges.groupby(["src_url", "dst_url"]).count() \
+                .select_columns(["src_url", "dst_url"])
+
+
+def get_web_graph(sf_dir: str, *, undirected: bool = False) -> GraphTables:
+    name = f"web:{sf_dir}:{'und' if undirected else 'dir'}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        g = build_graph(web_edge_ds(sf_dir), src_col="src_url",
+                        dst_col="dst_url", undirected=undirected,
+                        name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    return g

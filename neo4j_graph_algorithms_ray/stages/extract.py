@@ -1,0 +1,87 @@
+"""HTML → text / link extraction stages (actor-pool map_batches).
+
+The reference's graph source is a live Neo4j store scanned by importer
+tasks (core/.../core/heavyweight/RelationshipImporter.java:45); our
+native source is the Common-Crawl-style pages table, and these stages
+are the importer analogue: stateful callable classes passed to
+``ds.map_batches(Cls, concurrency=N, batch_format="pyarrow")`` — setup
+(compiled patterns) once per actor in ``__init__``, zero-copy Arrow
+kernels per batch in ``__call__``.
+
+Both stages are fully vectorized: tag-stripping and whitespace
+normalization run through ``pyarrow.compute.replace_substring_regex``
+(RE2 over the whole column), href extraction through
+``split_pattern`` + ``extract_regex`` over the flattened list values —
+no per-row Python in the hot path.
+
+Extraction rule (the byte-identity contract with sources/pages.py and
+the SQL oracle): ``trim(collapse_ws(strip_tags(html)))`` where tags are
+``<[^>]*>`` → one space and whitespace runs collapse to one space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TAG_RE = r"<[^>]*>"
+WS_RE = r"\s+"
+HREF_OPEN = '<a href="'
+URL_HEAD_RE = r'^(?P<u>[^"]*)"'
+
+
+def _html_utf8(batch: pa.Table) -> pa.Array:
+    return batch.column("html").cast(pa.string()).combine_chunks()
+
+
+class ExtractText:
+    """pages(url, html, …) → (url, text, lang, warc_ts) with text
+    byte-identical to the canonical extraction of the html column."""
+
+    def __init__(self):
+        self.tag_re = TAG_RE
+        self.ws_re = WS_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = _html_utf8(batch)
+        txt = pc.replace_substring_regex(html, pattern=self.tag_re,
+                                         replacement=" ")
+        txt = pc.replace_substring_regex(txt, pattern=self.ws_re,
+                                         replacement=" ")
+        txt = pc.utf8_trim_whitespace(txt)
+        cols = {"url": batch.column("url"), "text": txt}
+        for extra in ("lang", "warc_ts"):
+            if extra in batch.column_names:
+                cols[extra] = batch.column(extra)
+        return pa.table(cols)
+
+
+class ExtractLinks:
+    """pages(url, html) → href edge list (src_url, dst_url).
+
+    Vectorized multi-match: split each html on ``<a href="`` (ListArray),
+    then anchor-extract the quoted url head from every flattened list
+    element; the pre-href prefix of each page contains no double quote
+    and drops out as a null match.
+    """
+
+    def __init__(self):
+        self.href_open = HREF_OPEN
+        self.url_head = URL_HEAD_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = _html_utf8(batch)
+        urls = batch.column("url").combine_chunks()
+        parts = pc.split_pattern(html, self.href_open)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.flatten()
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offsets)
+        src_flat = np.repeat(np.arange(len(urls)), counts)
+        match = pc.extract_regex(flat, self.url_head)
+        valid = pc.is_valid(match).to_numpy(zero_copy_only=False)
+        dsts = pc.struct_field(match, "u").drop_null()
+        srcs = urls.take(pa.array(src_flat[valid]))
+        return pa.table({"src_url": srcs, "dst_url": dsts})

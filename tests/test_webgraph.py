@@ -1,0 +1,86 @@
+"""Web-pages pipeline tests (the north-star end-to-end slice):
+pages parquet → actor-pool extraction → link graph → PageRank.
+
+Covers the input-hint contract (schema of the pages table), the
+per-row invariant "byte-identical extracted text per url", link
+extraction vs the generator's arithmetic link rule, and PageRank over
+the extracted graph vs an independent numpy power iteration."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from neo4j_graph_algorithms_ray.sources import pages as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages_ds():
+    return P.read_pages(SF)
+
+
+def test_pages_schema(pages_ds):
+    sch = dict(zip(pages_ds.schema().names, pages_ds.schema().types))
+    assert sch["url"] == pa.string()
+    assert sch["warc_ts"] == pa.timestamp("us")
+    assert sch["html"] in (pa.binary(), pa.large_binary())
+    assert sch["text"] == pa.string()
+    assert sch["lang"] == pa.string()
+    assert pages_ds.count() == 500
+
+
+def test_extracted_text_byte_identical(pages_ds):
+    """ExtractText(html) must equal the pages table's text column
+    byte-for-byte for every url (north-rule per-row invariant)."""
+    from neo4j_graph_algorithms_ray.stages.extract import ExtractText
+    out = pages_ds.map_batches(ExtractText, batch_format="pyarrow",
+                               concurrency=2).take_all()
+    stored = {r["url"]: r["text"] for r in pages_ds.take_all()}
+    assert len(out) == len(stored)
+    for r in out:
+        assert r["text"].encode() == stored[r["url"]].encode(), r["url"]
+
+
+def test_extracted_links_match_rule(pages_ds):
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    got = {(r["src_url"], r["dst_url"]) for r in web_edge_ds(SF).take_all()}
+    n = pages_ds.count()
+    want = set()
+    for d in range(n):
+        for t in P.link_targets(d, n):
+            want.add((P.url_of(d), P.url_of(int(t))))
+    assert got == want
+
+
+def test_web_pagerank_vs_numpy():
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(SF)
+    res = pagerank(g, 0.85, max_iterations=500, tolerance=1e-9, node_col="url")
+    assert res.converged
+
+    n = 500
+    edges = [(d, int(t)) for d in range(n) for t in P.link_targets(d, n)]
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = np.full(n, 0.15)
+    for _ in range(300):
+        nxt = np.full(n, 0.15)
+        for s, t in edges:
+            nxt[t] += 0.85 * r[s] / outdeg[s]
+        if np.abs(nxt - r).max() < 1e-12:
+            r = nxt
+            break
+        r = nxt
+    scores = {row["url"]: row["score"] for row in res.dataset.take_all()}
+    for d in range(n):
+        assert scores[P.url_of(d)] == pytest.approx(r[d], abs=1e-6)
+
+
+def test_hub_skew_present(pages_ds):
+    """The generator must produce the hub-skewed out-degree profile the
+    north rule's skew handling is exercised against."""
+    degs = np.array([len(P.link_targets(d, 500)) for d in range(500)])
+    assert degs.max() >= 39 and np.median(degs) <= 5
