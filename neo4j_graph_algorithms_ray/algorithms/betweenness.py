@@ -1,0 +1,145 @@
+"""Betweenness centrality — Brandes, per-source task parallelism.
+
+Reference parity (algo/.../impl/betweenness/, SURVEY.md §2.4):
+`BetweennessCentrality` runs Brandes' forward σ / backward δ passes per
+source; `ParallelBetweennessCentrality` fans sources across threads
+into a shared atomic array; `RABrandesBetweennessCentrality` samples a
+source subset (random or degree-biased). The Ray shape is the same
+fan-out: a sources Dataset mapped through an actor pool holding the
+broadcast CSR (``ray.put`` once, read in ``__init__`` per actor —
+never re-shipped per batch); each task emits its per-node dependency
+partials, and the final ``groupby(vid).sum`` is the shared-array
+equivalent. Per-source BFS levels are numpy-vectorized over the CSR.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.algorithms.common import (
+    IterativeResult, attach_node_ids)
+from neo4j_graph_algorithms_ray.graph import GraphTables
+
+
+def betweenness(
+    g: GraphTables,
+    *,
+    sources: Optional[Sequence] = None,
+    sample: Optional[int] = None,
+    seed: int = 42,
+    concurrency: int = 4,
+    batch_size: int = 16,
+    node_col: str = "node",
+) -> IterativeResult:
+    """Brandes betweenness over the directed graph as built → (node,
+    centrality). ``sources=None`` = exact (every node a source);
+    ``sample=k`` = RABrandes-style random source subset, scores scaled
+    by n/k (deterministic seed)."""
+    from neo4j_graph_algorithms_ray.algorithms.sssp import _driver_adjacency, _to_vid
+    offsets, dsts, _ = _driver_adjacency(g, weighted=False)
+    n = g.num_vertices
+    if sources is not None:
+        src_vids = np.array([_to_vid(g, s) for s in sources], dtype=np.int64)
+        scale = 1.0
+    elif sample is not None:
+        rng = np.random.default_rng(seed)
+        src_vids = rng.choice(n, size=min(sample, n), replace=False).astype(np.int64)
+        scale = n / len(src_vids)
+    else:
+        src_vids = np.arange(n, dtype=np.int64)
+        scale = 1.0
+    adj_ref = ray.put((offsets, dsts))
+    sources_ds = rd.from_arrow(pa.table({"svid": pa.array(src_vids)})) \
+        .repartition(max(concurrency * 2, (len(src_vids) + batch_size - 1) // batch_size))
+    t0 = time.perf_counter()
+
+    class BrandesTask:
+        def __init__(self):
+            self.offsets, self.dsts = ray.get(adj_ref)
+
+        def _single(self, s: int) -> np.ndarray:
+            off, dst = self.offsets, self.dsts
+            dist = np.full(n, -1, dtype=np.int64)
+            sigma = np.zeros(n)
+            dist[s] = 0
+            sigma[s] = 1.0
+            frontier = np.array([s], dtype=np.int64)
+            level_edges = []
+            d = 0
+            while len(frontier):
+                counts = off[frontier + 1] - off[frontier]
+                nz = counts > 0
+                frontier, counts = frontier[nz], counts[nz]
+                if len(frontier) == 0:
+                    break
+                idx = np.concatenate([np.arange(off[u], off[u + 1]) for u in frontier]) \
+                    if len(frontier) < 1024 else _ranges(off, frontier)
+                targets = dst[idx]
+                srcs = np.repeat(frontier, counts)
+                newly = dist[targets] == -1
+                if newly.any():
+                    dist[targets[newly]] = d + 1
+                on_sp = dist[targets] == d + 1
+                t_sp, s_sp = targets[on_sp], srcs[on_sp]
+                np.add.at(sigma, t_sp, sigma[s_sp])
+                level_edges.append((s_sp, t_sp))
+                frontier = np.unique(targets[newly])
+                d += 1
+            delta = np.zeros(n)
+            for s_sp, t_sp in reversed(level_edges):
+                contrib = sigma[s_sp] / np.maximum(sigma[t_sp], 1e-300) \
+                    * (1.0 + delta[t_sp])
+                np.add.at(delta, s_sp, contrib)
+            delta[s] = 0.0
+            return delta
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            acc = np.zeros(n)
+            for s in batch.column("svid").to_pylist():
+                acc += self._single(int(s))
+            nz = np.nonzero(acc)[0]
+            return pa.table({"vid": pa.array(nz.astype(np.int64)),
+                             "part": pa.array(acc[nz])})
+
+    # autoscaling (1, N) — see sssp.all_shortest_paths_weighted
+    parts = sources_ds.map_batches(BrandesTask, batch_format="pyarrow",
+                                   batch_size=batch_size,
+                                   concurrency=(1, concurrency))
+    summed = parts.groupby("vid").sum("part").rename_columns({"sum(part)": "centrality"})
+
+    # densify: every node gets a row (0.0 when never on a shortest path)
+    all_vids = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+    from neo4j_graph_algorithms_ray.util import safe_join, to_arrow_blocks
+    dense = safe_join(all_vids, to_arrow_blocks(summed), "left_outer",
+                      max(4, concurrency), on=("vid",), right_on=("vid",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = pc.multiply(pc.coalesce(b["centrality"], pa.scalar(0.0)), scale)
+        return pa.table({"vid": b["vid"], "centrality": c})
+
+    ds = dense.map_batches(finish, batch_format="pyarrow")
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    elapsed = time.perf_counter() - t0
+    return IterativeResult(dataset=ds, iterations=len(src_vids), converged=True,
+                           metrics=[],
+                           stats={"computeSec": elapsed, "sources": len(src_vids),
+                                  "scale": scale})
+
+
+def _ranges(off: np.ndarray, frontier: np.ndarray) -> np.ndarray:
+    """Concatenated index ranges [off[u], off[u+1]) for u in frontier,
+    without a Python loop (large frontiers)."""
+    counts = off[frontier + 1] - off[frontier]
+    total = int(counts.sum())
+    out = np.ones(total, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out[starts] = off[frontier]
+    out[starts[1:]] -= off[frontier[:-1] + 1] - 1
+    return np.cumsum(out)

@@ -1,0 +1,161 @@
+"""Multi-source BFS and the centralities built on it.
+
+Reference parity (SURVEY.md §2.4): `MultiSourceBFS` packs ω=32 sources
+into one bitset per node and runs them in a single traversal
+(algo/.../impl/msbfs/MultiSourceBFS.java:79,153-168); closeness
+accumulates ``farness[v] += |sources at depth d| * d``
+(algo/.../impl/MSClosenessCentrality.java:62-66, score ``(n-1)/farness``
+MSBFSCCAlgorithm.java:43-45); harmonic accumulates
+``inv_farness[v] += |sources|/d`` scaled by ``1/(n-1)``
+(algo/.../impl/MSHarmonicCentrality.java:59,67-72).
+
+Ray shape: 64 sources per wave as a uint64 bitset state vector; each
+BFS level is one BSP superstep — scatter ``bitwise_or`` of frontier
+bitsets per unique destination (map-side combine), receivers AND-NOT
+against their seen bitset (state/shards.py ``bits``/``bits_update``).
+Waves run back-to-back on the same resident CSR shards; per-wave work
+is one superstep per BFS level, exactly one shuffle-equivalent message
+exchange per level.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.algorithms.common import (
+    IterativeResult, attach_node_ids, get_engine)
+from neo4j_graph_algorithms_ray.graph import GraphTables
+
+WAVE = 64
+
+
+def _run_waves(eng, sources: np.ndarray, *, accumulate: list[str],
+               emit_hops: bool = False, max_depth: Optional[int] = None):
+    """Run MSBFS from ``sources`` (dense vids) in 64-source waves.
+    Returns (supersteps, hop rows (source, target, depth) if emitted)."""
+    hops_src, hops_dst, hops_depth = [], [], []
+    supersteps = 0
+    for base in range(0, len(sources), WAVE):
+        wave = sources[base:base + WAVE]
+        bits = np.zeros(len(wave), dtype=np.uint64)
+        for i in range(len(wave)):
+            bits[i] = np.uint64(1) << np.uint64(i)
+        eng.init_state("seen", "const", 0, dtype="uint64")
+        eng.init_state("frontier", "const", 0, dtype="uint64")
+        eng.set_state_from_table("seen", wave, bits)
+        eng.set_state_from_table("frontier", wave, bits)
+        depth = 0
+        while True:
+            depth += 1
+            if max_depth is not None and depth > max_depth:
+                break
+            stats = eng.step("bits", "bits_update",
+                             update_kw={"depth": depth, "emit_hops": emit_hops})
+            supersteps += 1
+            if emit_hops:
+                for s in stats:
+                    v, b = s["hops"]
+                    if len(v):
+                        hops_src.append(wave[b])
+                        hops_dst.append(v)
+                        hops_depth.append(np.full(len(v), depth, dtype=np.int64))
+            if sum(s["new_visits"] for s in stats) == 0:
+                break
+    if emit_hops:
+        if hops_src:
+            return supersteps, (np.concatenate(hops_src),
+                                np.concatenate(hops_dst),
+                                np.concatenate(hops_depth))
+        return supersteps, (np.empty(0, np.int64),) * 3
+    return supersteps, None
+
+
+def closeness(
+    g: GraphTables,
+    *,
+    sources: Optional[Sequence[int]] = None,
+    num_partitions: Optional[int] = None,
+    node_col: str = "node",
+) -> IterativeResult:
+    """Closeness centrality ``(n-1)/farness`` (0 for unreachable nodes).
+    ``sources`` (dense vids) restricts the farness sum to a source
+    subset — the sampled form used at scale; None = exact (all nodes).
+    """
+    eng = get_engine(g, num_partitions)
+    src = (np.arange(g.num_vertices, dtype=np.int64) if sources is None
+           else np.asarray(list(sources), dtype=np.int64))
+    eng.init_state("farness", "const", 0.0)
+    t0 = time.perf_counter()
+    steps, _ = _run_waves(eng, src, accumulate=["farness"])
+    elapsed = time.perf_counter() - t0
+    metrics = eng.drain_metrics()
+
+    def score(batch: pa.Table) -> pa.Table:
+        f = batch.column("farness").to_numpy(zero_copy_only=False)
+        n = max(g.num_vertices - 1, 1)
+        c = np.where(f > 0, n / np.maximum(f, 1e-300), 0.0)
+        return pa.table({"vid": batch.column("vid"), "centrality": pa.array(c)})
+
+    ds = eng.state_dataset(["farness"]).map_batches(score, batch_format="pyarrow")
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    return IterativeResult(dataset=ds, iterations=steps, converged=True,
+                           metrics=[metrics],
+                           stats={"computeSec": elapsed, "sources": len(src)})
+
+
+def harmonic(
+    g: GraphTables,
+    *,
+    sources: Optional[Sequence[int]] = None,
+    num_partitions: Optional[int] = None,
+    node_col: str = "node",
+) -> IterativeResult:
+    """Harmonic centrality ``Σ_s 1/d(s,v) / (n-1)``."""
+    eng = get_engine(g, num_partitions)
+    src = (np.arange(g.num_vertices, dtype=np.int64) if sources is None
+           else np.asarray(list(sources), dtype=np.int64))
+    eng.init_state("inv_farness", "const", 0.0)
+    t0 = time.perf_counter()
+    steps, _ = _run_waves(eng, src, accumulate=["inv_farness"])
+    elapsed = time.perf_counter() - t0
+    metrics = eng.drain_metrics()
+
+    def score(batch: pa.Table) -> pa.Table:
+        f = batch.column("inv_farness").to_numpy(zero_copy_only=False)
+        n = max(g.num_vertices - 1, 1)
+        return pa.table({"vid": batch.column("vid"), "centrality": pa.array(f / n)})
+
+    ds = eng.state_dataset(["inv_farness"]).map_batches(score, batch_format="pyarrow")
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    return IterativeResult(dataset=ds, iterations=steps, converged=True,
+                           metrics=[metrics],
+                           stats={"computeSec": elapsed, "sources": len(src)})
+
+
+def msbfs_hop_counts(
+    g: GraphTables,
+    sources: Optional[Sequence[int]] = None,
+    *,
+    num_partitions: Optional[int] = None,
+    max_depth: Optional[int] = None,
+) -> rd.Dataset:
+    """Unweighted all-shortest-paths hop counts from ``sources`` (dense
+    vids; None = all) → Dataset (source, target, distance) in ORIGINAL
+    ids, one row per reached (source, target), distance ≥ 1.
+    MSBFSAllShortestPaths parity (algo/.../impl/MSBFSAllShortestPaths.java).
+    """
+    eng = get_engine(g, num_partitions)
+    src = (np.arange(g.num_vertices, dtype=np.int64) if sources is None
+           else np.asarray(list(sources), dtype=np.int64))
+    _, (hs, hd, hdep) = _run_waves(eng, src, accumulate=[], emit_hops=True,
+                                   max_depth=max_depth)
+    vmap = g.vid_to_node_map()
+    tbl = pa.table({"source": vmap.take(pa.array(hs)),
+                    "target": vmap.take(pa.array(hd)),
+                    "distance": pa.array(hdep)})
+    return rd.from_arrow(tbl)

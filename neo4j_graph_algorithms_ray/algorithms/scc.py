@@ -1,0 +1,89 @@
+"""Strongly-connected components — distributed Forward-Backward coloring.
+
+Reference parity (SURVEY.md §2.4 scc row): the reference ships Tarjan
+variants plus **MultistepSCC** = trim → Forward-Backward on a pivot →
+MSColoring loop → Tarjan remainder
+(algo/.../impl/multistepscc/MultistepSCC.java:43-70,102-130). Tarjan is
+inherently sequential-shared-memory; the distributed-native equivalent
+of its Multistep path is the FW-BW **coloring algorithm** (the
+reference's own MultiStepColoring + MultiStepFWBW, generalized):
+
+each round, among still-active vertices:
+1. forward max-color propagation to fixpoint: ``color[v] = max vid
+   that reaches v`` within the active subgraph (shards op
+   ``max_state_masked`` — the same kernel as MSColoring.java:46-125);
+2. every color root r (``color[r] == r``) backward-BFSes over the
+   REVERSE CSR restricted to its own color region (op ``bwd_color``);
+   the vertices reached form exactly SCC(r) [classic FW-BW argument:
+   reached ⊆ color region ⊆ forward-reachable from r];
+3. those vertices get ``component = color`` and deactivate; repeat.
+
+All colors are processed simultaneously each round (one fixpoint per
+phase, not per pivot), so rounds ≈ longest chain of nested SCC
+condensation layers, not #SCCs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from neo4j_graph_algorithms_ray.algorithms.common import (
+    IterativeResult, attach_node_ids, get_engine)
+from neo4j_graph_algorithms_ray.graph import GraphTables
+
+
+def scc(
+    g: GraphTables,
+    *,
+    num_partitions: Optional[int] = None,
+    max_rounds: int = 10_000,
+    node_col: str = "node",
+) -> IterativeResult:
+    """Exact SCCs of the directed graph → (node, component), component
+    canonicalized to the max dense vid in the SCC (translated back to
+    its original id)."""
+    eng = get_engine(g, num_partitions, reverse=True)
+    eng.init_state("active", "const", 1, dtype="int8")
+    eng.init_state("component", "const", -1, dtype="int64")
+    supersteps, rounds = 0, 0
+    t0 = time.perf_counter()
+    remaining = g.num_vertices
+    while remaining > 0 and rounds < max_rounds:
+        rounds += 1
+        # --- phase 1: forward max-color fixpoint over active subgraph ---
+        eng.init_state("color", "vid")
+        while True:
+            stats = eng.step("max_state_masked", "max_update_masked",
+                             scatter_kw={"name": "color"},
+                             update_kw={"name": "color"})
+            supersteps += 1
+            if sum(s["changed"] for s in stats) == 0:
+                break
+        # --- phase 2: backward color-restricted reachability from roots ---
+        eng.copy_state("color", to_rev=True)
+        eng.copy_state("active", to_rev=True)
+        eng.eval_state("in_bwd", "((active > 0) & (color == vid))",
+                       "int8", rev=True)
+        eng.eval_state("bwd_frontier", "in_bwd", "int8", rev=True)
+        while True:
+            stats = eng.step("bwd_color", "bwd_color_update",
+                             actors=eng.rev_actors, update_actors=eng.rev_actors)
+            supersteps += 1
+            if sum(s["changed"] for s in stats) == 0:
+                break
+        # --- phase 3: fix components, deactivate, loop ---
+        eng.copy_state("in_bwd", to_rev=False)
+        eng.eval_state("component",
+                       "np.where(in_bwd > 0, color, component)", "int64")
+        eng.eval_state("active", "np.where(in_bwd > 0, 0, active)", "int8")
+        remaining = int(eng.state_sum("active"))
+    elapsed = time.perf_counter() - t0
+    metrics = eng.drain_metrics()
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    ds = eng.state_dataset(["component"])
+    ds = translate_vid_columns(g, ds, ["component"])
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    return IterativeResult(dataset=ds, iterations=rounds, converged=True,
+                           metrics=[metrics],
+                           stats={"computeSec": elapsed, "supersteps": supersteps})

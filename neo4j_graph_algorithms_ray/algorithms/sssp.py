@@ -1,0 +1,187 @@
+"""Shortest paths: SSSP relaxation, single-pair Dijkstra, all-pairs.
+
+Reference parity (SURVEY.md §2.4):
+- ``algo.shortestPath.deltaStepping`` (ShortestPathDeltaStepping.java:46-70):
+  parallel bucketed SSSP. In BSP form the buckets degenerate into
+  synchronous relaxation rounds — each superstep relaxes every edge
+  whose source distance is finite, receivers keep elementwise minima
+  (state/shards.py ``relax``/``relax_update``); fixpoint when no
+  distance changes. Same min-plus fixpoint, deterministic.
+- ``algo.shortestPath`` (ShortestPathDijkstra.java:47-120): sequential
+  src→dst Dijkstra returning the path node sequence + cost. Sequential
+  in the reference too — we run it driver-side over a fetched edge
+  list (oracle scale only, as documented there).
+- ``algo.allShortestPaths.stream`` weighted (AllShortestPaths.java:46-63):
+  one Dijkstra per source streamed through a bounded queue → our
+  per-source task parallelism: ``map_batches`` over a sources Dataset
+  against a broadcast CSR (``ray.put`` once, read per task).
+  Unweighted all-pairs = msbfs.msbfs_hop_counts.
+"""
+
+from __future__ import annotations
+
+import heapq
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.algorithms.common import (
+    IterativeResult, attach_node_ids, get_engine)
+from neo4j_graph_algorithms_ray.graph import GraphTables
+
+
+def sssp_delta_stepping(
+    g: GraphTables,
+    source,
+    *,
+    num_partitions: Optional[int] = None,
+    max_iterations: int = 10_000,
+    node_col: str = "node",
+) -> IterativeResult:
+    """Distances from ``source`` (original id) → (node, distance);
+    unreachable nodes get +inf. Uses edge weights when the graph was
+    built with a weight column, else hop counts."""
+    eng = get_engine(g, num_partitions, weighted=g.weighted)
+    svid = _to_vid(g, source)
+    eng.init_state("dist", "const", np.inf)
+    eng.set_state_from_table("dist", np.array([svid], dtype=np.int64),
+                             np.array([0.0]))
+    metrics, it, converged = [], 0, False
+    t0 = time.perf_counter()
+    while it < max_iterations:
+        stats = eng.step("relax", "relax_update")
+        it += 1
+        if sum(s["changed"] for s in stats) == 0:
+            converged = True
+            break
+    elapsed = time.perf_counter() - t0
+    metrics.append(eng.drain_metrics())
+    ds = eng.state_dataset(["dist"]).rename_columns({"dist": "distance"})
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    return IterativeResult(dataset=ds, iterations=it, converged=converged,
+                           metrics=metrics, stats={"computeSec": elapsed})
+
+
+def _to_vid(g: GraphTables, node) -> int:
+    m = g.vid_to_node_map()
+    idx = pa.compute.index_in(pa.array([node], type=m.type), value_set=m)[0].as_py()
+    if idx is None:
+        raise KeyError(f"node {node!r} not in graph")
+    return int(idx)
+
+
+def _driver_adjacency(g: GraphTables, weighted: bool):
+    """Dense-vid CSR pulled to the driver (oracle-scale paths only)."""
+    cols = ["src", "dst"] + (["weight"] if weighted and g.weighted else [])
+    tbl = pa.concat_tables(g.edges.select_columns(cols)
+                           .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    s = tbl.column("src").to_numpy(zero_copy_only=False)
+    d = tbl.column("dst").to_numpy(zero_copy_only=False)
+    w = (tbl.column("weight").to_numpy(zero_copy_only=False)
+         if "weight" in tbl.column_names else np.ones(len(s)))
+    order = np.argsort(s, kind="stable")
+    s, d, w = s[order], d[order], w[order]
+    offsets = np.searchsorted(s, np.arange(g.num_vertices + 1))
+    return offsets, d, w
+
+
+def shortest_path_dijkstra(g: GraphTables, source, target) -> dict:
+    """Single-pair Dijkstra (algo.shortestPath parity): returns
+    {"path": [original ids...], "cost": float, "found": bool}."""
+    offsets, dsts, ws = _driver_adjacency(g, weighted=True)
+    svid, tvid = _to_vid(g, source), _to_vid(g, target)
+    n = g.num_vertices
+    dist = np.full(n, np.inf)
+    prev = np.full(n, -1, dtype=np.int64)
+    dist[svid] = 0.0
+    pq = [(0.0, svid)]
+    while pq:
+        dcur, u = heapq.heappop(pq)
+        if dcur > dist[u]:
+            continue
+        if u == tvid:
+            break
+        for i in range(offsets[u], offsets[u + 1]):
+            v, nd = dsts[i], dcur + ws[i]
+            if nd < dist[v]:
+                dist[v], prev[v] = nd, u
+                heapq.heappush(pq, (nd, v))
+    if not np.isfinite(dist[tvid]):
+        return {"path": [], "cost": float("inf"), "found": False}
+    path_vids = []
+    cur = tvid
+    while cur != -1:
+        path_vids.append(cur)
+        cur = prev[cur] if cur != svid else -1
+    vmap = g.vid_to_node_map()
+    path = [vmap[int(v)].as_py() for v in reversed(path_vids)]
+    return {"path": path, "cost": float(dist[tvid]), "found": True}
+
+
+def all_shortest_paths_weighted(
+    g: GraphTables,
+    sources: Optional[Sequence] = None,
+    *,
+    concurrency: int = 4,
+    batch_size: int = 8,
+) -> rd.Dataset:
+    """Weighted all-pairs (AllShortestPaths.java parity): one Dijkstra
+    per source, fanned out as an actor-pool ``map_batches`` over a
+    sources Dataset against the broadcast CSR. Emits
+    (source, target, distance) rows for every reachable pair (distance
+    > 0 — self rows omitted like the reference's stream)."""
+    offsets, dsts, ws = _driver_adjacency(g, weighted=True)
+    adj_ref = ray.put((offsets, dsts, ws))
+    vmap_ref = ray.put(g.vid_to_node_map())
+    n = g.num_vertices
+    if sources is None:
+        src_vids = np.arange(n, dtype=np.int64)
+    else:
+        src_vids = np.array([_to_vid(g, s) for s in sources], dtype=np.int64)
+    sources_ds = rd.from_arrow(pa.table({"svid": pa.array(src_vids)})) \
+        .repartition(max(concurrency * 2, (len(src_vids) + batch_size - 1) // batch_size))
+
+    class PerSourceDijkstra:
+        def __init__(self):
+            self.offsets, self.dsts, self.ws = ray.get(adj_ref)
+            self.vmap = ray.get(vmap_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_s, out_t, out_d = [], [], []
+            for svid in batch.column("svid").to_pylist():
+                dist = np.full(n, np.inf)
+                dist[svid] = 0.0
+                pq = [(0.0, svid)]
+                while pq:
+                    dcur, u = heapq.heappop(pq)
+                    if dcur > dist[u]:
+                        continue
+                    for i in range(self.offsets[u], self.offsets[u + 1]):
+                        v, nd = self.dsts[i], dcur + self.ws[i]
+                        if nd < dist[v]:
+                            dist[v] = nd
+                            heapq.heappush(pq, (nd, v))
+                reached = np.nonzero(np.isfinite(dist))[0]
+                reached = reached[reached != svid]
+                out_s.append(np.full(len(reached), svid, dtype=np.int64))
+                out_t.append(reached.astype(np.int64))
+                out_d.append(dist[reached])
+            if not out_s:
+                return pa.table({"source": pa.array([], pa.int64()),
+                                 "target": pa.array([], pa.int64()),
+                                 "distance": pa.array([], pa.float64())})
+            s = np.concatenate(out_s)
+            t = np.concatenate(out_t)
+            return pa.table({"source": self.vmap.take(pa.array(s)),
+                             "target": self.vmap.take(pa.array(t)),
+                             "distance": pa.array(np.concatenate(out_d))})
+
+    # autoscaling pool (1, N): a fixed-size pool of N can reserve every
+    # cluster CPU and starve the upstream repartition → deadlock
+    return sources_ds.map_batches(PerSourceDijkstra, batch_format="pyarrow",
+                                  batch_size=batch_size,
+                                  concurrency=(1, concurrency))

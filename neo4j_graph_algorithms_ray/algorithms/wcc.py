@@ -94,3 +94,39 @@ def wcc_component_sizes(result: IterativeResult):
     """setCount/setSize histogram parity
     (DisjointSetStruct.resultStream, dss/DisjointSetStruct.java:113-120)."""
     return result.dataset.groupby("component").count()
+
+
+def mscoloring(
+    g: GraphTables,
+    *,
+    num_partitions: Optional[int] = None,
+    max_iterations: int = 10_000,
+    node_col: str = "node",
+) -> IterativeResult:
+    """algo.unionFind.mscoloring parity (algo/.../impl/MSColoring.java:
+    46-125): WCC by propagating the MAX node id as the component color
+    until stable — the same shuffle kernel as wcc() with max instead of
+    min (component canonical id = max dense vid → max original id).
+    ``g`` must be built undirected."""
+    eng = get_engine(g, num_partitions)
+    eng.init_state("active", "const", 1, dtype="int8")
+    eng.init_state("color", "vid")
+    it, converged = 0, False
+    import time as _t
+    t0 = _t.perf_counter()
+    while it < max_iterations:
+        stats = eng.step("max_state_masked", "max_update_masked",
+                         scatter_kw={"name": "color"},
+                         update_kw={"name": "color"})
+        it += 1
+        if sum(s["changed"] for s in stats) == 0:
+            converged = True
+            break
+    elapsed = _t.perf_counter() - t0
+    metrics = eng.drain_metrics()
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    ds = eng.state_dataset(["color"]).rename_columns({"color": "component"})
+    ds = translate_vid_columns(g, ds, ["component"])
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    return IterativeResult(dataset=ds, iterations=it, converged=converged,
+                           metrics=[metrics], stats={"computeSec": elapsed})

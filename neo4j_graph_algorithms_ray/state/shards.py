@@ -139,6 +139,22 @@ class ShardActor:
         self.state[name] = np.array(arr)
         return True
 
+    def state_sum(self, name: str) -> float:
+        return float(self.state[name].sum())
+
+    def eval_state(self, out: str, expr: str, dtype=None):
+        """Elementwise derived state: evaluate a numpy expression over
+        the shard's state vectors (``vid`` = global dense ids of the
+        range). Driver-free per-shard transform for algorithm glue
+        (e.g. SCC root flags)."""
+        env = {"np": np, "vid": np.arange(self.lo, self.hi, dtype=np.int64)}
+        env.update(self.state)
+        res = np.asarray(eval(expr, {"__builtins__": {}}, env))  # noqa: S307
+        if res.shape == ():
+            res = np.full(self.n_local, res)
+        self.state[out] = res.astype(dtype) if dtype else res
+        return True
+
     def state_table(self, names: list[str], node_col: str = "vid") -> pa.Table:
         cols = {node_col: pa.array(np.arange(self.lo, self.hi, dtype=np.int64))}
         for nm in names:
@@ -252,7 +268,7 @@ class ShardActor:
                 mins = np.minimum.reduceat(vals, self.seg_starts)
                 fin = np.isfinite(mins)
                 idx = np.nonzero(fin)[0]
-                self.metrics["edges_scattered"] += int(np.isfinite(dist).sum())
+                self.metrics["edges_scattered"] += int(np.isfinite(vals).sum())
                 return self._route(idx, mins[fin])
             if op == "bwd_color":
                 # SCC backward pass over the reverse CSR: frontier vertices w
@@ -422,11 +438,24 @@ class ShardEngine:
 
     def broadcast_state(self, name: str):
         """Copy a state vector from forward actors to reverse actors."""
+        self.copy_state(name, to_rev=True)
+
+    def copy_state(self, name: str, *, to_rev: bool):
+        """Ship a state vector between the forward and reverse actor
+        sets (shard ranges align — same bounds)."""
         if not self.rev_actors:
             return
-        refs = [a.get_state.remote(name) for a in self.actors]
-        ray.get([ra.set_state.remote(name, r)
-                 for ra, r in zip(self.rev_actors, refs)])
+        src = self.actors if to_rev else self.rev_actors
+        dst = self.rev_actors if to_rev else self.actors
+        refs = [a.get_state.remote(name) for a in src]
+        ray.get([d.set_state.remote(name, r) for d, r in zip(dst, refs)])
+
+    def eval_state(self, out: str, expr: str, dtype=None, *, rev: bool = False):
+        acts = self.rev_actors if rev else self.actors
+        ray.get([a.eval_state.remote(out, expr, dtype) for a in acts])
+
+    def state_sum(self, name: str) -> float:
+        return sum(ray.get([a.state_sum.remote(name) for a in self.actors]))
 
     def set_state_from_table(self, name: str, vids: np.ndarray, values: np.ndarray):
         part = np.searchsorted(self.bounds, vids, side="right") - 1

@@ -1,0 +1,156 @@
+"""SCC / MSColoring / Louvain / MST — brute-force-verified oracles.
+
+F5 (FIXTURES.md) is three directed 3-cycles {a,b,c},{d,e,f},{g,h,i}
+bridged by one-way edges (c→h, b→d) plus sink h — its SCCs are exactly
+the three cycles (+ singletons), mirroring the reference's
+SCCTarjanTest-style fixtures."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray import build_graph, fixtures as fx
+from neo4j_graph_algorithms_ray.algorithms import (
+    louvain, mscoloring, msf_boruvka, mst_prim, scc, wcc)
+
+
+def tarjan_ref(nodes, edges):
+    """Iterative Tarjan (independent oracle)."""
+    adj = {n: [] for n in nodes}
+    for a, b in edges:
+        adj[a].append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(frozenset(comp))
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return set(sccs)
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_scc_f5(parts):
+    nodes = sorted({x for e in fx.F5_EDGES for x in e})
+    g = build_graph(rd.from_arrow(fx.edge_table(fx.F5_EDGES)),
+                    name=f"f5scc{parts}")
+    res = scc(g, num_partitions=parts)
+    got = {}
+    for r in res.dataset.take_all():
+        got.setdefault(r["component"], set()).add(r["node"])
+    want = tarjan_ref(nodes, fx.F5_EDGES)
+    assert {frozenset(s) for s in got.values()} == want
+    # canonical id = max member (max-vid translated to original)
+    for comp, members in got.items():
+        assert comp == max(members)
+
+
+def test_scc_dag_singletons():
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    g = build_graph(rd.from_arrow(fx.edge_table(edges)), name="dagscc")
+    res = scc(g)
+    comps = {r["node"]: r["component"] for r in res.dataset.take_all()}
+    assert comps == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_mscoloring_matches_wcc():
+    tbl = fx.wcc_lines_table(5, 6)
+    g = build_graph(rd.from_arrow(tbl), undirected=True, name="mscol")
+    a = {r["node"]: r["component"] for r in mscoloring(g).dataset.take_all()}
+    b = {r["node"]: r["component"] for r in wcc(g).dataset.take_all()}
+    # same partition, different canonical ids (max vs min member)
+    groups_a = {}
+    groups_b = {}
+    for n, c in a.items():
+        groups_a.setdefault(c, set()).add(n)
+    for n, c in b.items():
+        groups_b.setdefault(c, set()).add(n)
+    assert set(map(frozenset, groups_a.values())) == set(map(frozenset, groups_b.values()))
+    for c, mem in groups_a.items():
+        assert c == max(mem)
+
+
+def two_cliques_edges(k=5):
+    e = []
+    for base in (0, 100):
+        for i in range(k):
+            for j in range(i + 1, k):
+                e.append((base + i, base + j))
+    e.append((0, 100))  # bridge
+    return e
+
+
+def test_louvain_two_cliques():
+    tbl = fx.edge_table(two_cliques_edges())
+    import pyarrow as pa
+    tbl = pa.table({"src": pa.array([a for a, _ in two_cliques_edges()], pa.int64()),
+                    "dst": pa.array([b for _, b in two_cliques_edges()], pa.int64())})
+    g = build_graph(rd.from_arrow(tbl), undirected=True, name="louv2c")
+    res = louvain(g, max_iterations=8)
+    comm = {r["node"]: r["community"] for r in res.dataset.take_all()}
+    left = {comm[i] for i in range(5)}
+    right = {comm[100 + i] for i in range(5)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    assert res.stats["modularity"] > 0.3
+
+
+MST_EDGES = [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 4.0),
+             ("c", "d", 3.0), ("b", "d", 7.0)]
+
+
+@pytest.fixture(scope="module")
+def mst_graph():
+    ds = rd.from_items([{"src": s, "dst": d, "weight": w} for s, d, w in MST_EDGES])
+    return build_graph(ds, weight_col="weight", undirected=True, name="mstg")
+
+
+def test_mst_prim(mst_graph):
+    out = mst_prim(mst_graph, "a")
+    assert out["weight_sum"] == pytest.approx(6.0)  # 1 + 2 + 3
+    assert out["weight_min"] == pytest.approx(1.0)
+    assert out["weight_max"] == pytest.approx(3.0)
+    assert out["effective_node_count"] == 4
+    got = {tuple(sorted((r.src, r.dst))) for r in out["edges"].itertuples()}
+    assert got == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
+def test_msf_boruvka(mst_graph):
+    out = msf_boruvka(mst_graph)
+    assert out["weight_sum"] == pytest.approx(6.0)
+    assert out["edge_count"] == 3
+    assert out["components"] == 1
