@@ -128,6 +128,56 @@ def _q_get_schema(sf_dir: str):
     return get_schema(typed_edge_ds(sf_dir))
 
 
+# ---------------- centrality / path / community queries ----------------
+
+def _q_closeness_sampled(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import closeness
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade")
+    res = closeness(g, sources=range(min(64, g.num_vertices)))
+    return _round6(res.dataset, "centrality")
+
+
+def _q_harmonic_sampled(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import harmonic
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade")
+    res = harmonic(g, sources=range(min(64, g.num_vertices)))
+    return _round6(res.dataset, "centrality")
+
+
+def _q_sssp(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import sssp_delta_stepping
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade_w")
+    src = g.vid_to_node_map()[0].as_py()  # smallest original id
+    res = sssp_delta_stepping(g, src)
+    ds = res.dataset.filter(expr="distance < 1e308")  # reached rows only
+    return _round6(ds, "distance")
+
+
+def _q_scc(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import scc
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade")
+    return scc(g).dataset
+
+
+def _q_louvain(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import louvain
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "copart")
+    return louvain(g, max_iterations=6).dataset
+
+
+def _q_betweenness_sampled(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import betweenness
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade")
+    res = betweenness(g, sample=64, seed=42)
+    return _round6(res.dataset, "centrality")
+
+
 # ---------------- documents / embeddings pipeline queries ----------------
 
 def _docs(sf_dir: str):
@@ -291,6 +341,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_stats": _q_graph_stats,
         "metapaths": _q_metapaths,
         "get_schema": _q_get_schema,
+        "closeness_sampled": _q_closeness_sampled,
+        "harmonic_sampled": _q_harmonic_sampled,
+        "sssp": _q_sssp,
+        "scc": _q_scc,
+        "louvain": _q_louvain,
+        "betweenness_sampled": _q_betweenness_sampled,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -328,6 +384,14 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": o.GRAPH_STATS_SQL,
         "metapaths": o.metapath_sql(3),
         "get_schema": o.GET_SCHEMA_SQL,
+        # scc / louvain / betweenness_sampled are deliberately rows-only:
+        # not SQL-expressible (iterative FW-BW / modularity sweeps /
+        # Brandes); verified in pytest against Tarjan / modularity /
+        # brute-force oracles instead (tests/test_scc_louvain_mst.py,
+        # tests/test_centrality_paths.py).
+        "closeness_sampled": o.closeness_sampled_sql(10),
+        "harmonic_sampled": o.harmonic_sampled_sql(10),
+        "sssp": o.sssp_sql(15),
         # documents / embeddings pipelines (oracles_docs.py). minhash /
         # simhash / LSH-ANN are deliberately rows-only: their hash-sketch
         # semantics are not SQL-expressible; they are verified in pytest

@@ -174,3 +174,75 @@ GROUP BY path ORDER BY path"""
 GET_SCHEMA_SQL = f"""WITH {TYPED_EDGES}
 SELECT DISTINCT sl AS src_label, et AS edge_type, dl AS dst_label
 FROM te ORDER BY src_label, edge_type, dst_label"""
+
+
+TRADE_EDGES = """tedges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION
+  SELECT DISTINCT 1000000 + s_suppkey, c_custkey
+  FROM supplier JOIN customer ON s_nationkey = c_nationkey
+)"""
+
+TRADE_NODES = """tnodes AS MATERIALIZED (
+  SELECT src AS node FROM tedges UNION SELECT dst FROM tedges
+)"""
+
+
+def _bfs_ctes(iters: int) -> list[str]:
+    """Multi-source BFS distance table d{K}(s, v, d) from the 64
+    smallest node ids over the trade graph (matches the engine's MSBFS
+    with sources = dense vids 0..63, which are exactly the 64 smallest
+    original ids by the ascending-id vid assignment)."""
+    ctes = [TRADE_EDGES, TRADE_NODES,
+            "srcs AS (SELECT node AS s FROM tnodes ORDER BY node LIMIT 64)",
+            "d0 AS (SELECT s, s AS v, 0 AS d FROM srcs)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+  SELECT s, v, min(d) AS d FROM (
+    SELECT s, v, d FROM d{k-1}
+    UNION ALL
+    SELECT p.s, e.dst AS v, p.d + 1 AS d
+    FROM d{k-1} p JOIN tedges e ON e.src = p.v
+  ) u GROUP BY s, v)""")
+    return ctes
+
+
+def closeness_sampled_sql(iters: int = 10) -> str:
+    ctes = _bfs_ctes(iters)
+    return ("WITH " + ",\n".join(ctes) + f""",
+far AS (SELECT v AS node, CAST(sum(d) AS DOUBLE) AS f FROM d{iters} GROUP BY v),
+nn AS (SELECT count(*) AS n FROM tnodes)
+SELECT t.node,
+       round(CASE WHEN coalesce(far.f, 0) > 0
+                  THEN ((SELECT n FROM nn) - 1) / far.f ELSE 0 END, 6) AS centrality
+FROM tnodes t LEFT JOIN far ON far.node = t.node ORDER BY t.node""")
+
+
+def harmonic_sampled_sql(iters: int = 10) -> str:
+    ctes = _bfs_ctes(iters)
+    return ("WITH " + ",\n".join(ctes) + f""",
+inv AS (SELECT v AS node, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS f
+        FROM d{iters} GROUP BY v),
+nn AS (SELECT count(*) AS n FROM tnodes)
+SELECT t.node,
+       round(coalesce(inv.f, 0) / ((SELECT n FROM nn) - 1), 6) AS centrality
+FROM tnodes t LEFT JOIN inv ON inv.node = t.node ORDER BY t.node""")
+
+
+def sssp_sql(iters: int = 15) -> str:
+    """Bellman-Ford unroll over the weighted trade graph
+    (w = 1 + (src+dst) % 5) from the smallest node id; reached rows only."""
+    ctes = [TRADE_EDGES, TRADE_NODES,
+            "s0 AS (SELECT min(node) AS v FROM tnodes)",
+            "e0 AS (SELECT v, CAST(0 AS DOUBLE) AS d FROM s0)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""e{k} AS MATERIALIZED (
+  SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM e{k-1}
+    UNION ALL
+    SELECT te.dst AS v, p.d + 1 + (te.src + te.dst) % 5 AS d
+    FROM e{k-1} p JOIN tedges te ON te.src = p.v
+  ) u GROUP BY v)""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS node, round(d, 6) AS distance FROM e{iters} ORDER BY v")

@@ -120,11 +120,24 @@ def typed_edge_ds(sf_dir: str) -> rd.Dataset:
         .union(purchase_edge_ds(sf_dir).map_batches(buys, batch_format="pyarrow"))
 
 
+def trade_weighted_edge_ds(sf_dir: str) -> rd.Dataset:
+    """Trade edges with deterministic arithmetic weights
+    ``w = 1 + (src + dst) % 5`` (SQL-reproducible, strictly positive)."""
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        w = (1 + (s + d) % 5).astype(np.float64)
+        return batch.append_column("weight", pa.array(w))
+
+    return trade_edge_ds(sf_dir).map_batches(add_w, batch_format="pyarrow")
+
+
 _BUILDERS = {
-    "purchase": (purchase_edge_ds, False),
-    "purchase_und": (purchase_edge_ds, True),
-    "copart": (copart_edge_ds, True),
-    "trade": (trade_edge_ds, False),
+    "purchase": (purchase_edge_ds, False, None),
+    "purchase_und": (purchase_edge_ds, True, None),
+    "copart": (copart_edge_ds, True, None),
+    "trade": (trade_edge_ds, False, None),
+    "trade_w": (trade_weighted_edge_ds, False, "weight"),
 }
 
 
@@ -134,7 +147,8 @@ def get_graph(sf_dir: str, which: str) -> GraphTables:
     name = f"tpch:{sf_dir}:{which}"
     g = GraphCatalog.get(name)
     if g is None:
-        builder, undirected = _BUILDERS[which]
-        g = build_graph(builder(sf_dir), undirected=undirected, name=name.replace("/", "_"))
+        builder, undirected, wcol = _BUILDERS[which]
+        g = build_graph(builder(sf_dir), undirected=undirected, weight_col=wcol,
+                        name=name.replace("/", "_"))
         GraphCatalog.set(name, g)
     return g
