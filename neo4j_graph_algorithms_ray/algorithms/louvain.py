@@ -29,7 +29,7 @@ import pandas as pd
 import ray.data as rd
 
 from neo4j_graph_algorithms_ray.algorithms.common import (
-    IterativeResult, attach_node_ids, get_engine)
+    IterativeResult, attach_node_ids)
 from neo4j_graph_algorithms_ray.graph import GraphTables
 from neo4j_graph_algorithms_ray.util import safe_join, to_arrow_blocks
 
@@ -43,22 +43,39 @@ def louvain(
 ) -> IterativeResult:
     import pyarrow as pa
 
-    eng = get_engine(g, num_partitions)
-    p = max(4, eng.P)
+    p = num_partitions or 8
     w2m = float(g.num_edges)  # symmetric row count = 2m (unweighted)
 
-    deg = eng.degrees_dataset().materialize()  # (vid, degree) out==in here
     edges = g.edges.select_columns(["src", "dst"]).materialize()
+    # degrees via groupby (no shard engine needed here); left join keeps
+    # isolated vertices at degree 0
+    degc = edges.groupby("src").count() \
+        .rename_columns({"src": "vid", "count()": "dcnt"})
+    verts = g.vertices.select_columns(["vid"]).materialize()
+    joined = safe_join(verts, to_arrow_blocks(degc), "left_outer", p,
+                       on=("vid",), right_on=("vid",))
 
+    def fill0(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"vid": b["vid"],
+                         "degree": pc.coalesce(b["dcnt"], pa.scalar(0, pa.int64()))})
+
+    deg = joined.map_batches(fill0, batch_format="pyarrow").materialize()
+
+    # labels carry the (static) degree so sTot and the pick need no
+    # extra per-sweep joins: (vid, comm, degree)
     labels = deg.map_batches(
-        lambda b: pa.table({"vid": b["vid"], "comm": b["vid"]}),
+        lambda b: pa.table({"vid": b["vid"], "comm": b["vid"],
+                            "degree": b["degree"]}),
         batch_format="pyarrow").materialize()
 
     it, changed_total, converged = 0, 0, False
     t0 = time.perf_counter()
     while it < max_iterations:
         parity = it % 2
-        lab_dst = labels.rename_columns({"vid": "dvid", "comm": "dcomm"})
+        lab_dst = labels.rename_columns(
+            {"vid": "dvid", "comm": "dcomm", "degree": "ddeg"}) \
+            .select_columns(["dvid", "dcomm"])
         nbr = safe_join(edges, lab_dst, "inner", p, on=("dst",), right_on=("dvid",))
         lvc = nbr.groupby(["src", "dcomm"]).count() \
                  .rename_columns({"count()": "lw"})
@@ -70,52 +87,55 @@ def louvain(
             batch_format="pyarrow")
         lvc = to_arrow_blocks(lvc).union(stay) \
             .groupby(["src", "dcomm"]).max("lw").rename_columns({"max(lw)": "lw"})
-        stot_ds = safe_join(labels, deg, "inner", p, on=("vid",), right_on=("vid",)) \
-            .groupby("comm").sum("degree").rename_columns({"sum(degree)": "stot"})
+        stot_ds = labels.groupby("comm").sum("degree") \
+            .rename_columns({"sum(degree)": "stot"})
         cand = safe_join(to_arrow_blocks(lvc), to_arrow_blocks(stot_ds),
                          "inner", p, on=("dcomm",), right_on=("comm",))
-        cand = safe_join(cand, labels.rename_columns({"comm": "own"}),
-                         "inner", p, on=("src",), right_on=("vid",))
-        cand = safe_join(cand, deg.rename_columns({"degree": "kdeg"}),
+        cand = safe_join(cand, labels.rename_columns(
+            {"comm": "own", "degree": "kdeg"}),
                          "inner", p, on=("src",), right_on=("vid",))
 
+        # bucketed vectorized argmax: shuffle by src-bucket (not src) so
+        # each map_groups call handles ~n/B nodes with pure numpy — the
+        # per-node-group form costs one Python call per node per sweep
+        def add_bucket(b):
+            s = b.column("src").to_numpy(zero_copy_only=False)
+            return b.append_column("bucket", pa.array(s % 64, pa.int64()))
+
         def pick(df: pd.DataFrame) -> pd.DataFrame:
-            v = int(df["src"].iloc[0])
-            own = int(df["own"].iloc[0])
-            k = float(df["kdeg"].iloc[0])
-            if v % 2 != parity:
-                return pd.DataFrame({"vid": [v], "comm": [own], "moved": [0]})
-            comms = df["dcomm"].to_numpy()
+            src = df["src"].to_numpy(dtype=np.int64)
+            comms = df["dcomm"].to_numpy(dtype=np.int64)
+            own = df["own"].to_numpy(dtype=np.int64)
+            k = df["kdeg"].to_numpy(dtype=np.float64)
             # gain of membership in c; own community's sTot excludes v
             stot = df["stot"].to_numpy(dtype=np.float64) \
                 - np.where(comms == own, k, 0.0)
             gain = df["lw"].to_numpy(dtype=np.float64) - k * stot / w2m
-            own_row = np.nonzero(comms == own)[0][0]
-            order = np.lexsort((comms, -gain))
-            best = order[0]
-            best_comm = int(comms[best])
-            if best_comm != own and gain[best] > gain[own_row] + 1e-12:
-                return pd.DataFrame({"vid": [v], "comm": [best_comm], "moved": [1]})
-            return pd.DataFrame({"vid": [v], "comm": [own], "moved": [0]})
+            order = np.lexsort((comms, -gain, src))
+            first = np.unique(src[order], return_index=True)[1]
+            b_src = src[order][first]
+            b_comm = comms[order][first]
+            b_gain = gain[order][first]
+            own_rows = np.nonzero(comms == own)[0]
+            oo = np.argsort(src[own_rows], kind="stable")
+            o_src = src[own_rows][oo]          # == b_src (every node has a stay row)
+            o_own = own[own_rows][oo]
+            o_gain = gain[own_rows][oo]
+            assert np.array_equal(b_src, o_src)
+            move = ((b_src % 2 == parity) & (b_comm != o_own)
+                    & (b_gain > o_gain + 1e-12))
+            k_by_src = k[own_rows][oo]
+            return pd.DataFrame({"vid": b_src,
+                                 "comm": np.where(move, b_comm, o_own),
+                                 "degree": k_by_src.astype(np.int64),
+                                 "moved": move.astype(np.int64)})
 
-        picked = cand.groupby("src").map_groups(pick, batch_format="pandas")
+        picked = cand.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(pick, batch_format="pandas")
         picked = to_arrow_blocks(picked).materialize()
         moved = int(picked.sum("moved") or 0)
-        # nodes with no candidates (isolated) keep their label
-        new_labels = picked.select_columns(["vid", "comm"])
-        seen = new_labels.count()
-        if seen < g.num_vertices:
-            have = new_labels.rename_columns({"comm": "ncomm"})
-            rest = safe_join(labels, have, "left_outer", p,
-                             on=("vid",), right_on=("vid",))
-
-            def keep(b: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-                comm = pc.coalesce(b["ncomm"], b["comm"])
-                return pa.table({"vid": b["vid"], "comm": comm})
-
-            new_labels = rest.map_batches(keep, batch_format="pyarrow")
-        labels = to_arrow_blocks(new_labels).materialize()
+        # the injected stay rows guarantee every vertex appears in picked
+        labels = picked.select_columns(["vid", "comm", "degree"]).materialize()
         it += 1
         changed_total += moved
         if moved == 0 and parity == 1:
@@ -123,8 +143,8 @@ def louvain(
             break
     elapsed = time.perf_counter() - t0
 
-    modularity = _modularity(edges, labels, deg, w2m, p)
-    ds = labels.rename_columns({"comm": "community"})
+    modularity = _modularity(edges, labels, w2m, p)
+    ds = labels.select_columns(["vid", "comm"]).rename_columns({"comm": "community"})
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
     ds = translate_vid_columns(g, ds, ["community"])
     ds = attach_node_ids(g, ds, out_col=node_col)
@@ -134,12 +154,15 @@ def louvain(
                                   "moves": changed_total})
 
 
-def _modularity(edges: rd.Dataset, labels: rd.Dataset, deg: rd.Dataset,
+def _modularity(edges: rd.Dataset, labels: rd.Dataset,
                 w2m: float, p: int) -> float:
+    """labels: (vid, comm, degree)."""
     import pyarrow as pa
 
-    ls = labels.rename_columns({"vid": "svid", "comm": "scomm"})
-    ld = labels.rename_columns({"vid": "dvid", "comm": "dcomm"})
+    ls = labels.select_columns(["vid", "comm"]) \
+        .rename_columns({"vid": "svid", "comm": "scomm"})
+    ld = labels.select_columns(["vid", "comm"]) \
+        .rename_columns({"vid": "dvid", "comm": "dcomm"})
     j = safe_join(edges, ls, "inner", p, on=("src",), right_on=("svid",))
     j = safe_join(j, ld, "inner", p, on=("dst",), right_on=("dvid",))
 
@@ -150,8 +173,8 @@ def _modularity(edges: rd.Dataset, labels: rd.Dataset, deg: rd.Dataset,
             [int(pc.sum(pc.cast(same, pa.int64())).as_py() or 0)], pa.int64())})
 
     w_in = j.map_batches(intra, batch_format="pyarrow").sum("w") or 0
-    stot = safe_join(labels, deg, "inner", p, on=("vid",), right_on=("vid",)) \
-        .groupby("comm").sum("degree").rename_columns({"sum(degree)": "stot"})
+    stot = labels.groupby("comm").sum("degree") \
+        .rename_columns({"sum(degree)": "stot"})
     stot_pdf = stot.to_pandas()
     q = w_in / w2m - float(((stot_pdf["stot"] / w2m) ** 2).sum())
     return float(q)
