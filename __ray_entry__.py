@@ -128,6 +128,18 @@ def _q_get_schema(sf_dir: str):
     return get_schema(typed_edge_ds(sf_dir))
 
 
+def _q_metapaths_schema_full(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import compute_all_metapaths_schema_full
+    from neo4j_graph_algorithms_ray.pipelines.tpch import typed_edge_ds
+    return compute_all_metapaths_schema_full(typed_edge_ds(sf_dir), length=3)
+
+
+def _q_label_ids(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import label_id_mapping
+    from neo4j_graph_algorithms_ray.pipelines.tpch import typed_edge_ds
+    return label_id_mapping(typed_edge_ds(sf_dir))
+
+
 # ---------------- centrality / path / community queries ----------------
 
 def _q_closeness_sampled(sf_dir: str):
@@ -341,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_stats": _q_graph_stats,
         "metapaths": _q_metapaths,
         "get_schema": _q_get_schema,
+        "metapaths_schema_full": _q_metapaths_schema_full,
+        "label_ids": _q_label_ids,
         "closeness_sampled": _q_closeness_sampled,
         "harmonic_sampled": _q_harmonic_sampled,
         "sssp": _q_sssp,
@@ -389,6 +403,8 @@ def oracle_sql() -> dict[str, str]:
         # Brandes); verified in pytest against Tarjan / modularity /
         # brute-force oracles instead (tests/test_scc_louvain_mst.py,
         # tests/test_centrality_paths.py).
+        "metapaths_schema_full": o.SCHEMA_FULL_SQL,
+        "label_ids": o.LABEL_IDS_SQL,
         "closeness_sampled": o.closeness_sampled_sql(10),
         "harmonic_sampled": o.harmonic_sampled_sql(10),
         "sssp": o.sssp_sql(15),

@@ -4,8 +4,10 @@ from neo4j_graph_algorithms_ray.algorithms.wcc import (  # noqa: F401
 from neo4j_graph_algorithms_ray.algorithms.labelprop import label_propagation  # noqa: F401
 from neo4j_graph_algorithms_ray.algorithms.triangles import triangle_count, triangle_stream  # noqa: F401
 from neo4j_graph_algorithms_ray.algorithms.metapath import (  # noqa: F401
-    compute_all_metapaths, compute_metapaths_for_instances, filter_metapaths,
-    get_schema, graph_reducer, metapath_precompute_high_degree_nodes)
+    compute_all_metapaths, compute_all_metapaths_schema_full,
+    compute_metapaths_for_instances, filter_metapaths, get_schema,
+    graph_reducer, label_id_mapping, metapath_precompute_high_degree_nodes,
+    read_precomputed_metapaths, write_metapaths_tsv)
 from neo4j_graph_algorithms_ray.algorithms.msbfs import (  # noqa: F401
     closeness, harmonic, msbfs_hop_counts)
 from neo4j_graph_algorithms_ray.algorithms.sssp import (  # noqa: F401

@@ -218,6 +218,82 @@ def graph_reducer(typed_edges: rd.Dataset, keep_labels: Sequence[str],
     return typed_edges.map_batches(flt, batch_format="pyarrow")
 
 
+def compute_all_metapaths_schema_full(
+    typed_edges: rd.Dataset,
+    length: int = 3,
+    *,
+    undirected: bool = True,
+    with_weights: bool = False,
+):
+    """ComputeAllMetaPathsSchemaFull(+Weights) parity
+    (algo/.../impl/metapath/ComputeAllMetaPathsSchemaFull.java,
+    ComputeAllMetaPathsSchemaFullWeights.java): walk the *schema graph*
+    (label-level adjacency) instead of the instance graph — the schema
+    is tiny, so after one distributed distinct (get_schema) the walk is
+    driver-side (SURVEY.md §2.5: "schema graph is tiny → driver-side").
+
+    Returns a pandas DataFrame (path[, weight]); without weights each
+    schema-realizable metapath appears once; with weights the path
+    weight is the product of per-hop instance-edge counts (the number
+    of instance edges realizing each (src_label, type, dst_label) hop).
+    """
+    import pandas as pd
+
+    e = _symmetrize(typed_edges) if undirected else typed_edges.select_columns(
+        ["src", "dst", "src_label", "edge_type", "dst_label"])
+    triples = e.groupby(["src_label", "edge_type", "dst_label"]).count() \
+        .rename_columns({"count()": "n"}).to_pandas()
+    adj: dict[str, list[tuple[str, str, int]]] = {}
+    labels = set()
+    for r in triples.itertuples(index=False):
+        adj.setdefault(r.src_label, []).append((r.edge_type, r.dst_label, int(r.n)))
+        labels.add(r.src_label)
+        labels.add(r.dst_label)
+    rows = [(lab, 1) for lab in sorted(labels)]
+    frontier = [(lab, lab, 1) for lab in sorted(labels)]
+    for _ in range(length - 1):
+        nxt = []
+        for path, end, w in frontier:
+            for et, dl, n in adj.get(end, []):
+                nxt.append((f"{path}{SEP}{et}{SEP}{dl}", dl, w * n))
+        rows.extend((p, w) for p, _, w in nxt)
+        frontier = nxt
+    df = pd.DataFrame(rows, columns=["path", "weight"]).drop_duplicates("path") \
+        .sort_values("path").reset_index(drop=True)
+    return df if with_weights else df[["path"]]
+
+
+def write_metapaths_tsv(paths: rd.Dataset, path: str) -> str:
+    """The reference's TSV sink ``Precomputed_MetaPaths.txt`` —
+    ``metapath \\t count`` lines (ComputeAllMetaPaths.java:52)."""
+    import pandas as pd  # noqa: F401
+
+    df = paths.to_pandas().sort_values("path")
+    df.to_csv(path, sep="\t", index=False, header=False)
+    return path
+
+
+def read_precomputed_metapaths(path: str) -> rd.Dataset:
+    """ReadPrecomputedMetaPaths parity
+    (algo/.../impl/metapath/ReadPrecomputedMetaPaths.java:13-31)."""
+    import pandas as pd
+
+    df = pd.read_csv(path, sep="\t", names=["path", "count"])
+    return rd.from_pandas(df)
+
+
+def label_id_mapping(typed_edges: rd.Dataset) -> rd.Dataset:
+    """algo.getLabelIdToLabelNameMapping parity
+    (algo/.../impl/metapath/LabelIdToLabelNameMapping.java): token
+    dictionary label_id ↔ label_name (ids assigned in sorted-name
+    order, deterministic)."""
+    labs = _nodes_with_labels(typed_edges).groupby("label").count() \
+        .select_columns(["label"]).sort("label")
+    from neo4j_graph_algorithms_ray.util import zip_with_index
+    return zip_with_index(labs, index_col="label_id") \
+        .select_columns(["label_id", "label"])
+
+
 def metapath_precompute_high_degree_nodes(
     typed_edges: rd.Dataset,
     ratio: float = 0.01,

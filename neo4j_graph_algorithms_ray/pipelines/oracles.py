@@ -176,6 +176,25 @@ SELECT DISTINCT sl AS src_label, et AS edge_type, dl AS dst_label
 FROM te ORDER BY src_label, edge_type, dst_label"""
 
 
+SCHEMA_FULL_SQL = f"""WITH {TYPED_EDGES},
+sym AS (SELECT sl, et, dl FROM te UNION ALL SELECT dl, et, sl FROM te),
+tri AS (SELECT DISTINCT sl, et, dl FROM sym),
+labs AS (SELECT DISTINCT sl AS l FROM tri UNION SELECT DISTINCT dl FROM tri),
+lv1 AS (SELECT l AS path FROM labs),
+lv2 AS (SELECT DISTINCT sl || ' | ' || et || ' | ' || dl AS path FROM tri),
+lv3 AS (SELECT DISTINCT e1.sl || ' | ' || e1.et || ' | ' || e1.dl || ' | '
+               || e2.et || ' | ' || e2.dl AS path
+        FROM tri e1 JOIN tri e2 ON e2.sl = e1.dl)
+SELECT DISTINCT path FROM (SELECT * FROM lv1 UNION ALL SELECT * FROM lv2
+                           UNION ALL SELECT * FROM lv3) p
+ORDER BY path"""
+
+LABEL_IDS_SQL = f"""WITH {TYPED_EDGES},
+labs AS (SELECT DISTINCT l FROM (
+  SELECT sl AS l FROM te UNION SELECT dl FROM te) x)
+SELECT row_number() OVER (ORDER BY l) - 1 AS label_id, l AS label
+FROM labs ORDER BY label_id"""
+
 TRADE_EDGES = """tedges AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -88,7 +88,19 @@ def trade_edge_ds(sf_dir: str) -> rd.Dataset:
     return g1.union(back)
 
 
+_TYPED_CACHE: dict[str, rd.Dataset] = {}
+
+
 def typed_edge_ds(sf_dir: str) -> rd.Dataset:
+    """Materialized-once per sf_dir (several queries consume it)."""
+    ds = _TYPED_CACHE.get(sf_dir)
+    if ds is None:
+        ds = _typed_edge_ds(sf_dir).materialize()
+        _TYPED_CACHE[sf_dir] = ds
+    return ds
+
+
+def _typed_edge_ds(sf_dir: str) -> rd.Dataset:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 

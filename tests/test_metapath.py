@@ -68,3 +68,39 @@ def test_graph_reducer():
     assert all(r["src_label"] in ("A", "B") and r["dst_label"] in ("A", "B")
                for r in rows)
     assert len(rows) == 3  # a-c, a-b, c-b
+
+
+def test_schema_full_and_weights():
+    from neo4j_graph_algorithms_ray.algorithms import (
+        compute_all_metapaths_schema_full)
+    df = compute_all_metapaths_schema_full(_typed_ds(), length=3)
+    paths = set(df["path"])
+    # schema (undirected) has A-A, A-B, A-C, B-C edges (from F7), so
+    # every 2-label path must be schema-realizable
+    assert "A" in paths and "B" in paths and "C" in paths
+    assert "A | TYPE1 | B" in paths
+    assert "B | TYPE1 | A | TYPE1 | C" in paths
+    # weights = product of per-hop instance-edge counts
+    dfw = compute_all_metapaths_schema_full(_typed_ds(), length=2,
+                                            with_weights=True)
+    w = dict(zip(dfw["path"], dfw["weight"]))
+    # undirected A-B instance edges: (a,b),(c,b) → 2 each direction
+    assert w["A | TYPE1 | B"] == 2
+    assert w["B | TYPE1 | A"] == 2
+
+
+def test_metapath_tsv_roundtrip(tmp_path):
+    from neo4j_graph_algorithms_ray.algorithms import (
+        read_precomputed_metapaths, write_metapaths_tsv)
+    res = compute_all_metapaths(_typed_ds(), length=2)
+    p = write_metapaths_tsv(res, str(tmp_path / "Precomputed_MetaPaths.txt"))
+    back = read_precomputed_metapaths(p)
+    a = {r["path"]: r["count"] for r in res.take_all()}
+    b = {r["path"]: r["count"] for r in back.take_all()}
+    assert a == b
+
+
+def test_label_id_mapping():
+    from neo4j_graph_algorithms_ray.algorithms import label_id_mapping
+    rows = label_id_mapping(_typed_ds()).take_all()
+    assert {(r["label_id"], r["label"]) for r in rows} == {(0, "A"), (1, "B"), (2, "C")}
