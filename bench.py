@@ -145,9 +145,16 @@ def main():
         results = {}
         for n in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-            out = subprocess.run([sys.executable, os.path.abspath(__file__),
-                                  "--scaling-worker"],
-                                 env=env, capture_output=True, text=True, check=True)
+            # taskset pins the whole Ray worker tree to n PHYSICAL cores:
+            # ray.init(num_cpus=n) alone only limits logical scheduling —
+            # the resident shard actors (num_cpus=0) would otherwise use
+            # every core at both settings, flattening the measurement.
+            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
+            import shutil as _sh
+            if _sh.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+            out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                                 check=True)
             results[n] = json.loads(out.stdout.strip().splitlines()[-1])
         t8 = results[8]["edges_scattered_per_sec"]
         t32 = results[32]["edges_scattered_per_sec"]

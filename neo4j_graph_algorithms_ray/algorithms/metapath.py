@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from neo4j_graph_algorithms_ray.util import safe_join
+from neo4j_graph_algorithms_ray.util import preagg_sum, safe_join
 
 SEP = " | "
 
@@ -47,7 +47,8 @@ def _nodes_with_labels(edges: rd.Dataset) -> rd.Dataset:
         {"src": "node", "src_label": "label"})
     b = edges.select_columns(["dst", "dst_label"]).rename_columns(
         {"dst": "node", "dst_label": "label"})
-    return a.union(b).groupby(["node", "label"]).count().select_columns(["node", "label"])
+    from neo4j_graph_algorithms_ray.util import predistinct
+    return predistinct(a.union(b), ["node", "label"])
 
 
 def compute_all_metapaths(
@@ -83,9 +84,8 @@ def compute_all_metapaths(
         return pa.table({"path": path, "end": batch["dst"],
                          "count": pa.array([1] * batch.num_rows, pa.int64())})
 
-    frontier = e.map_batches(first_hop, batch_format="pyarrow") \
-                .groupby(["path", "end"]).sum("count") \
-                .rename_columns({"sum(count)": "count"})
+    frontier = preagg_sum(e.map_batches(first_hop, batch_format="pyarrow"),
+                          ["path", "end"], "count")
 
     levels = [frontier]
     for _ in range(length - 2):
@@ -98,9 +98,8 @@ def compute_all_metapaths(
                 batch["dst_label"].cast(pa.string()), SEP)
             return pa.table({"path": path, "end": batch["dst"], "count": batch["count"]})
 
-        frontier = joined.map_batches(extend, batch_format="pyarrow") \
-                         .groupby(["path", "end"]).sum("count") \
-                         .rename_columns({"sum(count)": "count"})
+        frontier = preagg_sum(joined.map_batches(extend, batch_format="pyarrow"),
+                              ["path", "end"], "count")
         levels.append(frontier)
 
     total = levels[0].select_columns(["path", "count"])
@@ -108,7 +107,7 @@ def compute_all_metapaths(
         total = total.union(lv.select_columns(["path", "count"]))
     out = level0
     out = out.union(total)
-    out = out.groupby("path").sum("count").rename_columns({"sum(count)": "count"})
+    out = preagg_sum(out, ["path"], "count")
     if start_labels is not None or end_labels is not None:
         out = filter_metapaths(out, start_labels, end_labels)
     return out
@@ -163,9 +162,8 @@ def compute_metapaths_for_instances(
         return pa.table({"path": path, "end": batch["dst"],
                          "count": pa.array([1] * batch.num_rows, pa.int64())})
 
-    frontier = e.map_batches(first_hop, batch_format="pyarrow") \
-                .groupby(["path", "end"]).sum("count") \
-                .rename_columns({"sum(count)": "count"})
+    frontier = preagg_sum(e.map_batches(first_hop, batch_format="pyarrow"),
+                          ["path", "end"], "count")
     levels = [frontier]
     for _ in range(length - 2):
         joined = safe_join(frontier, e, "inner", num_partitions,
@@ -177,9 +175,8 @@ def compute_metapaths_for_instances(
                 batch["dst_label"].cast(pa.string()), SEP)
             return pa.table({"path": path, "end": batch["dst"], "count": batch["count"]})
 
-        frontier = joined.map_batches(extend, batch_format="pyarrow") \
-                         .groupby(["path", "end"]).sum("count") \
-                         .rename_columns({"sum(count)": "count"})
+        frontier = preagg_sum(joined.map_batches(extend, batch_format="pyarrow"),
+                              ["path", "end"], "count")
         levels.append(frontier)
 
     out = None

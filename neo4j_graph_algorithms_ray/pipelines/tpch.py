@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from neo4j_graph_algorithms_ray.graph import GraphTables, build_graph
-from neo4j_graph_algorithms_ray.util import to_arrow_blocks
+from neo4j_graph_algorithms_ray.util import distinct_pairs, to_arrow_blocks
 from neo4j_graph_algorithms_ray.registry import GraphCatalog
 
 SUPP_OFF = 1_000_000
@@ -48,7 +48,7 @@ def purchase_edge_ds(sf_dir: str) -> rd.Dataset:
         })
 
     e = j.map_batches(mk, batch_format="pyarrow")
-    return e.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    return distinct_pairs(e, "src", "dst")
 
 
 def copart_edge_ds(sf_dir: str) -> rd.Dataset:
@@ -67,7 +67,7 @@ def copart_edge_ds(sf_dir: str) -> rd.Dataset:
                          "dst": b[keep].astype(np.int64)})
 
     e = j.map_batches(mk, batch_format="pyarrow")
-    return e.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    return distinct_pairs(e, "src", "dst")
 
 
 def trade_edge_ds(sf_dir: str) -> rd.Dataset:
@@ -83,8 +83,7 @@ def trade_edge_ds(sf_dir: str) -> rd.Dataset:
             "dst": batch.column("c_custkey").cast(pa.int64()),
         })
 
-    back = j.map_batches(mk, batch_format="pyarrow") \
-            .groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    back = distinct_pairs(j.map_batches(mk, batch_format="pyarrow"), "src", "dst")
     return g1.union(back)
 
 

@@ -83,6 +83,61 @@ def safe_join(left: rd.Dataset, right: rd.Dataset, join_type: str,
                      right_on=right_on, **kw)
 
 
+DISTINCT_DRIVER_LIMIT = 50_000_000
+
+
+def distinct_pairs(ds: rd.Dataset, c1: str, c2: str,
+                   *, limit: int = DISTINCT_DRIVER_LIMIT) -> rd.Dataset:
+    """Distinct (c1, c2) int rows. Below ``limit`` distinct rows the
+    merge runs driver-side over per-block ``np.unique`` partials (a Ray
+    groupby-distinct costs ~10x more at small/mid scale — measured in
+    /tmp/groupby_tune.py style experiments); above it, or for ids ≥
+    2^31 (unpackable), falls back to the groupby shuffle."""
+    ds = ds.materialize()
+
+    @ray.remote
+    def block_uniq(tbl: pa.Table) -> np.ndarray:
+        a = tbl.column(c1).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column(c2).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.max() >= 1 << 31 or b.max() >= 1 << 31
+                       or a.min() < 0 or b.min() < 0):
+            return None  # unpackable — caller falls back
+        return np.unique((a.astype(np.uint64) << np.uint64(32))
+                         | b.astype(np.uint64))
+
+    parts = ray.get([block_uniq.remote(r) for r in ds.to_arrow_refs()])
+    if any(p is None for p in parts) or sum(len(p) for p in parts) > limit:
+        return ds.groupby([c1, c2]).count().select_columns([c1, c2])
+    key = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    a = (key >> np.uint64(32)).astype(np.int64)
+    b = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    return rd.from_arrow(pa.table({c1: a, c2: b}))
+
+
+def preagg_sum(ds: rd.Dataset, keys: list[str], val: str) -> rd.Dataset:
+    """groupby(keys).sum(val) with an Arrow map-side combine: each batch
+    is pre-aggregated with ``pa.Table.group_by`` (vectorized) so the
+    shuffle moves only per-batch-distinct rows. Returns columns
+    keys + [val]."""
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate([(val, "sum")])
+        return g.rename_columns(keys + [val])
+
+    red = ds.map_batches(partial, batch_format="pyarrow")
+    out = red.groupby(keys).sum(val)
+    return out.rename_columns({f"sum({val})": val})
+
+
+def predistinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
+    """Distinct rows over ``keys`` with an Arrow map-side combine
+    (per-batch ``group_by(keys).aggregate([])``) before the shuffle."""
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(keys).aggregate([])
+
+    red = ds.map_batches(partial, batch_format="pyarrow")
+    return red.groupby(keys).count().select_columns(keys)
+
+
 def table_from_arrays(**cols) -> pa.Table:
     """pa.Table from name→numpy/arrow arrays (order preserved)."""
     return pa.table({k: v for k, v in cols.items()})
