@@ -71,10 +71,15 @@ def compute_all_metapaths(
         ["src", "dst", "src_label", "edge_type", "dst_label"])
     e = e.materialize()
 
-    # single-label paths: one per node of that label
+    # single-label paths: one per node of that label. Each level is
+    # materialized eagerly — leaving the whole multi-branch DAG lazy
+    # makes the streaming executor schedule all unioned branches as one
+    # deep pipeline (measured 3x slower than stage-at-a-time here).
     nodes = _nodes_with_labels(e)
-    level0 = nodes.groupby("label").count() \
-                  .rename_columns({"label": "path", "count()": "count"})
+    level0 = preagg_sum(nodes.map_batches(
+        lambda b: pa.table({"path": b["label"],
+                            "count": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow"), ["path"], "count")
 
     def first_hop(batch: pa.Table) -> pa.Table:
         path = pc.binary_join_element_wise(
@@ -85,7 +90,7 @@ def compute_all_metapaths(
                          "count": pa.array([1] * batch.num_rows, pa.int64())})
 
     frontier = preagg_sum(e.map_batches(first_hop, batch_format="pyarrow"),
-                          ["path", "end"], "count")
+                          ["path", "end"], "count").materialize()
 
     levels = [frontier]
     for _ in range(length - 2):
@@ -99,7 +104,7 @@ def compute_all_metapaths(
             return pa.table({"path": path, "end": batch["dst"], "count": batch["count"]})
 
         frontier = preagg_sum(joined.map_batches(extend, batch_format="pyarrow"),
-                              ["path", "end"], "count")
+                              ["path", "end"], "count").materialize()
         levels.append(frontier)
 
     total = levels[0].select_columns(["path", "count"])

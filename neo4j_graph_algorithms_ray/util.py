@@ -114,27 +114,50 @@ def distinct_pairs(ds: rd.Dataset, c1: str, c2: str,
     return rd.from_arrow(pa.table({c1: a, c2: b}))
 
 
+# When map-side partials reduce below this row count, the final merge
+# runs driver-side with one vectorized pa.Table.group_by — a Ray
+# shuffle costs seconds of fixed overhead regardless of size.
+SMALL_AGG_DRIVER_LIMIT = 5_000_000
+
+
 def preagg_sum(ds: rd.Dataset, keys: list[str], val: str) -> rd.Dataset:
     """groupby(keys).sum(val) with an Arrow map-side combine: each batch
     is pre-aggregated with ``pa.Table.group_by`` (vectorized) so the
-    shuffle moves only per-batch-distinct rows. Returns columns
-    keys + [val]."""
+    shuffle moves only per-batch-distinct rows; when the partials are
+    small the final merge happens on the driver (no shuffle at all).
+    Returns columns keys + [val]."""
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by(keys).aggregate([(val, "sum")])
         return g.rename_columns(keys + [val])
 
-    red = ds.map_batches(partial, batch_format="pyarrow")
+    red = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if red.count() <= SMALL_AGG_DRIVER_LIMIT:
+        batches = list(red.iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 20))
+        if not batches:
+            return red
+        merged = pa.concat_tables(batches).group_by(keys) \
+            .aggregate([(val, "sum")]).rename_columns(keys + [val])
+        return rd.from_arrow(merged)
     out = red.groupby(keys).sum(val)
     return out.rename_columns({f"sum({val})": val})
 
 
 def predistinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
     """Distinct rows over ``keys`` with an Arrow map-side combine
-    (per-batch ``group_by(keys).aggregate([])``) before the shuffle."""
+    (per-batch ``group_by(keys).aggregate([])``) before the shuffle;
+    small partials merge driver-side."""
     def partial(b: pa.Table) -> pa.Table:
         return b.group_by(keys).aggregate([])
 
-    red = ds.map_batches(partial, batch_format="pyarrow")
+    red = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if red.count() <= SMALL_AGG_DRIVER_LIMIT:
+        batches = list(red.iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 20))
+        if not batches:
+            return red
+        merged = pa.concat_tables(batches).group_by(keys).aggregate([])
+        return rd.from_arrow(merged)
     return red.groupby(keys).count().select_columns(keys)
 
 
