@@ -34,7 +34,126 @@ from neo4j_graph_algorithms_ray.graph import GraphTables
 from neo4j_graph_algorithms_ray.util import safe_join, to_arrow_blocks
 
 
+# Below this vertex count the label vector is broadcast as a numpy
+# array (ray.put per sweep) and all per-sweep joins/aggregations become
+# vectorized lookups — no shuffle. Same regime split as
+# graph.BROADCAST_VERTEX_LIMIT.
+LOUVAIN_BROADCAST_LIMIT = 50_000_000
+
+
 def louvain(
+    g: GraphTables,
+    *,
+    max_iterations: int = 10,
+    num_partitions: Optional[int] = None,
+    node_col: str = "node",
+) -> IterativeResult:
+    if g.num_vertices <= LOUVAIN_BROADCAST_LIMIT \
+            and g.num_edges <= LOUVAIN_BROADCAST_LIMIT:
+        return _louvain_broadcast(g, max_iterations=max_iterations,
+                                  node_col=node_col)
+    return _louvain_shuffle(g, max_iterations=max_iterations,
+                            num_partitions=num_partitions, node_col=node_col)
+
+
+def _louvain_broadcast(g: GraphTables, *, max_iterations: int,
+                       node_col: str) -> IterativeResult:
+    """Broadcast-label sweeps: per sweep one map_batches over the edge
+    table computes (src, dcomm, lw) partials against the ray.put label
+    vector; sTot / gains / argmax are vectorized on the driver."""
+    import pyarrow as pa
+    import ray
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    n = g.num_vertices
+    w2m = float(g.num_edges)
+    edges = g.edges.select_columns(["src", "dst"]).materialize()
+    deg_np = np.zeros(n, dtype=np.int64)
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        np.add.at(deg_np, b.column("src").to_numpy(zero_copy_only=False), 1)
+    labels_np = np.arange(n, dtype=np.int64)
+
+    it, changed_total, converged = 0, 0, False
+    t0 = time.perf_counter()
+    while it < max_iterations:
+        parity = it % 2
+        ref = ray.put(labels_np)
+
+        def nbr_comm(b: pa.Table, _ref=ref) -> pa.Table:
+            lab = ray.get(_ref)
+            d = b.column("dst").to_numpy(zero_copy_only=False)
+            return pa.table({"src": b["src"], "dcomm": pa.array(lab[d]),
+                             "lw": pa.array(np.ones(b.num_rows, np.int64))})
+
+        lvc = preagg_sum(edges.map_batches(nbr_comm, batch_format="pyarrow"),
+                         ["src", "dcomm"], "lw")
+        tl = pa.concat_tables(lvc.iter_batches(batch_format="pyarrow",
+                                               batch_size=1 << 22))
+        src = tl.column("src").to_numpy(zero_copy_only=False)
+        dcomm = tl.column("dcomm").to_numpy(zero_copy_only=False)
+        lw = tl.column("lw").to_numpy(zero_copy_only=False).astype(np.float64)
+        # stay candidates for every vertex
+        allv = np.arange(n, dtype=np.int64)
+        src = np.concatenate([src, allv])
+        dcomm = np.concatenate([dcomm, labels_np])
+        lw = np.concatenate([lw, np.zeros(n)])
+        own = labels_np[src]
+        k = deg_np[src].astype(np.float64)
+        stot_full = np.bincount(labels_np, weights=deg_np, minlength=n)
+        stot = stot_full[dcomm] - np.where(dcomm == own, k, 0.0)
+        gain = lw - k * stot / w2m
+        order = np.lexsort((dcomm, -gain, src))
+        first = np.unique(src[order], return_index=True)[1]
+        b_src = src[order][first]
+        b_comm = dcomm[order][first]
+        b_gain = gain[order][first]
+        own_rows = np.nonzero(dcomm == own)[0]
+        oo = np.argsort(src[own_rows], kind="stable")
+        # duplicate own rows possible (stay + real neighbor row merged in
+        # lvc already; stay appended separately) — keep best own gain
+        o_src = src[own_rows][oo]
+        o_gain = gain[own_rows][oo]
+        ofirst = np.unique(o_src, return_index=True)[1]
+        o_gain = np.maximum.reduceat(o_gain, ofirst) if len(o_src) else o_gain
+        o_own = labels_np[b_src]
+        move = ((b_src % 2 == parity) & (b_comm != o_own)
+                & (b_gain > o_gain + 1e-12))
+        labels_np = labels_np.copy()
+        labels_np[b_src[move]] = b_comm[move]
+        moved = int(move.sum())
+        it += 1
+        changed_total += moved
+        if moved == 0 and parity == 1:
+            converged = True
+            break
+    elapsed = time.perf_counter() - t0
+
+    # modularity from the final labels (distributed intra-edge count)
+    ref = ray.put(labels_np)
+
+    def intra(b: pa.Table, _ref=ref) -> pa.Table:
+        lab = ray.get(_ref)
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int((lab[s] == lab[d]).sum())])})
+
+    w_in = edges.map_batches(intra, batch_format="pyarrow").sum("w") or 0
+    stot_full = np.bincount(labels_np, weights=deg_np, minlength=n)
+    q = w_in / w2m - float(((stot_full / w2m) ** 2).sum())
+
+    out = rd.from_arrow(pa.table({"vid": np.arange(n, dtype=np.int64),
+                                  "community": labels_np}))
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    out = translate_vid_columns(g, out, ["community"])
+    out = attach_node_ids(g, out, out_col=node_col)
+    return IterativeResult(dataset=out, iterations=it, converged=converged,
+                           metrics=[],
+                           stats={"computeSec": elapsed, "modularity": float(q),
+                                  "moves": changed_total})
+
+
+def _louvain_shuffle(
     g: GraphTables,
     *,
     max_iterations: int = 10,
@@ -77,18 +196,24 @@ def louvain(
             {"vid": "dvid", "comm": "dcomm", "degree": "ddeg"}) \
             .select_columns(["dvid", "dcomm"])
         nbr = safe_join(edges, lab_dst, "inner", p, on=("dst",), right_on=("dvid",))
-        lvc = nbr.groupby(["src", "dcomm"]).count() \
-                 .rename_columns({"count()": "lw"})
+        from neo4j_graph_algorithms_ray.util import preagg_sum
+        lvc = preagg_sum(nbr.map_batches(
+            lambda b: pa.table({"src": b["src"], "dcomm": b["dcomm"],
+                                "lw": pa.array([1] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow"), ["src", "dcomm"], "lw")
         # inject a zero-weight "stay" candidate for every node's own
         # community so the stay gain always has a correct sTot
         stay = labels.map_batches(
             lambda b: pa.table({"src": b["vid"], "dcomm": b["comm"],
                                 "lw": pa.array([0] * b.num_rows, pa.int64())}),
             batch_format="pyarrow")
-        lvc = to_arrow_blocks(lvc).union(stay) \
-            .groupby(["src", "dcomm"]).max("lw").rename_columns({"max(lw)": "lw"})
-        stot_ds = labels.groupby("comm").sum("degree") \
-            .rename_columns({"sum(degree)": "stot"})
+        # stay rows have lw=0, real rows ≥1 → sum == max here (a pair
+        # appears at most once in each branch)
+        lvc = preagg_sum(to_arrow_blocks(lvc).union(stay),
+                         ["src", "dcomm"], "lw")
+        stot_ds = preagg_sum(labels.map_batches(
+            lambda b: pa.table({"comm": b["comm"], "stot": b["degree"]}),
+            batch_format="pyarrow"), ["comm"], "stot")
         cand = safe_join(to_arrow_blocks(lvc), to_arrow_blocks(stot_ds),
                          "inner", p, on=("dcomm",), right_on=("comm",))
         cand = safe_join(cand, labels.rename_columns(
@@ -130,9 +255,18 @@ def louvain(
                                  "degree": k_by_src.astype(np.int64),
                                  "moved": move.astype(np.int64)})
 
-        picked = cand.map_batches(add_bucket, batch_format="pyarrow") \
-            .groupby("bucket").map_groups(pick, batch_format="pandas")
-        picked = to_arrow_blocks(picked).materialize()
+        cand = cand.materialize()
+        if cand.count() <= 5_000_000:
+            # driver pick: one numpy pass (the bucket shuffle costs
+            # seconds of fixed overhead at this size)
+            full = pd.concat([b for b in cand.iter_batches(
+                batch_format="pandas", batch_size=1 << 20)], ignore_index=True)
+            picked = rd.from_arrow(pa.Table.from_pandas(
+                pick(full), preserve_index=False)).materialize()
+        else:
+            picked = cand.map_batches(add_bucket, batch_format="pyarrow") \
+                .groupby("bucket").map_groups(pick, batch_format="pandas")
+            picked = to_arrow_blocks(picked).materialize()
         moved = int(picked.sum("moved") or 0)
         # the injected stay rows guarantee every vertex appears in picked
         labels = picked.select_columns(["vid", "comm", "degree"]).materialize()
