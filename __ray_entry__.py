@@ -25,6 +25,20 @@ LPA_SWEEPS = 6
 TOPK = 20
 
 
+def _empty_safe(ds):
+    """Dataset.to_pandas() drops column names on empty datasets (Ray
+    2.49); hand the driver a typed empty pyarrow Table instead."""
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(ds, rd.Dataset):
+        ds = ds.materialize()
+        if ds.count() == 0:
+            sch = ds.schema()
+            return pa.table({n: pa.array([], t)
+                             for n, t in zip(sch.names, sch.types)})
+    return ds
+
+
 def _round6(ds, col):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -233,22 +247,23 @@ def _q_fingerprint(sf_dir: str):
 
 def _q_ngram_jaccard(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
+    return _empty_safe(ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5))
 
 
 def _q_minhash_pairs(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_docs(sf_dir), num_perm=8, bands=4, threshold=0.5)
+    return _empty_safe(minhash_lsh_pairs(_docs(sf_dir), num_perm=8, bands=4,
+                                         threshold=0.5))
 
 
 def _q_simhash_pairs(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import simhash_pairs
-    return simhash_pairs(_docs(sf_dir), max_hamming=8)
+    return _empty_safe(simhash_pairs(_docs(sf_dir), max_hamming=8))
 
 
 def _q_emb_neardup(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import embedding_neardup_pairs
-    return embedding_neardup_pairs(_emb(sf_dir), threshold=0.95)
+    return _empty_safe(embedding_neardup_pairs(_emb(sf_dir), threshold=0.95))
 
 
 def _ann_queries(sf_dir: str):

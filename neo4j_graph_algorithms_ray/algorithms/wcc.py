@@ -54,13 +54,16 @@ def wcc(
             eng.restore(ckpt, start_iter, ["component"])
     if start_iter == 0:
         eng.init_state("component", "vid")
+    eng.init_state("changed", "const", 1, dtype="int8")
 
     metrics, it, converged = [], start_iter, False
     t0 = time.perf_counter()
     while it < max_iterations:
-        stats = eng.step("min_state", "min_update",
+        op = "min_state" if it == start_iter else "min_state_delta"
+        stats = eng.step(op, "min_update",
                          scatter_kw={"name": "component"},
-                         update_kw={"name": "component"})
+                         update_kw={"name": "component",
+                                    "track_changed": True})
         it += 1
         changed = sum(s["changed"] for s in stats)
         if checkpoint_every and (it % checkpoint_every == 0):

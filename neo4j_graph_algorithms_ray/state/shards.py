@@ -221,6 +221,23 @@ class ShardActor:
                 mins = np.minimum.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, mins)
+            if op == "min_state_delta":
+                # frontier-sparse variant: only edges whose source
+                # changed last superstep carry messages (the fixpoint
+                # tail touches a shrinking frontier, not all E edges)
+                ch = self.state["changed"] > 0
+                sel = ch[self.src_in_dst_order]
+                if not sel.any():
+                    return self._empty_msgs(1)
+                st = self.state[kw["name"]]
+                sentinel = (np.iinfo(st.dtype).max
+                            if np.issubdtype(st.dtype, np.integer) else np.inf)
+                vals = np.where(sel, st[self.src_in_dst_order], sentinel)
+                mins = np.minimum.reduceat(vals, self.seg_starts)
+                keep = mins < sentinel
+                idx = np.nonzero(keep)[0]
+                self.metrics["edges_scattered"] += int(sel.sum())
+                return self._route(idx, mins[keep])
             if op == "max_state_masked":
                 vals = self.state[kw["name"]][self.key_local]
                 active = self.state["active"][self.key_local] > 0
@@ -316,6 +333,8 @@ class ShardActor:
                     np.minimum.at(cand, dsts, vals.astype(st.dtype))
                 changed = cand < st
                 st[changed] = cand[changed]
+                if kw.get("track_changed"):
+                    self.state["changed"] = changed.astype(np.int8)
                 return {"changed": int(changed.sum())}
             if op == "max_update_masked":
                 st = self.state[kw["name"]]
