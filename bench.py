@@ -83,6 +83,26 @@ def headline(num_cpus: int) -> dict:
         gw, 0.85, max_iterations=100, tolerance=1e-6,
         node_col="url").dataset.materialize())
 
+    # extraction throughput over bench-scale synthetic pages
+    n_pages = int(os.environ.get("NGA_BENCH_PAGES", "100000"))
+    import ray.data as _rd
+
+    from neo4j_graph_algorithms_ray.sources.pages import synthetic_pages_path
+    from neo4j_graph_algorithms_ray.stages.extract import ExtractLinks
+    pdir = synthetic_pages_path(n_pages)  # cached; generation not timed
+
+    def extract_all():
+        pages = _rd.read_parquet(pdir, columns=["url", "html"],
+                                 file_extensions=["parquet"])
+        edges = pages.map_batches(ExtractLinks, batch_format="pyarrow",
+                                  batch_size=2048, concurrency=(1, num_cpus))
+        return edges.count()
+
+    n_edges = timed(f"extract_links_{n_pages}p", extract_all)
+    extras["extract_pages_per_sec"] = round(
+        n_pages / queries[f"extract_links_{n_pages}p"], 1)
+    extras["extract_edges"] = n_edges
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",

@@ -112,6 +112,49 @@ def generate_pages(sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+def synth_text(d: int) -> str:
+    """Deterministic word salad for bench-scale synthetic pages."""
+    return " ".join(f"w{(d * 7 + i * 13) % 997}" for i in range(30))
+
+
+def generate_synthetic_pages(n: int, out_dir: str, *,
+                             num_blocks: int = 64) -> str:
+    """n synthetic pages with the same deterministic link rule —
+    bench-scale extraction input with no external data."""
+    ds = rd.range(n, override_num_blocks=num_blocks)
+
+    def compose(batch) -> pa.Table:
+        ids = batch["id"].astype(np.int64) if hasattr(batch["id"], "astype") \
+            else np.asarray(batch["id"], dtype=np.int64)
+        htmls, exts, urls = [], [], []
+        for d in ids:
+            h, e = compose_page(int(d), synth_text(int(d)), n)
+            htmls.append(h.encode("utf-8"))
+            exts.append(e)
+            urls.append(url_of(int(d)))
+        ts = pa.array(BASE_TS_US + ids * 1_000_000, type=pa.timestamp("us"))
+        return pa.table({
+            "url": pa.array(urls), "warc_ts": ts,
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(exts),
+            "lang": pa.array(["en"] * len(ids)),
+        })
+
+    ds.map_batches(compose, batch_format="numpy").write_parquet(out_dir)
+    return out_dir
+
+
+def synthetic_pages_path(n: int) -> str:
+    out_dir = os.path.join(PAGES_CACHE_ROOT, f"synth-{n}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        generate_synthetic_pages(n, out_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
 def pages_path(sf_dir: str) -> str:
     """Cached pages parquet dir for an sf_dir (generated once)."""
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
