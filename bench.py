@@ -144,9 +144,17 @@ def scaling_workload(num_cpus: int) -> dict:
     t0 = time.perf_counter()
     get_engine(g, P)
     load_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = pagerank(g, 0.85, max_iterations=10, num_partitions=P)
-    compute = time.perf_counter() - t0
+    # one untimed warmup superstep, then best-of-3 timed runs (OS noise
+    # from prior Ray sessions' teardown inflates single measurements)
+    pagerank(g, 0.85, max_iterations=1, num_partitions=P)
+    best, res = None, None
+    for _ in range(int(os.environ.get("NGA_SCALE_REPEATS", "3"))):
+        t0 = time.perf_counter()
+        r = pagerank(g, 0.85, max_iterations=10, num_partitions=P)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best, res = dt, r
+    compute = best
     out = {"num_cpus": num_cpus, "edges": g.num_edges,
            "iterations": res.iterations,
            "edges_scattered": res.stats["edges_scattered"],

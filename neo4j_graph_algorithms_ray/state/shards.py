@@ -80,7 +80,11 @@ class ShardActor:
         w = (tbl.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
              if weighted else None)
         order = np.argsort(k, kind="stable")
-        self.key_local = (k[order] - self.lo).astype(np.int64)   # owning-side vertex per edge
+        # int32 per-edge index arrays where the local range allows — the
+        # scatter gather is memory-bandwidth-bound, so index bytes are
+        # roughly a third of the traffic per edge
+        loc_dtype = np.int32 if self.n_local < (1 << 31) else np.int64
+        self.key_local = (k[order] - self.lo).astype(loc_dtype)  # owning-side vertex per edge
         self.nbr = o[order]                                       # global vid of the other side
         self.w = w[order] if w is not None else None
         self.m = len(self.nbr)
