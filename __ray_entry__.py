@@ -182,6 +182,22 @@ def _q_sssp(sf_dir: str):
     return _round6(ds, "distance")
 
 
+def _q_hop_distances(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import msbfs_hop_counts
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade")
+    return msbfs_hop_counts(g, sources=range(min(64, g.num_vertices)))
+
+
+def _q_all_pairs_weighted(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import all_shortest_paths_weighted
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade_w")
+    m = g.vid_to_node_map()
+    srcs = [m[i].as_py() for i in range(min(4, g.num_vertices))]
+    return _round6(all_shortest_paths_weighted(g, sources=srcs), "distance")
+
+
 def _q_scc(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import scc
     from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
@@ -373,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_sampled": _q_closeness_sampled,
         "harmonic_sampled": _q_harmonic_sampled,
         "sssp": _q_sssp,
+        "hop_distances": _q_hop_distances,
+        "all_pairs_weighted": _q_all_pairs_weighted,
         "scc": _q_scc,
         "louvain": _q_louvain,
         "betweenness_sampled": _q_betweenness_sampled,
@@ -423,6 +441,8 @@ def oracle_sql() -> dict[str, str]:
         "closeness_sampled": o.closeness_sampled_sql(10),
         "harmonic_sampled": o.harmonic_sampled_sql(10),
         "sssp": o.sssp_sql(15),
+        "hop_distances": o.hop_distances_sql(10),
+        "all_pairs_weighted": o.all_pairs_weighted_sql(15, 4),
         # documents / embeddings pipelines (oracles_docs.py). minhash /
         # simhash / LSH-ANN are deliberately rows-only: their hash-sketch
         # semantics are not SQL-expressible; they are verified in pytest

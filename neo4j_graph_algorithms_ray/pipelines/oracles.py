@@ -249,6 +249,34 @@ SELECT t.node,
 FROM tnodes t LEFT JOIN inv ON inv.node = t.node ORDER BY t.node""")
 
 
+def hop_distances_sql(iters: int = 10) -> str:
+    """MSBFS hop counts from the 64 smallest node ids (reached pairs,
+    distance ≥ 1) — same BFS unroll as closeness."""
+    ctes = _bfs_ctes(iters)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT s AS source, v AS target, CAST(d AS BIGINT) AS distance
+FROM d{iters} WHERE d > 0 ORDER BY source, target""")
+
+
+def all_pairs_weighted_sql(iters: int = 15, nsources: int = 4) -> str:
+    """Weighted distances from the ``nsources`` smallest node ids over
+    the weighted trade graph (Bellman-Ford unroll per source)."""
+    ctes = [TRADE_EDGES, TRADE_NODES,
+            f"srcs AS (SELECT node AS s FROM tnodes ORDER BY node LIMIT {nsources})",
+            "w0 AS (SELECT s, s AS v, CAST(0 AS DOUBLE) AS d FROM srcs)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""w{k} AS MATERIALIZED (
+  SELECT s, v, min(d) AS d FROM (
+    SELECT s, v, d FROM w{k-1}
+    UNION ALL
+    SELECT p.s, te.dst AS v, p.d + 1 + (te.src + te.dst) % 5 AS d
+    FROM w{k-1} p JOIN tedges te ON te.src = p.v
+  ) u GROUP BY s, v)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT s AS source, v AS target, round(d, 6) AS distance
+FROM w{iters} WHERE v != s ORDER BY source, target""")
+
+
 def sssp_sql(iters: int = 15) -> str:
     """Bellman-Ford unroll over the weighted trade graph
     (w = 1 + (src+dst) % 5) from the smallest node id; reached rows only."""
