@@ -50,10 +50,16 @@ def sssp_delta_stepping(
     eng.init_state("dist", "const", np.inf)
     eng.set_state_from_table("dist", np.array([svid], dtype=np.int64),
                              np.array([0.0]))
+    # frontier mask: only the source is "changed" before round 1, so
+    # each round relaxes exactly the delta-stepping frontier
+    eng.init_state("changed", "const", 0, dtype="int8")
+    eng.set_state_from_table("changed", np.array([svid], dtype=np.int64),
+                             np.array([1], dtype=np.int8))
     metrics, it, converged = [], 0, False
     t0 = time.perf_counter()
     while it < max_iterations:
-        stats = eng.step("relax", "relax_update")
+        stats = eng.step("relax", "relax_update",
+                         update_kw={"track_changed": True})
         it += 1
         if sum(s["changed"] for s in stats) == 0:
             converged = True

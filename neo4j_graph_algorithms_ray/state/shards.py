@@ -286,6 +286,10 @@ class ShardActor:
             if op == "relax":
                 w = self.w[self.perm] if self.w is not None else 1.0
                 vals = self.state["dist"][self.src_in_dst_order] + w
+                if "changed" in self.state:
+                    # frontier-sparse: only sources relaxed last round push
+                    sel = (self.state["changed"] > 0)[self.src_in_dst_order]
+                    vals = np.where(sel, vals, np.inf)
                 mins = np.minimum.reduceat(vals, self.seg_starts)
                 fin = np.isfinite(mins)
                 idx = np.nonzero(fin)[0]
@@ -415,6 +419,8 @@ class ShardActor:
                     np.minimum.at(cand, dsts, vals)
                 changed = cand < st
                 st[changed] = cand[changed]
+                if kw.get("track_changed"):
+                    self.state["changed"] = changed.astype(np.int8)
                 return {"changed": int(changed.sum())}
             if op == "bwd_color_update":
                 color = self.state["color"]
