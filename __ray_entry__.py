@@ -182,6 +182,30 @@ def _q_sssp(sf_dir: str):
     return _round6(ds, "distance")
 
 
+def _q_wcc_threshold(sf_dir: str):
+    """unionFind threshold variant: union only edges with weight >= 3
+    (GraphUnionFind.java:82-104 — threshold filter before the build)."""
+    from neo4j_graph_algorithms_ray import build_graph
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    from neo4j_graph_algorithms_ray.pipelines.tpch import (
+        get_graph, trade_weighted_edge_ds)
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+    name = f"tpch:{sf_dir}:trade_thr3"
+    g = GraphCatalog.get(name)
+    if g is None:
+        # node set = ALL trade nodes (the reference loads every node,
+        # thresholding only the unions)
+        gt = get_graph(sf_dir, "trade")
+        verts = gt.vertices.select_columns(["node"])
+        edges = trade_weighted_edge_ds(sf_dir).filter(expr="weight >= 3.0")
+        g = build_graph(edges, undirected=True, extra_vertices=verts,
+                        name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    res = wcc(g)
+    return translate_vid_columns(g, res.dataset, ["component"])
+
+
 def _q_hop_distances(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import msbfs_hop_counts
     from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
@@ -389,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_sampled": _q_closeness_sampled,
         "harmonic_sampled": _q_harmonic_sampled,
         "sssp": _q_sssp,
+        "wcc_threshold": _q_wcc_threshold,
         "hop_distances": _q_hop_distances,
         "all_pairs_weighted": _q_all_pairs_weighted,
         "scc": _q_scc,
@@ -441,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_sampled": o.closeness_sampled_sql(10),
         "harmonic_sampled": o.harmonic_sampled_sql(10),
         "sssp": o.sssp_sql(15),
+        "wcc_threshold": o.wcc_threshold_sql(30, 3),
         "hop_distances": o.hop_distances_sql(10),
         "all_pairs_weighted": o.all_pairs_weighted_sql(15, 4),
         # documents / embeddings pipelines (oracles_docs.py). minhash /

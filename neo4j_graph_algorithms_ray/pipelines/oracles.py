@@ -249,6 +249,27 @@ SELECT t.node,
 FROM tnodes t LEFT JOIN inv ON inv.node = t.node ORDER BY t.node""")
 
 
+def wcc_threshold_sql(iters: int = 30, threshold: int = 3) -> str:
+    """Threshold union (GraphUnionFind.java:82-104): WCC over trade
+    edges with weight = 1+(src+dst)%5 >= threshold, undirected."""
+    ctes = [TRADE_EDGES, TRADE_NODES,
+            f"""fe AS MATERIALIZED (
+  SELECT src, dst FROM tedges WHERE 1 + (src + dst) % 5 >= {threshold})""",
+            "fsym AS MATERIALIZED (SELECT src AS a, dst AS b FROM fe "
+            "UNION ALL SELECT dst, src FROM fe)",
+            "t0 AS (SELECT node, node AS c FROM tnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""t{k} AS MATERIALIZED (
+  SELECT n.node, least(p.c, coalesce(min(q.c), p.c)) AS c
+  FROM tnodes n
+  JOIN t{k-1} p ON p.node = n.node
+  LEFT JOIN fsym e ON e.a = n.node
+  LEFT JOIN t{k-1} q ON q.node = e.b
+  GROUP BY n.node, p.c)""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT node, c AS component FROM t{iters} ORDER BY node")
+
+
 def hop_distances_sql(iters: int = 10) -> str:
     """MSBFS hop counts from the 64 smallest node ids (reached pairs,
     distance ≥ 1) — same BFS unroll as closeness."""
