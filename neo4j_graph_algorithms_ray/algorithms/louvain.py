@@ -7,9 +7,14 @@ neighbor community with the best modularity gain
 ``l_vc − deg_v·sTot_c/(2m)`` (Louvain.java ``kIIn/m2 −
 sTot[c]·deg/mq2``); stop after ``max_iterations`` sweeps or when no
 node moves. The reference sweeps sequentially (node order); the
-deterministic distributed equivalent is **semi-synchronous parity
-sweeps** — only vids of the sweep's parity may move, so no two
-adjacent updates race — with ties broken (gain desc, community asc).
+deterministic distributed analogue used here is **semi-synchronous
+parity sweeps** — only vids of the sweep's parity may move per sweep,
+with ties broken (gain desc, community asc). Parity is not a proper
+graph coloring (two same-parity neighbors can still move
+simultaneously on stale labels), so it *reduces*, not eliminates,
+simultaneous adjacent moves; oscillation is bounded by
+``max_iterations`` and the reported modularity is computed honestly
+from the final assignment.
 
 Per sweep: one hash join (labels onto edge dsts) + groupby(src,
 community) for neighbor-community weights, a groupby(community) for

@@ -37,6 +37,9 @@ WAVE = 64
 def _run_waves(eng, sources: np.ndarray, *, accumulate: list[str],
                emit_hops: bool = False, max_depth: Optional[int] = None):
     """Run MSBFS from ``sources`` (dense vids) in 64-source waves.
+    ``accumulate`` names the shard state vectors bits_update may add
+    into ("farness" / "inv_farness") — passed through explicitly so a
+    cached engine never mutates stale vectors from a prior run.
     Returns (supersteps, hop rows (source, target, depth) if emitted)."""
     hops_src, hops_dst, hops_depth = [], [], []
     supersteps = 0
@@ -55,7 +58,8 @@ def _run_waves(eng, sources: np.ndarray, *, accumulate: list[str],
             if max_depth is not None and depth > max_depth:
                 break
             stats = eng.step("bits", "bits_update",
-                             update_kw={"depth": depth, "emit_hops": emit_hops})
+                             update_kw={"depth": depth, "emit_hops": emit_hops,
+                                        "accumulate": list(accumulate)})
             supersteps += 1
             if emit_hops:
                 for s in stats:

@@ -96,11 +96,27 @@ def msf_boruvka(g: GraphTables, *, max_rounds: int = 64) -> dict:
         pick_w = lw_o[first]
         key = a * np.int64(n) + b
         uniq, ui = np.unique(key, return_index=True)
-        total += float(pick_w[ui].sum())
-        nedges += len(ui)
-        # union: point a's root to b (min-label), then pointer-jump
+        # union the picked pairs with a real union-find: several pairs can
+        # share an endpoint component (a<-b and a<-c), so a one-shot fancy
+        # assignment would keep only the last write and double-count the
+        # re-picked edge's weight next round. Pairs ≤ #components per
+        # round, so this driver loop is cheap.
         parent = np.arange(n, dtype=np.int64)
-        parent[np.maximum(a[ui], b[ui])] = np.minimum(a[ui], b[ui])
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pi in ui:
+            ra, rb = find(int(a[pi])), find(int(b[pi]))
+            if ra != rb:
+                # min-label union keeps component ids canonical
+                lo_r, hi_r = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi_r] = lo_r
+                total += float(pick_w[pi])
+                nedges += 1
         for _ in range(64):
             nxt = parent[parent]
             if np.array_equal(nxt, parent):

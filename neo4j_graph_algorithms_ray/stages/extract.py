@@ -62,8 +62,10 @@ class ExtractLinks:
 
     Vectorized multi-match: split each html on ``<a href="`` (ListArray),
     then anchor-extract the quoted url head from every flattened list
-    element; the pre-href prefix of each page contains no double quote
-    and drops out as a null match.
+    element. The first split element of each page is the text BEFORE the
+    first ``<a href="`` — it is masked out explicitly (not just left to
+    fail the regex) so page text containing a double quote can never
+    produce a spurious edge (byte-parity contract with PAGE_LINKS_SQL).
     """
 
     def __init__(self):
@@ -82,6 +84,13 @@ class ExtractLinks:
         src_flat = np.repeat(np.arange(len(urls)), counts)
         match = pc.extract_regex(flat, self.url_head)
         valid = pc.is_valid(match).to_numpy(zero_copy_only=False)
-        dsts = pc.struct_field(match, "u").drop_null()
-        srcs = urls.take(pa.array(src_flat[valid]))
+        # mask each page's first element: text before the first href is
+        # not a link even if it happens to contain a double quote
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        is_first = np.zeros(len(flat), dtype=bool)
+        is_first[starts[counts > 0]] = True
+        keep = valid & ~is_first
+        idx = pa.array(np.nonzero(keep)[0])
+        dsts = pc.struct_field(match.take(idx), "u")
+        srcs = urls.take(pa.array(src_flat[keep]))
         return pa.table({"src_url": srcs, "dst_url": dsts})

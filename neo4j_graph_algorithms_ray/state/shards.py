@@ -394,10 +394,16 @@ class ShardActor:
                 self.state["frontier"] = new
                 nz = np.nonzero(new)[0]
                 npop = popcount64(new[nz]) if len(nz) else np.empty(0, np.int64)
-                if "farness" in self.state:
-                    self.state["farness"][nz] += npop * depth
-                if "inv_farness" in self.state:
-                    self.state["inv_farness"][nz] += npop / depth
+                # accumulate ONLY the explicitly named states — keying on
+                # which state names happen to exist would silently mutate
+                # stale vectors left by a prior run on a cached engine
+                for acc in kw.get("accumulate", ()):
+                    if acc == "farness":
+                        self.state["farness"][nz] += npop * depth
+                    elif acc == "inv_farness":
+                        self.state["inv_farness"][nz] += npop / depth
+                    else:
+                        raise ValueError(f"unknown accumulate target {acc}")
                 out = {"new_visits": int(npop.sum())}
                 if kw.get("emit_hops") and len(nz):
                     rows_v, rows_b = [], []

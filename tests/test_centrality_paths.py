@@ -139,3 +139,17 @@ def test_betweenness_cycle_and_sampled(f5_graph):
     # hand value: every shortest path a→h is a-b-c-h? a→b(1): paths; check h's
     # predecessors: d(a,h)=3 via b,c; interior nodes b,c each get credit
     assert exact["b"] > 0 and exact["c"] > 0
+
+
+def test_msbfs_accumulation_is_explicit(f5_graph):
+    """Regression (ADVICE r1): msbfs_hop_counts on a cached engine must
+    NOT keep mutating the stale farness vector a prior closeness run
+    left in the shard actors."""
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+    nodes, edges, g = f5_graph
+    closeness(g)  # leaves a 'farness' state behind on the cached engine
+    eng = get_engine(g, None)
+    before = eng.fetch_state("farness").copy()
+    msbfs_hop_counts(g)
+    after = eng.fetch_state("farness")
+    assert np.array_equal(before, after)

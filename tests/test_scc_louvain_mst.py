@@ -154,3 +154,40 @@ def test_msf_boruvka(mst_graph):
     assert out["weight_sum"] == pytest.approx(6.0)
     assert out["edge_count"] == 3
     assert out["components"] == 1
+
+
+def test_msf_boruvka_shared_max_component():
+    """Regression: two picked pairs sharing the same endpoint component
+    (star 1-5, 2-5) must both merge in one round without double-counting
+    the re-picked edge's weight (fancy-assignment union kept only the
+    last write and re-counted the lost pair next round)."""
+    import pyarrow as pa
+    edges = pa.table({"src": [1, 2], "dst": [5, 5],
+                      "weight": [10.0, 20.0]})
+    g = build_graph(rd.from_arrow(edges), weight_col="weight",
+                    undirected=True, name="boruvka_star")
+    out = msf_boruvka(g)
+    assert out["weight_sum"] == pytest.approx(30.0)
+    assert out["edge_count"] == 2
+    assert out["components"] == 1
+
+
+def test_msf_boruvka_matches_prim_random():
+    """Borůvka forest weight == Prim tree weight on a random connected
+    distinct-weight graph."""
+    rng = np.random.default_rng(7)
+    n = 40
+    src = list(range(1, n)) + rng.integers(0, n, 60).tolist()
+    dst = list(rng.integers(0, np.arange(1, n))) + rng.integers(0, n, 60).tolist()
+    import pyarrow as pa
+    w = rng.permutation(len(src)).astype(np.float64) + 1.0
+    keep = [i for i, (a, b) in enumerate(zip(src, dst)) if a != b]
+    tbl = pa.table({"src": np.array(src)[keep], "dst": np.array(dst)[keep],
+                    "weight": w[keep]})
+    g = build_graph(rd.from_arrow(tbl), weight_col="weight", dedup=False,
+                    undirected=True, accumulate_weights=False,
+                    name="boruvka_rand")
+    want = mst_prim(g, 0)["weight_sum"]
+    got = msf_boruvka(g)
+    assert got["weight_sum"] == pytest.approx(want)
+    assert got["components"] == 1

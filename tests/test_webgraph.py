@@ -84,3 +84,20 @@ def test_hub_skew_present(pages_ds):
     north rule's skew handling is exercised against."""
     degs = np.array([len(P.link_targets(d, 500)) for d in range(500)])
     assert degs.max() >= 39 and np.median(degs) <= 5
+
+
+def test_extract_links_ignores_quotes_in_prefix_text():
+    """Regression: page text containing a double quote BEFORE the first
+    '<a href=\"' must not produce a spurious edge (ADVICE r1)."""
+    from neo4j_graph_algorithms_ray.stages.extract import ExtractLinks
+    html = [
+        b'He said "hello" and left. <a href="http://x.test/a">A</a>',
+        b'no links but a "quoted" word here',
+        b'<a href="http://x.test/b">B</a> then "quotes" after',
+    ]
+    batch = pa.table({"url": ["u1", "u2", "u3"],
+                      "html": pa.array(html, pa.binary())})
+    out = ExtractLinks()(batch)
+    got = set(zip(out.column("src_url").to_pylist(),
+                  out.column("dst_url").to_pylist()))
+    assert got == {("u1", "http://x.test/a"), ("u3", "http://x.test/b")}
