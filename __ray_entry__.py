@@ -125,7 +125,7 @@ def _q_graph_stats(sf_dir: str):
     g = get_graph(sf_dir, "purchase")
     eng = get_engine(g, None)
     deg = eng.degrees_dataset()
-    dangling = deg.filter(lambda r: r["degree"] == 0).count()
+    dangling = deg.filter(expr="degree == 0").count()
     return pd.DataFrame({"nodes": [g.num_vertices], "relationships": [g.num_edges],
                          "dangling_nodes": [dangling]})
 

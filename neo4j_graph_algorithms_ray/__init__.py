@@ -22,6 +22,6 @@ pools, no paged arrays (see SURVEY.md §7.0).
 """
 
 from neo4j_graph_algorithms_ray.graph import GraphTables, build_graph  # noqa: F401
-from neo4j_graph_algorithms_ray.registry import GraphCatalog  # noqa: F401
+from neo4j_graph_algorithms_ray.registry import GraphCatalog, list_operators  # noqa: F401
 
 __version__ = "0.1.0"

@@ -24,14 +24,34 @@ def default_partitions(g: GraphTables, requested: Optional[int]) -> int:
     return max(1, min(cpus, by_size, g.num_vertices))
 
 
+def _output_join_partitions(g: GraphTables) -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, min(cpus * 2, g.vertices.num_blocks() or 8))
+
+
 def attach_node_ids(g: GraphTables, ds: rd.Dataset, vid_col: str = "vid",
                     out_col: str = "node", keep_vid: bool = False) -> rd.Dataset:
     """Translate dense vids back to original node ids (the reference's
     ``toOriginalNodeId`` output boundary, core/.../api/IdMapping.java:44).
 
-    Broadcasts the vid→node array (ray.put once, read per task) — the
-    small-side lookup, not a shuffle join.
+    Regime split (same as graph.build_graph's input boundary): below the
+    broadcast vertex limit the vid→node array ships once via ray.put and
+    each task does a vectorized take (no shuffle); above it the vertex
+    table never materializes anywhere — one Dataset.join against
+    ``g.vertices`` per translated column.
     """
+    from neo4j_graph_algorithms_ray.graph import broadcast_vertex_limit
+    if g.num_vertices > broadcast_vertex_limit():
+        from neo4j_graph_algorithms_ray.util import safe_join
+        orig_cols = ds.schema().names
+        verts = g.vertices.select_columns(["vid", "node"]) \
+            .rename_columns({"vid": "__jvid", "node": out_col})
+        joined = safe_join(ds, verts, "inner", _output_join_partitions(g),
+                           on=(vid_col,), right_on=("__jvid",))
+        keep = [out_col] + [c for c in orig_cols
+                            if c != out_col and (keep_vid or c != vid_col)]
+        return joined.select_columns(keep)
+
     ref = ray.put(g.vid_to_node_map())
 
     def translate(batch: pa.Table) -> pa.Table:
@@ -51,7 +71,21 @@ def translate_vid_columns(g: GraphTables, ds: rd.Dataset, cols: list[str]) -> rd
     """Map dense-vid-valued columns (component ids, label values) back to
     original node ids. Because vids are assigned in ascending original-id
     order, min-vid canonical ids translate to min-original-id canonical
-    ids. Broadcast lookup, no shuffle."""
+    ids. Broadcast lookup below the vertex limit; Dataset.join against
+    ``g.vertices`` above it (one join per translated column)."""
+    from neo4j_graph_algorithms_ray.graph import broadcast_vertex_limit
+    if g.num_vertices > broadcast_vertex_limit():
+        from neo4j_graph_algorithms_ray.util import safe_join
+        orig_cols = ds.schema().names
+        p = _output_join_partitions(g)
+        for c in cols:
+            verts = g.vertices.select_columns(["vid", "node"]) \
+                .rename_columns({"vid": "__jvid", "node": "__jnode"})
+            # join drops the right_on key; left key c + __jnode survive
+            ds = safe_join(ds, verts, "inner", p, on=(c,), right_on=("__jvid",))
+            ds = ds.drop_columns([c]).rename_columns({"__jnode": c})
+        return ds.select_columns(orig_cols)
+
     ref = ray.put(g.vid_to_node_map())
 
     def tr(batch: pa.Table) -> pa.Table:

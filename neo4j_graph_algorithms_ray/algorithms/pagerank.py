@@ -18,6 +18,7 @@ update over range-partitioned CSR shards with map-side combine.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -61,10 +62,14 @@ def pagerank(
         eng.init_state("rank", "const", 1.0 - damping)
         eng.init_state("delta", "const", 1.0 - damping)
 
+    # float32 messages halve the bandwidth-bound gather/exchange traffic
+    # (bench opt-in; default float64 keeps exact SQL-oracle parity)
+    msg_dtype = os.environ.get("NGA_PR_MSG_DTYPE", "float64")
     metrics, it, converged = [], start_iter, False
     t0 = time.perf_counter()
     while it < max_iterations:
-        stats = eng.step("pr_push", "pr_update", scatter_kw={"damping": damping})
+        stats = eng.step("pr_push", "pr_update",
+                         scatter_kw={"damping": damping, "msg_dtype": msg_dtype})
         it += 1
         max_delta = max(s["max_delta"] for s in stats)
         if checkpoint_every and (it % checkpoint_every == 0):

@@ -43,7 +43,13 @@ DEFAULT_GRAPH_ROOT = os.environ.get("NGA_GRAPH_ROOT", "/tmp/nga_ray/graphs")
 # Below this vertex count the vid-mapping array is broadcast via ray.put
 # and applied with pc.index_in inside map_batches (no shuffle); above it
 # we fall back to two Dataset.join shuffles. 50M int64 ids ≈ 400 MB.
+# Env-overridable so tests can force the join regime on tiny graphs.
 BROADCAST_VERTEX_LIMIT = 50_000_000
+
+
+def broadcast_vertex_limit() -> int:
+    return int(os.environ.get("NGA_BROADCAST_VERTEX_LIMIT",
+                              BROADCAST_VERTEX_LIMIT))
 # Below this edge count, distinct-vertex extraction merges per-block
 # uniques on the driver (O(n) memory — same order as the broadcast map).
 EDGE_DRIVER_DISTINCT_LIMIT = 200_000_000
@@ -75,7 +81,18 @@ class GraphTables:
         return 0 if self.bounds is None else len(self.bounds) - 1
 
     def vid_to_node_map(self) -> pa.Array:
-        """Original-id array indexed by vid (small/driver-side use only)."""
+        """Original-id array indexed by vid — broadcast-regime use only.
+
+        Guarded: above the broadcast limit this whole-vertex-table
+        materialization is exactly the scale-killer the output boundary
+        must avoid; callers must take the Dataset.join path instead
+        (algorithms/common.py attach_node_ids / translate_vid_columns)."""
+        limit = broadcast_vertex_limit()
+        if self.num_vertices > limit:
+            raise RuntimeError(
+                f"vid_to_node_map(): {self.num_vertices} vertices exceeds the "
+                f"broadcast limit ({limit}); use the join-based id translation "
+                "(attach_node_ids / translate_vid_columns handle this split)")
         batches = list(self.vertices.sort("vid")
                        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
         if not batches:
@@ -165,7 +182,9 @@ def build_graph(
     e = e.materialize()
     m_in = e.count()
     node_arr = None
-    if m_in <= EDGE_DRIVER_DISTINCT_LIMIT:
+    edge_driver_limit = int(os.environ.get("NGA_EDGE_DRIVER_DISTINCT_LIMIT",
+                                           EDGE_DRIVER_DISTINCT_LIMIT))
+    if m_in <= edge_driver_limit:
         # broadcast regime: distinct+sort merged on the driver from
         # per-block uniques (a 35M-row groupby-distinct costs minutes in
         # a hash shuffle; this path is seconds and the result is the
@@ -186,7 +205,7 @@ def build_graph(
         verts = verts.materialize()
         n = verts.count()
 
-    if n <= BROADCAST_VERTEX_LIMIT:
+    if n <= broadcast_vertex_limit():
         # broadcast mapping: vid == position in the vid-ordered node array
         if node_arr is None:
             vbatches = list(verts.sort("vid")
@@ -208,11 +227,16 @@ def build_graph(
         dense = e.map_batches(to_dense, batch_format="pyarrow")
     else:
         # big-graph path: two hash joins against the vertex table
-        p = max(32, verts.num_blocks())
-        dense = e.join(verts, "inner", num_partitions=p, on=("src",), right_on=("node",))
-        dense = dense.drop_columns(["src", "node"]).rename_columns({"vid": "src"})
-        dense = dense.join(verts, "inner", num_partitions=p, on=("dst",), right_on=("node",))
-        dense = dense.drop_columns(["dst", "node"]).rename_columns({"vid": "dst"})
+        from neo4j_graph_algorithms_ray.util import join_partitions
+        p = join_partitions(max(32, verts.num_blocks()))
+        # join drops the right_on key column; only the left key + right
+        # payload (vid) survive. safe_join culls schema-less empty blocks
+        # that crash acero's hash join.
+        from neo4j_graph_algorithms_ray.util import safe_join
+        dense = safe_join(e, verts, "inner", p, on=("src",), right_on=("node",))
+        dense = dense.drop_columns(["src"]).rename_columns({"vid": "src"})
+        dense = safe_join(dense, verts, "inner", p, on=("dst",), right_on=("node",))
+        dense = dense.drop_columns(["dst"]).rename_columns({"vid": "dst"})
         keep = ["src", "dst"] + (["weight"] if weight_col else [])
         dense = dense.select_columns(keep)
 

@@ -71,3 +71,45 @@ class GraphCatalog:
             eng.close()
         cls._engines.clear()
         cls._graphs.clear()
+
+
+def list_operators() -> list[dict]:
+    """Enumerate the engine's operator surface — ``algo.list`` parity
+    (algo/.../ListProc.java:42-46). One row per public algorithm /
+    function / pipeline callable with its python signature, plus one row
+    per driver query name (the procedure-level surface).
+    """
+    import importlib
+    import inspect
+
+    rows: list[dict] = []
+    modules = {
+        "algorithm": "neo4j_graph_algorithms_ray.algorithms",
+        "function": "neo4j_graph_algorithms_ray.functions.scalars",
+        "dedup": "neo4j_graph_algorithms_ray.functions.dedup",
+        "ann": "neo4j_graph_algorithms_ray.functions.ann",
+        "text": "neo4j_graph_algorithms_ray.functions.text",
+        "multimodal": "neo4j_graph_algorithms_ray.functions.multimodal",
+    }
+    for kind, modname in modules.items():
+        mod = importlib.import_module(modname)
+        for name, obj in sorted(vars(mod).items()):
+            if name.startswith("_") or not callable(obj):
+                continue
+            if getattr(obj, "__module__", "").startswith("neo4j_graph_algorithms_ray"):
+                try:
+                    sig = str(inspect.signature(obj))
+                except (TypeError, ValueError):
+                    sig = "(...)"
+                rows.append({"name": name, "kind": kind,
+                             "signature": sig,
+                             "module": getattr(obj, "__module__", modname)})
+    try:
+        entry = importlib.import_module("__ray_entry__")
+        for qname in entry.queries():
+            rows.append({"name": qname, "kind": "query",
+                         "signature": "(sf_dir: str)",
+                         "module": "__ray_entry__"})
+    except ImportError:
+        pass
+    return rows

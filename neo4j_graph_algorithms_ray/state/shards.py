@@ -80,12 +80,14 @@ class ShardActor:
         w = (tbl.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
              if weighted else None)
         order = np.argsort(k, kind="stable")
-        # int32 per-edge index arrays where the local range allows — the
+        # int32 per-edge index arrays where the id ranges allow — the
         # scatter gather is memory-bandwidth-bound, so index bytes are
-        # roughly a third of the traffic per edge
+        # roughly half the traffic per edge (the reference's analogous
+        # trick is int-quantized score exchange, PageRank.java:54)
         loc_dtype = np.int32 if self.n_local < (1 << 31) else np.int64
+        glob_dtype = np.int32 if int(bounds[-1]) < (1 << 31) else np.int64
         self.key_local = (k[order] - self.lo).astype(loc_dtype)  # owning-side vertex per edge
-        self.nbr = o[order]                                       # global vid of the other side
+        self.nbr = o[order].astype(glob_dtype)                    # global vid of the other side
         self.w = w[order] if w is not None else None
         self.m = len(self.nbr)
         self.deg = np.bincount(self.key_local, minlength=self.n_local).astype(np.int64)
@@ -213,13 +215,25 @@ class ShardActor:
                 return self._empty_msgs(2 if op == "lpa" else 1)
             if op == "pr_push":
                 d = kw["damping"]
-                push = np.zeros(self.n_local)
+                # msg_dtype=float32 halves the per-edge gather+message
+                # value traffic (the reference quantizes deltas to ints
+                # for the same reason, PageRank.java:54). Default stays
+                # float64 — the SQL oracles need exact parity; bench can
+                # opt in via NGA_PR_MSG_DTYPE=float32.
+                msg_dtype = np.dtype(kw.get("msg_dtype") or "float64")
+                push = np.zeros(self.n_local, dtype=msg_dtype)
                 nz = self.deg > 0
-                push[nz] = d * self.state["delta"][nz] / self.deg[nz]
+                push[nz] = (d * self.state["delta"][nz] / self.deg[nz])
                 vals = push[self.src_in_dst_order]
                 sums = np.add.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, sums)
+            if op == "in_degree_count":
+                # per-unique-dst edge counts = scatter-segment lengths; one
+                # superstep computes global in-degrees without a reverse CSR
+                lens = np.diff(np.append(self.seg_starts, self.m)).astype(np.int64)
+                self.metrics["edges_scattered"] += self.m
+                return self._route(None, lens)
             if op == "min_state":
                 vals = self.state[kw["name"]][self.src_in_dst_order]
                 mins = np.minimum.reduceat(vals, self.seg_starts)
@@ -332,6 +346,13 @@ class ShardActor:
                 self.state["delta"] = incoming
                 self.state["rank"] += incoming
                 return {"max_delta": float(np.abs(incoming).max()) if self.n_local else 0.0}
+            if op == "add_update":
+                st = self.state[kw["name"]]
+                for dsts, vals in msgs:
+                    # dsts are unique within one sender's message but can
+                    # repeat across senders — np.add.at, not fancy +=
+                    np.add.at(st, dsts, vals.astype(st.dtype))
+                return {}
             if op == "min_update":
                 name = kw["name"]
                 st = self.state[name]
@@ -459,9 +480,14 @@ class ShardEngine:
         self.g = g
         self.bounds = g.bounds
         self.P = len(self.bounds) - 1
-        self.actors = [ShardActor.remote(i, self.bounds, g.graph_dir, weighted, False)
+        # SPREAD: num_cpus=0 actors carry no resource request, so without
+        # an explicit strategy Ray gives no placement guarantee on a real
+        # multi-node cluster (shards could pack onto one node and share
+        # its DRAM bus). No effect single-node.
+        mk = ShardActor.options(scheduling_strategy="SPREAD")
+        self.actors = [mk.remote(i, self.bounds, g.graph_dir, weighted, False)
                        for i in range(self.P)]
-        self.rev_actors = ([ShardActor.remote(i, self.bounds, g.graph_dir, weighted, True)
+        self.rev_actors = ([mk.remote(i, self.bounds, g.graph_dir, weighted, True)
                             for i in range(self.P)] if reverse else None)
         ray.get([a.info.remote() for a in self.actors])
         if self.rev_actors:
@@ -531,9 +557,32 @@ class ShardEngine:
         refs = [a.state_table.remote(names, node_col) for a in self.actors]
         return rd.from_arrow_refs(refs)
 
-    def degrees_dataset(self):
+    def degrees_dataset(self, direction: str = "out"):
+        """(vid, degree) Dataset; ``direction`` ∈ {"out", "in", "both"} —
+        the reference's Degrees.degree(node, direction)
+        (core/.../api/Degrees.java:22). In-degrees are computed in one
+        superstep from the forward CSR's scatter-segment lengths (no
+        reverse layout needed)."""
         import ray.data as rd
-        return rd.from_arrow_refs([a.out_degree_table.remote() for a in self.actors])
+        if direction == "out":
+            return rd.from_arrow_refs([a.out_degree_table.remote() for a in self.actors])
+        if direction not in ("in", "both"):
+            raise ValueError(f"direction must be out/in/both, got {direction!r}")
+        self.init_state("__in_degree", "const", 0.0, dtype="int64")
+        self.step("in_degree_count", "add_update", update_kw={"name": "__in_degree"})
+        if direction == "in":
+            ds = self.state_dataset(["__in_degree"])
+            return ds.rename_columns({"__in_degree": "degree"})
+        refs = [a.state_table.remote(["__in_degree"]) for a in self.actors]
+        outs = [a.out_degree_table.remote() for a in self.actors]
+
+        @ray.remote
+        def _both(ind: pa.Table, outd: pa.Table) -> pa.Table:
+            tot = (ind.column("__in_degree").to_numpy(zero_copy_only=False)
+                   + outd.column("degree").to_numpy(zero_copy_only=False))
+            return pa.table({"vid": ind.column("vid"), "degree": pa.array(tot)})
+
+        return rd.from_arrow_refs([_both.remote(i, o) for i, o in zip(refs, outs)])
 
     def fetch_state(self, name: str) -> np.ndarray:
         """Concatenated full state vector — small graphs / tests only."""

@@ -73,13 +73,23 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     return rd.from_arrow_refs(keep)
 
 
+def join_partitions(requested: int) -> int:
+    """Clamp a join's partition count to the cluster CPU count: the hash
+    shuffle spins up one aggregator actor per slot and a request far
+    above the available CPUs deadlocks on a small cluster (observed at
+    num_partitions=32 with num_cpus=4)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(requested, cpus))
+
+
 def safe_join(left: rd.Dataset, right: rd.Dataset, join_type: str,
               num_partitions: int, on: tuple, right_on: tuple | None = None,
               **kw) -> rd.Dataset:
-    """Dataset.join that tolerates empty upstream partitions."""
+    """Dataset.join that tolerates empty upstream partitions and clamps
+    the partition count to the cluster size (see join_partitions)."""
     left = drop_empty_blocks(left)
     right = drop_empty_blocks(right)
-    return left.join(right, join_type, num_partitions, on=on,
+    return left.join(right, join_type, join_partitions(num_partitions), on=on,
                      right_on=right_on, **kw)
 
 

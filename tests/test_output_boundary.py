@@ -1,0 +1,70 @@
+"""Output-boundary id translation — broadcast vs join regime parity.
+
+The reference translates every result through ``toOriginalNodeId``
+(core/.../api/IdMapping.java:44). Our output boundary must stay
+scale-safe: above the broadcast vertex limit no code path may
+materialize the whole vertex table on the driver — these tests force
+the limit to 1 (env-overridable) and assert the join regime produces
+byte-identical results to the broadcast regime, end to end through
+build_graph + pagerank + wcc.
+"""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray import build_graph, fixtures as fx
+from neo4j_graph_algorithms_ray.algorithms import pagerank, wcc
+from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+
+
+def _pr_scores(g):
+    res = pagerank(g, 0.85, max_iterations=30)
+    return {r["node"]: r["score"] for r in res.dataset.take_all()}
+
+
+def _wcc_comps(g):
+    res = wcc(g)
+    ds = translate_vid_columns(g, res.dataset, ["component"])
+    return {r["node"]: r["component"] for r in ds.take_all()}
+
+
+def test_join_regime_matches_broadcast(monkeypatch):
+    tbl = fx.edge_table(fx.F5_EDGES)
+    g_b = build_graph(rd.from_arrow(tbl), name="outb_bcast")
+    want_pr = _pr_scores(g_b)
+    want_wcc = _wcc_comps(g_b)
+
+    monkeypatch.setenv("NGA_BROADCAST_VERTEX_LIMIT", "1")
+    monkeypatch.setenv("NGA_EDGE_DRIVER_DISTINCT_LIMIT", "0")
+    g_j = build_graph(rd.from_arrow(tbl), name="outb_join")
+    got_pr = _pr_scores(g_j)
+    got_wcc = _wcc_comps(g_j)
+
+    assert set(got_pr) == set(want_pr)
+    for k in want_pr:
+        assert got_pr[k] == pytest.approx(want_pr[k], abs=1e-12), k
+    assert got_wcc == want_wcc
+
+
+def test_vid_to_node_map_guarded(monkeypatch):
+    g = build_graph(rd.from_arrow(fx.edge_table(fx.F5_EDGES)), name="outb_guard")
+    monkeypatch.setenv("NGA_BROADCAST_VERTEX_LIMIT", "1")
+    with pytest.raises(RuntimeError, match="broadcast limit"):
+        g.vid_to_node_map()
+
+
+def test_attach_keep_vid_join_regime(monkeypatch):
+    import pyarrow as pa
+    from neo4j_graph_algorithms_ray.algorithms.common import attach_node_ids
+    g = build_graph(rd.from_arrow(fx.edge_table(fx.F5_EDGES)), name="outb_keep")
+    state = rd.from_arrow(pa.table({
+        "vid": np.arange(g.num_vertices, dtype=np.int64),
+        "value": np.arange(g.num_vertices, dtype=np.float64) * 2.0,
+    }))
+    monkeypatch.setenv("NGA_BROADCAST_VERTEX_LIMIT", "1")
+    out = attach_node_ids(g, state, keep_vid=True)
+    rows = sorted(out.take_all(), key=lambda r: r["vid"])
+    assert out.schema().names[0] == "node"
+    assert [r["vid"] for r in rows] == list(range(g.num_vertices))
+    assert all(r["value"] == 2.0 * r["vid"] for r in rows)
