@@ -6,28 +6,46 @@ each triangle once, report the global count, per-node triangle counts,
 local clustering coefficient ``2T / (deg·(deg-1))`` (:132-137) and its
 average; ``algo.triangle.stream`` emits (a,b,c) node triples.
 
-Distributed shape (different from the iterative kernels — this is the
-canonical two-shuffle Dataset pipeline): orient each undirected edge
-from lower to higher (degree, vid) rank — which kills hub wedge
-explosion, the same reason the reference sorts adjacencies for
-intersections (AdjacencyMatrix.sortAll:289-305) — generate wedges per
-source via groupby(src).map_groups, then hash-join wedges back against
-the oriented edge table. Per-node counts are one more groupby.
+Two regimes, same degree-orientation idea (orient each undirected edge
+from lower to higher (degree, vid) rank — kills hub wedge explosion,
+the reason the reference sorts adjacencies for intersections,
+AdjacencyMatrix.sortAll:289-305):
+
+- broadcast (≤ FAST_PATH_EDGE_LIMIT edges): the oriented CSR + sorted
+  edge-key array are built in ONE remote task (never concatenated on
+  the driver) and shared via its object ref; wedge closure runs as
+  range tasks whose inner loop is batched per distinct degree — one
+  searchsorted per (chunk × degree-class), not per vertex.
+- join (above the limit, or forced): all-shuffle Dataset pipeline with
+  degree as a joined column — no driver-side arrays of any kind. Wedges
+  via self-join on the shared lower-rank vertex, closure via hash-join
+  of wedge (t1,t2) pairs against the oriented edge table.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
 
 from neo4j_graph_algorithms_ray.algorithms.common import attach_node_ids, default_partitions
 from neo4j_graph_algorithms_ray.graph import GraphTables
-from neo4j_graph_algorithms_ray.util import safe_join
+from neo4j_graph_algorithms_ray.util import preagg_sum, safe_join, to_arrow_blocks
+
+# Below this edge count the oriented CSR is built in one remote task and
+# broadcast by ref; above it the join-based all-shuffle path runs.
+FAST_PATH_EDGE_LIMIT = 100_000_000
+# Max wedges closed per searchsorted batch inside a range task.
+WEDGE_BATCH = 1 << 22
+
+
+def _fast_path_limit() -> int:
+    return int(os.environ.get("NGA_TRIANGLE_FAST_PATH_EDGE_LIMIT",
+                              FAST_PATH_EDGE_LIMIT))
 
 
 def _undirected_simple_edges(g: GraphTables) -> rd.Dataset:
@@ -42,30 +60,79 @@ def _undirected_simple_edges(g: GraphTables) -> rd.Dataset:
         return pa.table({"u": np.minimum(s, d), "v": np.maximum(s, d)})
 
     e = g.edges.map_batches(canon, batch_format="pyarrow")
-    return e.groupby(["u", "v"]).count().select_columns(["u", "v"])
+    from neo4j_graph_algorithms_ray.util import distinct_pairs
+    return distinct_pairs(e, "u", "v")
 
 
-def _degree_array(und: rd.Dataset, n: int) -> np.ndarray:
-    """Undirected degree per vid, as a driver-side numpy vector.
+@ray.remote
+def _build_oriented(n: int, *blocks: pa.Table):
+    """Dedup + degree-orient the edge set and build the CSR inside a
+    worker (the driver only ever holds the object ref). Returns
+    (offsets, targets, sorted oriented edge keys, degree vector)."""
+    us, vs = [], []
+    for tbl in blocks:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        us.append(np.minimum(s[keep], d[keep]).astype(np.int64))
+        vs.append(np.maximum(s[keep], d[keep]).astype(np.int64))
+    u = np.concatenate(us) if us else np.empty(0, np.int64)
+    v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+    key = np.unique(u * np.int64(n) + v)
+    u, v = key // n, key % n
+    deg = np.bincount(u, minlength=n) + np.bincount(v, minlength=n)
+    u_first = (deg[u] < deg[v]) | ((deg[u] == deg[v]) & (u < v))
+    so = np.where(u_first, u, v)
+    to = np.where(u_first, v, u)
+    # CSR sorted by (src, rank(target)) so generated wedge pairs are
+    # rank-oriented and can be probed as oriented edge keys
+    order = np.lexsort((to, deg[to], so))
+    so, to = so[order], to[order]
+    offsets = np.searchsorted(so, np.arange(n + 1))
+    okeys = np.sort(so * np.int64(n) + to)
+    return offsets, to, okeys, deg
 
-    Scale note: fine to ~1e8 vertices (8n bytes); beyond that the
-    orientation step should switch to a degree-table Dataset.join —
-    same pipeline, one extra shuffle."""
-    deg = np.zeros(n, dtype=np.int64)
-    for col in ("u", "v"):
-        cnt = und.groupby(col).count()
-        for b in cnt.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-            deg[b.column(col).to_numpy(zero_copy_only=False)] += \
-                b.column("count()").to_numpy(zero_copy_only=False)
-    return deg
+
+def _iter_wedges(srcs_all: np.ndarray, starts_all: np.ndarray, nbr: np.ndarray,
+                 triu_cache: dict):
+    """Yield (src_of_wedge, t1, t2) arrays for all rank-oriented wedges:
+    vertex i's neighbors are ``nbr[starts_all[i]:starts_all[i+1]]``
+    (rank-sorted). Batched per distinct degree class within wedge-budget
+    chunks — no per-vertex Python loop."""
+    k_all = np.diff(starts_all).astype(np.int64)
+    offs_all = starts_all[:-1].astype(np.int64)
+    sel = k_all >= 2
+    srcs_all, k_all, offs_all = srcs_all[sel], k_all[sel], offs_all[sel]
+    if not len(srcs_all):
+        return
+    w = k_all * (k_all - 1) // 2
+    cum = np.cumsum(w)
+    cuts = np.searchsorted(cum, np.arange(WEDGE_BATCH, cum[-1], WEDGE_BATCH),
+                           side="left")
+    starts = np.concatenate([[0], cuts + 1, [len(srcs_all)]])
+    starts = np.unique(starts)
+    for a, b in zip(starts[:-1], starts[1:]):
+        srcs, k, offs = srcs_all[a:b], k_all[a:b], offs_all[a:b]
+        for kk in np.unique(k):
+            m = k == kk
+            rows, ro = srcs[m], offs[m]
+            ij = triu_cache.get(int(kk))
+            if ij is None:
+                ij = np.triu_indices(int(kk), 1)
+                triu_cache[int(kk)] = ij
+            # (len(rows), kk) neighbor matrix → all C(kk,2) pairs per row
+            nbmat = nbr[ro[:, None] + np.arange(int(kk))[None, :]]
+            t1 = nbmat[:, ij[0]].ravel()
+            t2 = nbmat[:, ij[1]].ravel()
+            src_rep = np.repeat(rows, len(ij[0]))
+            yield src_rep, t1, t2
 
 
-# Below this edge count the canonical edge set is deduped driver-side
-# and the oriented CSR + sorted edge-key array are broadcast via
-# ray.put (same regime as graph.BROADCAST_VERTEX_LIMIT); wedge
-# generation/closure stays distributed across source-range tasks.
-# Above it, the join-based all-shuffle path runs.
-FAST_PATH_EDGE_LIMIT = 100_000_000
+def _probe(okeys: np.ndarray, t1: np.ndarray, t2: np.ndarray, n: int) -> np.ndarray:
+    keys = t1 * np.int64(n) + t2
+    pos = np.searchsorted(okeys, keys)
+    pos[pos >= len(okeys)] = 0
+    return okeys[pos] == keys
 
 
 def triangle_count(
@@ -79,7 +146,7 @@ def triangle_count(
     stats dict with triangleCount / averageClusteringCoefficient,
     triples Dataset (a, b, c) — empty unless ``emit_triples`` on the
     broadcast path; always populated on the join path)."""
-    if g.num_edges <= FAST_PATH_EDGE_LIMIT:
+    if g.num_edges <= _fast_path_limit():
         return _triangle_count_broadcast(g, num_partitions=num_partitions,
                                          keep_vid=keep_vid,
                                          emit_triples=emit_triples)
@@ -91,32 +158,12 @@ def _triangle_count_broadcast(g: GraphTables, *, num_partitions, keep_vid,
                               emit_triples):
     """Degree-oriented wedge closure against a broadcast sorted edge-key
     array: the reference's sorted-adjacency intersection
-    (TriangleCountExp3.java:129-187) with the membership probe
-    vectorized as one searchsorted per wedge batch."""
+    (TriangleCountExp3.java:129-187) with the membership probe batched
+    over whole degree classes per searchsorted call."""
     p = max(2, default_partitions(g, num_partitions))
-    cols = g.edges.select_columns(["src", "dst"])
-    tbl = pa.concat_tables(cols.iter_batches(batch_format="pyarrow",
-                                             batch_size=1 << 22))
     n = g.num_vertices
-    s = tbl.column("src").to_numpy(zero_copy_only=False)
-    d = tbl.column("dst").to_numpy(zero_copy_only=False)
-    keep = s != d
-    u = np.minimum(s[keep], d[keep]).astype(np.int64)
-    v = np.maximum(s[keep], d[keep]).astype(np.int64)
-    key = np.unique(u * np.int64(n) + v)
-    u, v = key // n, key % n
-    m = len(key)
-    deg = np.bincount(u, minlength=n) + np.bincount(v, minlength=n)
-    u_first = (deg[u] < deg[v]) | ((deg[u] == deg[v]) & (u < v))
-    so = np.where(u_first, u, v)
-    to = np.where(u_first, v, u)
-    # CSR sorted by (src, rank(target)) so generated wedge pairs are
-    # rank-oriented and can be probed as oriented edge keys
-    order = np.lexsort((to, deg[to], so))
-    so, to = so[order], to[order]
-    offsets = np.searchsorted(so, np.arange(n + 1))
-    okeys = np.sort(so * np.int64(n) + to)
-    ref = ray.put((offsets, to, okeys, deg))
+    blocks = g.edges.select_columns(["src", "dst"]).materialize().to_arrow_refs()
+    ref = _build_oriented.remote(n, *blocks)
 
     bounds = np.linspace(0, n, p + 1).astype(np.int64)
     ranges = rd.from_arrow(pa.table({"lo": bounds[:-1], "hi": bounds[1:]})) \
@@ -132,26 +179,15 @@ def _triangle_count_broadcast(g: GraphTables, *, num_partitions, keep_vid,
             total = 0
             for lo, hi in zip(batch.column("lo").to_pylist(),
                               batch.column("hi").to_pylist()):
-                for src in range(lo, hi):
-                    a, b = self.offsets[src], self.offsets[src + 1]
-                    k = b - a
-                    if k < 2:
-                        continue
-                    nb = self.nbr[a:b]
-                    ij = self._triu.get(k)
-                    if ij is None:
-                        ij = np.triu_indices(k, 1)
-                        self._triu[k] = ij
-                    t1, t2 = nb[ij[0]], nb[ij[1]]
-                    keys = t1 * np.int64(n) + t2
-                    pos = np.searchsorted(self.okeys, keys)
-                    pos[pos >= len(self.okeys)] = 0
-                    hit = self.okeys[pos] == keys
+                srcs = np.arange(lo, hi, dtype=np.int64)
+                for src_rep, t1, t2 in _iter_wedges(srcs, self.offsets[lo:hi + 1],
+                                                    self.nbr, self._triu):
+                    hit = _probe(self.okeys, t1, t2, n)
                     nhit = int(hit.sum())
                     if not nhit:
                         continue
                     total += nhit
-                    counts[src] += nhit
+                    np.add.at(counts, src_rep[hit], 1)
                     np.add.at(counts, t1[hit], 1)
                     np.add.at(counts, t2[hit], 1)
             nz = np.nonzero(counts)[0]
@@ -172,6 +208,7 @@ def _triangle_count_broadcast(g: GraphTables, *, num_partitions, keep_vid,
                   b.column("cnt").to_numpy(zero_copy_only=False))
         n_triangles += int(b.column("total").to_numpy(zero_copy_only=False).sum())
 
+    deg = ray.get(ref)[3]
     with np.errstate(divide="ignore", invalid="ignore"):
         coeff = np.where(deg > 1, 2.0 * counts / (deg * (deg - 1.0)), 0.0)
     out = rd.from_arrow(pa.table({
@@ -189,7 +226,7 @@ def _triangle_count_broadcast(g: GraphTables, *, num_partitions, keep_vid,
 
 
 def _triples_broadcast(ref, n: int, p: int) -> rd.Dataset:
-    """(a,b,c) rank-oriented triangle triples via the same broadcast
+    """(a,b,c) rank-oriented triangle triples via the same batched
     closure (separate pass so the counting path stays lean)."""
     bounds = np.linspace(0, n, p + 1).astype(np.int64)
     ranges = rd.from_arrow(pa.table({"lo": bounds[:-1], "hi": bounds[1:]})) \
@@ -204,23 +241,12 @@ def _triples_broadcast(ref, n: int, p: int) -> rd.Dataset:
             tri_a, tri_b, tri_c = [], [], []
             for lo, hi in zip(batch.column("lo").to_pylist(),
                               batch.column("hi").to_pylist()):
-                for src in range(lo, hi):
-                    a, b = self.offsets[src], self.offsets[src + 1]
-                    k = b - a
-                    if k < 2:
-                        continue
-                    nb = self.nbr[a:b]
-                    ij = self._triu.get(k)
-                    if ij is None:
-                        ij = np.triu_indices(k, 1)
-                        self._triu[k] = ij
-                    t1, t2 = nb[ij[0]], nb[ij[1]]
-                    keys = t1 * np.int64(n) + t2
-                    pos = np.searchsorted(self.okeys, keys)
-                    pos[pos >= len(self.okeys)] = 0
-                    hit = self.okeys[pos] == keys
+                srcs = np.arange(lo, hi, dtype=np.int64)
+                for src_rep, t1, t2 in _iter_wedges(srcs, self.offsets[lo:hi + 1],
+                                                    self.nbr, self._triu):
+                    hit = _probe(self.okeys, t1, t2, n)
                     if hit.any():
-                        tri_a.append(np.full(int(hit.sum()), src, np.int64))
+                        tri_a.append(src_rep[hit])
                         tri_b.append(t1[hit])
                         tri_c.append(t2[hit])
             if not tri_a:
@@ -235,85 +261,201 @@ def _triples_broadcast(ref, n: int, p: int) -> rd.Dataset:
                               batch_size=1, concurrency=(1, p))
 
 
+def _degree_dataset(und: rd.Dataset) -> rd.Dataset:
+    """(vid, deg) over the canonical undirected edge set — a Dataset,
+    never a driver array."""
+    def explode(batch: pa.Table) -> pa.Table:
+        arr = np.concatenate([batch.column(c).to_numpy(zero_copy_only=False)
+                              for c in ("u", "v")])
+        return pa.table({"vid": arr, "one": np.ones(len(arr), np.int64)})
+
+    return preagg_sum(und.map_batches(explode, batch_format="pyarrow"),
+                      ["vid"], "one").rename_columns({"one": "deg"})
+
+
+@ray.remote
+def _orient_split(tbl: pa.Table, P: int, *deg_blocks: pa.Table):
+    """Canonicalize + degree-orient one edge block and split it by
+    ``s % P``. Degrees arrive as (vid, deg) blocks (the degree Dataset's
+    object refs — node-shared in plasma, never on the driver)."""
+    vlist = [db.column("vid").to_numpy(zero_copy_only=False) for db in deg_blocks]
+    dlist = [db.column("deg").to_numpy(zero_copy_only=False) for db in deg_blocks]
+    dv = np.concatenate(vlist) if vlist else np.empty(0, np.int64)
+    dd = np.concatenate(dlist) if dlist else np.empty(0, np.int64)
+    order = np.argsort(dv)
+    dv_sorted, dd_sorted = dv[order], dd[order]
+
+    def deg_of(x: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(dv_sorted, x)
+        return dd_sorted[pos]
+
+    u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    du_, dv_ = deg_of(u), deg_of(v)
+    u_first = (du_ < dv_) | ((du_ == dv_) & (u < v))
+    s = np.where(u_first, u, v)
+    t = np.where(u_first, v, u)
+    dt = np.where(u_first, dv_, du_)
+    b = s % P
+    order = np.argsort(b, kind="stable")
+    s, t, dt, b = s[order], t[order], dt[order], b[order]
+    cuts = np.searchsorted(b, np.arange(P + 1))
+    return tuple(pa.table({"s": s[cuts[j]:cuts[j + 1]],
+                           "t": t[cuts[j]:cuts[j + 1]],
+                           "dt": dt[cuts[j]:cuts[j + 1]]})
+                 for j in range(P))
+
+
+@ray.remote
+def _build_partition(n: int, *slices: pa.Table):
+    """Assemble one src-hash partition: compact rank-sorted CSR for
+    wedge generation + the partition's sorted oriented edge keys for
+    the closure probe. Returns (srcs, starts, nbr, okeys)."""
+    if slices:
+        s = np.concatenate([x.column("s").to_numpy(zero_copy_only=False)
+                            for x in slices]).astype(np.int64)
+        t = np.concatenate([x.column("t").to_numpy(zero_copy_only=False)
+                            for x in slices]).astype(np.int64)
+        dt = np.concatenate([x.column("dt").to_numpy(zero_copy_only=False)
+                             for x in slices]).astype(np.int64)
+    else:
+        s = t = dt = np.empty(0, np.int64)
+    order = np.lexsort((t, dt, s))  # per-src neighbors rank-sorted
+    s, t = s[order], t[order]
+    srcs, starts = np.unique(s, return_index=True)
+    starts = np.append(starts, len(s)).astype(np.int64)
+    okeys = np.sort(s * np.int64(n) + t)
+    return srcs, starts, t, okeys
+
+
+@ray.remote(num_returns=3)
+def _close_partition(part, n: int, okey_refs: list):
+    """Generate this partition's wedges and probe them against the
+    src-hash-bucketed edge-key arrays. A wedge (t1, t2) probes bucket
+    ``t1 % P`` — wedges never shuffle; only the needed bucket key
+    arrays are fetched from the object store (lazily, via refs in a
+    plain list; plasma-shares them per node). Returns three refs:
+    (per-vid counts table, triangle total, triples table)."""
+    srcs, starts, nbr, _ = part
+    P = len(okey_refs)
+    total = 0
+    tri_a, tri_b, tri_c = [], [], []
+    triu: dict[int, tuple] = {}
+    partial_v, partial_c = [], []
+    bucket_cache: dict[int, np.ndarray] = {}
+    for src_rep, t1, t2 in _iter_wedges(srcs, starts, nbr, triu):
+        hit = np.zeros(len(t1), dtype=bool)
+        buck = t1 % P
+        for jb in np.unique(buck):
+            ok = bucket_cache.get(int(jb))
+            if ok is None:
+                ok = ray.get(okey_refs[int(jb)])[3]
+                bucket_cache[int(jb)] = ok
+            m = buck == jb
+            if len(ok):
+                hit[m] = _probe(ok, t1[m], t2[m], n)
+        nhit = int(hit.sum())
+        if not nhit:
+            continue
+        total += nhit
+        hv = np.concatenate([src_rep[hit], t1[hit], t2[hit]])
+        uv, uc = np.unique(hv, return_counts=True)
+        partial_v.append(uv)
+        partial_c.append(uc)
+        tri_a.append(src_rep[hit])
+        tri_b.append(t1[hit])
+        tri_c.append(t2[hit])
+    if partial_v:
+        allv = np.concatenate(partial_v)
+        allc = np.concatenate(partial_c)
+        uv, inv = np.unique(allv, return_inverse=True)
+        uc = np.bincount(inv, weights=allc).astype(np.int64)
+    else:
+        uv = np.empty(0, np.int64)
+        uc = np.empty(0, np.int64)
+    cnt_tbl = pa.table({"vid": uv, "triangles": uc})
+    tri_tbl = (pa.table({"a": np.concatenate(tri_a),
+                         "b": np.concatenate(tri_b),
+                         "c": np.concatenate(tri_c)}) if tri_a else
+               pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())}))
+    return cnt_tbl, total, tri_tbl
+
+
 def _triangle_count_join(
     g: GraphTables,
     *,
     num_partitions: Optional[int] = None,
     keep_vid: bool = False,
 ):
-    """All-shuffle wedge-join path (no broadcast assumption)."""
+    """Scale path without any broadcast-to-driver assumption: degrees,
+    orientation and the closure-key buckets are built by Ray tasks from
+    Dataset block refs; edges exchange once by ``s % P``; wedges are
+    generated AND closed inside the partition tasks (they never hit a
+    shuffle — at copart-sf0.1 density the wedge table is 60× the edge
+    table). Partitioning assumption: one src-hash partition's edges +
+    one closure bucket fit in a worker's heap; the okey buckets live in
+    the object store and are plasma-shared per node
+    (reference test parity: tests/.../impl/TriangleCountTest.java:50-135)."""
     p = max(2, default_partitions(g, num_partitions))
-    und = _undirected_simple_edges(g)
-    deg = _degree_array(und, g.num_vertices)
-    deg_ref = ray.put(deg)
+    n = g.num_vertices
+    und = _undirected_simple_edges(g).materialize()
+    deg_ds = _degree_dataset(und).materialize()
+    deg_refs = deg_ds.to_arrow_refs()
 
-    # orient by (degree, vid) rank: lower endpoint keeps the edge
-    def orient(batch: pa.Table) -> pa.Table:
-        dg = ray.get(deg_ref)
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        u_first = (dg[u] < dg[v]) | ((dg[u] == dg[v]) & (u < v))
-        return pa.table({"s": np.where(u_first, u, v), "t": np.where(u_first, v, u)})
+    # exchange: orient + split each block by s % p (tasks, not a shuffle
+    # through the driver)
+    splits = [_orient_split.options(num_returns=p).remote(blk, p, *deg_refs)
+              for blk in und.to_arrow_refs()]
+    if splits and p == 1:
+        splits = [[s] for s in splits]
+    part_refs = [_build_partition.remote(n, *[sp[j] for sp in splits])
+                 for j in range(p)]
 
-    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+    cnt_refs, total_refs, tri_refs = [], [], []
+    for j in range(p):
+        c, tot, tr = _close_partition.remote(part_refs[j], n, part_refs)
+        cnt_refs.append(c)
+        total_refs.append(tot)
+        tri_refs.append(tr)
+    # only the scalar totals come to the driver; count/triple tables
+    # stay in the object store as Dataset blocks
+    n_triangles = int(sum(ray.get(total_refs)))
+    per = preagg_sum(rd.from_arrow_refs(cnt_refs), ["vid"], "triangles")
+    tri = rd.from_arrow_refs(tri_refs).materialize()
 
-    # wedges via SELF-JOIN on the shared lower-rank vertex (faster than
-    # per-group python: one hash shuffle, vectorized filter). Keep the
-    # (t_l, t_r) pair once, oriented by rank.
-    wj = safe_join(oriented, oriented, "inner", p, on=("s",), right_on=("s",),
-                   left_suffix="_l", right_suffix="_r")
+    # coefficient is 0 wherever the triangle count is 0, so degree is
+    # only needed on the (small) triangle-bearing set: one inner join
+    # there, then a single densifying left join over all vertices
+    pj = safe_join(to_arrow_blocks(per), deg_ds.rename_columns({"vid": "dvid"}),
+                   "inner", p, on=("vid",), right_on=("dvid",))
 
-    def mkwedge(batch: pa.Table) -> pa.Table:
-        dg = ray.get(deg_ref)
-        t1 = batch.column("t_l").to_numpy(zero_copy_only=False)
-        t2 = batch.column("t_r").to_numpy(zero_copy_only=False)
-        keep = (dg[t1] < dg[t2]) | ((dg[t1] == dg[t2]) & (t1 < t2))
-        s = batch.column("s").to_numpy(zero_copy_only=False)
-        return pa.table({"ws": t1[keep], "wt": t2[keep], "center": s[keep]})
+    def coeff_of(batch: pa.Table) -> pa.Table:
+        tn = batch.column("triangles").to_numpy(zero_copy_only=False).astype(np.float64)
+        dn = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coeff = np.where(dn > 1, 2.0 * tn / (dn * (dn - 1.0)), 0.0)
+        return pa.table({"vid": batch["vid"], "triangles": batch["triangles"],
+                         "coefficient": pa.array(coeff)})
 
-    w = wj.map_batches(mkwedge, batch_format="pyarrow").materialize()
+    pj = pj.map_batches(coeff_of, batch_format="pyarrow")
+    verts = g.vertices.select_columns(["vid"])
+    dense = safe_join(verts, pj, "left_outer", p, on=("vid",), right_on=("vid",))
 
-    # close the wedge: (ws, wt) must be an oriented edge. Orientation is
-    # consistent (rank order), so a plain equi-join finds each triangle
-    # exactly once.
-    if w.count() == 0 or oriented.count() == 0:
-        tri = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
-                                      "b": pa.array([], pa.int64()),
-                                      "c": pa.array([], pa.int64())}))
-    else:
-        tri = safe_join(w, oriented, "inner", p, on=("ws", "wt"),
-                        right_on=("s", "t"))
-        tri = tri.select_columns(["center", "ws", "wt"]) \
-                 .rename_columns({"center": "a", "ws": "b", "wt": "c"})
-    tri = tri.materialize()
-    n_triangles = tri.count()
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = pc.coalesce(batch["triangles"], pa.scalar(0, pa.int64()))
+        c = pc.coalesce(batch["coefficient"], pa.scalar(0.0, pa.float64()))
+        return pa.table({"vid": batch["vid"], "triangles": t, "coefficient": c})
 
-    # per-node counts: every triangle credits its three corners
-    def explode(batch: pa.Table) -> pa.Table:
-        arr = np.concatenate([batch.column(c).to_numpy(zero_copy_only=False)
-                              for c in ("a", "b", "c")])
-        return pa.table({"vid": arr})
-
-    if n_triangles:
-        per = tri.map_batches(explode, batch_format="pyarrow") \
-                 .groupby("vid").count().rename_columns({"count()": "triangles"})
-        counts = np.zeros(g.num_vertices, dtype=np.int64)
-        for b in per.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-            counts[b.column("vid").to_numpy(zero_copy_only=False)] = \
-                b.column("triangles").to_numpy(zero_copy_only=False)
-    else:
-        counts = np.zeros(g.num_vertices, dtype=np.int64)
-
-    with np.errstate(divide="ignore", invalid="ignore"):
-        coeff = np.where(deg > 1, 2.0 * counts / (deg * (deg - 1.0)), 0.0)
-    out = rd.from_arrow(pa.table({
-        "vid": np.arange(g.num_vertices, dtype=np.int64),
-        "triangles": counts, "coefficient": coeff,
-    }))
-    out = attach_node_ids(g, out, keep_vid=keep_vid)
+    per_node = dense.map_batches(finish, batch_format="pyarrow").materialize()
+    coeff_sum = per_node.sum("coefficient") or 0.0
+    out = attach_node_ids(g, per_node, keep_vid=keep_vid)
+    nv = g.num_vertices
     stats = {"triangleCount": int(n_triangles),
-             "averageClusteringCoefficient": float(coeff.mean()) if g.num_vertices else 0.0,
-             "nodeCount": g.num_vertices}
+             "averageClusteringCoefficient": float(coeff_sum) / nv if nv else 0.0,
+             "nodeCount": nv}
     return out, stats, tri
 
 
@@ -322,10 +464,5 @@ def triangle_stream(g: GraphTables, *, num_partitions: Optional[int] = None) -> 
     (algo.triangle.stream parity, TriangleStream.java)."""
     _, _, tri = triangle_count(g, num_partitions=num_partitions,
                                emit_triples=True)
-    ref = ray.put(g.vid_to_node_map())
-
-    def translate(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        return pa.table({c: m.take(batch[c]) for c in ("a", "b", "c")})
-
-    return tri.map_batches(translate, batch_format="pyarrow")
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    return translate_vid_columns(g, tri, ["a", "b", "c"])

@@ -40,3 +40,31 @@ def test_triangle_stream_triples():
     triples = {tuple(sorted((r["a"], r["b"], r["c"])))
                for r in triangle_stream(g).take_all()}
     assert triples == {("a", "b", "c"), ("d", "e", "f"), ("g", "h", "i")}
+
+
+def test_triangle_join_path_matches_broadcast(monkeypatch):
+    """Force the all-shuffle join path (FAST_PATH_EDGE_LIMIT=0) and
+    assert identical per-node counts / coefficients / stats vs the
+    broadcast path — no driver arrays anywhere on the join path."""
+    g = build_graph(rd.from_arrow(fx.triangle_ring_table(60)), undirected=True,
+                    name="ring60_joinpath")
+    per_b, stats_b, _ = triangle_count(g)
+    monkeypatch.setenv("NGA_TRIANGLE_FAST_PATH_EDGE_LIMIT", "0")
+    per_j, stats_j, tri_j = triangle_count(g)
+    assert stats_j["triangleCount"] == stats_b["triangleCount"] == 60
+    assert stats_j["averageClusteringCoefficient"] == pytest.approx(
+        stats_b["averageClusteringCoefficient"], abs=1e-12)
+    rows_b = {r["node"]: (r["triangles"], r["coefficient"])
+              for r in per_b.take_all()}
+    rows_j = {r["node"]: (r["triangles"], r["coefficient"])
+              for r in per_j.take_all()}
+    assert rows_b == rows_j
+    assert tri_j.count() == 60  # join path always materializes triples
+
+
+def test_triangle_stream_join_path(monkeypatch):
+    monkeypatch.setenv("NGA_TRIANGLE_FAST_PATH_EDGE_LIMIT", "0")
+    g = build_graph(rd.from_arrow(fx.edge_table(fx.F5_EDGES)), name="tri3s_join")
+    triples = {tuple(sorted((r["a"], r["b"], r["c"])))
+               for r in triangle_stream(g).take_all()}
+    assert triples == {("a", "b", "c"), ("d", "e", "f"), ("g", "h", "i")}
