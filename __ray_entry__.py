@@ -469,16 +469,22 @@ def oracle_sql() -> dict[str, str]:
         "wcc_threshold": o.wcc_threshold_sql(30, 3),
         "hop_distances": o.hop_distances_sql(10),
         "all_pairs_weighted": o.all_pairs_weighted_sql(15, 4),
-        # documents / embeddings pipelines (oracles_docs.py). minhash /
-        # simhash / LSH-ANN are deliberately rows-only: their hash-sketch
-        # semantics are not SQL-expressible; they are verified in pytest
-        # against brute-force implementations instead.
+        # scc: exact SQL oracle via a recursive reachability closure
+        # (mutual-reach max-id components — feasible at sf0.01 scale).
+        "scc": o.SCC_SQL,
+        # documents / embeddings pipelines (oracles_docs.py). Every hash
+        # sketch is md5-anchored, so minhash/simhash have bit-exact SQL
+        # mirrors. ann_lsh stays rows-only: its buckets come from seeded
+        # Gaussian projection planes (not SQL-expressible); pytest checks
+        # its recall against brute force instead.
         "exact_dedup": od.EXACT_DEDUP_SQL,
         "token_count": od.TOKEN_COUNT_SQL,
         "quality_score": od.QUALITY_SQL,
         "langid": od.langid_sql(),
         "fingerprint": od.FINGERPRINT_SQL,
-        "ngram_jaccard_pairs": od.NGRAM_JACCARD_SQL,
+        "ngram_jaccard_pairs": od.ngram_jaccard_sql(),
+        "minhash_lsh_pairs": od.minhash_sql(),
+        "simhash_pairs": od.simhash_sql(),
         "embedding_neardup": od.EMB_NEARDUP_SQL,
         "ann_cosine_topk": od.ANN_TOPK_SQL,
         "media_pipeline": od.MEDIA_SQL,

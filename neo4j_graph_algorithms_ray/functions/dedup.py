@@ -5,8 +5,15 @@ Shapes (ray_guide "Aggregation at scale"): per-batch vectorized
 signature computation inside map_batches (sketch state compiled once
 per actor), explode to (bucket, doc) rows, bucket groupby (the shuffle),
 verify candidates exactly, and resolve duplicate *clusters* with the
-engine's own WCC kernel when needed. Hash functions are pinned to
-md5-based integers so the DuckDB oracles can replicate them bit-for-bit.
+engine's own WCC kernel when needed.
+
+Hash pinning: every sketch is md5-anchored so the DuckDB oracles can
+replicate it bit-for-bit — one md5 per shingle/token, then pure
+integer arithmetic (affine permutations mod 2^61-1 for MinHash,
+per-bit majority for SimHash). The only remaining per-string Python
+is the md5 call itself, amortized over an actor-local cache of unique
+strings; tokenize/shingle/band/verify stages are Arrow/numpy
+vectorized.
 """
 
 from __future__ import annotations
@@ -17,11 +24,28 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from neo4j_graph_algorithms_ray.util import safe_join, to_arrow_blocks
 
 _TOK = re.compile(r"\S+")
+
+# MinHash permutation space: p = 2^61 - 1 (Mersenne prime). Affine
+# perms sig_j = min((A_j·h + C_j) mod p) with A_j = 2j+1 ≤ 15 so A·h
+# stays inside uint64 for h < 2^60 (h = first 15 md5 hex digits).
+MINHASH_MOD = (1 << 61) - 1
+_MAX_PERMS = 8
+
+
+def minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    if num_perm > _MAX_PERMS:
+        raise ValueError(f"num_perm > {_MAX_PERMS} would overflow the "
+                         "uint64 affine step (A_j capped at 15)")
+    a = (2 * np.arange(num_perm, dtype=np.uint64) + 1)
+    c = np.array([int(hashlib.md5(f"minhash:{j}".encode()).hexdigest()[:15], 16)
+                  for j in range(num_perm)], dtype=np.uint64)
+    return a, c
 
 
 def _ensure_pair_schema(ds: rd.Dataset, cols: dict[str, "pa.DataType"]) -> rd.Dataset:
@@ -36,9 +60,24 @@ def _ensure_pair_schema(ds: rd.Dataset, cols: dict[str, "pa.DataType"]) -> rd.Da
 
 def _md5_int(s: str) -> int:
     """First 60 bits of md5 — fits int64, matches the SQL expression
-    CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)... computed as
-    int(md5[:15], 16)."""
+    CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _md5_u64(strings: np.ndarray, hexdigits: int) -> tuple[np.ndarray, np.ndarray]:
+    """md5-derived uint64 per DISTINCT string (+ inverse indices):
+    np.unique first (tokens/shingles repeat), then one md5 per distinct
+    string decoded straight from the digest bytes (no hex parse).
+    ``int.from_bytes(digest[:8]) >> 4`` == int(hexdigest[:15], 16);
+    without the shift it's int(hexdigest[:16], 16)."""
+    inv, uniq = pd.factorize(strings)  # hash-based, ~14x np.unique here
+    md5 = hashlib.md5
+    fb = int.from_bytes
+    shift = (16 - hexdigits) * 4
+    vals = np.fromiter(
+        (fb(md5(s.encode("utf-8")).digest()[:8], "big") >> shift for s in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return vals, inv
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
@@ -46,6 +85,75 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _token_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tokenize: lowered whitespace tokens of every doc →
+    (doc_index_per_token, token object array), duplicates preserved.
+    Matches ``[t.lower() for t in \\S+.findall(text)]``."""
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts)
+    t = pc.utf8_trim_whitespace(pc.utf8_lower(arr.cast(pa.string())))
+    t = pc.fill_null(t, "")
+    parts = pc.utf8_split_whitespace(t)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = np.asarray(parts.flatten(), dtype=object)
+    counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    # empty doc → [''] from split; drop the empty token
+    keep = flat != ""
+    return doc_idx[keep], flat[keep]
+
+
+def _shingle_arrays(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-k-shingles: (doc_index_per_shingle, shingle obj
+    array), duplicates preserved — semantics of ``word_shingles``
+    (short docs yield their single joined-token shingle)."""
+    doc_idx, toks = _token_arrays(texts)
+    ndocs = (int(doc_idx.max()) + 1) if len(doc_idx) else 0
+    cnt = np.bincount(doc_idx, minlength=ndocs) if ndocs else np.zeros(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+    out_doc, out_sh = [], []
+    # full-length shingles for docs with >= k tokens, fully vectorized
+    full = np.nonzero(cnt >= k)[0]
+    if len(full):
+        m = cnt[full] - k + 1
+        # flat indices of each shingle's first token
+        base = np.repeat(starts[full], m) + _seg_arange(m)
+        sh = toks[base]
+        for off in range(1, k):
+            sh = sh + " "
+            sh = sh + toks[base + off]
+        out_doc.append(np.repeat(full, m))
+        out_sh.append(sh)
+    # short docs (< k tokens, > 0): one joined shingle each
+    short = np.nonzero((cnt > 0) & (cnt < k))[0]
+    for d in short:
+        out_doc.append(np.array([d], dtype=np.int64))
+        out_sh.append(np.array([" ".join(toks[starts[d]:starts[d + 1]])],
+                               dtype=object))
+    if not out_doc:
+        return np.empty(0, np.int64), np.empty(0, object)
+    return np.concatenate(out_doc), np.concatenate(out_sh)
+
+
+def _seg_arange(lengths: np.ndarray) -> np.ndarray:
+    """Concatenated [0..l) ranges per segment, no Python loop."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    out = np.ones(total, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    out[starts] = 0
+    out[starts[1:]] -= lengths[:-1] - 1
+    np.cumsum(out, out=out)
+    return out
+
+
+def _dedupe_doc_strings(doc_idx: np.ndarray, strings: np.ndarray):
+    """Distinct (doc, string) pairs via one pandas drop_duplicates."""
+    df = pd.DataFrame({"d": doc_idx, "s": strings}).drop_duplicates()
+    return df["d"].to_numpy(), df["s"].to_numpy()
 
 
 # ---------------- exact dedup ----------------
@@ -56,14 +164,13 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     hash-partition by content then per-group first — the canonical
     exact-dedup shuffle. Content hashed to md5 before the groupby so the
     shuffle key is 32 bytes, not the document."""
-    def h(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            id_col: batch[id_col],
-            "h": batch[text_col].map(
-                lambda t: hashlib.md5((t or "").encode("utf-8")).hexdigest()),
-        })
+    def h(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch[text_col].cast(pa.string()), "")
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest()
+              for s in txt.to_pylist()]
+        return pa.table({id_col: batch[id_col], "h": pa.array(hs)})
 
-    hashed = docs.map_batches(h, batch_format="pandas")
+    hashed = docs.map_batches(h, batch_format="pyarrow")
     from ray.data.aggregate import Count, Min
     agg = hashed.groupby("h").aggregate(Min(id_col, alias_name=id_col),
                                         Count(alias_name="dup_count"))
@@ -73,24 +180,47 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
 # ---------------- MinHash + LSH ----------------
 
 class MinHashSignatures:
-    """(id, text) → (id, sig: fixed_size_list<int64>) word-shingle
-    minhash; ``num_perm`` permutations via md5(perm:shingle)."""
+    """(id, text) → (id, sig list<int64>) word-shingle minhash: one md5
+    per distinct shingle (actor-cached), then ``num_perm`` affine
+    permutations mod 2^61-1 minimized per doc in one numpy reduceat —
+    no per-row Python. SQL-replicable (oracles_docs.minhash_sql)."""
 
     def __init__(self, num_perm: int = 8, k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
         self.num_perm, self.k = num_perm, k
         self.id_col, self.text_col = id_col, text_col
+        self.a, self.c = minhash_params(num_perm)
+
+    def signature_matrix(self, texts) -> np.ndarray:
+        """(ndocs, num_perm) int64 signature matrix; docs without
+        shingles get all-zero rows."""
+        n = len(texts)
+        doc_idx, sh = _shingle_arrays(texts, self.k)
+        sig = np.zeros((n, self.num_perm), dtype=np.int64)
+        if not len(sh):
+            return sig
+        # one md5 per DISTINCT shingle; duplicate (doc, shingle) rows
+        # don't matter under min, so no dedupe pass is needed
+        hu, inv = _md5_u64(sh, hexdigits=15)  # uint64 < 2^60
+        # affine permutations over the distinct hashes only: (A_j·h)
+        # mod p then +C_j mod p (stays in uint64: A ≤ 15, h < 2^60)
+        perms_u = (self.a[None, :] * hu[:, None]) % np.uint64(MINHASH_MOD)
+        perms_u = (perms_u + self.c[None, :]) % np.uint64(MINHASH_MOD)
+        order = np.argsort(doc_idx, kind="stable")
+        # .take is ~20x faster than fancy indexing for 2D row gathers
+        perms = perms_u.take(inv[order], axis=0)
+        uniq, starts = np.unique(doc_idx[order], return_index=True)
+        mins = np.minimum.reduceat(perms, starts, axis=0)
+        sig[uniq] = mins.astype(np.int64)
+        return sig
 
     def signature(self, text: str) -> list[int]:
-        sh = set(word_shingles(text, self.k))
-        if not sh:
-            return [0] * self.num_perm
-        return [min(_md5_int(f"{j}:{s}") for s in sh) for j in range(self.num_perm)]
+        return self.signature_matrix([text])[0].tolist()
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = batch[self.text_col].map(self.signature)
+        sig = self.signature_matrix(batch[self.text_col].to_numpy())
         out = pd.DataFrame({self.id_col: batch[self.id_col]})
-        out["sig"] = sigs
+        out["sig"] = list(sig)
         return out
 
 
@@ -101,34 +231,30 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
     Jaccard ≥ threshold → (a, b, jaccard) with a < b.
 
     shingle→minhash→band→bucket groupby; pairs generated per bucket;
-    verification joins the shingle sets back by re-computing them from
-    the broadcast doc payloads of candidate ids only (candidates are
-    sparse)."""
+    verification recomputes exact shingle sets for candidate ids only
+    (candidates are sparse). Every stage vectorized; bucket keys are
+    the band's signature values joined as a string (exact, collision-
+    free, and what the SQL oracle reproduces)."""
     rows_per_band = num_perm // bands
     sig_stage = MinHashSignatures(num_perm, k, id_col, text_col)
 
     def to_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_band, out_key = [], [], []
-        for _, row in sig_stage(batch).iterrows():
-            sig = row["sig"]
-            for b in range(bands):
-                chunk = tuple(sig[b * rows_per_band:(b + 1) * rows_per_band])
-                out_id.append(row[id_col])
-                out_band.append(b)
-                out_key.append(hash(chunk) & 0x7FFFFFFFFFFFFFFF)
-        return pd.DataFrame({id_col: out_id, "band": out_band, "bkey": out_key})
+        sig = sig_stage.signature_matrix(batch[text_col].to_numpy())
+        ids = batch[id_col].to_numpy()
+        out_id = np.repeat(ids, bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int64), len(ids))
+        cols = []
+        for b in range(bands):
+            key = sig[:, b * rows_per_band].astype(str).astype(object)
+            for r in range(1, rows_per_band):
+                key = key + ":"
+                key = key + sig[:, b * rows_per_band + r].astype(str).astype(object)
+            cols.append(key)
+        bkey = np.stack(cols, axis=1).reshape(-1)
+        return pd.DataFrame({id_col: out_id, "band": out_band, "bkey": bkey})
 
     buckets = docs.map_batches(to_buckets, batch_format="pandas")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
-
-    cand = to_arrow_blocks(buckets.groupby(["band", "bkey"]).map_groups(pairs, batch_format="pandas"))
-    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    cand = _bucketed_pairs(buckets, ["band", "bkey"], id_col)
 
     # exact verify: candidates are sparse → pull candidate ids' texts via join
     texts = docs.select_columns([id_col, text_col])
@@ -138,12 +264,10 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
     cb = cb.rename_columns({text_col: "text_b"})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        ja = []
-        for _, r in batch.iterrows():
-            sa, sb = set(word_shingles(r["text_a"], k)), set(word_shingles(r["text_b"], k))
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            ja.append(inter / union if union else 0.0)
+        na, nb, inter = _pairwise_shingle_overlap(
+            batch["text_a"].to_numpy(), batch["text_b"].to_numpy(), k)
+        union = na + nb - inter
+        ja = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         out = pd.DataFrame({"a": batch["a"], "b": batch["b"], "jaccard": ja})
         return out[out["jaccard"] >= threshold]
 
@@ -156,37 +280,138 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
                                      "jaccard": pa.float64()})
 
 
+def _segmented_pairs(ids_sorted: np.ndarray, seg_starts: np.ndarray,
+                     group_cap: int | None = None):
+    """All within-segment (a<b) pairs of a segment-sorted id array,
+    batched per distinct segment size (the _iter_wedges trick) — no
+    per-group Python. Segments larger than ``group_cap`` are skipped."""
+    lens = np.diff(np.append(seg_starts, len(ids_sorted)))
+    keep = lens >= 2
+    if group_cap is not None:
+        keep &= lens <= group_cap
+    starts, lens = seg_starts[keep], lens[keep]
+    a_out, b_out = [], []
+    triu: dict[int, tuple] = {}
+    for L in np.unique(lens):
+        rows = starts[lens == L]
+        ij = triu.setdefault(int(L), np.triu_indices(int(L), 1))
+        mat = ids_sorted[rows[:, None] + np.arange(int(L))[None, :]]
+        a_out.append(mat[:, ij[0]].ravel())
+        b_out.append(mat[:, ij[1]].ravel())
+    if not a_out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
+def _bucketed_pairs(ds: rd.Dataset, key_cols: list[str], id_col: str, *,
+                    nbuckets: int = 128, group_cap: int | None = None) -> rd.Dataset:
+    """Distinct candidate pairs (a, b) of ids sharing a key: keys hash
+    (deterministically, pd.util.hash_array — NOT the per-process-salted
+    builtin) into ``nbuckets`` groups so ONE vectorized map_groups call
+    handles thousands of keys instead of one Python call per key."""
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            k = k + "\x1f" + batch[c].astype(str)
+        out = pd.DataFrame({"k": k.to_numpy(), id_col: batch[id_col]})
+        out["bucket"] = (pd.util.hash_array(out["k"].to_numpy(dtype=object))
+                         % nbuckets).astype(np.int64)
+        return out
+
+    keyed = ds.map_batches(add_bucket, batch_format="pandas")
+
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["k", id_col]).sort_values(["k", id_col])
+        k = g["k"].to_numpy()
+        d = g[id_col].to_numpy(dtype=np.int64)
+        if not len(k):
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        newseg = np.empty(len(k), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = k[1:] != k[:-1]
+        a, b = _segmented_pairs(d, np.nonzero(newseg)[0], group_cap)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    pairs = to_arrow_blocks(keyed.groupby("bucket").map_groups(gen, batch_format="pandas"))
+    from neo4j_graph_algorithms_ray.util import predistinct
+    return predistinct(pairs, ["a", "b"])
+
+
+def _pairwise_shingle_overlap(texts_a: np.ndarray, texts_b: np.ndarray,
+                              k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row (|A|, |B|, |A∩B|) of the two texts' shingle sets —
+    vectorized via one pandas merge over all rows at once."""
+    n = len(texts_a)
+    da, sa = _dedupe_doc_strings(*_shingle_arrays(texts_a, k))
+    db, sb = _dedupe_doc_strings(*_shingle_arrays(texts_b, k))
+    na = np.bincount(da, minlength=n).astype(np.float64)
+    nb = np.bincount(db, minlength=n).astype(np.float64)
+    fa = pd.DataFrame({"r": da, "s": sa})
+    fb = pd.DataFrame({"r": db, "s": sb})
+    m = fa.merge(fb, on=["r", "s"])
+    inter = np.bincount(m["r"].to_numpy(), minlength=n).astype(np.float64)
+    return na, nb, inter
+
+
 # ---------------- n-gram Jaccard (all-pairs, shuffle formulation) ----------------
 
-def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
-                        id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Exact all-pairs word-k-gram Jaccard ≥ threshold → (a, b, jaccard).
+# Shingles seen in more documents than this are dropped before pair
+# generation (both here and in the SQL oracle): a stopword-like shingle
+# at corpus scale makes the per-shingle pair explosion O(df²).
+NGRAM_DF_CAP = 10_000
 
-    Inverted-index formulation: explode (shingle, doc) rows, groupby
-    shingle → per-shingle doc pairs (hub shingles truncated never — the
-    group sizes here are document-frequency bounded; at web scale add a
-    DF cap), then groupby pair → intersection size, then jaccard from
-    per-doc shingle counts."""
+
+def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
+                        df_cap: int = NGRAM_DF_CAP,
+                        id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """All-pairs word-k-gram Jaccard ≥ threshold → (a, b, jaccard).
+
+    Inverted-index formulation: explode (shingle, doc) rows (vectorized
+    Arrow shingling), drop shingles with document frequency > ``df_cap``
+    (the hub guard — exact for every pair whose shared shingles are all
+    under the cap; pairs held together ONLY by ultra-common shingles are
+    intentionally not emitted), groupby shingle → per-shingle doc pairs,
+    groupby pair → intersection size, jaccard from per-doc shingle
+    counts."""
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, shs = [], []
-        for _, r in batch.iterrows():
-            for s in set(word_shingles(r[text_col], k)):
-                ids.append(r[id_col])
-                shs.append(s)
-        return pd.DataFrame({id_col: ids, "sh": shs})
+        di, sh = _dedupe_doc_strings(*_shingle_arrays(batch[text_col].to_numpy(), k))
+        ids = batch[id_col].to_numpy()
+        return pd.DataFrame({id_col: ids[di], "sh": sh})
 
     sh = to_arrow_blocks(docs.map_batches(explode, batch_format="pandas")).materialize()
     counts = sh.groupby(id_col).count().rename_columns({"count()": "n_sh"})
 
-    def pairgen(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+    # per-shingle doc pairs (capped), then intersection sizes — unlike
+    # the LSH candidates these pairs keep their multiplicity (one row
+    # per shared shingle), so count per pair = |A ∩ B|
+    def pair_explode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", id_col])
+        k = g["k"].to_numpy()
+        d = g[id_col].to_numpy(dtype=np.int64)
+        if not len(k):
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        newseg = np.empty(len(k), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = k[1:] != k[:-1]
+        a, b = _segmented_pairs(d, np.nonzero(newseg)[0], df_cap)
+        return pd.DataFrame({"a": a, "b": b})
 
-    inter = to_arrow_blocks(sh.groupby("sh").map_groups(pairgen, batch_format="pandas")) \
-              .groupby(["a", "b"]).count().rename_columns({"count()": "inter"})
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"k": batch["sh"].to_numpy(), id_col: batch[id_col]})
+        out["bucket"] = (pd.util.hash_array(out["k"].to_numpy(dtype=object))
+                         % 128).astype(np.int64)
+        return out
+
+    keyed = sh.map_batches(add_bucket, batch_format="pandas")
+    pairs = to_arrow_blocks(keyed.groupby("bucket")
+                            .map_groups(pair_explode, batch_format="pandas"))
+    from neo4j_graph_algorithms_ray.util import preagg_sum as _psum
+    inter = _psum(pairs.map_batches(
+        lambda b: b.append_column("one", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow"), ["a", "b"], "one") \
+        .rename_columns({"one": "inter"})
     j1 = safe_join(inter, counts, "inner", 4, on=("a",), right_on=(id_col,))
     j1 = j1.rename_columns({"n_sh": "na"}).select_columns(["a", "b", "inter", "na"])
     j2 = safe_join(j1, counts, "inner", 4, on=("b",), right_on=(id_col,))
@@ -207,25 +432,43 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
 # ---------------- SimHash ----------------
 
 class SimHash:
-    """64-bit simhash over word hashes → (id, simhash:int64-as-uint)."""
+    """64-bit simhash over word hashes → (id, simhash:uint64): one md5
+    per distinct token (actor-cached), bit-majority accumulated with a
+    per-doc reduceat — no per-row Python. SQL-replicable."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
 
+    def simhash_all(self, texts) -> np.ndarray:
+        n = len(texts)
+        doc_idx, toks = _token_arrays(texts)  # duplicates preserved
+        out = np.zeros(n, dtype=np.uint64)
+        if not len(toks):
+            return out
+        hu, inv = _md5_u64(toks, hexdigits=16)  # md5 per DISTINCT token
+        # bit matrix of the distinct hashes only (unpackbits), as
+        # float32: ufunc.reduceat's float32 loop is SIMD-vectorized
+        # (~5x the integer loops) and counts ≤ 2^24 stay exact
+        bits_u = np.unpackbits(hu.view(np.uint8).reshape(-1, 8), axis=1,
+                               bitorder="little").astype(np.float32)
+        order = np.argsort(doc_idx, kind="stable")
+        uniq, starts = np.unique(doc_idx[order], return_index=True)
+        ones = np.add.reduceat(bits_u.take(inv[order], axis=0), starts, axis=0)
+        ntok = np.diff(np.append(starts, len(doc_idx))).astype(np.float32)
+        acc = 2.0 * ones - ntok[:, None]
+        sh = ((acc > 0).astype(np.uint64)
+              << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        out[uniq] = sh
+        return out
+
     @staticmethod
     def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        toks = [t.lower() for t in _TOK.findall(text or "")]
-        for t in toks:
-            h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:16], 16))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return int(SimHash().simhash_all([text])[0])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             self.id_col: batch[self.id_col],
-            "simhash": batch[self.text_col].map(self.simhash).astype(np.uint64),
+            "simhash": self.simhash_all(batch[self.text_col].to_numpy()),
         })
 
 
@@ -247,16 +490,7 @@ def simhash_pairs(docs: rd.Dataset, *, max_hamming: int = 8,
         return pd.DataFrame({id_col: out_ids, "band": band, "bkey": key})
 
     buckets = sigs.map_batches(to_bands, batch_format="pandas")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
-
-    cand = to_arrow_blocks(buckets.groupby(["band", "bkey"]).map_groups(pairs, batch_format="pandas")) \
-                  .groupby(["a", "b"]).count().select_columns(["a", "b"])
+    cand = _bucketed_pairs(buckets, ["band", "bkey"], id_col)
     sa = safe_join(cand, sigs, "inner", 4, on=("a",), right_on=(id_col,))
     sa = sa.rename_columns({"simhash": "ha"}).select_columns(["a", "b", "ha"])
     sb = safe_join(sa, sigs, "inner", 4, on=("b",), right_on=(id_col,))
@@ -298,7 +532,6 @@ def embedding_neardup_pairs(emb: rd.Dataset, *, threshold: float = 0.95,
                              "cosine": round6(sims[i, j][sel])})
 
     if block_col is None:
-        import pyarrow as pa_
         one = emb.map_batches(
             lambda b: b.append_column("_blk", pa.array(np.zeros(b.num_rows, np.int64))),
             batch_format="pyarrow")

@@ -314,3 +314,20 @@ def sssp_sql(iters: int = 15) -> str:
   ) u GROUP BY v)""")
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT v AS node, round(d, 6) AS distance FROM e{iters} ORDER BY v")
+
+
+SCC_SQL = f"""WITH RECURSIVE {TRADE_EDGES},
+{TRADE_NODES},
+reach(s, d) AS (
+  SELECT src, dst FROM tedges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN tedges e ON e.src = r.d
+),
+mutual AS (
+  SELECT r1.s AS v, r1.d AS w
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+)
+SELECT n.node AS node,
+       greatest(n.node, coalesce(max(m.w), n.node)) AS component
+FROM tnodes n LEFT JOIN mutual m ON m.v = n.node
+GROUP BY n.node ORDER BY node"""

@@ -62,7 +62,7 @@ FINGERPRINT_SQL = r"""SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY doc_id"""
 
-NGRAM_JACCARD_SQL = r"""WITH toks AS MATERIALIZED (
+SHINGLE_CTES = r"""toks3 AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
   FROM documents WHERE trim(text) <> ''),
 sh AS MATERIALIZED (
@@ -70,15 +70,116 @@ sh AS MATERIALIZED (
     unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
       i -> CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
                 ELSE tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s
-  FROM toks),
-counts AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  FROM toks3),
+counts AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def ngram_jaccard_sql(df_cap: int = 10_000, threshold: float = 0.5) -> str:
+    """Mirrors functions/dedup.ngram_jaccard_pairs incl. the DF cap:
+    shingles in more than ``df_cap`` documents generate no pairs (the
+    per-doc shingle counts stay uncapped on both sides)."""
+    return f"""WITH {SHINGLE_CTES},
+shc AS MATERIALIZED (
+  SELECT sh.doc_id, sh.s FROM sh
+  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {df_cap}) hot USING (s)),
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT a, b, round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
 FROM inter JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
-WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= {threshold}
+ORDER BY a, b"""
+
+
+NGRAM_JACCARD_SQL = ngram_jaccard_sql()
+
+
+def minhash_sql(num_perm: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    """Bit-exact mirror of functions/dedup.minhash_lsh_pairs: base hash
+    = first 15 md5 hex digits of each distinct shingle; permutation j =
+    ((2j+1)·h mod p + C_j) mod p with p = 2^61-1 and C_j =
+    md5('minhash:j')[:15]; band key = ':'-joined signature rows;
+    candidates share a (band, key); verified by exact shingle Jaccard."""
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        MINHASH_MOD, minhash_params)
+    a_arr, c_arr = minhash_params(num_perm)
+    r = num_perm // bands
+    sig_cols = ",\n    ".join(
+        f"min(CAST(((CAST({int(a_arr[j])} AS HUGEINT) * h) % {MINHASH_MOD}"
+        f" + {int(c_arr[j])}) % {MINHASH_MOD} AS BIGINT)) AS s{j}"
+        for j in range(num_perm))
+    band_keys = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" || ':' || ".join(f"CAST(s{b * r + i} AS VARCHAR)"
+                                    for i in range(r)))
+        for b in range(bands))
+    return f"""WITH {SHINGLE_CTES},
+hb AS MATERIALIZED (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+    {sig_cols}
+  FROM hb GROUP BY doc_id),
+bk AS MATERIALIZED (
+  SELECT doc_id, band,
+    CASE band {band_keys} END AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+                     AND x.doc_id < y.doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.a
+              JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b)
+SELECT c.a AS a, c.b AS b,
+  round(CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS jaccard
+FROM cand c
+JOIN counts ca ON ca.doc_id = c.a JOIN counts cb ON cb.doc_id = c.b
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)), 6) >= {threshold}
+ORDER BY a, b"""
+
+
+def simhash_sql(max_hamming: int = 8) -> str:
+    """Bit-exact mirror of functions/dedup.simhash_pairs: token hash =
+    first 16 md5 hex digits (uint64); simhash bit b set iff the ±1
+    majority over all token occurrences of bit b is positive; 4×16-bit
+    band keys; pairs verified by bit_count(xor) ≤ max_hamming."""
+    return f"""WITH toksm AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+th AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS HUGEINT) AS h
+  FROM toksm),
+bits AS MATERIALIZED (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b GROUP BY doc_id, b.b),
+sim0 AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN acc > 0
+             THEN (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)) ELSE 0 END) AS UBIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+allsh AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS UBIGINT)) AS simhash
+  FROM documents d LEFT JOIN sim0 s USING (doc_id)),
+bk AS (
+  SELECT doc_id, band,
+    CAST((CAST(simhash AS HUGEINT) >> CAST(16 * band AS INTEGER)) & 65535 AS BIGINT) AS bkey
+  FROM allsh CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+                     AND x.doc_id < y.doc_id)
+SELECT c.a AS a, c.b AS b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c JOIN allsh sa ON sa.doc_id = c.a JOIN allsh sb ON sb.doc_id = c.b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
 ORDER BY a, b"""
 
 EMB_NEARDUP_SQL = """WITH e AS MATERIALIZED (
