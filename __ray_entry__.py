@@ -248,12 +248,14 @@ def _q_betweenness_sampled(sf_dir: str):
 
 def _docs(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def _emb(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _q_exact_dedup(sf_dir: str):

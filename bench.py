@@ -92,8 +92,9 @@ def headline(num_cpus: int) -> dict:
     pdir = synthetic_pages_path(n_pages)  # cached; generation not timed
 
     def extract_all():
-        pages = _rd.read_parquet(pdir, columns=["url", "html"],
-                                 file_extensions=["parquet"])
+        from neo4j_graph_algorithms_ray.util import read_parquet_clean
+        pages = read_parquet_clean(pdir, columns=["url", "html"],
+                                   file_extensions=["parquet"])
         edges = pages.map_batches(ExtractLinks, batch_format="pyarrow",
                                   batch_size=2048, concurrency=(1, num_cpus))
         return edges.count()

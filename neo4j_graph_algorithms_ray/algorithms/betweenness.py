@@ -32,6 +32,8 @@ def betweenness(
     *,
     sources: Optional[Sequence] = None,
     sample: Optional[int] = None,
+    strategy: str = "random",
+    max_depth: Optional[int] = None,
     seed: int = 42,
     concurrency: int = 4,
     batch_size: int = 16,
@@ -39,8 +41,12 @@ def betweenness(
 ) -> IterativeResult:
     """Brandes betweenness over the directed graph as built → (node,
     centrality). ``sources=None`` = exact (every node a source);
-    ``sample=k`` = RABrandes-style random source subset, scores scaled
-    by n/k (deterministic seed)."""
+    ``sample=k`` = RABrandes-style source subset, scores scaled by n/k
+    (deterministic seed). ``strategy``: "random" = uniform
+    (RandomSelectionStrategy); "degree" = degree-proportional inclusion
+    (RandomDegreeSelectionStrategy.java:56-60 — p ∝ out-degree).
+    ``max_depth`` bounds each source's BFS depth
+    (MaxDepthBetweennessCentrality.java parity)."""
     from neo4j_graph_algorithms_ray.algorithms.sssp import _driver_adjacency, _to_vid
     offsets, dsts, _ = _driver_adjacency(g, weighted=False)
     n = g.num_vertices
@@ -49,7 +55,16 @@ def betweenness(
         scale = 1.0
     elif sample is not None:
         rng = np.random.default_rng(seed)
-        src_vids = rng.choice(n, size=min(sample, n), replace=False).astype(np.int64)
+        k = min(sample, n)
+        if strategy == "degree":
+            deg = np.diff(offsets).astype(np.float64)
+            k = min(k, int((deg > 0).sum()))
+            p = deg / deg.sum() if deg.sum() > 0 else None
+            src_vids = rng.choice(n, size=k, replace=False, p=p).astype(np.int64)
+        elif strategy == "random":
+            src_vids = rng.choice(n, size=k, replace=False).astype(np.int64)
+        else:
+            raise ValueError(f"strategy must be random/degree, got {strategy!r}")
         scale = n / len(src_vids)
     else:
         src_vids = np.arange(n, dtype=np.int64)
@@ -73,6 +88,8 @@ def betweenness(
             level_edges = []
             d = 0
             while len(frontier):
+                if max_depth is not None and d >= max_depth:
+                    break
                 counts = off[frontier + 1] - off[frontier]
                 nz = counts > 0
                 frontier, counts = frontier[nz], counts[nz]
@@ -110,21 +127,28 @@ def betweenness(
     # autoscaling (1, N) — see sssp.all_shortest_paths_weighted
     parts = sources_ds.map_batches(BrandesTask, batch_format="pyarrow",
                                    batch_size=batch_size,
-                                   concurrency=(1, concurrency))
-    summed = parts.groupby("vid").sum("part").rename_columns({"sum(part)": "centrality"})
+                                   concurrency=(1, concurrency)).materialize()
+    if parts.count() == 0:
+        # all dependencies zero (e.g. max_depth=1): empty blocks crash
+        # the groupby/join shuffles — emit the all-zero result directly
+        ds = rd.from_arrow(pa.table({
+            "vid": pa.array(np.arange(n, dtype=np.int64)),
+            "centrality": pa.array(np.zeros(n))}))
+    else:
+        summed = parts.groupby("vid").sum("part") \
+            .rename_columns({"sum(part)": "centrality"})
+        # densify: every node gets a row (0.0 when never on a shortest path)
+        all_vids = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+        from neo4j_graph_algorithms_ray.util import safe_join, to_arrow_blocks
+        dense = safe_join(all_vids, to_arrow_blocks(summed), "left_outer",
+                          max(4, concurrency), on=("vid",), right_on=("vid",))
 
-    # densify: every node gets a row (0.0 when never on a shortest path)
-    all_vids = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
-    from neo4j_graph_algorithms_ray.util import safe_join, to_arrow_blocks
-    dense = safe_join(all_vids, to_arrow_blocks(summed), "left_outer",
-                      max(4, concurrency), on=("vid",), right_on=("vid",))
+        def finish(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            c = pc.multiply(pc.coalesce(b["centrality"], pa.scalar(0.0)), scale)
+            return pa.table({"vid": b["vid"], "centrality": c})
 
-    def finish(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        c = pc.multiply(pc.coalesce(b["centrality"], pa.scalar(0.0)), scale)
-        return pa.table({"vid": b["vid"], "centrality": c})
-
-    ds = dense.map_batches(finish, batch_format="pyarrow")
+        ds = dense.map_batches(finish, batch_format="pyarrow")
     ds = attach_node_ids(g, ds, out_col=node_col)
     elapsed = time.perf_counter() - t0
     return IterativeResult(dataset=ds, iterations=len(src_vids), converged=True,

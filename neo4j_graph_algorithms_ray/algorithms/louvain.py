@@ -52,17 +52,26 @@ def louvain(
     max_iterations: int = 10,
     num_partitions: Optional[int] = None,
     node_col: str = "node",
+    weighted: Optional[bool] = None,
 ) -> IterativeResult:
+    """``weighted=None`` follows the graph (WeightedLouvain dispatch
+    parity: the reference picks algo/.../impl/louvain/WeightedLouvain.java
+    when a weight property is configured, LouvainProc.java): edge weight
+    replaces the unit edge count in l_vc, node degree becomes strength
+    (Σ incident weight), and 2m is the total symmetric weight."""
+    if weighted is None:
+        weighted = g.weighted
     if g.num_vertices <= LOUVAIN_BROADCAST_LIMIT \
             and g.num_edges <= LOUVAIN_BROADCAST_LIMIT:
         return _louvain_broadcast(g, max_iterations=max_iterations,
-                                  node_col=node_col)
+                                  node_col=node_col, weighted=weighted)
     return _louvain_shuffle(g, max_iterations=max_iterations,
-                            num_partitions=num_partitions, node_col=node_col)
+                            num_partitions=num_partitions, node_col=node_col,
+                            weighted=weighted)
 
 
 def _louvain_broadcast(g: GraphTables, *, max_iterations: int,
-                       node_col: str) -> IterativeResult:
+                       node_col: str, weighted: bool = False) -> IterativeResult:
     """Broadcast-label sweeps: per sweep one map_batches over the edge
     table computes (src, dcomm, lw) partials against the ray.put label
     vector; sTot / gains / argmax are vectorized on the driver."""
@@ -72,11 +81,16 @@ def _louvain_broadcast(g: GraphTables, *, max_iterations: int,
     from neo4j_graph_algorithms_ray.util import preagg_sum
 
     n = g.num_vertices
-    w2m = float(g.num_edges)
-    edges = g.edges.select_columns(["src", "dst"]).materialize()
-    deg_np = np.zeros(n, dtype=np.int64)
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = g.edges.select_columns(cols).materialize()
+    deg_np = np.zeros(n, dtype=np.float64)  # strength when weighted
+    w2m = 0.0
     for b in edges.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        np.add.at(deg_np, b.column("src").to_numpy(zero_copy_only=False), 1)
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        wv = (b.column("weight").to_numpy(zero_copy_only=False) if weighted
+              else np.ones(len(s)))
+        np.add.at(deg_np, s, wv)
+        w2m += float(wv.sum())
     labels_np = np.arange(n, dtype=np.int64)
 
     it, changed_total, converged = 0, 0, False
@@ -88,8 +102,11 @@ def _louvain_broadcast(g: GraphTables, *, max_iterations: int,
         def nbr_comm(b: pa.Table, _ref=ref) -> pa.Table:
             lab = ray.get(_ref)
             d = b.column("dst").to_numpy(zero_copy_only=False)
+            lw = (b.column("weight").to_numpy(zero_copy_only=False)
+                  .astype(np.float64) if weighted
+                  else np.ones(b.num_rows, np.float64))
             return pa.table({"src": b["src"], "dcomm": pa.array(lab[d]),
-                             "lw": pa.array(np.ones(b.num_rows, np.int64))})
+                             "lw": pa.array(lw)})
 
         lvc = preagg_sum(edges.map_batches(nbr_comm, batch_format="pyarrow"),
                          ["src", "dcomm"], "lw")
@@ -141,7 +158,9 @@ def _louvain_broadcast(g: GraphTables, *, max_iterations: int,
         lab = ray.get(_ref)
         s = b.column("src").to_numpy(zero_copy_only=False)
         d = b.column("dst").to_numpy(zero_copy_only=False)
-        return pa.table({"w": pa.array([int((lab[s] == lab[d]).sum())])})
+        wv = (b.column("weight").to_numpy(zero_copy_only=False) if weighted
+              else np.ones(len(s)))
+        return pa.table({"w": pa.array([float(wv[lab[s] == lab[d]].sum())])})
 
     w_in = edges.map_batches(intra, batch_format="pyarrow").sum("w") or 0
     stot_full = np.bincount(labels_np, weights=deg_np, minlength=n)
@@ -164,17 +183,23 @@ def _louvain_shuffle(
     max_iterations: int = 10,
     num_partitions: Optional[int] = None,
     node_col: str = "node",
+    weighted: bool = False,
 ) -> IterativeResult:
     import pyarrow as pa
 
     p = num_partitions or 8
-    w2m = float(g.num_edges)  # symmetric row count = 2m (unweighted)
-
-    edges = g.edges.select_columns(["src", "dst"]).materialize()
-    # degrees via groupby (no shard engine needed here); left join keeps
-    # isolated vertices at degree 0
-    degc = edges.groupby("src").count() \
-        .rename_columns({"src": "vid", "count()": "dcnt"})
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = g.edges.select_columns(cols).materialize()
+    # 2m = total symmetric weight (row count when unweighted)
+    w2m = float(edges.sum("weight")) if weighted else float(g.num_edges)
+    # degrees/strengths via groupby (no shard engine needed here); left
+    # join keeps isolated vertices at degree 0
+    if weighted:
+        degc = edges.groupby("src").sum("weight") \
+            .rename_columns({"src": "vid", "sum(weight)": "dcnt"})
+    else:
+        degc = edges.groupby("src").count() \
+            .rename_columns({"src": "vid", "count()": "dcnt"})
     verts = g.vertices.select_columns(["vid"]).materialize()
     joined = safe_join(verts, to_arrow_blocks(degc), "left_outer", p,
                        on=("vid",), right_on=("vid",))
@@ -182,7 +207,8 @@ def _louvain_shuffle(
     def fill0(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         return pa.table({"vid": b["vid"],
-                         "degree": pc.coalesce(b["dcnt"], pa.scalar(0, pa.int64()))})
+                         "degree": pc.coalesce(b["dcnt"].cast(pa.float64()),
+                                               pa.scalar(0.0, pa.float64()))})
 
     deg = joined.map_batches(fill0, batch_format="pyarrow").materialize()
 
@@ -202,15 +228,21 @@ def _louvain_shuffle(
             .select_columns(["dvid", "dcomm"])
         nbr = safe_join(edges, lab_dst, "inner", p, on=("dst",), right_on=("dvid",))
         from neo4j_graph_algorithms_ray.util import preagg_sum
-        lvc = preagg_sum(nbr.map_batches(
-            lambda b: pa.table({"src": b["src"], "dcomm": b["dcomm"],
-                                "lw": pa.array([1] * b.num_rows, pa.int64())}),
-            batch_format="pyarrow"), ["src", "dcomm"], "lw")
+
+        def mk_lvc(b: pa.Table) -> pa.Table:
+            lw = (b.column("weight").to_numpy(zero_copy_only=False)
+                  .astype(np.float64) if weighted
+                  else np.ones(b.num_rows, np.float64))
+            return pa.table({"src": b["src"], "dcomm": b["dcomm"],
+                             "lw": pa.array(lw)})
+
+        lvc = preagg_sum(nbr.map_batches(mk_lvc, batch_format="pyarrow"),
+                         ["src", "dcomm"], "lw")
         # inject a zero-weight "stay" candidate for every node's own
         # community so the stay gain always has a correct sTot
         stay = labels.map_batches(
             lambda b: pa.table({"src": b["vid"], "dcomm": b["comm"],
-                                "lw": pa.array([0] * b.num_rows, pa.int64())}),
+                                "lw": pa.array([0.0] * b.num_rows, pa.float64())}),
             batch_format="pyarrow")
         # stay rows have lw=0, real rows ≥1 → sum == max here (a pair
         # appears at most once in each branch)
@@ -257,7 +289,7 @@ def _louvain_shuffle(
             k_by_src = k[own_rows][oo]
             return pd.DataFrame({"vid": b_src,
                                  "comm": np.where(move, b_comm, o_own),
-                                 "degree": k_by_src.astype(np.int64),
+                                 "degree": k_by_src.astype(np.float64),
                                  "moved": move.astype(np.int64)})
 
         cand = cand.materialize()
@@ -267,7 +299,8 @@ def _louvain_shuffle(
             full = pd.concat([b for b in cand.iter_batches(
                 batch_format="pandas", batch_size=1 << 20)], ignore_index=True)
             picked = rd.from_arrow(pa.Table.from_pandas(
-                pick(full), preserve_index=False)).materialize()
+                pick(full), preserve_index=False)
+                .replace_schema_metadata(None)).materialize()
         else:
             picked = cand.map_batches(add_bucket, batch_format="pyarrow") \
                 .groupby("bucket").map_groups(pick, batch_format="pandas")
@@ -282,7 +315,7 @@ def _louvain_shuffle(
             break
     elapsed = time.perf_counter() - t0
 
-    modularity = _modularity(edges, labels, w2m, p)
+    modularity = _modularity(edges, labels, w2m, p, weighted=weighted)
     ds = labels.select_columns(["vid", "comm"]).rename_columns({"comm": "community"})
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
     ds = translate_vid_columns(g, ds, ["community"])
@@ -294,7 +327,7 @@ def _louvain_shuffle(
 
 
 def _modularity(edges: rd.Dataset, labels: rd.Dataset,
-                w2m: float, p: int) -> float:
+                w2m: float, p: int, *, weighted: bool = False) -> float:
     """labels: (vid, comm, degree)."""
     import pyarrow as pa
 
@@ -306,10 +339,11 @@ def _modularity(edges: rd.Dataset, labels: rd.Dataset,
     j = safe_join(j, ld, "inner", p, on=("dst",), right_on=("dvid",))
 
     def intra(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        same = pc.equal(b["scomm"], b["dcomm"])
-        return pa.table({"w": pa.array(
-            [int(pc.sum(pc.cast(same, pa.int64())).as_py() or 0)], pa.int64())})
+        same = (b.column("scomm").to_numpy(zero_copy_only=False)
+                == b.column("dcomm").to_numpy(zero_copy_only=False))
+        wv = (b.column("weight").to_numpy(zero_copy_only=False) if weighted
+              else np.ones(b.num_rows))
+        return pa.table({"w": pa.array([float(wv[same].sum())])})
 
     w_in = j.map_batches(intra, batch_format="pyarrow").sum("w") or 0
     stot = labels.groupby("comm").sum("degree") \

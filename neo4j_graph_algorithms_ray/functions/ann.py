@@ -57,7 +57,8 @@ def brute_force_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray
                              "vec_id": np.concatenate(out_v),
                              "cosine": np.concatenate(out_s)})
 
-    partials = emb.map_batches(partial, batch_format="pandas")
+    from neo4j_graph_algorithms_ray.util import to_arrow_blocks
+    partials = to_arrow_blocks(emb.map_batches(partial, batch_format="pandas"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -118,7 +119,8 @@ def lsh_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                              "vec_id": np.concatenate(out_v),
                              "cosine": np.concatenate(out_s)})
 
-    partials = emb.map_batches(partial, batch_format="pandas")
+    from neo4j_graph_algorithms_ray.util import to_arrow_blocks
+    partials = to_arrow_blocks(emb.map_batches(partial, batch_format="pandas"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)

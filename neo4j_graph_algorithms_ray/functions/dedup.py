@@ -318,7 +318,7 @@ def _bucketed_pairs(ds: rd.Dataset, key_cols: list[str], id_col: str, *,
                          % nbuckets).astype(np.int64)
         return out
 
-    keyed = ds.map_batches(add_bucket, batch_format="pandas")
+    keyed = to_arrow_blocks(ds.map_batches(add_bucket, batch_format="pandas"))
 
     def gen(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["k", id_col]).sort_values(["k", id_col])
@@ -404,7 +404,7 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
                          % 128).astype(np.int64)
         return out
 
-    keyed = sh.map_batches(add_bucket, batch_format="pandas")
+    keyed = to_arrow_blocks(sh.map_batches(add_bucket, batch_format="pandas"))
     pairs = to_arrow_blocks(keyed.groupby("bucket")
                             .map_groups(pair_explode, batch_format="pandas"))
     from neo4j_graph_algorithms_ray.util import preagg_sum as _psum
@@ -478,7 +478,8 @@ def simhash_pairs(docs: rd.Dataset, *, max_hamming: int = 8,
     Banded: 4 16-bit bands; a pair within distance ≤ max_hamming<16
     shares at least one exact band (pigeonhole holds for ≤3 flips per
     64/16 bands; for larger budgets recall is approximate — documented)."""
-    sigs = docs.map_batches(SimHash(id_col, text_col), batch_format="pandas").materialize()
+    sigs = to_arrow_blocks(docs.map_batches(SimHash(id_col, text_col),
+                                        batch_format="pandas")).materialize()
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy(dtype=np.uint64)

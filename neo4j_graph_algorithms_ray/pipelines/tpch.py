@@ -32,7 +32,8 @@ NATION_OFF = 2_000_000
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def purchase_edge_ds(sf_dir: str) -> rd.Dataset:

@@ -87,8 +87,9 @@ def compose_page(d: int, text: str, n: int) -> tuple[str, str]:
 
 def generate_pages(sf_dir: str, out_dir: str) -> str:
     """documents.parquet → pages parquet (Ray Data pipeline, streamed)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang"])
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
     n = docs.count()
 
     def compose(batch: pa.Table) -> pa.Table:
@@ -170,5 +171,6 @@ def pages_path(sf_dir: str) -> str:
 
 def read_pages(sf_dir: str, columns=None) -> rd.Dataset:
     """The pages Dataset (input-hint schema), column-pruned at the read."""
-    return rd.read_parquet(pages_path(sf_dir), columns=columns,
-                           file_extensions=["parquet"])
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    return read_parquet_clean(pages_path(sf_dir), columns=columns,
+                              file_extensions=["parquet"])

@@ -51,8 +51,12 @@ def to_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Normalize block format to Arrow. Datasets produced by
     pandas-format map_groups carry pandas blocks, on which downstream
     Project ops (rename_columns / select_columns) fail in Ray 2.49 —
-    route them through an identity pyarrow map_batches."""
-    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+    route them through an identity pyarrow map_batches. Also strips
+    schema metadata: pandas→arrow conversions attach a metadata dict
+    that makes pa.Schema unhashable, spamming "Failed to hash the
+    schemas (for deduplication)" from every downstream hash shuffle."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
 
 
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
@@ -178,3 +182,12 @@ def table_from_arrays(**cols) -> pa.Table:
 
 def ds_from_pandas(df) -> rd.Dataset:
     return rd.from_pandas(df)
+
+
+def read_parquet_clean(path, **kw) -> rd.Dataset:
+    """read_parquet with schema metadata stripped: pandas-written
+    parquet carries a b'pandas' schema-metadata dict that makes
+    pa.Schema unhashable and spams "Failed to hash the schemas" from
+    every downstream hash shuffle. The strip map fuses with the read."""
+    return rd.read_parquet(path, **kw).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")

@@ -153,3 +153,51 @@ def test_msbfs_accumulation_is_explicit(f5_graph):
     msbfs_hop_counts(g)
     after = eng.fetch_state("farness")
     assert np.array_equal(before, after)
+
+
+def test_betweenness_degree_biased_sampling(f5_graph):
+    """RandomDegreeSelectionStrategy parity: degree-proportional source
+    inclusion — sampled sources must all have out-degree > 0, and the
+    exact (unsampled) path must be unchanged by the new options."""
+    import ray.data as rd_
+    import pyarrow as pa_
+    from neo4j_graph_algorithms_ray import build_graph
+    # star: hub 0 → 1..9 plus a 2-path so betweenness is nonzero
+    edges = [(0, i) for i in range(1, 10)] + [(i, i + 10) for i in range(1, 10)]
+    tbl = pa_.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    g = build_graph(rd_.from_arrow(tbl), name="bc_degree")
+    res = betweenness(g, sample=5, strategy="degree", seed=1)
+    assert res.stats["sources"] == 5
+    # exact path unchanged by the new kwargs' defaults
+    nodes, edges5, g5 = f5_graph
+    exact1 = {r["node"]: r["centrality"] for r in betweenness(g5).dataset.take_all()}
+    exact2 = {r["node"]: r["centrality"]
+              for r in betweenness(g5, strategy="random").dataset.take_all()}
+    assert exact1 == exact2
+
+
+def test_betweenness_degree_bias_prefers_hubs():
+    """With k = number of positive-degree nodes, the degree-biased
+    sample is exactly the positive-out-degree node set (zero-degree
+    nodes are unsamplable under p ∝ degree)."""
+    import ray.data as rd_
+    import pyarrow as pa_
+    from neo4j_graph_algorithms_ray import build_graph
+    edges = [(0, i) for i in range(1, 8)]
+    tbl = pa_.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    g = build_graph(rd_.from_arrow(tbl), name="bc_hubonly")
+    res = betweenness(g, sample=8, strategy="degree", seed=3)
+    assert res.stats["sources"] == 1  # only the hub has out-degree > 0
+
+
+def test_betweenness_max_depth(f5_graph):
+    """MaxDepthBetweennessCentrality parity: max_depth=1 sees only
+    direct edges, so no node can sit on an intermediate shortest path —
+    all dependencies are 0."""
+    nodes, edges, g = f5_graph
+    res = betweenness(g, max_depth=1)
+    got = {r["node"]: r["centrality"] for r in res.dataset.take_all()}
+    assert all(v == 0.0 for v in got.values())
+    # and max_depth=None reproduces nonzero centralities
+    full = {r["node"]: r["centrality"] for r in betweenness(g).dataset.take_all()}
+    assert any(v > 0 for v in full.values())

@@ -191,3 +191,60 @@ def test_msf_boruvka_matches_prim_random():
     got = msf_boruvka(g)
     assert got["weight_sum"] == pytest.approx(want)
     assert got["components"] == 1
+
+
+def _weighted_louvain_fixture():
+    """WeightedLouvainModularityTest.java fixture: two K4 cliques
+    {a,b,c,d} / {e,f,g,h} (unit weights), isolated z, and one heavy
+    bridge e-b with w=10."""
+    import pyarrow as pa
+    edges = [("a","b",1.),("a","c",1.),("a","d",1.),("c","d",1.),
+             ("b","c",1.),("b","d",1.),
+             ("e","f",1.),("e","g",1.),("e","h",1.),("f","h",1.),
+             ("f","g",1.),("g","h",1.),
+             ("e","b",10.)]
+    tbl = pa.table({"src": [e[0] for e in edges],
+                    "dst": [e[1] for e in edges],
+                    "weight": [e[2] for e in edges]})
+    extra = rd.from_arrow(pa.table({"node": ["z"]}))
+    return build_graph(rd.from_arrow(tbl), weight_col="weight",
+                       undirected=True, extra_vertices=extra,
+                       name="wlouvain_fx")
+
+
+def test_weighted_louvain_reference_fixture():
+    """WeightedLouvain parity (algo/.../impl/louvain/WeightedLouvain.java;
+    golden from tests/.../WeightedLouvainModularityTest.java:186 —
+    4 communities: the w=10 bridge pulls b and e out of their cliques)."""
+    g = _weighted_louvain_fixture()
+    res = louvain(g, max_iterations=20)
+    comm = {r["node"]: r["community"] for r in res.dataset.take_all()}
+    assert comm["b"] == comm["e"]                      # heavy pair sticks
+    assert len(set(comm.values())) == 4
+    assert comm["z"] not in {v for k, v in comm.items() if k != "z"}
+    # modularity must match the independent brute-force formula
+    edges = [("a","b",1.),("a","c",1.),("a","d",1.),("c","d",1.),
+             ("b","c",1.),("b","d",1.),("e","f",1.),("e","g",1.),
+             ("e","h",1.),("f","h",1.),("f","g",1.),("g","h",1.),("e","b",10.)]
+    m2 = 2 * sum(w for _,_,w in edges)
+    win = sum(2*w for a,b,w in edges if comm[a] == comm[b])
+    strength = {}
+    for a,b,w in edges:
+        strength[a] = strength.get(a,0)+w
+        strength[b] = strength.get(b,0)+w
+    stot = {}
+    for v,s in strength.items():
+        stot[comm[v]] = stot.get(comm[v],0)+s
+    q = win/m2 - sum((s/m2)**2 for s in stot.values())
+    assert res.stats["modularity"] == pytest.approx(q, abs=1e-12)
+
+
+def test_weighted_vs_unweighted_louvain_differ():
+    """Ignoring the weights (weighted=False) must keep the two K4
+    cliques intact (the unit bridge can't break them apart)."""
+    g = _weighted_louvain_fixture()
+    res = louvain(g, max_iterations=20, weighted=False)
+    comm = {r["node"]: r["community"] for r in res.dataset.take_all()}
+    assert comm["a"] == comm["b"] == comm["c"] == comm["d"]
+    assert comm["e"] == comm["f"] == comm["g"] == comm["h"]
+    assert len(set(comm.values())) == 3
