@@ -127,9 +127,21 @@ def scaling_workload(num_cpus: int) -> dict:
     from neo4j_graph_algorithms_ray.algorithms.common import get_engine
 
     t0 = time.perf_counter()
-    tbl = fx.scale_free_edges(SCALE_N,
-                              mean_deg=int(os.environ.get("NGA_SCALE_DEG", "64")),
-                              seed=42)
+    mean_deg = int(os.environ.get("NGA_SCALE_DEG", "64"))
+    # cache the generated table: gen costs minutes at 166M edges and the
+    # scaling comparison re-runs this workload at two CPU counts
+    cache = os.path.join(os.environ["NGA_GRAPH_ROOT"],
+                         f"scalefree_{SCALE_N}_{mean_deg}_42.parquet")
+    if os.path.exists(cache):
+        import pyarrow.parquet as _pq
+        tbl = _pq.read_table(cache)
+    else:
+        tbl = fx.scale_free_edges(SCALE_N, mean_deg=mean_deg, seed=42)
+        import pyarrow.parquet as _pq
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        _pq.write_table(tbl, tmp)
+        os.replace(tmp, cache)
     gen_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
     g = build_graph(rd.from_arrow(tbl).repartition(max(8, num_cpus)),

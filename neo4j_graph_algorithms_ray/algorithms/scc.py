@@ -63,9 +63,9 @@ def scc(
         # --- phase 2: backward color-restricted reachability from roots ---
         eng.copy_state("color", to_rev=True)
         eng.copy_state("active", to_rev=True)
-        eng.eval_state("in_bwd", "((active > 0) & (color == vid))",
-                       "int8", rev=True)
-        eng.eval_state("bwd_frontier", "in_bwd", "int8", rev=True)
+        eng.apply_state("in_bwd", "flag_and_eq", "active", "color", "vid",
+                        dtype="int8", rev=True)
+        eng.apply_state("bwd_frontier", "copy", "in_bwd", dtype="int8", rev=True)
         while True:
             stats = eng.step("bwd_color", "bwd_color_update",
                              actors=eng.rev_actors, update_actors=eng.rev_actors)
@@ -74,9 +74,10 @@ def scc(
                 break
         # --- phase 3: fix components, deactivate, loop ---
         eng.copy_state("in_bwd", to_rev=False)
-        eng.eval_state("component",
-                       "np.where(in_bwd > 0, color, component)", "int64")
-        eng.eval_state("active", "np.where(in_bwd > 0, 0, active)", "int8")
+        eng.apply_state("component", "where_pos", "in_bwd", "color", "component",
+                        dtype="int64")
+        eng.apply_state("active", "where_pos", "in_bwd", 0, "active",
+                        dtype="int8")
         remaining = int(eng.state_sum("active"))
     elapsed = time.perf_counter() - t0
     metrics = eng.drain_metrics()

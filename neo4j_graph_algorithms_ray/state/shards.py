@@ -148,14 +148,29 @@ class ShardActor:
     def state_sum(self, name: str) -> float:
         return float(self.state[name].sum())
 
-    def eval_state(self, out: str, expr: str, dtype=None):
-        """Elementwise derived state: evaluate a numpy expression over
-        the shard's state vectors (``vid`` = global dense ids of the
-        range). Driver-free per-shard transform for algorithm glue
+    def apply_state(self, out: str, op: str, *operands, dtype=None):
+        """Elementwise derived state via a TYPED op over the shard's
+        state vectors — no eval(). Operands are state names, the
+        literal "vid" (global dense ids of the range), or numeric
+        constants. Driver-free per-shard transform for algorithm glue
         (e.g. SCC root flags)."""
-        env = {"np": np, "vid": np.arange(self.lo, self.hi, dtype=np.int64)}
-        env.update(self.state)
-        res = np.asarray(eval(expr, {"__builtins__": {}}, env))  # noqa: S307
+        def val(x):
+            if isinstance(x, str):
+                if x == "vid":
+                    return np.arange(self.lo, self.hi, dtype=np.int64)
+                return self.state[x]
+            return x
+
+        if op == "copy":                  # out = a
+            res = np.array(val(operands[0]))
+        elif op == "where_pos":           # out = where(flag > 0, a, b)
+            f, a, b = operands
+            res = np.where(val(f) > 0, val(a), val(b))
+        elif op == "flag_and_eq":         # out = (flag > 0) & (a == b)
+            f, a, b = operands
+            res = (val(f) > 0) & (val(a) == val(b))
+        else:
+            raise ValueError(f"unknown apply_state op {op}")
         if res.shape == ():
             res = np.full(self.n_local, res)
         self.state[out] = res.astype(dtype) if dtype else res
@@ -511,9 +526,11 @@ class ShardEngine:
         refs = [a.get_state.remote(name) for a in src]
         ray.get([d.set_state.remote(name, r) for d, r in zip(dst, refs)])
 
-    def eval_state(self, out: str, expr: str, dtype=None, *, rev: bool = False):
+    def apply_state(self, out: str, op: str, *operands, dtype=None,
+                    rev: bool = False):
         acts = self.rev_actors if rev else self.actors
-        ray.get([a.eval_state.remote(out, expr, dtype) for a in acts])
+        ray.get([a.apply_state.remote(out, op, *operands, dtype=dtype)
+                 for a in acts])
 
     def state_sum(self, name: str) -> float:
         return sum(ray.get([a.state_sum.remote(name) for a in self.actors]))
