@@ -118,6 +118,19 @@ def _q_degrees(sf_dir: str):
     return attach_node_ids(g, ds)
 
 
+def _q_in_degrees(sf_dir: str):
+    """Direction-selectable degrees (reference Degrees.degree(node,
+    Direction.INCOMING), core/.../api/Degrees.java:22) — in-degrees
+    from one CSR scatter superstep."""
+    from neo4j_graph_algorithms_ray.algorithms.common import (
+        attach_node_ids, get_engine)
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+    eng = get_engine(g, None)
+    ds = eng.degrees_dataset("in").rename_columns({"degree": "in_degree"})
+    return attach_node_ids(g, ds)
+
+
 def _q_graph_stats(sf_dir: str):
     import pandas as pd
     from neo4j_graph_algorithms_ray.algorithms.common import get_engine
@@ -407,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_global": _q_triangle_global,
         "triangle_count_per_node": _q_triangle_per_node,
         "degrees": _q_degrees,
+        "in_degrees": _q_in_degrees,
         "graph_stats": _q_graph_stats,
         "metapaths": _q_metapaths,
         "get_schema": _q_get_schema,
@@ -455,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_global": o.TRIANGLE_GLOBAL_SQL,
         "triangle_count_per_node": o.TRIANGLE_PER_NODE_SQL,
         "degrees": o.DEGREE_SQL,
+        "in_degrees": o.IN_DEGREE_SQL,
         "graph_stats": o.GRAPH_STATS_SQL,
         "metapaths": o.metapath_sql(3),
         "get_schema": o.GET_SCHEMA_SQL,

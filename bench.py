@@ -45,6 +45,10 @@ def _init_ray(num_cpus: int):
 
 def headline(num_cpus: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # settle: a prior Ray session's teardown (e.g. the correctness gate
+    # run just before this) leaves the box noisy for ~30s and inflates
+    # single-shot timings 2-3x
+    time.sleep(int(os.environ.get("NGA_BENCH_SETTLE", "30")))
     os.environ["NGA_GRAPH_ROOT"] = tempfile.mkdtemp(prefix="nga_bench_")
     ray = _init_ray(num_cpus)
     from neo4j_graph_algorithms_ray.algorithms import (
@@ -160,19 +164,32 @@ def scaling_workload(num_cpus: int) -> dict:
     # one untimed warmup superstep, then best-of-3 timed runs (OS noise
     # from prior Ray sessions' teardown inflates single measurements)
     pagerank(g, 0.85, max_iterations=1, num_partitions=P)
-    best, res = None, None
+
+    def cpu_jiffies():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return sum(vals), vals[7] if len(vals) > 7 else 0  # total, steal
+
+    best, res, best_steal = None, None, 0.0
     for _ in range(int(os.environ.get("NGA_SCALE_REPEATS", "3"))):
+        tot0, st0 = cpu_jiffies()
         t0 = time.perf_counter()
         r = pagerank(g, 0.85, max_iterations=10, num_partitions=P)
         dt = time.perf_counter() - t0
+        tot1, st1 = cpu_jiffies()
+        steal = 100.0 * (st1 - st0) / max(1, tot1 - tot0)
         if best is None or dt < best:
-            best, res = dt, r
+            best, res, best_steal = dt, r, steal
     compute = best
     out = {"num_cpus": num_cpus, "edges": g.num_edges,
            "iterations": res.iterations,
            "edges_scattered": res.stats["edges_scattered"],
            "gen_sec": round(gen_sec, 3), "build_sec": round(build_sec, 3),
            "load_sec": round(load_sec, 3), "sec": round(compute, 3),
+           # host-VM CPU steal during the best timed window — context for
+           # run-to-run variance on shared-tenant boxes (0 = clean)
+           "steal_pct": round(best_steal, 1),
            "edges_scattered_per_sec": round(res.stats["edges_scattered"] / compute, 1)}
     ray.shutdown()
     return out
@@ -183,27 +200,72 @@ def main():
         print(json.dumps(scaling_workload(NUM_CPUS)))
         return
     if "--scaling" in sys.argv:
-        results = {}
-        for n in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-            # taskset pins the whole Ray worker tree to n PHYSICAL cores:
-            # ray.init(num_cpus=n) alone only limits logical scheduling —
-            # the resident shard actors (num_cpus=0) would otherwise use
-            # every core at both settings, flattening the measurement.
-            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
-            import shutil as _sh
-            if _sh.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-            out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                                 check=True)
-            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        # Host-VM CPU steal perturbs single runs by up to 2-3x (noise is
+        # strictly additive: it can only slow a run down). Each CPU count
+        # therefore runs NGA_SCALE_OUTER fresh processes and reports the
+        # fastest. NGA_SCALE_CONTROL=1 appends the unpinned control pair
+        # (num_cpus limit only, full physical bandwidth at both settings)
+        # — the sandbox stand-in for N→4N cluster nodes each bringing
+        # their own DRAM bus (BASELINE.md).
+        outer = int(os.environ.get("NGA_SCALE_OUTER", "2"))
+
+        def run_pair(pinned: bool) -> dict:
+            results = {}
+            for n in (8, 32):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--scaling-worker"]
+                import shutil as _sh
+                if pinned and _sh.which("taskset"):
+                    # pin the whole Ray worker tree to n PHYSICAL cores:
+                    # ray.init(num_cpus=n) alone only limits logical
+                    # scheduling — num_cpus=0 shard actors would
+                    # otherwise use every core at both settings.
+                    cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+                best = None
+                for _ in range(outer):
+                    # prior Ray sessions' teardown leaves the box noisy
+                    # for ~30s; then wait (bounded) for a window without
+                    # host-VM CPU steal — steal waves of 10-20% cut
+                    # measured throughput up to 3x (see steal_pct in the
+                    # per-run record)
+                    time.sleep(int(os.environ.get("NGA_SCALE_COOLDOWN", "30")))
+                    deadline = time.monotonic() + int(
+                        os.environ.get("NGA_SCALE_WAIT_QUIET", "600"))
+                    while time.monotonic() < deadline:
+                        def jif():
+                            with open("/proc/stat") as f:
+                                v = [int(x) for x in f.readline().split()[1:]]
+                            return sum(v), v[7] if len(v) > 7 else 0
+                        a_tot, a_st = jif()
+                        time.sleep(5)
+                        b_tot, b_st = jif()
+                        if 100.0 * (b_st - a_st) / max(1, b_tot - a_tot) < 2.0:
+                            break
+                    out = subprocess.run(cmd, env=env, capture_output=True,
+                                         text=True, check=True)
+                    r = json.loads(out.stdout.strip().splitlines()[-1])
+                    if best is None or (r["edges_scattered_per_sec"]
+                                        > best["edges_scattered_per_sec"]):
+                        best = r
+                results[n] = best
+            return results
+
+        results = run_pair(pinned=True)
         t8 = results[8]["edges_scattered_per_sec"]
         t32 = results[32]["edges_scattered_per_sec"]
         eff = (t32 / t8) / 4 if t8 else 0.0
-        print(json.dumps({"metric": "scaling_efficiency_8_to_32",
-                          "value": round(eff, 3), "unit": "ratio",
-                          "throughput_8": t8, "throughput_32": t32,
-                          "runs": results}))
+        rec = {"metric": "scaling_efficiency_8_to_32",
+               "value": round(eff, 3), "unit": "ratio",
+               "throughput_8": t8, "throughput_32": t32, "runs": results}
+        if os.environ.get("NGA_SCALE_CONTROL"):
+            ctl = run_pair(pinned=False)
+            c8 = ctl[8]["edges_scattered_per_sec"]
+            c32 = ctl[32]["edges_scattered_per_sec"]
+            rec["control_unpinned"] = {
+                "throughput_8": c8, "throughput_32": c32,
+                "efficiency": round((c32 / c8) / 4 if c8 else 0.0, 3)}
+        print(json.dumps(rec))
         return
     print(json.dumps(headline(NUM_CPUS)))
 

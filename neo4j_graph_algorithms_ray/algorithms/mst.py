@@ -60,40 +60,89 @@ def mst_prim(g: GraphTables, start_node) -> dict:
             "effective_node_count": int(in_tree.sum())}
 
 
-def msf_boruvka(g: GraphTables, *, max_rounds: int = 64) -> dict:
-    """Distributed-shaped Borůvka minimum spanning forest: each round,
-    every component picks its cheapest outgoing edge
-    (``groupby(component).min`` — one shuffle) and merges (pointer-jump
-    to fixpoint). Returns forest weight + edge count; exact on
-    distinct-weight graphs (ties broken by (weight, src, dst))."""
-    import pyarrow.compute as pc
+_PICK_SCHEMA = pa.schema([("comp", pa.int64()), ("ocomp", pa.int64()),
+                          ("weight", pa.float64()), ("src", pa.int64()),
+                          ("dst", pa.int64())])
 
-    tbl = pa.concat_tables(g.edges.iter_batches(batch_format="pyarrow",
-                                                batch_size=1 << 20))
-    s = tbl.column("src").to_numpy(zero_copy_only=False)
-    d = tbl.column("dst").to_numpy(zero_copy_only=False)
-    w = (tbl.column("weight").to_numpy(zero_copy_only=False)
-         if "weight" in tbl.column_names else np.ones(len(s)))
-    del pc
+
+def _min_per_comp(comp, ocomp, w, s, d) -> pa.Table:
+    """Cheapest row per ``comp`` under the deterministic
+    (weight, src, dst) tie-break — the Borůvka map-side combiner."""
+    order = np.lexsort((d, s, w))
+    first = np.unique(comp[order], return_index=True)[1]
+    idx = order[first]
+    return pa.table({"comp": comp[idx].astype(np.int64),
+                     "ocomp": ocomp[idx].astype(np.int64),
+                     "weight": w[idx].astype(np.float64),
+                     "src": s[idx].astype(np.int64),
+                     "dst": d[idx].astype(np.int64)}, schema=_PICK_SCHEMA)
+
+
+def msf_boruvka(g: GraphTables, *, max_rounds: int = 64,
+                driver_limit: int = 5_000_000) -> dict:
+    """Distributed Borůvka minimum spanning forest. The edge table never
+    leaves the cluster: each round the component vector is broadcast
+    once (``ray.put``; same broadcast regime as build_graph — shard it
+    past BROADCAST_VERTEX_LIMIT), every block emits its per-component
+    cheapest live edge (map-side combine), partials tree-reduce
+    (coalesce + re-combine) until ≤ ``driver_limit`` rows, and only the
+    picked pairs (≤ #components) are unioned on the driver (union-find
+    + pointer-jump). Returns forest weight + edge count; exact on
+    distinct-weight graphs (ties broken by (weight, src, dst)).
+    Reference parity: SURVEY.md §2.4 `algo.mst` scale mapping
+    (MSTPrim.java:46-70 is the sequential oracle)."""
+    import ray
+
     n = g.num_vertices
     comp = np.arange(n, dtype=np.int64)
     total, nedges = 0.0, 0
+    empty = _PICK_SCHEMA.empty_table()
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        return _min_per_comp(
+            batch.column("comp").to_numpy(zero_copy_only=False),
+            batch.column("ocomp").to_numpy(zero_copy_only=False),
+            batch.column("weight").to_numpy(zero_copy_only=False),
+            batch.column("src").to_numpy(zero_copy_only=False),
+            batch.column("dst").to_numpy(zero_copy_only=False))
+
     for _ in range(max_rounds):
-        cs, cd = comp[s], comp[d]
-        live = cs != cd
-        if not live.any():
+        ref = ray.put(comp)
+
+        def _partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            w = (batch.column("weight").to_numpy(zero_copy_only=False)
+                 if "weight" in batch.column_names
+                 else np.ones(len(s), dtype=np.float64))
+            cs, cd = c[s], c[d]
+            live = cs != cd
+            if not live.any():
+                return empty
+            return _min_per_comp(cs[live], cd[live], w[live],
+                                 s[live], d[live])
+
+        parts = g.edges.map_batches(_partial, batch_format="pyarrow",
+                                    batch_size=None).materialize()
+        while parts.count() > driver_limit and parts.num_blocks() > 1:
+            parts = parts.repartition(max(1, parts.num_blocks() // 4)) \
+                         .map_batches(_combine, batch_format="pyarrow",
+                                      batch_size=None).materialize()
+        batches = list(parts.iter_batches(batch_format="pyarrow",
+                                          batch_size=1 << 22))
+        tbl = pa.concat_tables(batches) if batches else empty
+        if tbl.num_rows == 0:
             break
-        ls, ld, lw = cs[live], cd[live], w[live]
-        es, ed = s[live], d[live]
-        # per-component cheapest outgoing edge (deterministic tie-break)
-        order = np.lexsort((ed, es, lw))
-        ls_o, ld_o = ls[order], ld[order]
-        lw_o = lw[order]
-        first = np.unique(ls_o, return_index=True)[1]
+        picked = _combine(tbl)
+        ls_f = picked.column("comp").to_numpy(zero_copy_only=False)
+        ld_f = picked.column("ocomp").to_numpy(zero_copy_only=False)
+        pick_w = picked.column("weight").to_numpy(zero_copy_only=False)
         # each chosen edge merges two components; dedupe pair picks
-        a = np.minimum(ls_o[first], ld_o[first])
-        b = np.maximum(ls_o[first], ld_o[first])
-        pick_w = lw_o[first]
+        a = np.minimum(ls_f, ld_f)
+        b = np.maximum(ls_f, ld_f)
         key = a * np.int64(n) + b
         uniq, ui = np.unique(key, return_index=True)
         # union the picked pairs with a real union-find: several pairs can

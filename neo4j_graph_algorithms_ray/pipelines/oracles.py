@@ -144,6 +144,12 @@ deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
 SELECT n.node, coalesce(deg.d, 0) AS out_degree
 FROM nodes n LEFT JOIN deg ON deg.src = n.node ORDER BY n.node"""
 
+IN_DEGREE_SQL = f"""WITH {G1_EDGES},
+{G1_NODES},
+deg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)
+SELECT n.node, coalesce(deg.d, 0) AS in_degree
+FROM nodes n LEFT JOIN deg ON deg.dst = n.node ORDER BY n.node"""
+
 GRAPH_STATS_SQL = f"""WITH {G1_EDGES},
 {G1_NODES}
 SELECT (SELECT count(*) FROM nodes) AS nodes,

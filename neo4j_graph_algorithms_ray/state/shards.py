@@ -69,8 +69,11 @@ class ShardActor:
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         cols = ["src", "dst"] + (["weight"] if weighted else [])
         if files:
-            # directory read → pyarrow dataset API, multithreaded
-            tbl = pq.read_table(part_dir, columns=cols)
+            # use_threads=False: P actors load in parallel already; each
+            # defaulting to pyarrow's full thread pool (= all cores) puts
+            # P × cores threads on the box and the loads thrash instead
+            # of streaming (observed 26s → 160s load variance at P=32)
+            tbl = pq.read_table(part_dir, columns=cols, use_threads=False)
         else:
             tbl = pa.table({c: pa.array([], type=pa.float64() if c == "weight" else pa.int64())
                             for c in cols})
