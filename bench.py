@@ -264,7 +264,11 @@ def main():
             c32 = ctl[32]["edges_scattered_per_sec"]
             rec["control_unpinned"] = {
                 "throughput_8": c8, "throughput_32": c32,
-                "efficiency": round((c32 / c8) / 4 if c8 else 0.0, 3)}
+                # equal physical bandwidth at both settings → the
+                # meaningful ratio is T32/T8 (expected ≈ 1.0), not /4
+                "t32_over_t8": round(c32 / c8 if c8 else 0.0, 3),
+                "efficiency": round((c32 / c8) / 4 if c8 else 0.0, 3),
+                "runs": ctl}
         print(json.dumps(rec))
         return
     print(json.dumps(headline(NUM_CPUS)))

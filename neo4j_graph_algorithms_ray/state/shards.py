@@ -20,7 +20,10 @@ Scale notes:
   (np.*.reduceat over a once-precomputed dst-sorted permutation), so
   any destination receives ≤ P messages per iteration (hub-proof);
 - messages route shard→shard as Ray objects (num_returns=P), an
-  all-to-all of O(touched vertices) not O(edges);
+  all-to-all of O(touched vertices) not O(edges). This is P² refs per
+  superstep — cheap at P ≤ 64 (the per-ref overhead is ~µs and the
+  payloads dominate); past that, route through √P aggregator actors
+  (two-level exchange) before widening P;
 - state checkpoints to Parquet per iteration with a manifest
   (per-partition lineage + metrics) and can resume (state/checkpoint.py).
 """

@@ -193,6 +193,27 @@ def test_msf_boruvka_matches_prim_random():
     assert got["components"] == 1
 
 
+def test_msf_boruvka_tree_reduce_path():
+    """Force the partial-combine tree-reduce (driver_limit=1) so the
+    coalesce + re-combine loop is exercised, not just the direct
+    driver finalize."""
+    rng = np.random.default_rng(11)
+    n = 30
+    src = list(range(1, n)) + rng.integers(0, n, 40).tolist()
+    dst = list(rng.integers(0, np.arange(1, n))) + rng.integers(0, n, 40).tolist()
+    import pyarrow as pa
+    w = rng.permutation(len(src)).astype(np.float64) + 1.0
+    keep = [i for i, (a, b) in enumerate(zip(src, dst)) if a != b]
+    tbl = pa.table({"src": np.array(src)[keep], "dst": np.array(dst)[keep],
+                    "weight": w[keep]})
+    g = build_graph(rd.from_arrow(tbl).repartition(6), weight_col="weight",
+                    undirected=True, name="boruvka_tree")
+    want = mst_prim(g, 0)["weight_sum"]
+    got = msf_boruvka(g, driver_limit=1)
+    assert got["weight_sum"] == pytest.approx(want)
+    assert got["components"] == 1
+
+
 def _weighted_louvain_fixture():
     """WeightedLouvainModularityTest.java fixture: two K4 cliques
     {a,b,c,d} / {e,f,g,h} (unit weights), isolated z, and one heavy
