@@ -49,6 +49,19 @@ def headline(num_cpus: int) -> dict:
     # run just before this) leaves the box noisy for ~30s and inflates
     # single-shot timings 2-3x
     time.sleep(int(os.environ.get("NGA_BENCH_SETTLE", "30")))
+    # then wait (bounded) for a window without host-VM CPU steal —
+    # steal waves of 10-25% lasting minutes double every query timing
+    deadline = time.monotonic() + int(os.environ.get("NGA_BENCH_WAIT_QUIET", "300"))
+    while time.monotonic() < deadline:
+        def _jif():
+            with open("/proc/stat") as f:
+                v = [int(x) for x in f.readline().split()[1:]]
+            return sum(v), v[7] if len(v) > 7 else 0
+        a_tot, a_st = _jif()
+        time.sleep(5)
+        b_tot, b_st = _jif()
+        if 100.0 * (b_st - a_st) / max(1, b_tot - a_tot) < 2.0:
+            break
     os.environ["NGA_GRAPH_ROOT"] = tempfile.mkdtemp(prefix="nga_bench_")
     ray = _init_ray(num_cpus)
     from neo4j_graph_algorithms_ray.algorithms import (
