@@ -188,6 +188,20 @@ def read_parquet_clean(path, **kw) -> rd.Dataset:
     """read_parquet with schema metadata stripped: pandas-written
     parquet carries a b'pandas' schema-metadata dict that makes
     pa.Schema unhashable and spams "Failed to hash the schemas" from
-    every downstream hash shuffle. The strip map fuses with the read."""
+    every downstream hash shuffle. An explicit metadata-free ``schema``
+    makes even the ReadParquet operator's own blocks clean (the strip
+    map alone runs too late for warnings raised inside the read); the
+    strip map stays as belt-and-braces for file-level metadata."""
+    if "schema" not in kw:
+        try:
+            import pyarrow.dataset as pads
+            sch = pads.dataset(path, format="parquet").schema
+            cols = kw.get("columns")
+            if cols:
+                sch = pa.schema([sch.field(c) for c in cols])
+            kw["schema"] = pa.schema(
+                [f.remove_metadata() for f in sch]).remove_metadata()
+        except Exception:
+            pass
     return rd.read_parquet(path, **kw).map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
