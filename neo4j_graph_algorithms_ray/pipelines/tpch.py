@@ -36,7 +36,22 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+_PURCHASE_CACHE: dict[str, rd.Dataset] = {}
+
+
 def purchase_edge_ds(sf_dir: str) -> rd.Dataset:
+    """Materialized-once per sf_dir: the purchase relation feeds G1,
+    G3 (typed) and G4 (trade) — the reference's graph.load reuse
+    pattern applies to the derivation too."""
+    cached = _PURCHASE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    ds = _purchase_edge_ds(sf_dir).materialize()
+    _PURCHASE_CACHE[sf_dir] = ds
+    return ds
+
+
+def _purchase_edge_ds(sf_dir: str) -> rd.Dataset:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     j = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",),
