@@ -68,6 +68,13 @@ def headline(num_cpus: int) -> dict:
         compute_all_metapaths, label_propagation, pagerank, triangle_count, wcc)
     from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph, typed_edge_ds
 
+    # prewarm the Ray worker pool (untimed): the first Dataset execution
+    # of a session pays ~3s of worker-process spawn that belongs to
+    # cluster startup, not to any query
+    import ray.data as _rdw
+    _rdw.range(4096, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow").materialize()
+
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
 

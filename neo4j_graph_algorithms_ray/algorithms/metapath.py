@@ -69,6 +69,9 @@ def compute_all_metapaths(
     """
     e = _symmetrize(typed_edges) if undirected else typed_edges.select_columns(
         ["src", "dst", "src_label", "edge_type", "dst_label"])
+    # materialize unconditionally: even at length 2 the two consumers
+    # (node-label distinct + first hop) would each re-execute the whole
+    # symmetrize DAG — measured 2x slower lazy than the barrier here
     e = e.materialize()
 
     # single-label paths: one per node of that label. Each level is
