@@ -504,5 +504,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": od.simhash_sql(),
         "embedding_neardup": od.EMB_NEARDUP_SQL,
         "ann_cosine_topk": od.ANN_TOPK_SQL,
+        "ann_lsh_topk": od.ANN_LSH_TOPK_SQL,
         "media_pipeline": od.MEDIA_SQL,
     }

@@ -69,17 +69,38 @@ def brute_force_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _md5_planes(nbits: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) projection planes pinned to md5 —
+    sign(first hex digit of md5("plane:b:j")) — so a DuckDB oracle can
+    reproduce the bucketing bit-for-bit (same trick as the minhash /
+    simhash sketches)."""
+    import hashlib
+    signs = np.empty((nbits, dim), dtype=np.float64)
+    for b in range(nbits):
+        for j in range(dim):
+            h = int(hashlib.md5(f"plane:{b}:{j}".encode()).hexdigest()[0], 16)
+            signs[b, j] = 1.0 if h % 2 == 1 else -1.0
+    return signs
+
+
 def lsh_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
              k: int = 10, *, nbits: int = 12, seed: int = 42,
+             plane_mode: str = "md5",
              id_col: str = "vec_id", vec_col: str = "embedding",
              exclude_self: bool = True) -> rd.Dataset:
     """LSH-bucketed ANN: sign-random-projection code per vector;
-    candidates = vectors whose code is within hamming 1 of the query's
+    candidates = vectors whose code is within hamming 1 of any query's
     (multi-probe); exact cosine re-rank. Returns the same schema as
-    brute_force_topk; recall measured in tests."""
+    brute_force_topk; recall measured in tests.
+
+    ``plane_mode="md5"`` (default) uses deterministic ±1 planes the SQL
+    oracle replicates; ``"gaussian"`` uses seed-pinned N(0,1) planes."""
     dim = len(np.asarray(queries)[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((nbits, dim))
+    if plane_mode == "md5":
+        planes = _md5_planes(nbits, dim)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((nbits, dim))
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     qcodes = (qm @ planes.T > 0).astype(np.uint64)
     qcode_int = (qcodes << np.arange(nbits, dtype=np.uint64)).sum(axis=1)

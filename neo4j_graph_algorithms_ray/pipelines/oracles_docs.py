@@ -203,6 +203,47 @@ SELECT query_id, vec_id, round(c, 6) AS cosine FROM (
   FROM q CROSS JOIN e WHERE e.vec_id <> q.vec_id) t
 WHERE rn <= 10 ORDER BY query_id, vec_id"""
 
+# Replicates functions/ann.py lsh_topk exactly: ±1 planes pinned to
+# md5("plane:b:j") first hex digit, code bit = dot > 0, multi-probe =
+# union over all queries of {code} ∪ {code ^ 1<<b}, exact cosine
+# re-rank among candidates. k=10, nbits=12, queries = 5 lowest vec_ids.
+ANN_LSH_TOPK_SQL = """WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS j FROM e),
+planes AS MATERIALIZED (
+  SELECT f.b, jj.j,
+         CASE WHEN CAST(('0x'||substr(md5('plane:'||f.b||':'||jj.j),1,1)) AS INT) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(12)) AS b) f
+  CROSS JOIN (SELECT DISTINCT j FROM ev) jj),
+dots AS (
+  SELECT ev.vec_id, p.b, sum(ev.x * p.s) AS dot
+  FROM ev JOIN planes p ON p.j = ev.j GROUP BY ev.vec_id, p.b),
+codes AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS UBIGINT) AS code
+  FROM dots GROUP BY vec_id),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+q AS (SELECT vec_id AS query_id, code FROM codes WHERE vec_id IN (SELECT vec_id FROM qids)),
+probes AS MATERIALIZED (
+  SELECT DISTINCT pcode FROM (
+    SELECT code AS pcode FROM q
+    UNION ALL
+    SELECT xor(code, CAST(CAST(1 AS HUGEINT) << f.b AS UBIGINT)) AS pcode
+    FROM q CROSS JOIN (SELECT unnest(range(12)) AS b) f)),
+cand AS (SELECT c.vec_id FROM codes c JOIN probes p ON c.code = p.pcode),
+qv AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id IN (SELECT vec_id FROM qids))
+SELECT query_id, vec_id, round(c, 6) AS cosine FROM (
+  SELECT qv.query_id, e.vec_id,
+         list_cosine_similarity(qv.v, e.v) AS c,
+         row_number() OVER (PARTITION BY qv.query_id
+                            ORDER BY list_cosine_similarity(qv.v, e.v) DESC,
+                                     e.vec_id ASC) AS rn
+  FROM qv CROSS JOIN e
+  WHERE e.vec_id IN (SELECT vec_id FROM cand) AND e.vec_id <> qv.query_id) t
+WHERE rn <= 10 ORDER BY query_id, vec_id"""
+
 # first_byte: utf-8 first byte == first codepoint for the ASCII synthetic
 # corpus; documented divergence for non-ASCII leading characters.
 MEDIA_SQL = """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
