@@ -1,0 +1,91 @@
+"""Resumable partitioned-Parquet output.
+
+The 100-TB operating pattern: a pipeline maps *input shard groups* to
+*output partitions* one-to-one; a failed or pre-empted run re-executes
+only the groups whose output partition lacks a ``_SUCCESS`` marker —
+finished partitions are never re-read OR re-computed (the skip happens
+before the input files for that group are even opened).
+
+This mirrors the reference's parallel write-back contract
+(core/.../core/write/Exporter.java:151-270 batches the node range and
+writes batches independently) lifted to restartable whole-partition
+granularity, and the established Hadoop/Spark ``_SUCCESS`` convention.
+
+Partition layout::
+
+    out_dir/part=00000/ *.parquet + _SUCCESS
+    out_dir/part=00001/ ...
+
+Pick ``group_size`` so one group's pipeline saturates the cluster
+(failure granularity = one group's work).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Callable, Optional, Sequence
+
+import ray.data as rd
+
+
+def _marker(part_dir: str) -> str:
+    return os.path.join(part_dir, "_SUCCESS")
+
+
+def partition_done(out_dir: str, gid: int) -> bool:
+    return os.path.exists(_marker(os.path.join(out_dir, f"part={gid:05d}")))
+
+
+def resumable_write(
+    input_files: Sequence[str],
+    transform: Callable[[rd.Dataset], rd.Dataset],
+    out_dir: str,
+    *,
+    read_fn: Optional[Callable[[Sequence[str]], rd.Dataset]] = None,
+    group_size: int = 8,
+) -> dict:
+    """Run ``transform`` over ``input_files`` in shard groups, writing
+    ``out_dir/part=<gid>`` per group with a ``_SUCCESS`` marker;
+    groups whose marker exists are skipped entirely (not read, not
+    computed). Partial output from a crashed attempt is cleared before
+    the retry so re-runs never double rows.
+
+    ``read_fn`` builds the group's Dataset (default:
+    ``util.read_parquet_clean``). Returns
+    ``{"written": [...gids], "skipped": [...gids]}``.
+    """
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+
+    files = sorted(input_files)
+    if not files:
+        return {"written": [], "skipped": []}
+    rf = read_fn or (lambda fs: read_parquet_clean(list(fs)))
+    groups = [files[i:i + group_size] for i in range(0, len(files), group_size)]
+    written, skipped = [], []
+    for gid, group in enumerate(groups):
+        part_dir = os.path.join(out_dir, f"part={gid:05d}")
+        if os.path.exists(_marker(part_dir)):
+            skipped.append(gid)
+            continue
+        if os.path.isdir(part_dir):  # residue of a failed attempt
+            shutil.rmtree(part_dir)
+        os.makedirs(part_dir, exist_ok=True)
+        transform(rf(group)).write_parquet(part_dir)
+        with open(_marker(part_dir), "w"):
+            pass
+        written.append(gid)
+    return {"written": written, "skipped": skipped}
+
+
+def read_resumable_output(out_dir: str) -> rd.Dataset:
+    """Read back only the *completed* partitions of a resumable_write
+    output directory."""
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part=*")))
+    done = [p for p in parts if os.path.exists(_marker(p))]
+    if not done:
+        raise FileNotFoundError(f"no completed partitions under {out_dir}")
+    return read_parquet_clean(done, file_extensions=["parquet"])
