@@ -14,6 +14,7 @@ from neo4j_graph_algorithms_ray.algorithms.sssp import (  # noqa: F401
     all_shortest_paths_weighted, shortest_path_dijkstra, sssp_delta_stepping)
 from neo4j_graph_algorithms_ray.algorithms.scc import scc  # noqa: F401
 from neo4j_graph_algorithms_ray.algorithms.louvain import louvain  # noqa: F401
-from neo4j_graph_algorithms_ray.algorithms.betweenness import betweenness  # noqa: F401
+from neo4j_graph_algorithms_ray.algorithms.betweenness import (  # noqa: F401
+    betweenness, betweenness_bsp)
 from neo4j_graph_algorithms_ray.algorithms.mst import (  # noqa: F401
     getting_started, msf_boruvka, mst_prim)

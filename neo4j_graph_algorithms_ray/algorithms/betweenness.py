@@ -157,6 +157,117 @@ def betweenness(
                                   "scale": scale})
 
 
+def betweenness_bsp(
+    g: GraphTables,
+    *,
+    sources: Optional[Sequence] = None,
+    sample: Optional[int] = None,
+    strategy: str = "random",
+    max_depth: Optional[int] = None,
+    seed: int = 42,
+    num_partitions: Optional[int] = None,
+    wave: int = 64,
+    node_col: str = "node",
+) -> IterativeResult:
+    """Distributed Brandes betweenness on the BSP shard engine — the
+    scale path for graphs whose CSR exceeds a single worker's RAM (the
+    task-parallel :func:`betweenness` broadcasts the whole adjacency per
+    actor, reference ParallelBetweennessCentrality's shared-graph
+    threads made explicit).
+
+    Sources are processed in waves of ``wave`` columns: each shard holds
+    (n_local, S) per-source σ/dist/δ state, forward supersteps push σ
+    along the out-CSR level-synchronously, backward supersteps push
+    (1+δ)/σ along the reverse CSR (shortest-path predecessors filter on
+    ``dist == level-1`` receiver-side), and each wave folds Σ_cols δ
+    into a 1-D centrality accumulator. Memory/vertex ≈ 20·S bytes per
+    actor set — ``wave`` trades per-wave memory for fewer passes.
+    Identical output contract to :func:`betweenness` (node, centrality),
+    n/k scaling for sampled runs."""
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+    eng = get_engine(g, num_partitions, reverse=True)
+    n = g.num_vertices
+    if sources is not None:
+        from neo4j_graph_algorithms_ray.algorithms.sssp import _to_vid
+        src_vids = np.array([_to_vid(g, s) for s in sources], dtype=np.int64)
+        scale = 1.0
+    elif sample is not None:
+        rng = np.random.default_rng(seed)
+        k = min(sample, n)
+        if strategy == "degree":
+            # out-degree vector in vid order (driver-side: rng.choice
+            # needs the full probability vector anyway — 8B/vertex, the
+            # selection boundary, not the graph)
+            deg = np.concatenate([
+                t.column("degree").to_numpy(zero_copy_only=False)
+                for t in ray.get([a.out_degree_table.remote()
+                                  for a in eng.actors])]).astype(np.float64)
+            k = min(k, int((deg > 0).sum()))
+            p = deg / deg.sum() if deg.sum() > 0 else None
+            src_vids = rng.choice(n, size=k, replace=False, p=p).astype(np.int64)
+        elif strategy == "random":
+            src_vids = rng.choice(n, size=k, replace=False).astype(np.int64)
+        else:
+            raise ValueError(f"strategy must be random/degree, got {strategy!r}")
+        scale = n / len(src_vids)
+    else:
+        src_vids = np.arange(n, dtype=np.int64)
+        scale = 1.0
+    t0 = time.perf_counter()
+    supersteps = 0
+    eng.init_state("centrality", "const", 0.0, rev=True)
+    for ws in range(0, len(src_vids), wave):
+        wsrc = src_vids[ws:ws + wave]
+        S = len(wsrc)
+        cols = np.arange(S, dtype=np.int64)
+        eng.init_state_wave("dist2", S, -1, dtype="int32")
+        eng.init_state_wave("sigma", S, 0.0)
+        eng.set_cells("dist2", wsrc, cols, np.zeros(S, dtype=np.int32))
+        eng.set_cells("sigma", wsrc, cols, np.ones(S))
+        lv = 0
+        while True:
+            if max_depth is not None and lv >= max_depth:
+                break
+            stats = eng.step("brandes_fwd", "brandes_fwd_update",
+                             scatter_kw={"level": lv}, update_kw={"level": lv})
+            supersteps += 1
+            if sum(s["new"] for s in stats) == 0:
+                break
+            lv += 1
+        # deepest assigned BFS level is lv (the step at lv found nothing
+        # new, or max_depth cut expansion there)
+        eng.copy_state("dist2", to_rev=True)
+        eng.copy_state("sigma", to_rev=True)
+        eng.init_state_wave("delta", S, 0.0, rev=True)
+        for blv in range(lv, 0, -1):
+            eng.step("brandes_bwd", "brandes_bwd_update",
+                     actors=eng.rev_actors, update_actors=eng.rev_actors,
+                     scatter_kw={"level": blv}, update_kw={"level": blv})
+            supersteps += 1
+        # fold Σ_cols δ into the accumulator, zeroing each source's own
+        # column first (a source takes no credit for its own paths)
+        eng.fold_sum_cols("delta", "centrality", zero_cells=(wsrc, cols),
+                          rev=True)
+    eng.copy_state("centrality", to_rev=False)
+    eng.drop_states(["dist2", "sigma"])
+    eng.drop_states(["dist2", "sigma", "delta"], rev=True)
+    metrics = eng.drain_metrics()
+    ds = eng.state_dataset(["centrality"])
+    if scale != 1.0:
+        def rescale(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return b.set_column(b.column_names.index("centrality"), "centrality",
+                                pc.multiply(b["centrality"], scale))
+        ds = ds.map_batches(rescale, batch_format="pyarrow")
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    elapsed = time.perf_counter() - t0
+    return IterativeResult(dataset=ds, iterations=len(src_vids), converged=True,
+                           metrics=[metrics],
+                           stats={"computeSec": elapsed, "sources": len(src_vids),
+                                  "scale": scale, "supersteps": supersteps,
+                                  "wave": wave})
+
+
 def _ranges(off: np.ndarray, frontier: np.ndarray) -> np.ndarray:
     """Concatenated index ranges [off[u], off[u+1]) for u in frontier,
     without a Python loop (large frontiers)."""

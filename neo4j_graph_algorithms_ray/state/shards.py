@@ -143,6 +143,38 @@ class ShardActor:
         self.state[name][np.asarray(vids) - self.lo] = values
         return True
 
+    # ---- wave (2-D) state: (n_local, S) per-source columns, used by
+    # multi-source algorithms that need numeric per-source state where
+    # the MSBFS bit-packing doesn't apply (Brandes σ/δ) ----
+    def init_state_wave(self, name: str, width: int, value=0.0,
+                        dtype="float64"):
+        self.state[name] = np.full((self.n_local, int(width)), value,
+                                   dtype=dtype)
+        return True
+
+    def set_cells(self, name: str, vids, cols, values):
+        st = self.state[name]
+        st[np.asarray(vids, dtype=np.int64) - self.lo,
+           np.asarray(cols, dtype=np.int64)] = values
+        return True
+
+    def fold_sum_cols(self, src: str, dst: str, zero_cells=None):
+        """1-D ``dst`` += 2-D ``src``.sum(axis=1), first zeroing the
+        given (vid, col) cells (e.g. each Brandes source's own δ)."""
+        st = self.state[src]
+        if zero_cells is not None:
+            vids = np.asarray(zero_cells[0], dtype=np.int64)
+            cols = np.asarray(zero_cells[1], dtype=np.int64)
+            own = (vids >= self.lo) & (vids < self.hi)
+            st[vids[own] - self.lo, cols[own]] = 0.0
+        self.state[dst] += st.sum(axis=1)
+        return True
+
+    def drop_states(self, names) -> bool:
+        for nm in names:
+            self.state.pop(nm, None)
+        return True
+
     def get_state(self, name: str) -> np.ndarray:
         return self.state[name]
 
@@ -330,6 +362,49 @@ class ShardActor:
                 idx = np.nonzero(fin)[0]
                 self.metrics["edges_scattered"] += int(np.isfinite(vals).sum())
                 return self._route(idx, mins[fin])
+            if op == "brandes_fwd":
+                # forward Brandes superstep: frontier vertices (dist ==
+                # level, per source column) push their σ along out-edges;
+                # map-side combine sums per unique destination. 2-D
+                # messages: (local_idx, (rows, S) σ-sums).
+                lv = kw["level"]
+                dist = self.state["dist2"]
+                sig = self.state["sigma"]
+                S = sig.shape[1]
+                mask = dist == lv
+                if not mask.any():
+                    return [(np.empty(0, dtype=self.idx_dtype),
+                             np.empty((0, S))) for _ in range(self.P)]
+                contrib = np.where(mask, sig, 0.0)
+                vals = np.take(contrib, self.src_in_dst_order, axis=0)
+                sums = np.add.reduceat(vals, self.seg_starts, axis=0)
+                keep = sums.any(axis=1)
+                idx = np.nonzero(keep)[0]
+                self.metrics["edges_scattered"] += int(
+                    mask.any(axis=1)[self.src_in_dst_order].sum())
+                return self._route(idx, sums[keep])
+            if op == "brandes_bwd":
+                # backward dependency superstep over the REVERSE CSR:
+                # vertices w at dist == level send (1+δ_w)/σ_w to their
+                # shortest-path predecessors; receivers at level-1
+                # multiply by their own σ.
+                lv = kw["level"]
+                dist = self.state["dist2"]
+                sig = self.state["sigma"]
+                delta = self.state["delta"]
+                S = sig.shape[1]
+                mask = (dist == lv) & (sig > 0)
+                if not mask.any():
+                    return [(np.empty(0, dtype=self.idx_dtype),
+                             np.empty((0, S))) for _ in range(self.P)]
+                contrib = np.where(mask, (1.0 + delta) / np.where(sig > 0, sig, 1.0), 0.0)
+                vals = np.take(contrib, self.src_in_dst_order, axis=0)
+                sums = np.add.reduceat(vals, self.seg_starts, axis=0)
+                keep = sums.any(axis=1)
+                idx = np.nonzero(keep)[0]
+                self.metrics["edges_scattered"] += int(
+                    mask.any(axis=1)[self.src_in_dst_order].sum())
+                return self._route(idx, sums[keep])
             if op == "bwd_color":
                 # SCC backward pass over the reverse CSR: frontier vertices w
                 # (in_flag newly set) push their color to in-neighbors u of
@@ -470,6 +545,33 @@ class ShardActor:
                 if kw.get("track_changed"):
                     self.state["changed"] = changed.astype(np.int8)
                 return {"changed": int(changed.sum())}
+            if op == "brandes_fwd_update":
+                lv = kw["level"]
+                sig = self.state["sigma"]
+                dist = self.state["dist2"]
+                acc = np.zeros_like(sig)
+                for m_ in msgs:
+                    if len(m_[0]) == 0:
+                        continue
+                    np.add.at(acc, m_[0].astype(np.int64), m_[1])
+                new = (acc > 0) & (dist < 0)
+                if new.any():
+                    dist[new] = lv + 1
+                    sig[new] = acc[new]
+                return {"new": int(new.sum())}
+            if op == "brandes_bwd_update":
+                lv = kw["level"]
+                sig = self.state["sigma"]
+                dist = self.state["dist2"]
+                delta = self.state["delta"]
+                acc = np.zeros_like(sig)
+                for m_ in msgs:
+                    if len(m_[0]) == 0:
+                        continue
+                    np.add.at(acc, m_[0].astype(np.int64), m_[1])
+                mask = dist == lv - 1
+                delta += np.where(mask, sig * acc, 0.0)
+                return {}
             if op == "bwd_color_update":
                 color = self.state["color"]
                 act = self.state["active"] > 0
@@ -514,9 +616,42 @@ class ShardEngine:
         if self.rev_actors:
             ray.get([a.info.remote() for a in self.rev_actors])
 
+    def _acts(self, rev: bool):
+        if rev:
+            assert self.rev_actors, "engine built without reverse layout"
+            return self.rev_actors
+        return self.actors
+
     # -- state plumbing --
-    def init_state(self, name, kind, value=0.0, dtype="float64"):
-        ray.get([a.init_state.remote(name, kind, value, dtype) for a in self.actors])
+    def init_state(self, name, kind, value=0.0, dtype="float64", rev=False):
+        ray.get([a.init_state.remote(name, kind, value, dtype)
+                 for a in self._acts(rev)])
+
+    def init_state_wave(self, name, width, value=0.0, dtype="float64", rev=False):
+        ray.get([a.init_state_wave.remote(name, width, value, dtype)
+                 for a in self._acts(rev)])
+
+    def set_cells(self, name, vids, cols, values, rev=False):
+        """Seed (vid, col) cells of a 2-D wave state, routed to owners."""
+        vids = np.asarray(vids, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        values = np.asarray(values)
+        part = np.searchsorted(self.bounds, vids, side="right") - 1
+        order = np.argsort(part, kind="stable")
+        vids, cols, values, part = vids[order], cols[order], values[order], part[order]
+        cuts = np.searchsorted(part, np.arange(self.P + 1))
+        acts = self._acts(rev)
+        ray.get([acts[j].set_cells.remote(name, vids[cuts[j]:cuts[j + 1]],
+                                          cols[cuts[j]:cuts[j + 1]],
+                                          values[cuts[j]:cuts[j + 1]])
+                 for j in range(self.P) if cuts[j + 1] > cuts[j]])
+
+    def fold_sum_cols(self, src, dst, zero_cells=None, rev=False):
+        ray.get([a.fold_sum_cols.remote(src, dst, zero_cells)
+                 for a in self._acts(rev)])
+
+    def drop_states(self, names, rev=False):
+        ray.get([a.drop_states.remote(list(names)) for a in self._acts(rev)])
 
     def broadcast_state(self, name: str):
         """Copy a state vector from forward actors to reverse actors."""

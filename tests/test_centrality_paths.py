@@ -190,6 +190,38 @@ def test_betweenness_degree_bias_prefers_hubs():
     assert res.stats["sources"] == 1  # only the hub has out-degree > 0
 
 
+def test_betweenness_bsp_matches_exact(f5_graph):
+    """Distributed BSP Brandes (scale path, sharded CSR, no per-actor
+    whole-graph broadcast) must reproduce the task-parallel exact path
+    bit-for-bit on F5 across partition counts and wave widths."""
+    from neo4j_graph_algorithms_ray.algorithms import betweenness_bsp
+    nodes, edges, g = f5_graph
+    exact = {r["node"]: r["centrality"]
+             for r in betweenness(g).dataset.take_all()}
+    for parts, wave in ((1, 64), (3, 4)):
+        got = {r["node"]: r["centrality"]
+               for r in betweenness_bsp(g, num_partitions=parts,
+                                        wave=wave).dataset.take_all()}
+        for v in nodes:
+            assert got[v] == pytest.approx(exact[v], abs=1e-9), (parts, wave, v)
+    # max_depth + fixed-sources parity with the task-parallel path
+    md_exact = {r["node"]: r["centrality"]
+                for r in betweenness(g, max_depth=2).dataset.take_all()}
+    md_bsp = {r["node"]: r["centrality"]
+              for r in betweenness_bsp(g, max_depth=2,
+                                       num_partitions=3).dataset.take_all()}
+    for v in nodes:
+        assert md_bsp[v] == pytest.approx(md_exact[v], abs=1e-9), v
+    srcs = nodes[:3]
+    s_exact = {r["node"]: r["centrality"]
+               for r in betweenness(g, sources=srcs).dataset.take_all()}
+    s_bsp = {r["node"]: r["centrality"]
+             for r in betweenness_bsp(g, sources=srcs, num_partitions=3,
+                                      wave=2).dataset.take_all()}
+    for v in nodes:
+        assert s_bsp[v] == pytest.approx(s_exact[v], abs=1e-9), v
+
+
 def test_betweenness_max_depth(f5_graph):
     """MaxDepthBetweennessCentrality parity: max_depth=1 sees only
     direct edges, so no node can sit on an intermediate shortest path —
