@@ -250,11 +250,56 @@ def _q_louvain(sf_dir: str):
 
 
 def _q_betweenness_sampled(sf_dir: str):
-    from neo4j_graph_algorithms_ray.algorithms import betweenness
+    # BSP scale path (sharded CSR waves): identical output contract to
+    # the task-parallel exact path (pytest asserts parity), exercised
+    # here so the driver gate covers the variant that survives graphs
+    # larger than one worker's RAM.
+    from neo4j_graph_algorithms_ray.algorithms import betweenness_bsp
     from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
     g = get_graph(sf_dir, "trade")
-    res = betweenness(g, sample=64, seed=42)
+    res = betweenness_bsp(g, sample=64, seed=42)
     return _round6(res.dataset, "centrality")
+
+
+# ---------------- event-stream queries (functions/events.py) ----------------
+
+EVENT_WINDOW_S = 3600
+EVENT_GAP_S = 1800
+
+
+def _events(sf_dir: str):
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/events.parquet")
+
+
+def _q_window_agg(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.events import windowed_aggregate
+    ds = windowed_aggregate(_events(sf_dir), window_s=EVENT_WINDOW_S)
+    return _round6(ds, "sum_value")
+
+
+def _q_sessionize(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.events import sessionize
+    return sessionize(_events(sf_dir), gap_s=EVENT_GAP_S)
+
+
+def _q_asof_purchase(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.events import asof_join
+    ev = _events(sf_dir)
+    left = ev.select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "event_id"])
+    out = asof_join(left, purchases, on="user_id", left_time="ts",
+                    right_cols=["event_id"], strict=True, fill_value=-1)
+    import pyarrow as pa
+
+    def fin(b: pa.Table) -> pa.Table:
+        # Dataset.rename_columns assumes arrow blocks; map_groups emits
+        # pandas blocks, so rename inside an arrow map_batches instead
+        return b.rename_columns(["event_id", "user_id", "prev_purchase_id"])
+
+    return out.select_columns(["event_id", "user_id", "event_id_r"]) \
+        .map_batches(fin, batch_format="pyarrow")
 
 
 # ---------------- documents / embeddings pipeline queries ----------------
@@ -435,6 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": _q_scc,
         "louvain": _q_louvain,
         "betweenness_sampled": _q_betweenness_sampled,
+        "window_agg": _q_window_agg,
+        "sessionize": _q_sessionize,
+        "asof_purchase": _q_asof_purchase,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -453,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from neo4j_graph_algorithms_ray.pipelines import oracles as o
     from neo4j_graph_algorithms_ray.pipelines import oracles_docs as od
+    from neo4j_graph_algorithms_ray.pipelines import oracles_events as oe
     from neo4j_graph_algorithms_ray.pipelines import oracles_web as ow
     return {
         "page_text": ow.PAGE_TEXT_SQL,
@@ -494,6 +543,11 @@ def oracle_sql() -> dict[str, str]:
         # mirrors. ann_lsh stays rows-only: its buckets come from seeded
         # Gaussian projection planes (not SQL-expressible); pytest checks
         # its recall against brute force instead.
+        # event-stream operators (oracles_events.py): tumbling window,
+        # gap sessionization, strict as-of join (DuckDB ASOF JOIN).
+        "window_agg": oe.window_agg_sql(EVENT_WINDOW_S),
+        "sessionize": oe.sessionize_sql(EVENT_GAP_S),
+        "asof_purchase": oe.ASOF_PURCHASE_SQL,
         "exact_dedup": od.EXACT_DEDUP_SQL,
         "token_count": od.TOKEN_COUNT_SQL,
         "quality_score": od.QUALITY_SQL,

@@ -1,0 +1,221 @@
+"""Event-stream operators over a timestamped event table.
+
+The reference is a snapshot batch engine with no streaming/window
+surface (SURVEY.md §2 "Streaming/windows/watermarks: none"); these are
+the beyond-reference operators a large-scale training-data pipeline
+needs over an append-only event log: tumbling-window aggregation,
+gap-based sessionization, and a generic distributed as-of join.
+
+Scale design (100 TB event log):
+
+- ``windowed_aggregate`` reduces with an Arrow map-side combine — each
+  batch collapses to its distinct (window, keys) rows before any
+  exchange, so the shuffle moves per-window partials, not events. Small
+  partial sets finalize driver-side with no shuffle at all (same regime
+  split as ``util.preagg_sum``).
+- ``sessionize`` / ``asof_join`` hash-exchange on the entity key
+  (``groupby(key).map_groups``) and are vectorized numpy inside each
+  group. The partitioning assumption (documented contract): one key's
+  rows fit in a worker — the natural sessionization unit (events per
+  user, orders per customer); a key hot enough to break that needs a
+  time-bucketed pre-split upstream.
+
+Timestamps are compared as int64 microseconds end-to-end (cast once at
+the tagging stage), so no tz/unit coercion happens inside groups.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.util import (SMALL_AGG_DRIVER_LIMIT,
+                                             drop_empty_blocks,
+                                             to_arrow_blocks)
+
+US = 1_000_000
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """timestamp[*]/int64 column → int64 microseconds since epoch."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
+    return col.cast(pa.int64())
+
+
+def windowed_aggregate(events: rd.Dataset, window_s: int = 3600,
+                       keys: Sequence[str] = ("event_type",),
+                       time_col: str = "ts",
+                       value_col: str = "value") -> rd.Dataset:
+    """Tumbling-window aggregate: (window_start_s, *keys) → row count +
+    value sum. Returns columns ``window_start_s`` (int64 epoch seconds,
+    floor of the window), ``*keys``, ``n_events``, ``sum_value``.
+
+    One pass of vectorized per-batch bucketing + Arrow map-side combine;
+    the exchange carries only per-batch-distinct window rows.
+    """
+    keys = list(keys)
+    win_us = int(window_s) * US
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b.column(time_col)).to_numpy(zero_copy_only=False)
+        ws = (ts // win_us) * int(window_s)
+        t = pa.table({"window_start_s": ws,
+                      **{k: b.column(k) for k in keys},
+                      "n_events": np.ones(len(ws), dtype=np.int64),
+                      "sum_value": b.column(value_col)})
+        g = t.group_by(["window_start_s"] + keys).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")])
+        return g.rename_columns(["window_start_s"] + keys
+                                + ["n_events", "sum_value"])
+
+    red = events.map_batches(partial, batch_format="pyarrow").materialize()
+    gkeys = ["window_start_s"] + keys
+    if red.count() <= SMALL_AGG_DRIVER_LIMIT:
+        batches = list(red.iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 20))
+        if not batches:
+            return red
+        merged = pa.concat_tables(batches).group_by(gkeys).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")])
+        return rd.from_arrow(merged.rename_columns(
+            gkeys + ["n_events", "sum_value"]))
+    out = red.groupby(gkeys).sum(["n_events", "sum_value"])
+    return out.rename_columns({"sum(n_events)": "n_events",
+                               "sum(sum_value)": "sum_value"})
+
+
+def sessionize(events: rd.Dataset, gap_s: int = 1800,
+               user_col: str = "user_id", time_col: str = "ts",
+               id_col: str = "event_id") -> rd.Dataset:
+    """Gap-based sessionization: a new session starts when the gap to
+    the user's previous event exceeds ``gap_s`` (strictly). Returns
+    (``id_col``, ``user_col``, ``session_seq``) with ``session_seq`` a
+    1-based per-user session index; rows within a user are ordered by
+    (time, id) so equal timestamps break ties deterministically.
+
+    Hash-exchange on the user key, then one vectorized diff+cumsum per
+    group — the canonical streaming-window op expressed as a batch
+    ``groupby().map_groups``.
+    """
+    gap_us = int(gap_s) * US
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b.column(id_col).cast(pa.int64()),
+                         user_col: b.column(user_col),
+                         "__t": _ts_us(b.column(time_col))})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df[id_col].to_numpy(), df["__t"].to_numpy()))
+        ids = df[id_col].to_numpy()[order]
+        ts = df["__t"].to_numpy()[order]
+        new = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        return pd.DataFrame({id_col: ids,
+                             user_col: df[user_col].to_numpy()[order],
+                             "session_seq": np.cumsum(new).astype(np.int64)})
+
+    tagged = drop_empty_blocks(
+        events.select_columns([id_col, user_col, time_col])
+        .map_batches(tag, batch_format="pyarrow"))
+    return tagged.groupby(user_col).map_groups(per_user,
+                                               batch_format="pandas")
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
+              left_time: str, right_time: Optional[str] = None,
+              right_cols: Optional[Sequence[str]] = None, *,
+              strict: bool = True, suffix: str = "_r",
+              fill_value=None) -> rd.Dataset:
+    """Distributed as-of join: for each left row, attach the columns of
+    the latest right row with the same ``on`` key and right time <
+    left time (``strict=True``) or <= (``strict=False``). Rows with no
+    match get ``fill_value`` (or null) in the attached columns.
+
+    Both sides are tagged into one layout and hash-exchanged on the key
+    (one shuffle total); inside each key group the rights are sorted
+    once and every left row resolves via a single vectorized
+    ``searchsorted``. Ray Data has no binary as-of operator — this is
+    the documented composition (map_batches tag → union →
+    groupby(key).map_groups), per the reference-free custom-operator
+    recipe. Right rows must be unique per (key, time) for a
+    deterministic pick; ties at equal time are broken by right row
+    order after a stable time sort.
+    """
+    if right_time is None:
+        right_time = left_time
+    left = to_arrow_blocks(left)
+    right = to_arrow_blocks(right)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    if right_cols is None:
+        right_cols = [c for c in rschema.names if c not in (on, right_time)]
+    right_cols = list(right_cols)
+    out_cols = [c + suffix if c in set(lschema.names) else c
+                for c in right_cols]
+    lcols = lschema.names
+    rtypes = {c: rschema.field(c).type for c in right_cols}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {on: b.column(on), "__t": _ts_us(b.column(left_time)),
+                "__side": np.zeros(len(b), dtype=np.int8)}
+        for c in lcols:
+            if c != on:
+                cols["l__" + c] = b.column(c)
+        for c, oc in zip(right_cols, out_cols):
+            cols["r__" + oc] = pa.nulls(len(b), rtypes[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {on: b.column(on), "__t": _ts_us(b.column(right_time)),
+                "__side": np.ones(len(b), dtype=np.int8)}
+        for c in lcols:
+            if c != on:
+                cols["l__" + c] = pa.nulls(len(b), lschema.field(c).type)
+        for c, oc in zip(right_cols, out_cols):
+            cols["r__" + oc] = b.column(c)
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    both = drop_empty_blocks(lt.union(rt))
+    side = "left" if strict else "right"
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        is_r = df["__side"].to_numpy() == 1
+        ldf = df[~is_r]
+        rdf = df[is_r]
+        lts = ldf["__t"].to_numpy()
+        rts = rdf["__t"].to_numpy()
+        rorder = np.argsort(rts, kind="stable")
+        rts = rts[rorder]
+        idx = np.searchsorted(rts, lts, side=side) - 1
+        ok = idx >= 0
+        out = {on: ldf[on].to_numpy()}
+        for c in lcols:
+            if c != on:
+                vals = ldf["l__" + c].to_numpy()
+                # right-side rows hold nulls in l__* columns, so pandas
+                # widened ints to float for the whole group — restore
+                if (pa.types.is_integer(lschema.field(c).type)
+                        and vals.dtype.kind == "f"):
+                    vals = vals.astype(lschema.field(c).type.to_pandas_dtype())
+                out[c] = vals
+        for oc, c in zip(out_cols, right_cols):
+            rv = rdf["r__" + oc].to_numpy()[rorder]
+            vals = rv[np.clip(idx, 0, None)]
+            col = pd.Series(vals).where(ok, other=fill_value)
+            # left-side rows hold nulls in r__* columns, so the group's
+            # dtype is widened — restore ints when every cell is filled
+            if fill_value is not None and pa.types.is_integer(rtypes[c]):
+                col = col.astype(rtypes[c].to_pandas_dtype())
+            out[oc] = col.to_numpy()
+        return pd.DataFrame(out)
+
+    return both.groupby(on).map_groups(close, batch_format="pandas")

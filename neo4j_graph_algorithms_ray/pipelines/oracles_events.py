@@ -1,0 +1,39 @@
+"""DuckDB oracle SQL for the event-stream operators
+(functions/events.py): tumbling-window aggregate, gap sessionization,
+and the as-of join. Generated from the same window/gap constants as the
+driver queries so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+
+def window_agg_sql(window_s: int = 3600) -> str:
+    win_us = window_s * 1_000_000
+    return f"""SELECT CAST(epoch_us(ts) // {win_us} AS BIGINT) * {window_s} AS window_start_s,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def sessionize_sql(gap_s: int = 1800) -> str:
+    gap_us = gap_s * 1_000_000
+    return f"""SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM (SELECT event_id, user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+ORDER BY event_id"""
+
+
+ASOF_PURCHASE_SQL = """SELECT e.event_id, e.user_id,
+       COALESCE(p.event_id, -1) AS prev_purchase_id
+FROM events e ASOF LEFT JOIN
+     (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+ORDER BY e.event_id"""

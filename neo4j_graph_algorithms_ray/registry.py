@@ -90,6 +90,7 @@ def list_operators() -> list[dict]:
         "ann": "neo4j_graph_algorithms_ray.functions.ann",
         "text": "neo4j_graph_algorithms_ray.functions.text",
         "multimodal": "neo4j_graph_algorithms_ray.functions.multimodal",
+        "events": "neo4j_graph_algorithms_ray.functions.events",
     }
     for kind, modname in modules.items():
         mod = importlib.import_module(modname)

@@ -1,0 +1,112 @@
+"""Event-stream operators (functions/events.py) — tumbling windows,
+gap sessionization, as-of join — verified against independent pandas
+brute-force oracles on a deterministic synthetic event log."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.functions.events import (asof_join,
+                                                         sessionize,
+                                                         windowed_aggregate)
+
+US = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    rng = np.random.default_rng(11)
+    n = 500
+    ts = np.cumsum(rng.integers(1, 40 * 60, size=n)) * US  # sec-scale gaps
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "user_id": rng.integers(0, 7, size=n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "purchase"], size=n),
+        "value": np.round(rng.uniform(0, 10, size=n), 2),
+    })
+
+
+def test_windowed_aggregate(events_df):
+    ds = rd.from_pandas(events_df).repartition(5)
+    got = windowed_aggregate(ds, window_s=3600).to_pandas() \
+        .sort_values(["window_start_s", "event_type"]).reset_index(drop=True)
+    t = events_df["ts"].astype("datetime64[us]").astype(np.int64)
+    want = events_df.assign(window_start_s=(t // (3600 * US)) * 3600) \
+        .groupby(["window_start_s", "event_type"]) \
+        .agg(n_events=("value", "size"), sum_value=("value", "sum")) \
+        .reset_index().sort_values(["window_start_s", "event_type"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sessionize(events_df):
+    gap = 1800
+    ds = rd.from_pandas(events_df).repartition(5)
+    got = sessionize(ds, gap_s=gap).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    def brute(g):
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        new = np.ones(len(g), bool)
+        new[1:] = (t[1:] - t[:-1]) > gap * US
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "session_seq": np.cumsum(new)})
+
+    want = events_df.groupby("user_id", group_keys=False)[
+        ["ts", "event_id"]].apply(brute) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["session_seq"].to_numpy()
+            == want["session_seq"].to_numpy()).all()
+    assert got["session_seq"].min() == 1
+
+
+def test_asof_join_strict_vs_inclusive(events_df):
+    ds = rd.from_pandas(events_df).repartition(4)
+    left = ds.select_columns(["event_id", "user_id", "ts"])
+    right = ds.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "event_id"])
+    got = asof_join(left, right, on="user_id", left_time="ts",
+                    right_cols=["event_id"], strict=True,
+                    fill_value=-1).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["event_id_r"].dtype == np.int64
+
+    pp = events_df[events_df.event_type == "purchase"]
+
+    def brute(row, strict):
+        c = pp[(pp.user_id == row.user_id)
+               & ((pp.ts < row.ts) if strict else (pp.ts <= row.ts))]
+        return int(c.sort_values("ts").iloc[-1].event_id) if len(c) else -1
+
+    want = events_df.apply(lambda r: brute(r, True), axis=1).to_numpy()
+    order = events_df["event_id"].argsort()
+    assert (got["event_id_r"].to_numpy() == want[order]).all()
+
+    # inclusive: a purchase event matches itself
+    inc = asof_join(left, right, on="user_id", left_time="ts",
+                    right_cols=["event_id"], strict=False,
+                    fill_value=-1).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want_inc = events_df.apply(lambda r: brute(r, False), axis=1).to_numpy()
+    assert (inc["event_id_r"].to_numpy() == want_inc[order]).all()
+    purchase_ids = set(pp["event_id"])
+    self_rows = inc[inc["event_id"].isin(purchase_ids)]
+    assert (self_rows["event_id_r"] == self_rows["event_id"]).all()
+
+
+def test_asof_join_no_match_null(events_df):
+    """Without fill_value unmatched rows carry nulls (NaN) and matched
+    values survive; suffix applies on column collision."""
+    ds = rd.from_pandas(events_df).repartition(3)
+    left = ds.select_columns(["event_id", "user_id", "ts"])
+    right = ds.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "event_id", "value"])
+    out = asof_join(left, right, on="user_id", left_time="ts",
+                    right_cols=["event_id", "value"]).to_pandas()
+    assert "event_id_r" in out.columns and "value" in out.columns
+    assert out["event_id_r"].isna().any()
+    assert out["event_id_r"].notna().any()
