@@ -12,7 +12,7 @@ def window_agg_sql(window_s: int = 3600) -> str:
     return f"""SELECT CAST(epoch_us(ts) // {win_us} AS BIGINT) * {window_s} AS window_start_s,
        event_type,
        COUNT(*) AS n_events,
-       SUM(value) AS sum_value
+       round(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
