@@ -43,6 +43,24 @@ def _init_ray(num_cpus: int):
     return ray
 
 
+def _calibrate() -> float:
+    """Single-thread box-speed calibration: best-of-3 np.unique over a
+    fixed 2.4M-element random int64 array. A quiet box measures ~0.25 s;
+    noisy-neighbor / throttled phases measure 0.8-1.2 s and inflate every
+    sort/shuffle-bound query 2-4x with near-zero visible CPU steal —
+    recorded with each bench so artifacts from different box states are
+    comparable."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 1 << 40, size=2_400_000)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.unique(a)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def headline(num_cpus: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     # settle: a prior Ray session's teardown (e.g. the correctness gate
@@ -77,6 +95,7 @@ def headline(num_cpus: int) -> dict:
 
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
+    extras["calib_sort_sec"] = _calibrate()
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -203,6 +222,7 @@ def scaling_workload(num_cpus: int) -> dict:
             best, res, best_steal = dt, r, steal
     compute = best
     out = {"num_cpus": num_cpus, "edges": g.num_edges,
+           "calib_sort_sec": _calibrate(),
            "iterations": res.iterations,
            "edges_scattered": res.stats["edges_scattered"],
            "gen_sec": round(gen_sec, 3), "build_sec": round(build_sec, 3),

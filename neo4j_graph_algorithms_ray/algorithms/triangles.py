@@ -93,6 +93,25 @@ def _build_oriented(n: int, *blocks: pa.Table):
     return offsets, to, okeys, deg
 
 
+@ray.remote
+def _wedge_bounds(built, p: int) -> np.ndarray:
+    """Wedge-weighted range bounds: split vertices into ≤p contiguous
+    ranges of equal Σ C(outdeg,2) (the closure work unit), not equal
+    vertex count — on a skewed web graph equal-width ranges put nearly
+    all wedges in the hub ranges. Runs worker-side against the built
+    CSR so the driver never holds the offsets array."""
+    offsets = built[0]
+    k = np.diff(offsets).astype(np.int64)
+    n = len(k)
+    w = k * (k - 1) // 2
+    cw = np.cumsum(w)
+    if n == 0 or cw[-1] == 0:
+        return np.linspace(0, n, p + 1).astype(np.int64)
+    tgt = np.linspace(0, cw[-1], p + 1)[1:-1]
+    mid = np.searchsorted(cw, tgt)
+    return np.unique(np.concatenate([[0], mid, [n]])).astype(np.int64)
+
+
 def _iter_wedges(srcs_all: np.ndarray, starts_all: np.ndarray, nbr: np.ndarray,
                  triu_cache: dict):
     """Yield (src_of_wedge, t1, t2) arrays for all rank-oriented wedges:
@@ -165,9 +184,9 @@ def _triangle_count_broadcast(g: GraphTables, *, num_partitions, keep_vid,
     blocks = g.edges.select_columns(["src", "dst"]).materialize().to_arrow_refs()
     ref = _build_oriented.remote(n, *blocks)
 
-    bounds = np.linspace(0, n, p + 1).astype(np.int64)
+    bounds = ray.get(_wedge_bounds.remote(ref, p))
     ranges = rd.from_arrow(pa.table({"lo": bounds[:-1], "hi": bounds[1:]})) \
-        .repartition(p)
+        .repartition(len(bounds) - 1)
 
     class WedgeCloser:
         def __init__(self):
@@ -228,9 +247,9 @@ def _triangle_count_broadcast(g: GraphTables, *, num_partitions, keep_vid,
 def _triples_broadcast(ref, n: int, p: int) -> rd.Dataset:
     """(a,b,c) rank-oriented triangle triples via the same batched
     closure (separate pass so the counting path stays lean)."""
-    bounds = np.linspace(0, n, p + 1).astype(np.int64)
+    bounds = ray.get(_wedge_bounds.remote(ref, p))
     ranges = rd.from_arrow(pa.table({"lo": bounds[:-1], "hi": bounds[1:]})) \
-        .repartition(p)
+        .repartition(len(bounds) - 1)
 
     class TripleGen:
         def __init__(self):
