@@ -68,3 +68,27 @@ def test_triangle_stream_join_path(monkeypatch):
     triples = {tuple(sorted((r["a"], r["b"], r["c"])))
                for r in triangle_stream(g).take_all()}
     assert triples == {("a", "b", "c"), ("d", "e", "f"), ("g", "h", "i")}
+
+
+def test_wedge_bounds_balance_skewed():
+    """Wedge-weighted range bounds: on a hub-dominated graph the bounds
+    isolate the hub's wedge mass instead of equal-width ranges putting
+    all work in one task; ranges must tile [0, n) exactly and balance
+    cumulative C(k,2) to within one vertex's weight."""
+    import numpy as np
+    import ray
+    from neo4j_graph_algorithms_ray.algorithms.triangles import _wedge_bounds
+    # oriented out-degrees: one 1000-degree hub + 999 degree-2 vertices
+    k = np.concatenate([[1000], np.full(999, 2)]).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(k)])
+    built = (offsets, None, None, None)
+    p = 8
+    bounds = ray.get(_wedge_bounds.remote(built, p))
+    assert bounds[0] == 0 and bounds[-1] == len(k)
+    assert (np.diff(bounds) > 0).all()
+    w = k * (k - 1) // 2
+    loads = np.array([w[a:b].sum() for a, b in zip(bounds[:-1], bounds[1:])])
+    # the hub (weight 499500) sits alone in its range; remaining ranges
+    # split the tail's 999 weight evenly
+    assert loads.max() == w[0]
+    assert (loads[loads != w[0]] <= w.sum() / p + w.max()).all()
