@@ -105,11 +105,17 @@ def _wedge_bounds(built, p: int) -> np.ndarray:
     n = len(k)
     w = k * (k - 1) // 2
     cw = np.cumsum(w)
+    ecuts = np.linspace(0, n, p + 1).astype(np.int64)
     if n == 0 or cw[-1] == 0:
-        return np.linspace(0, n, p + 1).astype(np.int64)
+        return np.unique(ecuts)
     tgt = np.linspace(0, cw[-1], p + 1)[1:-1]
-    mid = np.searchsorted(cw, tgt)
-    return np.unique(np.concatenate([[0], mid, [n]])).astype(np.int64)
+    # side="left" + 1: the vertex crossing each weight target closes its
+    # range, so a dominant hub lands alone instead of collapsing every
+    # cut onto itself (which would yield ONE range — no parallelism).
+    wcuts = np.searchsorted(cw, tgt, side="left") + 1
+    # union with equal-width cuts keeps the light tail split ≤2p ways
+    # even when one vertex holds most of the wedge mass
+    return np.unique(np.concatenate([[0], wcuts, ecuts, [n]])).astype(np.int64)
 
 
 def _iter_wedges(srcs_all: np.ndarray, starts_all: np.ndarray, nbr: np.ndarray,
