@@ -386,6 +386,17 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(_emb(sf_dir), vecs, ids, k=10)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    # nprobe == ncells → exhaustive probe, so the result is EXACT and
+    # shares the brute-force SQL oracle while driving the full IVF
+    # machinery (k-means training, cell assignment, probe masking).
+    # Sampled-probe (nprobe < ncells) recall is pinned in pytest — the
+    # k-means training itself is not SQL-expressible.
+    from neo4j_graph_algorithms_ray.functions.ann import ivf_topk
+    vecs, ids = _ann_queries(sf_dir)
+    return ivf_topk(_emb(sf_dir), vecs, ids, k=10, ncells=16, nprobe=16)
+
+
 def _q_media(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.multimodal import media_pipeline
     out = media_pipeline(_docs(sf_dir))
@@ -494,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_emb_neardup,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "media_pipeline": _q_media,
     }
 
@@ -559,5 +571,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": od.EMB_NEARDUP_SQL,
         "ann_cosine_topk": od.ANN_TOPK_SQL,
         "ann_lsh_topk": od.ANN_LSH_TOPK_SQL,
+        "ann_ivf_topk": od.ANN_TOPK_SQL,
         "media_pipeline": od.MEDIA_SQL,
     }

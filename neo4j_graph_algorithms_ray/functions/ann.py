@@ -3,9 +3,14 @@
 - ``brute_force_topk``: exact cosine top-k — numpy matmul per batch
   against a broadcast query matrix (ray.put once, read per task). The
   baseline, and the verifier for the approximate variants.
-- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path:
+- ``lsh_topk``: random-hyperplane LSH bucketing — a scale path:
   candidates restricted to query-colliding buckets (multi-probe over
   bands), exact re-rank inside. Deterministic planes from a pinned seed.
+- ``ivf_topk``: inverted-file (IVF) cells — the other scale path:
+  spherical k-means centroids trained on a deterministic hash sample
+  (driver holds ncells×dim floats, never the corpus), vectors assigned
+  to their nearest cell per batch, each query searching only its
+  ``nprobe`` nearest cells with exact re-rank inside.
 """
 
 from __future__ import annotations
@@ -48,6 +53,118 @@ def brute_force_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray
             mask = np.ones(len(ids), dtype=bool)
             if exclude_self:
                 mask &= ids != qids[qi]
+            order = np.lexsort((ids[mask], -s[mask]))[:k]
+            sel = np.nonzero(mask)[0][order]
+            out_q.append(np.full(len(sel), qids[qi]))
+            out_v.append(ids[sel])
+            out_s.append(s[sel])
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "vec_id": np.concatenate(out_v),
+                             "cosine": np.concatenate(out_s)})
+
+    from neo4j_graph_algorithms_ray.util import to_arrow_blocks
+    partials = to_arrow_blocks(emb.map_batches(partial, batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["cosine"] = round6(g["cosine"].to_numpy())
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ivf_train_centroids(emb: rd.Dataset, ncells: int = 64, *,
+                        sample: int = 65536, iters: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 42) -> np.ndarray:
+    """Spherical k-means centroids for IVF, trained on a deterministic
+    hash sample of the corpus (rows whose ``hash(id) % stride == 0``) —
+    the training boundary is ``sample`` vectors on the driver, never the
+    corpus. Init = first ncells sampled vectors (hash order), ``iters``
+    Lloyd rounds with L2-renormalized means (cosine geometry); empty
+    cells re-seeded from the farthest-assigned points."""
+    n = emb.count()
+    stride = max(1, n // max(1, sample))
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        keep = (pd.util.hash_array(np.asarray(ids)) % np.uint64(stride)) == 0
+        return batch[keep]
+
+    rows = emb.map_batches(pick, batch_format="pandas").take_all()
+    if not rows:
+        rows = emb.limit(max(ncells, 1)).take_all()
+    m = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                             for r in rows]))
+    order = np.argsort([r[id_col] for r in rows])
+    m = m[order]
+    ncells = min(ncells, len(m))
+    cents = m[:ncells].copy()
+    for _ in range(iters):
+        sims = m @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(ncells):
+            sel = assign == c
+            if sel.any():
+                cents[c] = m[sel].sum(axis=0)
+            else:
+                # re-seed an empty cell from the overall worst-served point
+                cents[c] = m[sims.max(axis=1).argmin()]
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+             k: int = 10, *, ncells: int = 64, nprobe: int = 8,
+             centroids: np.ndarray | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = True, seed: int = 42) -> rd.Dataset:
+    """IVF-cell ANN: each vector belongs to its nearest centroid's cell;
+    a query searches only its ``nprobe`` nearest cells, with exact
+    cosine re-rank inside. Same output schema/tie-break contract as
+    :func:`brute_force_topk`; recall measured in tests (no SQL oracle —
+    the k-means training is not SQL-expressible, unlike the md5-pinned
+    LSH planes).
+
+    Scale shape: centroids are ncells×dim floats broadcast once; the
+    per-batch work is one matmul for assignment + one masked matmul for
+    scoring; only n_queries×k rows leave each batch. A persisted-index
+    deployment would store ``cell`` as a partition column and prune
+    whole files at the read — here assignment is recomputed per batch
+    to keep the operator input a bare embedding table."""
+    if centroids is None:
+        centroids = ivf_train_centroids(emb, ncells, id_col=id_col,
+                                        vec_col=vec_col, seed=seed)
+    cents = np.asarray(centroids, dtype=np.float64)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, len(cents))
+    # (Q, ncells) probe mask: each query's nprobe nearest cells
+    qcell = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(qm), len(cents)), dtype=bool)
+    np.put_along_axis(probe_mask, qcell, True, axis=1)
+    state = ray.put((cents, qm, np.asarray(query_ids, dtype=np.int64),
+                     probe_mask))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cts, qmat, qids, pmask = ray.get(state)
+        ids = batch[id_col].to_numpy()
+        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        cell = (m @ cts.T).argmax(axis=1)
+        cand = pmask[:, cell].any(axis=0)
+        ids, m, cell = ids[cand], m[cand], cell[cand]
+        if not len(ids):
+            return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                                 "vec_id": np.empty(0, np.int64),
+                                 "cosine": np.empty(0)})
+        sims = qmat @ m.T  # (Q, B)
+        allowed = pmask[:, cell]  # (Q, B)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = allowed[qi].copy()
+            if exclude_self:
+                mask &= ids != qids[qi]
+            s = sims[qi]
             order = np.lexsort((ids[mask], -s[mask]))[:k]
             sel = np.nonzero(mask)[0][order]
             out_q.append(np.full(len(sel), qids[qi]))

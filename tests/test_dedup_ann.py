@@ -110,3 +110,41 @@ def test_ann_lsh_recall():
     assert recall >= 0.5  # multi-probe 6-bit LSH on random data
     # the engineered near-dup must always be found
     assert (0, 1) in aset
+
+
+def test_ann_ivf_full_probe_equals_brute_force():
+    """nprobe == ncells searches every cell — IVF must then reproduce
+    the exact brute-force top-k (same tie-break contract)."""
+    from neo4j_graph_algorithms_ray.functions.ann import ivf_topk
+    ds, v = _emb_ds(n=120, dim=16)
+    brute = {(r["query_id"], r["vec_id"], r["cosine"])
+             for r in brute_force_topk(ds, v[:3], np.arange(3), k=5).take_all()}
+    full = {(r["query_id"], r["vec_id"], r["cosine"])
+            for r in ivf_topk(ds, v[:3], np.arange(3), k=5, ncells=8,
+                              nprobe=8).take_all()}
+    assert full == brute
+
+
+def test_ann_ivf_recall():
+    """nprobe < ncells: probing the nearest cells keeps recall high on
+    random data, and the engineered near-dup pair is always found."""
+    from neo4j_graph_algorithms_ray.functions.ann import ivf_topk
+    ds, v = _emb_ds(n=200, dim=16)
+    brute = brute_force_topk(ds, v[:3], np.arange(3), k=5).take_all()
+    approx = ivf_topk(ds, v[:3], np.arange(3), k=5, ncells=16,
+                      nprobe=4).take_all()
+    bset = {(r["query_id"], r["vec_id"]) for r in brute}
+    aset = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.5
+    assert (0, 1) in aset
+
+
+def test_ann_ivf_centroid_training_deterministic():
+    from neo4j_graph_algorithms_ray.functions.ann import ivf_train_centroids
+    ds, _ = _emb_ds(n=150, dim=16)
+    c1 = ivf_train_centroids(ds, ncells=8, sample=100)
+    c2 = ivf_train_centroids(ds, ncells=8, sample=100)
+    np.testing.assert_array_equal(c1, c2)
+    # spherical: unit-norm centroids
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
