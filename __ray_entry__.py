@@ -283,6 +283,11 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir), gap_s=EVENT_GAP_S)
 
 
+def _q_session_stats(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.events import session_stats
+    return session_stats(_events(sf_dir), gap_s=EVENT_GAP_S)
+
+
 def _q_asof_purchase(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.events import asof_join
     ev = _events(sf_dir)
@@ -493,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_sampled": _q_betweenness_sampled,
         "window_agg": _q_window_agg,
         "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
         "asof_purchase": _q_asof_purchase,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -559,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         # gap sessionization, strict as-of join (DuckDB ASOF JOIN).
         "window_agg": oe.window_agg_sql(EVENT_WINDOW_S),
         "sessionize": oe.sessionize_sql(EVENT_GAP_S),
+        "session_stats": oe.session_stats_sql(EVENT_GAP_S),
         "asof_purchase": oe.ASOF_PURCHASE_SQL,
         "exact_dedup": od.EXACT_DEDUP_SQL,
         "token_count": od.TOKEN_COUNT_SQL,

@@ -169,6 +169,62 @@ def sessionize(events: rd.Dataset, gap_s: int = 1800,
                                             batch_format="pandas")
 
 
+def session_stats(events: rd.Dataset, gap_s: int = 1800,
+                  user_col: str = "user_id", time_col: str = "ts",
+                  id_col: str = "event_id",
+                  num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Per-session aggregates under the same gap rule as
+    :func:`sessionize`: one row per (user, session) with ``n_events``,
+    ``start_us`` (epoch microseconds of the first event) and
+    ``duration_us``. Aggregation happens inside the bucket pass itself
+    (segment reduce over the session boundaries) — sessions never leave
+    the worker as per-event rows, so the exchange after the single
+    key-bucket shuffle is one row per session."""
+    gap_us = int(gap_s) * US
+    nb = _num_buckets(num_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b.column(user_col)
+        return pa.table({id_col: b.column(id_col).cast(pa.int64()),
+                         user_col: users,
+                         "__t": _ts_us(b.column(time_col)),
+                         "__b": _bucket_of(users, nb)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        users = df[user_col].to_numpy()
+        codes = pd.factorize(users)[0]
+        t = df["__t"].to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        cc, tt = codes[order], t[order]
+        new = np.ones(len(cc), dtype=bool)
+        if len(cc) > 1:
+            new[1:] = (cc[1:] != cc[:-1]) | ((tt[1:] - tt[:-1]) > gap_us)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(cc)))
+        ends = starts + counts - 1
+        # session_seq: running session count, reset at each user boundary
+        sess_user = cc[starts]
+        ub = np.ones(len(starts), dtype=bool)
+        if len(starts) > 1:
+            ub[1:] = sess_user[1:] != sess_user[:-1]
+        s = np.arange(1, len(starts) + 1, dtype=np.int64)
+        fb = np.flatnonzero(ub)
+        seq = s - np.repeat(s[fb], np.diff(np.append(fb, len(starts)))) + 1
+        return pd.DataFrame({
+            user_col: users[order][starts],
+            "session_seq": seq.astype(np.int64),
+            "n_events": counts.astype(np.int64),
+            "start_us": tt[starts].astype(np.int64),
+            "duration_us": (tt[ends] - tt[starts]).astype(np.int64)})
+
+    tagged = drop_empty_blocks(
+        events.select_columns([id_col, user_col, time_col])
+        .map_batches(tag, batch_format="pyarrow"))
+    return tagged.groupby("__b").map_groups(per_bucket,
+                                            batch_format="pandas")
+
+
 def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
               left_time: str, right_time: Optional[str] = None,
               right_cols: Optional[Sequence[str]] = None, *,

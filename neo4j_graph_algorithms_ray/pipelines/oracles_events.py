@@ -30,6 +30,25 @@ FROM (SELECT event_id, user_id, ts,
 ORDER BY event_id"""
 
 
+def session_stats_sql(gap_s: int = 1800) -> str:
+    gap_us = gap_s * 1_000_000
+    return f"""WITH seq AS (
+  SELECT event_id, user_id, ts,
+         CAST(SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM (SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events))
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+FROM seq GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+
+
 ASOF_PURCHASE_SQL = """SELECT e.event_id, e.user_id,
        COALESCE(p.event_id, -1) AS prev_purchase_id
 FROM events e ASOF LEFT JOIN

@@ -110,3 +110,26 @@ def test_asof_join_no_match_null(events_df):
     assert "event_id_r" in out.columns and "value" in out.columns
     assert out["event_id_r"].isna().any()
     assert out["event_id_r"].notna().any()
+
+
+def test_session_stats(events_df):
+    """session_stats must agree with grouping the sessionize output and
+    aggregating per (user, session)."""
+    from neo4j_graph_algorithms_ray.functions.events import session_stats
+    gap = 1800
+    ds = rd.from_pandas(events_df).repartition(5)
+    got = session_stats(ds, gap_s=gap).to_pandas() \
+        .sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+    sess = sessionize(ds, gap_s=gap).to_pandas()
+    t_us = events_df.set_index("event_id")["ts"] \
+        .astype("datetime64[us]").astype(np.int64)
+    sess["t"] = sess["event_id"].map(t_us)
+    want = sess.groupby(["user_id", "session_seq"]).agg(
+        n_events=("event_id", "size"), start_us=("t", "min"),
+        end_us=("t", "max")).reset_index()
+    want["duration_us"] = want["end_us"] - want["start_us"]
+    want = want.drop(columns="end_us") \
+        .sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_seq", "n_events", "start_us", "duration_us"]],
+        want, check_dtype=False)
