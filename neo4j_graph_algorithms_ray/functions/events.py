@@ -252,14 +252,43 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
         right_time = left_time
     left = to_arrow_blocks(left)
     right = to_arrow_blocks(right)
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    lsch = left.schema()
+    rsch = right.schema()
+    # a filter over an already-empty dataset yields schema-less blocks
+    # (Ray 2.49) — schema() is then None. An empty side still has defined
+    # semantics: empty right → no matches (typed fill columns); empty
+    # left → empty result.
+    lschema = lsch.base_schema if lsch is not None else None
+    rschema = rsch.base_schema if rsch is not None else None
     if right_cols is None:
-        right_cols = [c for c in rschema.names if c not in (on, right_time)]
+        right_cols = [c for c in rschema.names
+                      if c not in (on, right_time)] if rschema else []
     right_cols = list(right_cols)
-    out_cols = [c + suffix if c in set(lschema.names) else c
-                for c in right_cols]
+    lnames = set(lschema.names) if lschema is not None else set()
+    out_cols = [c + suffix if c in lnames else c for c in right_cols]
+    if lschema is None:
+        # schema-less empty left: emit a typed empty result
+        ftype = (pa.scalar(fill_value).type if fill_value is not None
+                 else pa.float64())
+        cols = {on: pa.array([], pa.null())}
+        cols.update({oc: pa.array([], ftype) for oc in out_cols})
+        return rd.from_arrow(pa.table(cols))
     lcols = lschema.names
+    if rschema is None:
+        ftype = (pa.scalar(fill_value).type if fill_value is not None
+                 else pa.float64())
+        rtypes = {c: ftype for c in right_cols}
+
+        def no_match(b: pa.Table) -> pa.Table:
+            cols = {c: b.column(c) for c in lcols}
+            for c, oc in zip(right_cols, out_cols):
+                if fill_value is not None:
+                    cols[oc] = pa.array([fill_value] * len(b), ftype)
+                else:
+                    cols[oc] = pa.nulls(len(b), ftype)
+            return pa.table(cols)
+
+        return left.map_batches(no_match, batch_format="pyarrow")
     rtypes = {c: rschema.field(c).type for c in right_cols}
 
     nb = _num_buckets(num_buckets)

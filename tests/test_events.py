@@ -133,3 +133,37 @@ def test_session_stats(events_df):
     pd.testing.assert_frame_equal(
         got[["user_id", "session_seq", "n_events", "start_us", "duration_us"]],
         want, check_dtype=False)
+
+
+def test_events_ops_empty_and_degenerate_inputs():
+    """Empty / schema-less-empty inputs (a filter over an empty dataset
+    loses its schema in Ray 2.49) must not crash: empty right → typed
+    fill column on every left row; empty left → empty result."""
+    import pyarrow as pa
+    from neo4j_graph_algorithms_ray.functions.events import session_stats
+    schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()), ("event_type", pa.string()),
+                        ("value", pa.float64())])
+    empty = rd.from_arrow(pa.table({f.name: pa.array([], f.type)
+                                    for f in schema}))
+    one = rd.from_arrow(pa.table({"event_id": pa.array([7], pa.int64()),
+                                  "ts": pa.array([1_000_000],
+                                                 pa.timestamp("us")),
+                                  "user_id": pa.array([3], pa.int64()),
+                                  "event_type": pa.array(["view"]),
+                                  "value": pa.array([1.0])}))
+    assert windowed_aggregate(empty).count() == 0
+    assert sessionize(empty).count() == 0
+    assert session_stats(empty).count() == 0
+    # schema-less empty right: the filter erases the schema
+    er = empty.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "event_id"])
+    out = asof_join(one.select_columns(["event_id", "user_id", "ts"]), er,
+                    on="user_id", left_time="ts", right_cols=["event_id"],
+                    fill_value=-1).take_all()
+    assert len(out) == 1 and out[0]["event_id_r"] == -1
+    out2 = asof_join(empty.select_columns(["event_id", "user_id", "ts"]),
+                     one.select_columns(["user_id", "ts", "event_id"]),
+                     on="user_id", left_time="ts", right_cols=["event_id"],
+                     fill_value=-1)
+    assert out2.count() == 0
