@@ -361,6 +361,11 @@ def _q_minhash_pairs(sf_dir: str):
                                          threshold=0.5))
 
 
+def _q_neardup_clusters(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.dedup import neardup_clusters
+    return neardup_clusters(_docs(sf_dir), num_perm=8, bands=4, threshold=0.5)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import simhash_pairs
     return _empty_safe(simhash_pairs(_docs(sf_dir), max_hamming=8))
@@ -507,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "neardup_clusters": _q_neardup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_emb_neardup,
         "ann_cosine_topk": _q_ann_topk,
@@ -574,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": od.FINGERPRINT_SQL,
         "ngram_jaccard_pairs": od.ngram_jaccard_sql(),
         "minhash_lsh_pairs": od.minhash_sql(),
+        "neardup_clusters": od.neardup_clusters_sql(),
         "simhash_pairs": od.simhash_sql(),
         "embedding_neardup": od.EMB_NEARDUP_SQL,
         "ann_cosine_topk": od.ANN_TOPK_SQL,

@@ -542,3 +542,57 @@ def embedding_neardup_pairs(emb: rd.Dataset, *, threshold: float = 0.95,
     return _ensure_pair_schema(
         emb.groupby(block_col).map_groups(pergroup, batch_format="pandas"),
         {"a": pa.int64(), "b": pa.int64(), "cosine": pa.float64()})
+
+
+# ---------------- near-dup cluster resolution (pairs -> corpus filter) ----------------
+
+def neardup_clusters(docs: rd.Dataset, pairs: rd.Dataset | None = None, *,
+                     num_perm: int = 8, bands: int = 4, k: int = 3,
+                     threshold: float = 0.5,
+                     id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Resolve near-duplicate *clusters* over the whole corpus:
+    (doc_id, rep_id) where rep_id = min doc id of the doc's near-dup
+    connected component (docs with no near-dup map to themselves).
+    Keeping ``doc_id == rep_id`` rows IS the deduplicated corpus — the
+    end-to-end shape of web-scale fuzzy dedup (pairs alone are not a
+    dedup decision; transitive closure is).
+
+    ``pairs`` defaults to :func:`minhash_lsh_pairs` on ``docs``; any
+    (a, b) pair Dataset works (simhash, embedding cosine, ...).
+
+    Scale shape: the pair graph is sparse (bounded by LSH collisions,
+    orders of magnitude smaller than the corpus), and the transitive
+    closure runs on the engine's own distributed WCC kernel — no
+    driver-side union-find over the corpus. The rep mapping reaches the
+    corpus via a hash join, not a broadcast.
+    """
+    from neo4j_graph_algorithms_ray.algorithms.wcc import wcc
+    from neo4j_graph_algorithms_ray.graph import build_graph
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands, k=k,
+                                  threshold=threshold, id_col=id_col,
+                                  text_col=text_col)
+    ids = docs.select_columns([id_col])
+    pairs = to_arrow_blocks(pairs).select_columns(["a", "b"]).materialize()
+    if pairs.count() == 0:
+        return ids.map_batches(
+            lambda b: b.append_column("rep_id", b[id_col]),
+            batch_format="pyarrow")
+
+    # min-label WCC over the pair graph; vids ascend with original ids,
+    # so the min-vid component label translates to the min doc id.
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    g = build_graph(pairs, "a", "b", undirected=True, dedup=True,
+                    name="neardup")
+    comp = translate_vid_columns(g, wcc(g).dataset, ["component"])
+    comp = comp.rename_columns({"node": "__dn", "component": "__rep"})
+
+    out = safe_join(ids, comp, "left_outer", 8, on=(id_col,),
+                    right_on=("__dn",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        rep = pc.coalesce(b["__rep"], b[id_col])
+        return pa.table({id_col: b[id_col], "rep_id": pc.cast(rep, pa.int64())})
+
+    return to_arrow_blocks(out).map_batches(finish, batch_format="pyarrow")

@@ -121,8 +121,10 @@ def _unique_endpoints_driver(edges: rd.Dataset, src_col: str, dst_col: str,
     Returns the vid-ordered (ascending) node array."""
     @ray.remote
     def block_unique(tbl: pa.Table, cols: list[str]) -> pa.Array:
-        return pc.unique(pa.chunked_array(
-            [tbl[c].combine_chunks() for c in cols if c in tbl.column_names]))
+        arrs = [tbl[c].combine_chunks() for c in cols if c in tbl.column_names]
+        if tbl.num_rows == 0 or not arrs:  # schema-less empty blocks
+            return pa.array([], pa.int64())
+        return pc.unique(pa.chunked_array(arrs))
 
     refs = [block_unique.remote(r, [src_col, dst_col])
             for r in edges.materialize().to_arrow_refs()]

@@ -115,7 +115,28 @@ def minhash_sql(num_perm: int = 8, bands: int = 4, threshold: float = 0.5) -> st
             expr=" || ':' || ".join(f"CAST(s{b * r + i} AS VARCHAR)"
                                     for i in range(r)))
         for b in range(bands))
-    return f"""WITH {SHINGLE_CTES},
+    return (f"WITH {_minhash_pair_ctes(num_perm, bands, threshold)}\n"
+            "SELECT a, b, jaccard FROM mh_pairs ORDER BY a, b")
+
+
+def _minhash_pair_ctes(num_perm: int, bands: int, threshold: float) -> str:
+    """CTE chain ending in ``mh_pairs(a, b, jaccard)`` — the verified
+    near-dup pair set, shared by minhash_sql and neardup_clusters_sql."""
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        MINHASH_MOD, minhash_params)
+    a_arr, c_arr = minhash_params(num_perm)
+    r = num_perm // bands
+    sig_cols = ",\n    ".join(
+        f"min(CAST(((CAST({int(a_arr[j])} AS HUGEINT) * h) % {MINHASH_MOD}"
+        f" + {int(c_arr[j])}) % {MINHASH_MOD} AS BIGINT)) AS s{j}"
+        for j in range(num_perm))
+    band_keys = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" || ':' || ".join(f"CAST(s{b * r + i} AS VARCHAR)"
+                                    for i in range(r)))
+        for b in range(bands))
+    return f"""{SHINGLE_CTES},
 hb AS MATERIALIZED (
   SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
 sig AS MATERIALIZED (
@@ -134,14 +155,38 @@ inter AS (
   SELECT c.a, c.b, count(*) AS i
   FROM cand c JOIN sh x ON x.doc_id = c.a
               JOIN sh y ON y.doc_id = c.b AND y.s = x.s
-  GROUP BY c.a, c.b)
-SELECT c.a AS a, c.b AS b,
-  round(CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS jaccard
-FROM cand c
-JOIN counts ca ON ca.doc_id = c.a JOIN counts cb ON cb.doc_id = c.b
-LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)), 6) >= {threshold}
-ORDER BY a, b"""
+  GROUP BY c.a, c.b),
+mh_pairs AS MATERIALIZED (
+  SELECT c.a AS a, c.b AS b,
+    round(CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS jaccard
+  FROM cand c
+  JOIN counts ca ON ca.doc_id = c.a JOIN counts cb ON cb.doc_id = c.b
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)), 6) >= {threshold})"""
+
+
+def neardup_clusters_sql(iters: int = 25, num_perm: int = 8, bands: int = 4,
+                         threshold: float = 0.5) -> str:
+    """Mirror of functions/dedup.neardup_clusters: transitive closure of
+    the verified MinHash pair set by unrolled min-label propagation
+    (same trick as oracles.wcc_sql); docs outside any pair keep their
+    own id. ``iters`` must exceed the pair-graph diameter — near-dup
+    components are near-cliques, so 25 is generous at oracle scale."""
+    ctes = [_minhash_pair_ctes(num_perm, bands, threshold),
+            "symp AS MATERIALIZED (SELECT a, b FROM mh_pairs "
+            "UNION ALL SELECT b AS a, a AS b FROM mh_pairs)",
+            "dn AS (SELECT doc_id AS node FROM documents)",
+            "r0 AS (SELECT node, node AS c FROM dn)"]
+    for it in range(1, iters + 1):
+        ctes.append(f"""r{it} AS MATERIALIZED (
+  SELECT n.node, least(p.c, coalesce(min(q.c), p.c)) AS c
+  FROM dn n
+  JOIN r{it-1} p ON p.node = n.node
+  LEFT JOIN symp e ON e.a = n.node
+  LEFT JOIN r{it-1} q ON q.node = e.b
+  GROUP BY n.node, p.c)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, c AS rep_id FROM r{iters} ORDER BY doc_id")
 
 
 def simhash_sql(max_hamming: int = 8) -> str:

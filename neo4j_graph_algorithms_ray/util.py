@@ -111,6 +111,8 @@ def distinct_pairs(ds: rd.Dataset, c1: str, c2: str,
 
     @ray.remote
     def block_uniq(tbl: pa.Table) -> np.ndarray:
+        if tbl.num_rows == 0:  # 0-chunk columns crash to_numpy
+            return np.empty(0, np.uint64)
         a = tbl.column(c1).to_numpy(zero_copy_only=False).astype(np.int64)
         b = tbl.column(c2).to_numpy(zero_copy_only=False).astype(np.int64)
         if len(a) and (a.max() >= 1 << 31 or b.max() >= 1 << 31

@@ -148,3 +148,34 @@ def test_ann_ivf_centroid_training_deterministic():
     np.testing.assert_array_equal(c1, c2)
     # spherical: unit-norm centroids
     np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+
+def test_neardup_clusters_transitive_and_singletons():
+    from neo4j_graph_algorithms_ray.functions.dedup import neardup_clusters
+    # explicit pair set with a transitive chain 10-11, 11-12 (10 and 12
+    # never appear as a direct pair) plus an isolated pair 20-21
+    docs = rd.from_items([{"doc_id": d, "text": f"doc {d}"} for d in
+                          [10, 11, 12, 20, 21, 30]])
+    pairs = rd.from_items([{"a": 10, "b": 11}, {"a": 11, "b": 12},
+                           {"a": 20, "b": 21}])
+    got = {r["doc_id"]: r["rep_id"]
+           for r in neardup_clusters(docs, pairs).take_all()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_neardup_clusters_no_pairs_identity():
+    from neo4j_graph_algorithms_ray.functions.dedup import neardup_clusters
+    docs = rd.from_items([{"doc_id": d, "text": f"unique {d} " * 5}
+                          for d in range(4)])
+    empty = rd.from_items([{"a": 1, "b": 2}]).filter(lambda r: False)
+    got = {r["doc_id"]: r["rep_id"]
+           for r in neardup_clusters(docs, empty).take_all()}
+    assert got == {d: d for d in range(4)}
+
+
+def test_neardup_clusters_minhash_end_to_end():
+    from neo4j_graph_algorithms_ray.functions.dedup import neardup_clusters
+    got = {r["doc_id"]: r["rep_id"] for r in neardup_clusters(_ds()).take_all()}
+    # 0, 1 exact dups; 2 near-dup of both -> one cluster with rep 0
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == 3 and got[4] == 4
