@@ -448,6 +448,19 @@ def _q_web_pagerank_topk(sf_dir: str):
     return ds.sort(["score", "url"], descending=[True, False]).limit(TOPK)
 
 
+def _q_host_graph(sf_dir: str):
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
+    return host_edge_ds(sf_dir)
+
+
+def _q_host_pagerank(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    g = get_host_graph(sf_dir)
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="host")
+    return _round6(res.dataset, "score")
+
+
 def _q_web_wcc_sizes(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import wcc
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -478,6 +491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pagerank": _q_web_pagerank,
         "web_pagerank_topk": _q_web_pagerank_topk,
         "web_wcc_sizes": _q_web_wcc_sizes,
+        "host_graph": _q_host_graph,
+        "host_pagerank": _q_host_pagerank,
         "pagerank": _q_pagerank,
         "pagerank_topk": _q_pagerank_topk,
         "wcc": _q_wcc,
@@ -534,6 +549,8 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank": ow.web_pagerank_sql(PR_ITERS),
         "web_pagerank_topk": ow.web_pagerank_sql(PR_ITERS, topk=TOPK),
         "web_wcc_sizes": ow.web_wcc_sql(30, "sizes"),
+        "host_graph": ow.HOST_GRAPH_SQL,
+        "host_pagerank": ow.host_pagerank_sql(PR_ITERS),
         "pagerank": o.pagerank_sql(PR_ITERS),
         "pagerank_topk": o.pagerank_topk_sql(PR_ITERS, TOPK),
         "wcc": o.wcc_sql(WCC_SQL_ITERS, "components"),

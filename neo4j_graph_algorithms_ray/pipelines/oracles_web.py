@@ -96,3 +96,40 @@ def web_wcc_sql(iters: int = 30, final: str = "sizes") -> str:
         return head + f"\nSELECT node AS url, c AS component FROM c{iters} ORDER BY url"
     return head + (f"\nSELECT c AS component, count(*) AS size FROM c{iters} "
                    "GROUP BY c ORDER BY component")
+
+
+HOST_GRAPH_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+hp AS (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src_host,
+              regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst_host
+       FROM wedges)
+SELECT src_host, dst_host, count(*) AS n_links
+FROM hp GROUP BY src_host, dst_host ORDER BY src_host, dst_host"""
+
+
+def host_pagerank_sql(iters: int = 20) -> str:
+    """PageRank over the coarsened host graph (distinct host→host
+    edges, self-host links dropped) — mirror of webgraph.get_host_graph
+    + pagerank."""
+    ctes = [WEB_BASE, WEB_EDGES,
+            """hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1))""",
+            "hnodes AS MATERIALIZED (SELECT src AS node FROM hedges "
+            "UNION SELECT dst FROM hedges)",
+            "hdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+            "FROM hedges GROUP BY src)",
+            "h0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM hnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""h{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM hnodes n
+  LEFT JOIN hedges e ON e.dst = n.node
+  LEFT JOIN h{k-1} p ON p.node = e.src
+  LEFT JOIN hdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS host, round(r, 6) AS score FROM h{iters} ORDER BY host")

@@ -53,3 +53,47 @@ def get_web_graph(sf_dir: str, *, undirected: bool = False) -> GraphTables:
                         name=name.replace("/", "_"))
         GraphCatalog.set(name, g)
     return g
+
+
+HOST_RE = r"^[a-z]+://(?P<host>[^/]+)"
+
+
+def host_edge_ds(sf_dir: str) -> rd.Dataset:
+    """Coarsen the page link graph to the host (domain) graph:
+    (src_host, dst_host, n_links) with n_links = count of distinct
+    page-level links between the two hosts. The standard web-corpus
+    aggregation level (domain ranking, spam filtering, crawl budgeting).
+
+    Scale shape: host extraction is a vectorized RE2 kernel over the
+    already-distinct page edges; the pair count is a map-side Arrow
+    combine (util.preagg_sum), so the shuffle carries per-batch-distinct
+    host pairs (~|hosts|² rows max, tiny next to page edges).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def to_hosts(b: pa.Table) -> pa.Table:
+        sh = pc.struct_field(pc.extract_regex(b["src_url"], HOST_RE), "host")
+        dh = pc.struct_field(pc.extract_regex(b["dst_url"], HOST_RE), "host")
+        one = pa.array(np.ones(b.num_rows, np.int64))
+        return pa.table({"src_host": sh, "dst_host": dh, "n_links": one})
+
+    he = web_edge_ds(sf_dir).map_batches(to_hosts, batch_format="pyarrow")
+    return preagg_sum(he, ["src_host", "dst_host"], "n_links")
+
+
+def get_host_graph(sf_dir: str) -> GraphTables:
+    """Host graph for ranking: distinct host→host edges, self-host
+    links dropped (they would dominate rank mass — every site links
+    mostly within itself)."""
+    name = f"hostgraph:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        edges = host_edge_ds(sf_dir).filter(expr="src_host != dst_host")
+        g = build_graph(edges, src_col="src_host", dst_col="dst_host",
+                        name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    return g

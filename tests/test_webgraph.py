@@ -101,3 +101,26 @@ def test_extract_links_ignores_quotes_in_prefix_text():
     got = set(zip(out.column("src_url").to_pylist(),
                   out.column("dst_url").to_pylist()))
     assert got == {("u1", "http://x.test/a"), ("u3", "http://x.test/b")}
+
+
+def test_host_graph_coarsening():
+    """host_edge_ds must equal the page edge table aggregated by the
+    url→host rule, and the host graph must drop self-host edges."""
+    from collections import Counter
+    import re
+
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (
+        get_host_graph, host_edge_ds, web_edge_ds)
+
+    host = lambda u: re.match(r"^[a-z]+://([^/]+)", u).group(1)
+    pages = web_edge_ds(SF).take_all()
+    want = Counter((host(r["src_url"]), host(r["dst_url"])) for r in pages)
+
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in host_edge_ds(SF).take_all()}
+    assert got == dict(want)
+
+    g = get_host_graph(SF)
+    n_cross = sum(v for (s, d), v in want.items() if s != d)
+    assert g.num_edges == len({k for k in want if k[0] != k[1]})
+    assert g.num_vertices <= 20 and n_cross > 0
