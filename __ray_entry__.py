@@ -315,6 +315,11 @@ def _docs(sf_dir: str):
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _docs_full(sf_dir: str):
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet")
+
+
 def _emb(sf_dir: str):
     import ray.data as rd
     from neo4j_graph_algorithms_ray.util import read_parquet_clean
@@ -348,6 +353,26 @@ def _q_fingerprint(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import Fingerprint
     return _docs(sf_dir).map_batches(Fingerprint, batch_format="pandas",
                                      batch_size=4096, concurrency=2)
+
+
+def _q_vocab_topk(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import vocab_topk
+    return vocab_topk(_docs(sf_dir), topk=100)
+
+
+def _q_doc_sample(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import doc_sample
+    return doc_sample(_docs_full(sf_dir), pct=20)
+
+
+def _q_repetition_ratio(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import repetition_ratio
+    return repetition_ratio(_docs(sf_dir), k=3)
+
+
+def _q_tfidf_topk(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import tfidf_topk
+    return tfidf_topk(_docs(sf_dir), topk=3)
 
 
 def _q_ngram_jaccard(sf_dir: str):
@@ -525,6 +550,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        "vocab_topk": _q_vocab_topk,
+        "doc_sample": _q_doc_sample,
+        "repetition_ratio": _q_repetition_ratio,
+        "tfidf_topk": _q_tfidf_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "neardup_clusters": _q_neardup_clusters,
@@ -595,6 +624,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": od.QUALITY_SQL,
         "langid": od.langid_sql(),
         "fingerprint": od.FINGERPRINT_SQL,
+        "vocab_topk": od.vocab_topk_sql(100),
+        "doc_sample": od.doc_sample_sql(20),
+        "repetition_ratio": od.repetition_ratio_sql(),
+        "tfidf_topk": od.tfidf_topk_sql(3),
         "ngram_jaccard_pairs": od.ngram_jaccard_sql(),
         "minhash_lsh_pairs": od.minhash_sql(),
         "neardup_clusters": od.neardup_clusters_sql(),

@@ -116,3 +116,149 @@ class Fingerprint:
         fp = batch[self.text_col].map(
             lambda t: hashlib.md5(self.normalize(t).encode("utf-8")).hexdigest())
         return pd.DataFrame({self.id_col: batch[self.id_col], "fingerprint": fp})
+
+
+def vocab_topk(docs, *, topk: int = 100, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Corpus-wide vocabulary statistics: the ``topk`` most frequent
+    lowered whitespace tokens → (token, n_occ, n_docs), ranked by
+    occurrence count desc then token asc. The shape of tokenizer /
+    BPE-vocabulary training stats over a web corpus.
+
+    Scale shape: per-batch vectorized tokenize + factorize combine
+    (occurrence AND document frequency computed inside the batch — a
+    doc never spans batches), so the shuffle carries per-batch-distinct
+    tokens only; top-k is a tiny sort on the aggregated vocab.
+    """
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b[text_col])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_occ": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        n_occ = np.bincount(codes, minlength=len(uniq))
+        pair = np.unique(doc_idx.astype(np.int64) * len(uniq) + codes)
+        n_docs = np.bincount((pair % len(uniq)).astype(np.int64),
+                             minlength=len(uniq))
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n_occ": n_occ.astype(np.int64),
+                         "n_docs": n_docs.astype(np.int64)})
+
+    agg = preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
+                     ["token"], ["n_occ", "n_docs"])
+    return agg.sort(["n_occ", "token"], descending=[True, False]).limit(topk)
+
+
+def doc_sample(docs, *, pct: int = 20, id_col: str = "doc_id"):
+    """Deterministic hash sampling: keep rows whose md5(id) bucket
+    (mod 100) is < ``pct``. The reproducible corpus-subsetting primitive
+    — same doc set on every run, any cluster size, any partitioning
+    (unlike Dataset.random_sample). Pure vectorized filter, no shuffle.
+    """
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        h, _ = _md5_u64(ids.astype(str).astype(object), 15)
+        return b.filter(pa.array((h % 100) < pct))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def repetition_ratio(docs, *, k: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Per-doc duplicate-k-gram fraction: 1 − distinct/total word
+    k-shingles (0 when the doc has no shingles). High values flag
+    boilerplate/spam — the Gopher-style repetition quality signal.
+    Vectorized shingling shared with the dedup sketches."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _shingle_arrays
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        doc_idx, sh = _shingle_arrays(b[text_col], k)
+        total = np.bincount(doc_idx, minlength=len(ids)).astype(np.float64)
+        if len(sh):
+            d = pd.DataFrame({"d": doc_idx, "s": sh}).drop_duplicates()
+            dist = np.bincount(d["d"].to_numpy(), minlength=len(ids))
+        else:
+            dist = np.zeros(len(ids))
+        ratio = np.where(total > 0, 1.0 - dist / np.maximum(total, 1), 0.0)
+        return pa.table({id_col: b[id_col],
+                         "rep_ratio": pa.array(round6(ratio))})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_topk(docs, *, topk: int = 3, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Per-doc top-``topk`` keywords by tf·idf → (doc_id, token, tfidf):
+    tf = raw occurrence count in the doc, idf = ln(N / df) over lowered
+    whitespace tokens, ranked (tfidf desc, token asc). Document
+    keywording / topic features for corpus curation.
+
+    Scale shape: the document-frequency table is aggregated with a
+    map-side combine (same pass as vocab_topk) and then BROADCAST via
+    ``ray.put`` — one object-store copy read by every scoring task, not
+    re-shipped per batch and never a shuffle join. Assumes the distinct
+    vocab fits a worker's heap (true even at web scale with the usual
+    df≥2 floor; tokens seen once get idf=ln N and never rank anyway).
+    """
+    import pyarrow as pa
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b[text_col])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        pair = np.unique(doc_idx.astype(np.int64) * len(uniq) + codes)
+        df = np.bincount((pair % len(uniq)).astype(np.int64),
+                         minlength=len(uniq))
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "df": df.astype(np.int64)})
+
+    n_docs = docs.count()
+    dft = preagg_sum(docs.map_batches(df_partial, batch_format="pyarrow"),
+                     ["token"], "df").materialize()
+    vocab = pa.concat_tables([ray.get(r) for r in dft.to_arrow_refs()])
+    idf_map = pd.Series(
+        np.log(float(n_docs) / vocab["df"].to_numpy(zero_copy_only=False)),
+        index=pd.Index(vocab["token"].to_pylist()))
+    idf_ref = ray.put(idf_map)
+
+    def score(b: pa.Table) -> pa.Table:
+        idf = ray.get(idf_ref)
+        doc_idx, toks = _token_arrays(b[text_col])
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        if len(toks) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tfidf": pa.array([], pa.float64())})
+        codes, uniq = pd.factorize(toks)
+        key = doc_idx.astype(np.int64) * len(uniq) + codes
+        ukey, tf = np.unique(key, return_counts=True)
+        d = (ukey // len(uniq)).astype(np.int64)
+        tok = uniq[(ukey % len(uniq)).astype(np.int64)]
+        sc = round6(tf * idf.reindex(tok).to_numpy())
+        frame = pd.DataFrame({id_col: ids[d], "token": tok, "tfidf": sc})
+        frame = frame.sort_values([id_col, "tfidf", "token"],
+                                  ascending=[True, False, True])
+        top = frame.groupby(id_col, sort=False).head(topk)
+        return pa.Table.from_pandas(top, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -101,20 +101,6 @@ def minhash_sql(num_perm: int = 8, bands: int = 4, threshold: float = 0.5) -> st
     ((2j+1)·h mod p + C_j) mod p with p = 2^61-1 and C_j =
     md5('minhash:j')[:15]; band key = ':'-joined signature rows;
     candidates share a (band, key); verified by exact shingle Jaccard."""
-    from neo4j_graph_algorithms_ray.functions.dedup import (
-        MINHASH_MOD, minhash_params)
-    a_arr, c_arr = minhash_params(num_perm)
-    r = num_perm // bands
-    sig_cols = ",\n    ".join(
-        f"min(CAST(((CAST({int(a_arr[j])} AS HUGEINT) * h) % {MINHASH_MOD}"
-        f" + {int(c_arr[j])}) % {MINHASH_MOD} AS BIGINT)) AS s{j}"
-        for j in range(num_perm))
-    band_keys = " ".join(
-        "WHEN {b} THEN {expr}".format(
-            b=b,
-            expr=" || ':' || ".join(f"CAST(s{b * r + i} AS VARCHAR)"
-                                    for i in range(r)))
-        for b in range(bands))
     return (f"WITH {_minhash_pair_ctes(num_perm, bands, threshold)}\n"
             "SELECT a, b, jaccard FROM mh_pairs ORDER BY a, b")
 
@@ -294,3 +280,65 @@ WHERE rn <= 10 ORDER BY query_id, vec_id"""
 MEDIA_SQL = """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
   CASE WHEN length(text) > 0 THEN unicode(text) ELSE -1 END AS first_byte
 FROM documents ORDER BY doc_id"""
+
+
+def vocab_topk_sql(topk: int = 100) -> str:
+    """Mirror of functions/text.vocab_topk: lowered whitespace tokens,
+    occurrence + document frequency, ranked (n_occ DESC, token ASC)."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT doc_id, unnest(tk) AS token FROM tl)
+SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+FROM occ GROUP BY token
+ORDER BY n_occ DESC, token ASC LIMIT {topk}"""
+
+
+def doc_sample_sql(pct: int = 20) -> str:
+    """Mirror of functions/text.doc_sample: md5(doc_id-as-string) first
+    15 hex digits mod 100 < pct."""
+    return f"""SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < {pct}
+ORDER BY doc_id"""
+
+
+def repetition_ratio_sql(k: int = 3) -> str:
+    """Mirror of functions/text.repetition_ratio for k=3 (shares the
+    word-shingle rule with SHINGLE_CTES, duplicates INCLUDED for the
+    total count)."""
+    assert k == 3, "SQL mirror pinned at k=3 (matches SHINGLE_CTES)"
+    return r"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+shd AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+      i -> CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                ELSE tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s
+  FROM tl),
+st AS (SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
+       FROM shd GROUP BY doc_id)
+SELECT d.doc_id,
+  round(coalesce(1.0 - CAST(st.dist AS DOUBLE) / st.total, 0), 6) AS rep_ratio
+FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+def tfidf_topk_sql(topk: int = 3) -> str:
+    """Mirror of functions/text.tfidf_topk: tf = raw count, idf =
+    ln(N/df), rank (round6(tfidf) DESC, token ASC) per doc."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS MATERIALIZED (SELECT doc_id, unnest(tk) AS token FROM tl),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM occ GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT doc_id, tf.token,
+              round(tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+       FROM tf JOIN dfreq ON dfreq.token = tf.token CROSS JOIN n),
+rk AS (SELECT *, row_number() OVER
+         (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+       FROM sc)
+SELECT doc_id, token, tfidf FROM rk WHERE rn <= {topk}
+ORDER BY doc_id, tfidf DESC, token"""

@@ -136,15 +136,18 @@ def distinct_pairs(ds: rd.Dataset, c1: str, c2: str,
 SMALL_AGG_DRIVER_LIMIT = 5_000_000
 
 
-def preagg_sum(ds: rd.Dataset, keys: list[str], val: str) -> rd.Dataset:
-    """groupby(keys).sum(val) with an Arrow map-side combine: each batch
-    is pre-aggregated with ``pa.Table.group_by`` (vectorized) so the
-    shuffle moves only per-batch-distinct rows; when the partials are
-    small the final merge happens on the driver (no shuffle at all).
-    Returns columns keys + [val]."""
+def preagg_sum(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Dataset:
+    """groupby(keys).sum(val(s)) with an Arrow map-side combine: each
+    batch is pre-aggregated with ``pa.Table.group_by`` (vectorized) so
+    the shuffle moves only per-batch-distinct rows; when the partials
+    are small the final merge happens on the driver (no shuffle at all).
+    Returns columns keys + vals."""
+    vals = [val] if isinstance(val, str) else list(val)
+    aggs = [(v, "sum") for v in vals]
+
     def partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(keys).aggregate([(val, "sum")])
-        return g.rename_columns(keys + [val])
+        g = b.group_by(keys).aggregate(aggs)
+        return g.rename_columns(keys + vals)
 
     red = ds.map_batches(partial, batch_format="pyarrow").materialize()
     if red.count() <= SMALL_AGG_DRIVER_LIMIT:
@@ -153,10 +156,10 @@ def preagg_sum(ds: rd.Dataset, keys: list[str], val: str) -> rd.Dataset:
         if not batches:
             return red
         merged = pa.concat_tables(batches).group_by(keys) \
-            .aggregate([(val, "sum")]).rename_columns(keys + [val])
+            .aggregate(aggs).rename_columns(keys + vals)
         return rd.from_arrow(merged)
-    out = red.groupby(keys).sum(val)
-    return out.rename_columns({f"sum({val})": val})
+    out = red.groupby(keys).sum(vals)
+    return out.rename_columns({f"sum({v})": v for v in vals})
 
 
 def predistinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:

@@ -54,3 +54,68 @@ def test_fingerprint_normalization():
     expect4 = hashlib.md5(b"spaced out tabs").hexdigest()
     assert out[4] == expect4
     assert out[3] == hashlib.md5(b"").hexdigest()
+
+
+def test_vocab_topk_brute_force():
+    from collections import Counter
+
+    from neo4j_graph_algorithms_ray.functions.text import vocab_topk
+    occ, df = Counter(), Counter()
+    for d in DOCS:
+        toks = d["text"].lower().split()
+        occ.update(toks)
+        df.update(set(toks))
+    want = sorted(occ, key=lambda t: (-occ[t], t))[:5]
+    rows = vocab_topk(_ds(), topk=5).take_all()
+    assert [r["token"] for r in rows] == want
+    for r in rows:
+        assert r["n_occ"] == occ[r["token"]] and r["n_docs"] == df[r["token"]]
+
+
+def test_doc_sample_deterministic_and_pct():
+    from neo4j_graph_algorithms_ray.functions.text import doc_sample
+    big = rd.from_items([{"doc_id": i, "text": "x"} for i in range(1000)])
+    got = sorted(r["doc_id"] for r in doc_sample(big, pct=20).take_all())
+    got2 = sorted(r["doc_id"] for r in doc_sample(big, pct=20).take_all())
+    assert got == got2                       # deterministic
+    assert 120 <= len(got) <= 280            # ~20%
+    want = [i for i in range(1000)
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100 < 20]
+    assert got == want
+    sup = sorted(r["doc_id"] for r in doc_sample(big, pct=50).take_all())
+    assert set(got) <= set(sup)              # nested samples
+
+
+def test_repetition_ratio():
+    from neo4j_graph_algorithms_ray.functions.text import repetition_ratio
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "a b c a b c a b c a b c"},  # heavy repeat
+        {"doc_id": 1, "text": "all words here are unique tokens now"},
+        {"doc_id": 2, "text": ""},
+    ])
+    got = {r["doc_id"]: r["rep_ratio"] for r in repetition_ratio(docs).take_all()}
+    # doc 0: 10 shingles, 3 distinct -> 0.7
+    assert abs(got[0] - 0.7) < 1e-9
+    assert got[1] == 0.0 and got[2] == 0.0
+
+
+def test_tfidf_topk_brute_force():
+    import math
+    from collections import Counter
+
+    from neo4j_graph_algorithms_ray.functions.text import tfidf_topk
+    texts = {d["doc_id"]: d["text"].lower().split() for d in DOCS}
+    df = Counter()
+    for toks in texts.values():
+        df.update(set(toks))
+    n = len(DOCS)
+    want = {}
+    for d, toks in texts.items():
+        tf = Counter(toks)
+        sc = {t: round(c * math.log(n / df[t]), 6) for t, c in tf.items()}
+        want[d] = sorted(sc, key=lambda t: (-sc[t], t))[:3]
+    rows = tfidf_topk(_ds(), topk=3).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(r["token"])
+    assert got == {d: w for d, w in want.items() if w}
