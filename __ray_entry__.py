@@ -432,6 +432,19 @@ def _q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(_emb(sf_dir), vecs, ids, k=10, ncells=16, nprobe=16)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    # no SQL oracle: iterative k-means training is not SQL-expressible
+    # (rows-only check; determinism + blob-separation pinned in pytest)
+    from neo4j_graph_algorithms_ray.functions.ann import kmeans_clusters
+    return kmeans_clusters(_emb(sf_dir), ncells=8)
+
+
+def _q_cluster_sample(sf_dir: str):
+    # no SQL oracle: derived from k-means clusters (see above)
+    from neo4j_graph_algorithms_ray.functions.ann import cluster_balanced_sample
+    return cluster_balanced_sample(_emb(sf_dir), per_cluster=5, ncells=8)
+
+
 def _q_media(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.multimodal import media_pipeline
     out = media_pipeline(_docs(sf_dir))
@@ -562,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "cluster_balanced_sample": _q_cluster_sample,
         "media_pipeline": _q_media,
     }
 

@@ -267,3 +267,55 @@ def lsh_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
         return g
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def kmeans_clusters(emb: rd.Dataset, ncells: int = 16, *,
+                    sample: int = 65536, iters: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+    """Corpus clustering over an embedding column → (id, cluster, sim):
+    every vector assigned to its nearest spherical-k-means centroid
+    (cosine), sim = similarity to the centroid (round6). The curation
+    primitive behind topic bucketing / diversity analysis of a corpus.
+
+    Scale shape: centroids are trained on a deterministic hash sample
+    (ivf_train_centroids — driver holds ``sample`` vectors, never the
+    corpus), broadcast once via ``ray.put``, and assignment is one
+    matmul per batch. No shuffle at all.
+    """
+    cents = ivf_train_centroids(emb, ncells, sample=sample, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    cref = ray.put(cents)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        sims = m @ c.T
+        a = sims.argmax(axis=1)
+        return pd.DataFrame({id_col: batch[id_col],
+                             "cluster": a.astype(np.int64),
+                             "sim": round6(sims[np.arange(len(a)), a])})
+
+    return emb.map_batches(assign, batch_format="pandas")
+
+
+def cluster_balanced_sample(emb: rd.Dataset, per_cluster: int = 10, *,
+                            ncells: int = 16, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> rd.Dataset:
+    """Diversity-preserving subsample: the ``per_cluster`` vectors
+    closest to each k-means centroid (ties → lower id). Bounds every
+    topic's representation — the standard antidote to head-heavy web
+    corpora. Per-batch top-k partials keep the shuffle at
+    O(ncells · per_cluster · nblocks) rows, then one tiny per-cluster
+    merge."""
+    assigned = kmeans_clusters(emb, ncells, id_col=id_col, vec_col=vec_col)
+
+    def partial_top(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["cluster", "sim", id_col],
+                              ascending=[True, False, True])
+        return b.groupby("cluster", sort=False).head(per_cluster)
+
+    part = assigned.map_batches(partial_top, batch_format="pandas")
+    return part.groupby("cluster").map_groups(
+        lambda g: g.sort_values(["sim", id_col], ascending=[False, True])
+                   .head(per_cluster),
+        batch_format="pandas")

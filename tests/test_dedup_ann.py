@@ -179,3 +179,38 @@ def test_neardup_clusters_minhash_end_to_end():
     # 0, 1 exact dups; 2 near-dup of both -> one cluster with rep 0
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == 3 and got[4] == 4
+
+
+def test_kmeans_clusters_separates_blobs():
+    from neo4j_graph_algorithms_ray.functions.ann import kmeans_clusters
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 0.05, (40, 8)) + np.eye(8)[0]
+    b = rng.normal(0, 0.05, (40, 8)) + np.eye(8)[3]
+    items = [{"vec_id": i, "embedding": v.tolist()}
+             for i, v in enumerate(np.vstack([a, b]))]
+    ds = rd.from_items(items)
+    rows = kmeans_clusters(ds, ncells=2).take_all()
+    got = {r["vec_id"]: r["cluster"] for r in rows}
+    ca = {got[i] for i in range(40)}
+    cb = {got[i] for i in range(40, 80)}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+    # deterministic across runs
+    rows2 = kmeans_clusters(ds, ncells=2).take_all()
+    assert {r["vec_id"]: r["cluster"] for r in rows2} == got
+
+
+def test_cluster_balanced_sample_caps_per_cluster():
+    from collections import Counter
+
+    from neo4j_graph_algorithms_ray.functions.ann import cluster_balanced_sample
+    rng = np.random.default_rng(11)
+    # skewed corpus: 90 vectors near axis0, 10 near axis3
+    a = rng.normal(0, 0.05, (90, 8)) + np.eye(8)[0]
+    b = rng.normal(0, 0.05, (10, 8)) + np.eye(8)[3]
+    items = [{"vec_id": i, "embedding": v.tolist()}
+             for i, v in enumerate(np.vstack([a, b]))]
+    rows = cluster_balanced_sample(rd.from_items(items), per_cluster=5,
+                                   ncells=2).take_all()
+    per = Counter(r["cluster"] for r in rows)
+    assert set(per.values()) == {5}          # balanced despite 9:1 skew
+    assert len(rows) == 10
