@@ -375,6 +375,27 @@ def _q_tfidf_topk(sf_dir: str):
     return tfidf_topk(_docs(sf_dir), topk=3)
 
 
+def _q_stratified_sample(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import stratified_sample
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"])
+    return stratified_sample(docs, key_col="lang", per_group=50)
+
+
+def _q_inverted_index(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import inverted_index
+    return inverted_index(_docs(sf_dir), min_df=2)
+
+
+def _q_doc_length_histogram(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import column_histogram
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "n_chars"])
+    return column_histogram(docs, "n_chars", width=100)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import ngram_jaccard_pairs
     return _empty_safe(ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5))
@@ -567,6 +588,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "repetition_ratio": _q_repetition_ratio,
         "tfidf_topk": _q_tfidf_topk,
+        "stratified_sample": _q_stratified_sample,
+        "inverted_index": _q_inverted_index,
+        "doc_length_histogram": _q_doc_length_histogram,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "neardup_clusters": _q_neardup_clusters,
@@ -643,6 +667,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": od.doc_sample_sql(20),
         "repetition_ratio": od.repetition_ratio_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),
+        "stratified_sample": od.stratified_sample_sql(50),
+        "inverted_index": od.inverted_index_sql(2),
+        "doc_length_histogram": od.doc_length_histogram_sql(100),
         "ngram_jaccard_pairs": od.ngram_jaccard_sql(),
         "minhash_lsh_pairs": od.minhash_sql(),
         "neardup_clusters": od.neardup_clusters_sql(),

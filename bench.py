@@ -147,6 +147,16 @@ def headline(num_cpus: int) -> dict:
         n_pages / queries[f"extract_links_{n_pages}p"], 1)
     extras["extract_edges"] = n_edges
 
+    # training-data dedup throughput: MinHash signatures → LSH buckets →
+    # verified pairs → WCC cluster resolution, end to end over documents
+    from neo4j_graph_algorithms_ray.functions.dedup import neardup_clusters
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+    n_docs = docs.count()
+    timed("neardup_dedup", lambda: neardup_clusters(docs).materialize())
+    extras["dedup_docs_per_sec"] = round(n_docs / queries["neardup_dedup"], 1)
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",

@@ -262,3 +262,107 @@ def tfidf_topk(docs, *, topk: int = 3, id_col: str = "doc_id",
                        .replace_schema_metadata(None)
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def stratified_sample(docs, *, key_col: str = "lang", per_group: int = 50,
+                      id_col: str = "doc_id"):
+    """Deterministic per-group cap: within each ``key_col`` group keep
+    the ``per_group`` rows with the smallest (md5(id), id) order — a
+    language-balanced (or source-balanced) corpus subsample that is
+    reproducible on any cluster size. → (id, key).
+
+    Scale shape: per-batch partial head per group (each batch can only
+    contribute its own best ``per_group`` rows), so the shuffle carries
+    ≤ groups·per_group·nblocks rows; the final per-group merge is tiny.
+    """
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    from neo4j_graph_algorithms_ray.util import to_arrow_blocks
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({id_col: b[id_col].to_numpy(zero_copy_only=False),
+                           key_col: b[key_col].to_pylist()})
+        h, _ = _md5_u64(df[id_col].to_numpy().astype(str).astype(object), 15)
+        df["_h"] = h
+        df = df.sort_values([key_col, "_h", id_col])
+        return df.groupby(key_col, sort=False).head(per_group)
+
+    part = docs.select_columns([id_col, key_col]) \
+               .map_batches(partial, batch_format="pyarrow")
+    out = part.groupby(key_col).map_groups(
+        lambda g: g.sort_values(["_h", id_col]).head(per_group),
+        batch_format="pandas")
+    return to_arrow_blocks(out).select_columns([id_col, key_col])
+
+
+def inverted_index(docs, *, min_df: int = 2, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Build the inverted index over lowered whitespace tokens →
+    (token, df, postings) with postings = comma-joined ascending doc
+    ids, tokens with document frequency ≥ ``min_df``. The search-index
+    / corpus-audit primitive.
+
+    Scale shape: per-batch distinct (token, doc) explode (a doc never
+    spans batches, so batch-local dedup is global), then ONE exchange
+    bucketed by token hash — per-bucket vectorized pandas groupby
+    builds all posting lists at once (the _bucketed_pairs trick; no
+    per-token Ray groupby). At web scale postings for stopword-like
+    tokens are df-capped by ``min_df``'s dual: pass a max_df filter
+    before emitting if lists must stay bounded.
+    """
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        _dedupe_doc_strings, _token_arrays)
+    from neo4j_graph_algorithms_ray.util import to_arrow_blocks
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        doc_idx, toks = _token_arrays(b[text_col])
+        d, s = _dedupe_doc_strings(doc_idx, toks)
+        return pa.table({"token": pa.array(s.astype(object), pa.string()),
+                         id_col: ids[d]})
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["_bkt"] = (pd.util.hash_array(df["token"].to_numpy())
+                      % np.uint64(64)).astype(np.int64)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col])
+        agg = g.groupby("token", sort=True)[id_col].agg(
+            df="size", postings=lambda x: ",".join(map(str, x)))
+        agg = agg[agg["df"] >= min_df].reset_index()
+        return agg[["token", "df", "postings"]]
+
+    out = pairs.map_batches(add_bucket, batch_format="pyarrow") \
+               .groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    return to_arrow_blocks(out).map_batches(
+        lambda b: b.select(["token", "df", "postings"]).cast(
+            pa.schema([("token", pa.string()), ("df", pa.int64()),
+                       ("postings", pa.string())])),
+        batch_format="pyarrow")
+
+
+def column_histogram(ds, col: str, *, width: float, lo: float = 0.0):
+    """Fixed-width histogram of a numeric column → (bucket, n) with
+    bucket = floor((x − lo)/width). The distributed profiling primitive
+    (exact, unlike sampled quantiles): per-batch bincount partials, one
+    tiny combine — no sort, no shuffle of raw values."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bkt = np.floor((x - lo) / width).astype(np.int64)
+        u, n = np.unique(bkt, return_counts=True)
+        return pa.table({"bucket": u, "n": n.astype(np.int64)})
+
+    agg = preagg_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["bucket"], "n")
+    return agg.sort("bucket")

@@ -342,3 +342,33 @@ rk AS (SELECT *, row_number() OVER
        FROM sc)
 SELECT doc_id, token, tfidf FROM rk WHERE rn <= {topk}
 ORDER BY doc_id, tfidf DESC, token"""
+
+
+def stratified_sample_sql(per_group: int = 50) -> str:
+    """Mirror of functions/text.stratified_sample over lang groups."""
+    return f"""WITH h AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+  FROM documents),
+rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+       FROM h)
+SELECT doc_id, lang FROM rk WHERE rn <= {per_group} ORDER BY doc_id"""
+
+
+def inverted_index_sql(min_df: int = 2) -> str:
+    """Mirror of functions/text.inverted_index: distinct (doc, token),
+    postings = comma-joined ascending doc ids, df >= min_df."""
+    return rf"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT DISTINCT doc_id, unnest(tk) AS token FROM tl)
+SELECT token, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM occ GROUP BY token HAVING count(*) >= {min_df} ORDER BY token"""
+
+
+def doc_length_histogram_sql(width: int = 100) -> str:
+    """Mirror of functions/text.column_histogram on n_chars."""
+    return f"""SELECT CAST(floor(n_chars / {width}.0) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM documents GROUP BY bucket ORDER BY bucket"""

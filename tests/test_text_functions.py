@@ -119,3 +119,42 @@ def test_tfidf_topk_brute_force():
     for r in rows:
         got.setdefault(r["doc_id"], []).append(r["token"])
     assert got == {d: w for d, w in want.items() if w}
+
+
+def test_stratified_sample_caps_and_determinism():
+    from neo4j_graph_algorithms_ray.functions.text import stratified_sample
+    items = [{"doc_id": i, "lang": ["en", "de", "fr"][i % 3]}
+             for i in range(300)]
+    ds = rd.from_items(items)
+    rows = stratified_sample(ds, key_col="lang", per_group=7).take_all()
+    from collections import Counter
+    per = Counter(r["lang"] for r in rows)
+    assert per == {"en": 7, "de": 7, "fr": 7}
+    # matches the md5-order brute force
+    def hk(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    want = set()
+    for lang in ["en", "de", "fr"]:
+        ids = [d["doc_id"] for d in items if d["lang"] == lang]
+        want |= set(sorted(ids, key=lambda i: (hk(i), i))[:7])
+    assert {r["doc_id"] for r in rows} == want
+
+
+def test_inverted_index_postings():
+    from neo4j_graph_algorithms_ray.functions.text import inverted_index
+    docs = rd.from_items([
+        {"doc_id": 3, "text": "apple banana"},
+        {"doc_id": 1, "text": "apple cherry apple"},
+        {"doc_id": 2, "text": "banana apple"},
+    ])
+    rows = {r["token"]: (r["df"], r["postings"])
+            for r in inverted_index(docs, min_df=2).take_all()}
+    assert rows == {"apple": (3, "1,2,3"), "banana": (2, "2,3")}
+
+
+def test_column_histogram_exact():
+    from neo4j_graph_algorithms_ray.functions.text import column_histogram
+    ds = rd.from_items([{"doc_id": i, "v": float(i)} for i in range(250)])
+    rows = {r["bucket"]: r["n"]
+            for r in column_histogram(ds, "v", width=100).take_all()}
+    assert rows == {0: 100, 1: 100, 2: 50}
