@@ -507,6 +507,11 @@ def _q_web_pagerank_topk(sf_dir: str):
     return ds.sort(["score", "url"], descending=[True, False]).limit(TOPK)
 
 
+def _q_anchor_texts(sf_dir: str):
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import anchor_text_ds
+    return anchor_text_ds(sf_dir)
+
+
 def _q_host_graph(sf_dir: str):
     from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
     return host_edge_ds(sf_dir)
@@ -550,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pagerank": _q_web_pagerank,
         "web_pagerank_topk": _q_web_pagerank_topk,
         "web_wcc_sizes": _q_web_wcc_sizes,
+        "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "pagerank": _q_pagerank,
@@ -617,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank": ow.web_pagerank_sql(PR_ITERS),
         "web_pagerank_topk": ow.web_pagerank_sql(PR_ITERS, topk=TOPK),
         "web_wcc_sizes": ow.web_wcc_sql(30, "sizes"),
+        "anchor_texts": ow.ANCHOR_TEXTS_SQL,
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),
         "pagerank": o.pagerank_sql(PR_ITERS),

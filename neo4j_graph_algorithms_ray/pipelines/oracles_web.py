@@ -133,3 +133,8 @@ def host_pagerank_sql(iters: int = 20) -> str:
   GROUP BY n.node)""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS host, round(r, 6) AS score FROM h{iters} ORDER BY host")
+
+
+ANCHOR_TEXTS_SQL = f"""WITH {WEB_BASE}
+SELECT {_url('t')} AS dst_url, 'link ' || j AS anchor, count(*) AS n
+FROM links GROUP BY dst_url, anchor ORDER BY dst_url, anchor"""

@@ -97,3 +97,28 @@ def get_host_graph(sf_dir: str) -> GraphTables:
                         name=name.replace("/", "_"))
         GraphCatalog.set(name, g)
     return g
+
+
+def anchor_text_ds(sf_dir: str) -> rd.Dataset:
+    """Anchor-text index: (dst_url, anchor, n) — how often each anchor
+    string points at each target page, every occurrence counted.
+    Target-page description/ranking features from the link graph.
+
+    Scale shape: vectorized anchor extraction (actor pool) feeding a
+    map-side Arrow combine; the shuffle carries per-batch-distinct
+    (target, anchor) rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.stages.extract import ExtractAnchors
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    an = pages.map_batches(ExtractAnchors, batch_format="pyarrow",
+                           batch_size=EXTRACT_BATCH,
+                           concurrency=EXTRACT_CONCURRENCY)
+    an = an.map_batches(
+        lambda b: pa.table({"dst_url": b["dst_url"], "anchor": b["anchor"],
+                            "n": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    return preagg_sum(an, ["dst_url", "anchor"], "n")

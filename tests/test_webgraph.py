@@ -124,3 +124,20 @@ def test_host_graph_coarsening():
     n_cross = sum(v for (s, d), v in want.items() if s != d)
     assert g.num_edges == len({k for k in want if k[0] != k[1]})
     assert g.num_vertices <= 20 and n_cross > 0
+
+
+def test_extract_anchors_text_and_duplicates():
+    from neo4j_graph_algorithms_ray.stages.extract import ExtractAnchors
+    html = [
+        b'intro "quoted" <a href="http://x.test/a">Alpha</a> mid '
+        b'<a href="http://x.test/a">Alpha</a> <a href="http://x.test/b">B two</a>',
+        b'no links at all',
+    ]
+    batch = pa.table({"url": ["u1", "u2"],
+                      "html": pa.array(html, pa.binary())})
+    out = ExtractAnchors()(batch)
+    rows = list(zip(out["src_url"].to_pylist(), out["dst_url"].to_pylist(),
+                    out["anchor"].to_pylist()))
+    assert rows == [("u1", "http://x.test/a", "Alpha"),
+                    ("u1", "http://x.test/a", "Alpha"),
+                    ("u1", "http://x.test/b", "B two")]
