@@ -37,6 +37,10 @@ _TOK = re.compile(r"\S+")
 MINHASH_MOD = (1 << 61) - 1
 _MAX_PERMS = 8
 
+# candidate-pair sets below this size verify / cluster on the driver
+# (pairs only — never the corpus); above it the shuffle paths run
+VERIFY_DRIVER_PAIR_LIMIT = 1_000_000
+
 
 def minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     if num_perm > _MAX_PERMS:
@@ -170,10 +174,27 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
               for s in txt.to_pylist()]
         return pa.table({id_col: batch[id_col], "h": pa.array(hs)})
 
-    hashed = docs.map_batches(h, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Min
-    agg = hashed.groupby("h").aggregate(Min(id_col, alias_name=id_col),
-                                        Count(alias_name="dup_count"))
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by("h").aggregate([(id_col, "min"), ("n", "sum")])
+        return g.rename_columns(["h", id_col, "n"])
+
+    hashed = docs.map_batches(h, batch_format="pyarrow").map_batches(
+        lambda b: b.append_column("n", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow")
+    # map-side combine (duplicates of one text CAN span batches, so a
+    # final min/sum merge is still needed — but it runs over per-batch-
+    # distinct partials, driver-side below the small-aggregate limit)
+    red = hashed.map_batches(combine, batch_format="pyarrow").materialize()
+    from neo4j_graph_algorithms_ray.util import SMALL_AGG_DRIVER_LIMIT
+    if red.count() <= SMALL_AGG_DRIVER_LIMIT:
+        import ray
+        tbl = pa.concat_tables([ray.get(r) for r in red.to_arrow_refs()])
+        out = tbl.group_by("h").aggregate([(id_col, "min"), ("n", "sum")]) \
+                 .rename_columns(["h", id_col, "dup_count"])
+        return rd.from_arrow(out.select([id_col, "dup_count"]))
+    from ray.data.aggregate import Min, Sum
+    agg = red.groupby("h").aggregate(Min(id_col, alias_name=id_col),
+                                     Sum("n", alias_name="dup_count"))
     return agg.select_columns([id_col, "dup_count"])
 
 
@@ -254,28 +275,54 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
         return pd.DataFrame({id_col: out_id, "band": out_band, "bkey": bkey})
 
     buckets = docs.map_batches(to_buckets, batch_format="pandas")
-    cand = _bucketed_pairs(buckets, ["band", "bkey"], id_col)
+    cand = _bucketed_pairs(buckets, ["band", "bkey"], id_col).materialize()
 
-    # exact verify: candidates are sparse → pull candidate ids' texts via join
-    texts = docs.select_columns([id_col, text_col])
-    ca = safe_join(cand, texts, "inner", 4, on=("a",), right_on=(id_col,))
-    ca = ca.rename_columns({text_col: "text_a"}).select_columns(["a", "b", "text_a"])
-    cb = safe_join(ca, texts, "inner", 4, on=("b",), right_on=(id_col,))
-    cb = cb.rename_columns({text_col: "text_b"})
+    from neo4j_graph_algorithms_ray.functions.text import round6
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         na, nb, inter = _pairwise_shingle_overlap(
             batch["text_a"].to_numpy(), batch["text_b"].to_numpy(), k)
         union = na + nb - inter
         ja = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        out = pd.DataFrame({"a": batch["a"], "b": batch["b"], "jaccard": ja})
+        out = pd.DataFrame({"a": batch["a"], "b": batch["b"],
+                            "jaccard": round6(ja)})
         return out[out["jaccard"] >= threshold]
 
-    from neo4j_graph_algorithms_ray.functions.text import round6
+    # small regime: candidate pairs fit the driver → fetch only the
+    # candidate ids' texts with a distributed is_in filter (the corpus
+    # itself stays out) and verify in one vectorized pass — two Ray
+    # hash joins cost seconds of fixed overhead regardless of size.
+    if cand.count() <= VERIFY_DRIVER_PAIR_LIMIT:
+        cp = cand.to_pandas()
+        if not len(cp):
+            return _ensure_pair_schema(cand, {"a": pa.int64(), "b": pa.int64(),
+                                              "jaccard": pa.float64()})
+        import ray
+        need = ray.put(np.unique(np.concatenate([cp["a"].to_numpy(),
+                                                 cp["b"].to_numpy()])))
+
+        def pick(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b[id_col],
+                                     value_set=pa.array(ray.get(need))))
+
+        tx = docs.select_columns([id_col, text_col]) \
+                 .map_batches(pick, batch_format="pyarrow").to_pandas()
+        m = pd.Series(tx[text_col].to_numpy(), index=tx[id_col].to_numpy())
+        cp["text_a"] = m.reindex(cp["a"]).to_numpy()
+        cp["text_b"] = m.reindex(cp["b"]).to_numpy()
+        out = verify(cp)
+        return _ensure_pair_schema(
+            rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
+                          .replace_schema_metadata(None)),
+            {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
+
+    # scale path: pull candidate ids' texts via two hash joins
+    texts = docs.select_columns([id_col, text_col])
+    ca = safe_join(cand, texts, "inner", 4, on=("a",), right_on=(id_col,))
+    ca = ca.rename_columns({text_col: "text_a"}).select_columns(["a", "b", "text_a"])
+    cb = safe_join(ca, texts, "inner", 4, on=("b",), right_on=(id_col,))
+    cb = cb.rename_columns({text_col: "text_b"})
     res = cb.map_batches(verify, batch_format="pandas")
-    res = res.map_batches(
-        lambda b: pd.DataFrame({"a": b["a"], "b": b["b"], "jaccard": round6(b["jaccard"])}),
-        batch_format="pandas")
     return _ensure_pair_schema(res, {"a": pa.int64(), "b": pa.int64(),
                                      "jaccard": pa.float64()})
 
@@ -333,8 +380,22 @@ def _bucketed_pairs(ds: rd.Dataset, key_cols: list[str], id_col: str, *,
         a, b = _segmented_pairs(d, np.nonzero(newseg)[0], group_cap)
         return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
 
+    # small regime: below the driver limit one gen() call over the whole
+    # keyed table (all keys, one vectorized pass) replaces the bucket
+    # groupby — a Ray shuffle costs seconds of fixed overhead regardless
+    # of size (same escape hatch as util.distinct_pairs/preagg_sum).
+    from neo4j_graph_algorithms_ray.util import SMALL_AGG_DRIVER_LIMIT, predistinct
+    keyed = keyed.materialize()
+    if keyed.count() <= SMALL_AGG_DRIVER_LIMIT:
+        import ray
+        refs = keyed.to_arrow_refs()
+        frame = (pa.concat_tables([ray.get(r) for r in refs]).to_pandas()
+                 if refs else pd.DataFrame({"k": [], id_col: []}))
+        out = gen(frame)
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
+                             .replace_schema_metadata(None))
+
     pairs = to_arrow_blocks(keyed.groupby("bucket").map_groups(gen, batch_format="pandas"))
-    from neo4j_graph_algorithms_ray.util import predistinct
     return predistinct(pairs, ["a", "b"])
 
 
@@ -380,7 +441,13 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
         return pd.DataFrame({id_col: ids[di], "sh": sh})
 
     sh = to_arrow_blocks(docs.map_batches(explode, batch_format="pandas")).materialize()
-    counts = sh.groupby(id_col).count().rename_columns({"count()": "n_sh"})
+    # per-doc shingle counts: docs never span batches, so a per-batch
+    # Arrow combine is exact and skips the full groupby shuffle
+    from neo4j_graph_algorithms_ray.util import preagg_sum as _psum
+    counts = _psum(sh.map_batches(
+        lambda b: b.group_by(id_col).aggregate([("sh", "count")])
+                   .rename_columns([id_col, "n_sh"]),
+        batch_format="pyarrow"), [id_col], "n_sh")
 
     # per-shingle doc pairs (capped), then intersection sizes — unlike
     # the LSH candidates these pairs keep their multiplicity (one row
@@ -404,10 +471,40 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
                          % 128).astype(np.int64)
         return out
 
-    keyed = to_arrow_blocks(sh.map_batches(add_bucket, batch_format="pandas"))
+    keyed = to_arrow_blocks(sh.map_batches(add_bucket,
+                                           batch_format="pandas")).materialize()
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import SMALL_AGG_DRIVER_LIMIT
+
+    # small regime: the exploded (shingle, doc) table fits the driver →
+    # one pair_explode pass + pandas aggregation replaces the bucket
+    # groupby, the pair-count shuffle and both count joins.
+    if keyed.count() <= SMALL_AGG_DRIVER_LIMIT:
+        import ray
+        refs = keyed.to_arrow_refs()
+        frame = (pa.concat_tables([ray.get(r) for r in refs]).to_pandas()
+                 if refs else pd.DataFrame({"k": [], id_col: []}))
+        pdf = pair_explode(frame)
+        empty = {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
+        if not len(pdf):
+            return _ensure_pair_schema(
+                rd.from_arrow(pa.table({c: pa.array([], t)
+                                        for c, t in empty.items()})), empty)
+        g = pdf.groupby(["a", "b"]).size().reset_index(name="inter")
+        cdf = counts.to_pandas()
+        cs = pd.Series(cdf["n_sh"].to_numpy(), index=cdf[id_col].to_numpy())
+        na = cs.reindex(g["a"]).to_numpy()
+        nb = cs.reindex(g["b"]).to_numpy()
+        jac = round6(g["inter"].to_numpy() / (na + nb - g["inter"].to_numpy()))
+        out = pd.DataFrame({"a": g["a"], "b": g["b"], "jaccard": jac})
+        out = out[out["jaccard"] >= threshold]
+        return _ensure_pair_schema(
+            rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
+                          .replace_schema_metadata(None)), empty)
+
     pairs = to_arrow_blocks(keyed.groupby("bucket")
                             .map_groups(pair_explode, batch_format="pandas"))
-    from neo4j_graph_algorithms_ray.util import preagg_sum as _psum
     inter = _psum(pairs.map_batches(
         lambda b: b.append_column("one", pa.array(np.ones(b.num_rows, np.int64))),
         batch_format="pyarrow"), ["a", "b"], "one") \
@@ -416,8 +513,6 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
     j1 = j1.rename_columns({"n_sh": "na"}).select_columns(["a", "b", "inter", "na"])
     j2 = safe_join(j1, counts, "inner", 4, on=("b",), right_on=(id_col,))
     j2 = j2.rename_columns({"n_sh": "nb"})
-
-    from neo4j_graph_algorithms_ray.functions.text import round6
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         jac = batch["inter"] / (batch["na"] + batch["nb"] - batch["inter"])
@@ -491,7 +586,36 @@ def simhash_pairs(docs: rd.Dataset, *, max_hamming: int = 8,
         return pd.DataFrame({id_col: out_ids, "band": band, "bkey": key})
 
     buckets = sigs.map_batches(to_bands, batch_format="pandas")
-    cand = _bucketed_pairs(buckets, ["band", "bkey"], id_col)
+    cand = _bucketed_pairs(buckets, ["band", "bkey"], id_col).materialize()
+
+    # small regime: verify hamming on the driver from a broadcast-free
+    # signature fetch (is_in filter) — skips two hash joins
+    if cand.count() <= VERIFY_DRIVER_PAIR_LIMIT:
+        cp = cand.to_pandas()
+        empty = {"a": pa.int64(), "b": pa.int64(), "hamming": pa.int64()}
+        if not len(cp):
+            return _ensure_pair_schema(cand, empty)
+        import ray
+
+        from neo4j_graph_algorithms_ray.util import popcount64
+        need = ray.put(np.unique(np.concatenate([cp["a"].to_numpy(),
+                                                 cp["b"].to_numpy()])))
+
+        def pick(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b[id_col],
+                                     value_set=pa.array(ray.get(need))))
+
+        sg = sigs.map_batches(pick, batch_format="pyarrow").to_pandas()
+        m = pd.Series(sg["simhash"].to_numpy(dtype=np.uint64),
+                      index=sg[id_col].to_numpy())
+        x = (m.reindex(cp["a"]).to_numpy(dtype=np.uint64)
+             ^ m.reindex(cp["b"]).to_numpy(dtype=np.uint64))
+        cp["hamming"] = popcount64(x).astype(np.int64)
+        out = cp[cp["hamming"] <= max_hamming][["a", "b", "hamming"]]
+        return _ensure_pair_schema(
+            rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
+                          .replace_schema_metadata(None)), empty)
+
     sa = safe_join(cand, sigs, "inner", 4, on=("a",), right_on=(id_col,))
     sa = sa.rename_columns({"simhash": "ha"}).select_columns(["a", "b", "ha"])
     sb = safe_join(sa, sigs, "inner", 4, on=("b",), right_on=(id_col,))
@@ -575,10 +699,49 @@ def neardup_clusters(docs: rd.Dataset, pairs: rd.Dataset | None = None, *,
                                   text_col=text_col)
     ids = docs.select_columns([id_col])
     pairs = to_arrow_blocks(pairs).select_columns(["a", "b"]).materialize()
-    if pairs.count() == 0:
+    npairs = pairs.count()
+    if npairs == 0:
         return ids.map_batches(
             lambda b: b.append_column("rep_id", b[id_col]),
             batch_format="pyarrow")
+
+    # small regime: the PAIR set (not the corpus) fits the driver →
+    # vectorized min-label union-find over the pairs, rep map broadcast
+    # into a corpus-side lookup (same regime split as build_graph /
+    # translate_vid_columns; the BSP kernel costs seconds of actor
+    # spin-up that a 10^6-row pair graph doesn't need).
+    if npairs <= VERIFY_DRIVER_PAIR_LIMIT:
+        import ray
+        pt = pa.concat_tables([ray.get(r) for r in pairs.to_arrow_refs()])
+        a = pt["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pt["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inv, uniq = pd.factorize(np.concatenate([a, b]))
+        lab = np.arange(len(uniq), dtype=np.int64)
+        ea, eb = inv[:len(a)], inv[len(a):]
+        while True:  # min-label propagation; O(diameter) vectorized sweeps
+            la = np.minimum(lab[ea], lab[eb])
+            new = lab.copy()
+            np.minimum.at(new, ea, la)
+            np.minimum.at(new, eb, la)
+            new = new[new]  # pointer-jump halves remaining depth
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        # canonical rep = MIN member id (label indices follow pandas
+        # first-seen order, not value order) — min node id per root
+        comp = pd.DataFrame({"root": lab, "nid": uniq.astype(np.int64)})
+        minid = comp.groupby("root")["nid"].transform("min")
+        rep = pd.Series(minid.to_numpy(), index=uniq)
+        rref = ray.put(rep)
+
+        def attach(t: pa.Table) -> pa.Table:
+            m = ray.get(rref)
+            idv = t[id_col].to_numpy(zero_copy_only=False)
+            rv = m.reindex(idv).to_numpy()
+            rv = np.where(pd.isna(rv), idv, rv).astype(np.int64)
+            return pa.table({id_col: t[id_col], "rep_id": rv})
+
+        return ids.map_batches(attach, batch_format="pyarrow")
 
     # min-label WCC over the pair graph; vids ascend with original ids,
     # so the min-vid component label translates to the min doc id.

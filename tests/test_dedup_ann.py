@@ -214,3 +214,27 @@ def test_cluster_balanced_sample_caps_per_cluster():
     per = Counter(r["cluster"] for r in rows)
     assert set(per.values()) == {5}          # balanced despite 9:1 skew
     assert len(rows) == 10
+
+
+def test_neardup_scale_paths_match_small_paths(monkeypatch):
+    """Force the shuffle/WCC regime (driver limits -> 0) and check the
+    results are identical to the small-regime escapes."""
+    import neo4j_graph_algorithms_ray.functions.dedup as dd
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        minhash_lsh_pairs, neardup_clusters)
+
+    small_pairs = sorted((r["a"], r["b"], r["jaccard"])
+                         for r in minhash_lsh_pairs(_ds()).take_all())
+    small_reps = {r["doc_id"]: r["rep_id"]
+                  for r in neardup_clusters(_ds()).take_all()}
+
+    monkeypatch.setattr(dd, "VERIFY_DRIVER_PAIR_LIMIT", 0)
+    import neo4j_graph_algorithms_ray.util as u
+    monkeypatch.setattr(u, "SMALL_AGG_DRIVER_LIMIT", 0)
+
+    big_pairs = sorted((r["a"], r["b"], r["jaccard"])
+                       for r in minhash_lsh_pairs(_ds()).take_all())
+    big_reps = {r["doc_id"]: r["rep_id"]
+                for r in neardup_clusters(_ds()).take_all()}
+    assert big_pairs == small_pairs
+    assert big_reps == small_reps
