@@ -97,34 +97,57 @@ def headline(num_cpus: int) -> dict:
     extras: dict[str, float] = {}
     extras["calib_sort_sec"] = _calibrate()
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+    def _steal_now(interval=1.0):
+        def jif():
+            with open("/proc/stat") as f:
+                v = [int(x) for x in f.readline().split()[1:]]
+            return sum(v), v[7] if len(v) > 7 else 0
+        a_tot, a_st = jif()
+        time.sleep(interval)
+        b_tot, b_st = jif()
+        return 100.0 * (b_st - a_st) / max(1, b_tot - a_tot)
+
+    def timed(name, fn, repeats=1):
+        # steal waves arrive MID-run too, not just at start: give each
+        # query its own bounded wait for a quiet window (a 10-25% wave
+        # doubles or triples any single-shot timing); compute queries
+        # additionally take best-of-``repeats`` (loads stay single-shot
+        # — their caches would make a second run measure nothing)
+        best, out = None, None
+        for _ in range(max(1, repeats)):
+            q_deadline = time.monotonic() + 60
+            while _steal_now() >= 2.0 and time.monotonic() < q_deadline:
+                pass
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
         return out
 
     # graph load (the reference's loadMillis) measured separately
     g = timed("load_purchase", lambda: get_graph(SF_DIR, "purchase"))
     res = timed("pagerank", lambda: pagerank(
-        g, 0.85, max_iterations=100, tolerance=1e-6))
+        g, 0.85, max_iterations=100, tolerance=1e-6), repeats=2)
     extras["pagerank_iterations"] = res.iterations
     extras["edges_scattered_per_sec"] = round(res.stats["edges_scattered_per_sec"], 1)
 
     gu = timed("load_purchase_und", lambda: get_graph(SF_DIR, "purchase_und"))
-    timed("wcc", lambda: wcc(gu).dataset.materialize())
-    timed("labelprop", lambda: label_propagation(g, max_iterations=6).dataset.materialize())
+    timed("wcc", lambda: wcc(gu).dataset.materialize(), repeats=2)
+    timed("labelprop", lambda: label_propagation(
+        g, max_iterations=6).dataset.materialize(), repeats=2)
 
     gc = timed("load_copart", lambda: get_graph(SF_DIR, "copart"))
-    timed("triangles", lambda: triangle_count(gc)[0].materialize())
+    timed("triangles", lambda: triangle_count(gc)[0].materialize(), repeats=2)
     timed("metapaths_l2", lambda: compute_all_metapaths(
-        typed_edge_ds(SF_DIR), length=2).materialize())
+        typed_edge_ds(SF_DIR), length=2).materialize(), repeats=2)
 
     # flagship web pipeline: pages → extraction → link graph → PageRank
     from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
     gw = timed("load_webgraph", lambda: get_web_graph(SF_DIR))
     timed("web_pagerank", lambda: pagerank(
         gw, 0.85, max_iterations=100, tolerance=1e-6,
-        node_col="url").dataset.materialize())
+        node_col="url").dataset.materialize(), repeats=2)
 
     # extraction throughput over bench-scale synthetic pages
     n_pages = int(os.environ.get("NGA_BENCH_PAGES", "100000"))
@@ -142,7 +165,7 @@ def headline(num_cpus: int) -> dict:
                                   batch_size=2048, concurrency=(1, num_cpus))
         return edges.count()
 
-    n_edges = timed(f"extract_links_{n_pages}p", extract_all)
+    n_edges = timed(f"extract_links_{n_pages}p", extract_all, repeats=2)
     extras["extract_pages_per_sec"] = round(
         n_pages / queries[f"extract_links_{n_pages}p"], 1)
     extras["extract_edges"] = n_edges
@@ -154,7 +177,8 @@ def headline(num_cpus: int) -> dict:
     docs = read_parquet_clean(f"{SF_DIR}/documents.parquet",
                               columns=["doc_id", "text"])
     n_docs = docs.count()
-    timed("neardup_dedup", lambda: neardup_clusters(docs).materialize())
+    timed("neardup_dedup", lambda: neardup_clusters(docs).materialize(),
+          repeats=2)
     extras["dedup_docs_per_sec"] = round(n_docs / queries["neardup_dedup"], 1)
 
     total = round(sum(queries.values()), 3)
