@@ -507,6 +507,16 @@ def _q_web_pagerank_topk(sf_dir: str):
     return ds.sort(["score", "url"], descending=[True, False]).limit(TOPK)
 
 
+def _q_web_ppr(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    from neo4j_graph_algorithms_ray.sources.pages import url_of
+    g = get_web_graph(sf_dir)
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url",
+                   source_nodes=[url_of(0), url_of(1)])
+    return _round6(res.dataset, "score")
+
+
 def _q_anchor_texts(sf_dir: str):
     from neo4j_graph_algorithms_ray.pipelines.webgraph import anchor_text_ds
     return anchor_text_ds(sf_dir)
@@ -555,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pagerank": _q_web_pagerank,
         "web_pagerank_topk": _q_web_pagerank_topk,
         "web_wcc_sizes": _q_web_wcc_sizes,
+        "web_ppr": _q_web_ppr,
         "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
@@ -623,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank": ow.web_pagerank_sql(PR_ITERS),
         "web_pagerank_topk": ow.web_pagerank_sql(PR_ITERS, topk=TOPK),
         "web_wcc_sizes": ow.web_wcc_sql(30, "sizes"),
+        "web_ppr": ow.web_ppr_sql(PR_ITERS),
         "anchor_texts": ow.ANCHOR_TEXTS_SQL,
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),

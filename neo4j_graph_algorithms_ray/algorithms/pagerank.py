@@ -40,12 +40,21 @@ def pagerank(
     resume: bool = False,
     keep_vid: bool = False,
     node_col: str = "node",
+    source_nodes: Optional[list] = None,
 ) -> IterativeResult:
     """Run PageRank; returns (node, score) plus iteration stats.
 
     ``tolerance=None`` reproduces the reference's fixed-iteration mode
     (default 20 iterations, ProcedureConstants.java:27-65);
     ``tolerance=1e-6`` is the north-rule convergence mode.
+
+    ``source_nodes`` switches to PERSONALIZED PageRank: teleport mass
+    lands only on the given original node ids —
+    ``PR_p(v) = (1−d)·1[v∈S] + d·Σ_{u→v} PR_p(u)/outdeg(u)`` (the
+    unnormalized Neo4j convention restricted to a seed set). Same
+    delta-push kernel; only the init vector changes (rank = delta =
+    1−d on seeds, 0 elsewhere), so cost per superstep is identical
+    and frontier sparsity makes early supersteps cheaper.
     """
     eng = get_engine(g, num_partitions)
     config = {"damping": damping, "max_iterations": max_iterations,
@@ -59,8 +68,17 @@ def pagerank(
             start_iter = man["iteration"]
             eng.restore(ckpt, start_iter, ["rank", "delta"])
     if start_iter == 0:
-        eng.init_state("rank", "const", 1.0 - damping)
-        eng.init_state("delta", "const", 1.0 - damping)
+        if source_nodes is None:
+            eng.init_state("rank", "const", 1.0 - damping)
+            eng.init_state("delta", "const", 1.0 - damping)
+        else:
+            import numpy as np
+            vids = _seed_vids(g, source_nodes)
+            eng.init_state("rank", "const", 0.0)
+            eng.init_state("delta", "const", 0.0)
+            seed_val = np.full(len(vids), 1.0 - damping)
+            eng.set_rows("rank", vids, seed_val)
+            eng.set_rows("delta", vids, seed_val)
 
     # float32 messages halve the bandwidth-bound gather/exchange traffic
     # (bench opt-in; default float64 keeps exact SQL-oracle parity)
@@ -100,3 +118,24 @@ def pagerank(
                "edges": g.num_edges, "edges_scattered": edges_scattered,
                "edges_scattered_per_sec": edges_scattered / elapsed if elapsed else 0.0},
     )
+
+
+def _seed_vids(g: GraphTables, source_nodes: list):
+    """Original node ids → vids via a distributed is_in filter over the
+    vertex table (the seed set is small; the vertex table never leaves
+    the cluster)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    seeds = pa.array(list(source_nodes))
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["node"].cast(seeds.type), value_set=seeds))
+
+    rows = g.vertices.map_batches(pick, batch_format="pyarrow") \
+        .select_columns(["vid"]).take_all()
+    if len(rows) != len(source_nodes):
+        raise ValueError(f"{len(source_nodes) - len(rows)} source node(s) "
+                         "not present in the graph")
+    return np.array([r["vid"] for r in rows], dtype=np.int64)

@@ -138,3 +138,26 @@ def host_pagerank_sql(iters: int = 20) -> str:
 ANCHOR_TEXTS_SQL = f"""WITH {WEB_BASE}
 SELECT {_url('t')} AS dst_url, 'link ' || j AS anchor, count(*) AS n
 FROM links GROUP BY dst_url, anchor ORDER BY dst_url, anchor"""
+
+
+def web_ppr_sql(iters: int = 20, seed_docs=(0, 1)) -> str:
+    """Personalized PageRank mirror: teleport mass only on the seed
+    urls — r_p(v) = 0.15·1[v∈S] + 0.85·Σ r_p(u)/deg(u), unrolled."""
+    seeds = ", ".join(_url(str(d)) for d in seed_docs)
+    seed_case = f"CASE WHEN n.node IN ({seeds}) THEN 0.15 ELSE 0 END"
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+            "FROM wedges GROUP BY src)",
+            f"""p0 AS (SELECT node,
+  CAST(CASE WHEN node IN ({seeds}) THEN 0.15 ELSE 0 END AS DOUBLE) AS r
+  FROM wnodes)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT n.node, {seed_case} + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN p{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS url, round(r, 6) AS score FROM p{iters} ORDER BY url")

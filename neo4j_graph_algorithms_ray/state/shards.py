@@ -631,6 +631,20 @@ class ShardEngine:
         ray.get([a.init_state_wave.remote(name, width, value, dtype)
                  for a in self._acts(rev)])
 
+    def set_rows(self, name, vids, values, rev=False):
+        """Seed rows of a 1-D state vector, routed to owning shards
+        (personalized-teleport seeds, SSSP sources, ...)."""
+        vids = np.asarray(vids, dtype=np.int64)
+        values = np.asarray(values)
+        part = np.searchsorted(self.bounds, vids, side="right") - 1
+        order = np.argsort(part, kind="stable")
+        vids, values, part = vids[order], values[order], part[order]
+        cuts = np.searchsorted(part, np.arange(self.P + 1))
+        acts = self._acts(rev)
+        ray.get([acts[j].set_rows.remote(name, vids[cuts[j]:cuts[j + 1]],
+                                         values[cuts[j]:cuts[j + 1]])
+                 for j in range(self.P) if cuts[j + 1] > cuts[j]])
+
     def set_cells(self, name, vids, cols, values, rev=False):
         """Seed (vid, col) cells of a 2-D wave state, routed to owners."""
         vids = np.asarray(vids, dtype=np.int64)

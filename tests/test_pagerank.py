@@ -97,3 +97,46 @@ def test_pagerank_checkpoint_resume(tmp_path):
     s2 = resumed.dataset.to_pandas().sort_values("node")["score"].to_numpy()
     assert resumed.iterations == 35
     assert np.allclose(s1, s2, atol=0)
+
+
+def test_personalized_pagerank_vs_numpy():
+    """PPR seeds get teleport mass; everything else only inherits.
+    Brute-force numpy reference on a small digraph."""
+    import numpy as np
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.graph import build_graph
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    g = build_graph(rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+                    name="ppr_test")
+    seeds = [0, 5]
+    res = pagerank(g, 0.85, max_iterations=30, source_nodes=seeds)
+    got = {r["node"]: r["score"] for r in res.dataset.take_all()}
+
+    n = 6
+    out = np.zeros(n)
+    adj = np.zeros((n, n))
+    for s, d in edges:
+        out[s] += 1
+        adj[s, d] = 1
+    r = np.where(np.isin(np.arange(n), seeds), 0.15, 0.0)
+    for _ in range(30):
+        push = np.where(out > 0, r / np.maximum(out, 1), 0.0)
+        r = np.where(np.isin(np.arange(n), seeds), 0.15, 0.0) + 0.85 * (adj.T @ push)
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9
+    # seed 5 has no in-edges -> its score is teleport mass only
+    assert abs(got[5] - 0.15) < 1e-12
+
+
+def test_ppr_unknown_seed_raises():
+    import pytest
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    g = build_graph(rd.from_items([{"src": 0, "dst": 1}]), name="ppr_test2")
+    with pytest.raises(ValueError):
+        pagerank(g, 0.85, max_iterations=2, source_nodes=[99])
