@@ -517,6 +517,15 @@ def _q_web_ppr(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_web_hits(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.hits import hits
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    res = hits(g, max_iterations=PR_ITERS, node_col="url")
+    ds = _round6(res.dataset, "hub")
+    return _round6(ds, "authority")
+
+
 def _q_anchor_texts(sf_dir: str):
     from neo4j_graph_algorithms_ray.pipelines.webgraph import anchor_text_ds
     return anchor_text_ds(sf_dir)
@@ -566,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pagerank_topk": _q_web_pagerank_topk,
         "web_wcc_sizes": _q_web_wcc_sizes,
         "web_ppr": _q_web_ppr,
+        "web_hits": _q_web_hits,
         "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
@@ -635,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank_topk": ow.web_pagerank_sql(PR_ITERS, topk=TOPK),
         "web_wcc_sizes": ow.web_wcc_sql(30, "sizes"),
         "web_ppr": ow.web_ppr_sql(PR_ITERS),
+        "web_hits": ow.web_hits_sql(PR_ITERS),
         "anchor_texts": ow.ANCHOR_TEXTS_SQL,
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),

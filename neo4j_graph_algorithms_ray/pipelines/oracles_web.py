@@ -161,3 +161,33 @@ def web_ppr_sql(iters: int = 20, seed_docs=(0, 1)) -> str:
   GROUP BY n.node)""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS url, round(r, 6) AS score FROM p{iters} ORDER BY url")
+
+
+def web_hits_sql(iters: int = 20) -> str:
+    """HITS mirror: auth = Σ_in hub, hub = Σ_out auth, each L2-normalized
+    per round; fixed ``iters`` rounds, round6 output."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM wnodes)",
+            "a0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS a FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""ar{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(p.h), 0) AS a
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN h{k-1} p ON p.node = e.src
+  GROUP BY n.node)""")
+        ctes.append(f"an{k} AS (SELECT CASE WHEN sqrt(sum(a*a)) = 0 THEN 1 "
+                    f"ELSE sqrt(sum(a*a)) END AS s FROM ar{k})")
+        ctes.append(f"a{k} AS MATERIALIZED (SELECT node, a / (SELECT s FROM an{k}) AS a FROM ar{k})")
+        ctes.append(f"""hr{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(p.a), 0) AS h
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.src = n.node
+  LEFT JOIN a{k} p ON p.node = e.dst
+  GROUP BY n.node)""")
+        ctes.append(f"hn{k} AS (SELECT CASE WHEN sqrt(sum(h*h)) = 0 THEN 1 "
+                    f"ELSE sqrt(sum(h*h)) END AS s FROM hr{k})")
+        ctes.append(f"h{k} AS MATERIALIZED (SELECT node, h / (SELECT s FROM hn{k}) AS h FROM hr{k})")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT h.node AS url, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node ORDER BY url""")

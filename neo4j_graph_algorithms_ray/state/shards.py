@@ -207,6 +207,9 @@ class ShardActor:
         elif op == "flag_and_eq":         # out = (flag > 0) & (a == b)
             f, a, b = operands
             res = (val(f) > 0) & (val(a) == val(b))
+        elif op == "scale":               # out = a * c
+            a, c = operands
+            res = val(a) * val(c)
         else:
             raise ValueError(f"unknown apply_state op {op}")
         if res.shape == ():
@@ -292,6 +295,13 @@ class ShardActor:
                 mins = np.minimum.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, mins)
+            if op == "sum_state":
+                # plain neighbor sum of a state vector (HITS hub/auth
+                # pull; pr_push without the out-degree division)
+                vals = self.state[kw["name"]][self.src_in_dst_order]
+                sums = np.add.reduceat(vals, self.seg_starts)
+                self.metrics["edges_scattered"] += self.m
+                return self._route(None, sums)
             if op == "min_state_delta":
                 # frontier-sparse variant: only edges whose source
                 # changed last superstep carry messages (the fixpoint
@@ -442,6 +452,14 @@ class ShardActor:
                 self.state["delta"] = incoming
                 self.state["rank"] += incoming
                 return {"max_delta": float(np.abs(incoming).max()) if self.n_local else 0.0}
+            if op == "set_sum_update":
+                # state := incoming neighbor sums; report the shard's
+                # sum of squares for driver-side L2 normalization
+                incoming = np.zeros(self.n_local)
+                for dsts, vals in msgs:
+                    incoming[dsts] += vals
+                self.state[kw["name"]] = incoming
+                return {"sumsq": float(np.square(incoming).sum())}
             if op == "add_update":
                 st = self.state[kw["name"]]
                 for dsts, vals in msgs:

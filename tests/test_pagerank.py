@@ -140,3 +140,35 @@ def test_ppr_unknown_seed_raises():
     g = build_graph(rd.from_items([{"src": 0, "dst": 1}]), name="ppr_test2")
     with pytest.raises(ValueError):
         pagerank(g, 0.85, max_iterations=2, source_nodes=[99])
+
+
+def test_hits_vs_numpy():
+    import numpy as np
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.hits import hits
+    from neo4j_graph_algorithms_ray.graph import build_graph
+
+    edges = [(0, 2), (1, 2), (3, 2), (2, 4), (4, 0), (3, 4)]
+    g = build_graph(rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+                    name="hits_test")
+    res = hits(g, max_iterations=15)
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in res.dataset.take_all()}
+
+    n = 5
+    adj = np.zeros((n, n))
+    for s, d in edges:
+        adj[s, d] = 1
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(15):
+        a = adj.T @ h
+        a /= np.linalg.norm(a) or 1.0
+        h = adj @ a
+        h /= np.linalg.norm(h) or 1.0
+    for v in range(n):
+        assert abs(got[v][0] - h[v]) < 1e-9
+        assert abs(got[v][1] - a[v]) < 1e-9
+    # node 2 is the authority (3 in-links); nodes 3 the top hub
+    assert max(range(n), key=lambda v: got[v][1]) == 2
