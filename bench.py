@@ -322,6 +322,23 @@ def main():
                     if best is None or (r["edges_scattered_per_sec"]
                                         > best["edges_scattered_per_sec"]):
                         best = r
+                    if best["steal_pct"] < 2.0:
+                        break  # got a clean window — no need for more
+                # steal-aware retries: a wave can cover BOTH outer runs
+                # (observed: a 6.3%-steal 32-CPU leg measuring half the
+                # clean-window number); retry until a <2%-steal run or
+                # the retry budget runs out
+                extra = 0
+                while (best["steal_pct"] >= 2.0
+                       and extra < int(os.environ.get("NGA_SCALE_RETRIES", "3"))):
+                    extra += 1
+                    time.sleep(60)
+                    out = subprocess.run(cmd, env=env, capture_output=True,
+                                         text=True, check=True)
+                    r = json.loads(out.stdout.strip().splitlines()[-1])
+                    if (r["edges_scattered_per_sec"]
+                            > best["edges_scattered_per_sec"]):
+                        best = r
                 results[n] = best
             return results
 
