@@ -526,6 +526,13 @@ def _q_web_hits(sf_dir: str):
     return _round6(ds, "authority")
 
 
+def _q_web_kcore(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.kcore import k_core
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_und_graph
+    g = get_web_und_graph(sf_dir)
+    return k_core(g, 3, node_col="url").dataset
+
+
 def _q_anchor_texts(sf_dir: str):
     from neo4j_graph_algorithms_ray.pipelines.webgraph import anchor_text_ds
     return anchor_text_ds(sf_dir)
@@ -576,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_wcc_sizes": _q_web_wcc_sizes,
         "web_ppr": _q_web_ppr,
         "web_hits": _q_web_hits,
+        "web_kcore": _q_web_kcore,
         "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
@@ -646,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "web_wcc_sizes": ow.web_wcc_sql(30, "sizes"),
         "web_ppr": ow.web_ppr_sql(PR_ITERS),
         "web_hits": ow.web_hits_sql(PR_ITERS),
+        "web_kcore": ow.web_kcore_sql(3, 40),
         "anchor_texts": ow.ANCHOR_TEXTS_SQL,
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),

@@ -191,3 +191,28 @@ def web_hits_sql(iters: int = 20) -> str:
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT h.node AS url, round(h.h, 6) AS hub, round(a.a, 6) AS authority
 FROM h{iters} h JOIN a{iters} a ON a.node = h.node ORDER BY url""")
+
+
+def web_kcore_sql(k: int = 3, rounds: int = 40) -> str:
+    """k-core peeling mirror over the deduped undirected web graph:
+    act_{i+1}(v) = act_i(v) AND |{active neighbors}| >= k, unrolled
+    ``rounds`` times (the engine peels to fixpoint; at oracle scale the
+    fixpoint lands well inside 40 rounds — the driver's value-hash
+    would catch any shortfall)."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            """undw AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM wedges)""",
+            "symw AS MATERIALIZED (SELECT a AS x, b AS y FROM undw "
+            "UNION ALL SELECT b, a FROM undw)",
+            "k0 AS (SELECT node, 1 AS act FROM wnodes)"]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""k{i} AS MATERIALIZED (
+  SELECT n.node,
+    CASE WHEN p.act = 1 AND coalesce(sum(q.act), 0) >= {k} THEN 1 ELSE 0 END AS act
+  FROM wnodes n
+  JOIN k{i-1} p ON p.node = n.node
+  LEFT JOIN symw e ON e.x = n.node
+  LEFT JOIN k{i-1} q ON q.node = e.y
+  GROUP BY n.node, p.act)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS url, act AS in_core FROM k{rounds} ORDER BY url")

@@ -122,3 +122,17 @@ def anchor_text_ds(sf_dir: str) -> rd.Dataset:
                             "n": pa.array(np.ones(b.num_rows, np.int64))}),
         batch_format="pyarrow")
     return preagg_sum(an, ["dst_url", "anchor"], "n")
+
+
+def get_web_und_graph(sf_dir: str) -> GraphTables:
+    """Undirected DEDUPED web graph (proper neighbor sets — k-core and
+    other degree-sensitive undirected algorithms need set degrees, not
+    the reversed-copy multigraph WCC tolerates)."""
+    name = f"web:{sf_dir}:undd"
+    g = GraphCatalog.get(name)
+    if g is None:
+        g = build_graph(web_edge_ds(sf_dir), src_col="src_url",
+                        dst_col="dst_url", undirected=True, dedup=True,
+                        name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    return g

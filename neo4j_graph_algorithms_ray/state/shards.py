@@ -210,6 +210,9 @@ class ShardActor:
         elif op == "scale":               # out = a * c
             a, c = operands
             res = val(a) * val(c)
+        elif op == "ge":                  # out = (a >= c) as float
+            a, c = operands
+            res = (val(a) >= val(c)).astype(np.float64)
         else:
             raise ValueError(f"unknown apply_state op {op}")
         if res.shape == ():

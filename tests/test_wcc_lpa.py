@@ -89,3 +89,28 @@ def test_wcc_checkpoint_resume(tmp_path):
     c2 = resumed.dataset.to_pandas().sort_values("node")["component"].to_numpy()
     assert np.array_equal(c1, c2)
     assert resumed.converged
+
+
+def test_k_core_peeling():
+    """Two triangles joined by a bridge vertex: the 2-core keeps both
+    triangles and the bridge IF the bridge keeps >= 2 live neighbors;
+    a dangling path peels away entirely."""
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.kcore import k_core
+    from neo4j_graph_algorithms_ray.graph import build_graph
+
+    edges = [(0, 1), (1, 2), (2, 0),          # triangle A
+             (3, 4), (4, 5), (5, 3),          # triangle B
+             (2, 3),                          # bridge edge
+             (5, 6), (6, 7)]                  # dangling path
+    g = build_graph(rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+                    undirected=True, dedup=True, name="kcore_test")
+    res = k_core(g, 2)
+    got = {r["node"]: r["in_core"] for r in res.dataset.take_all()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 0, 7: 0}
+    assert res.converged and res.stats["in_core"] == 6
+
+    # 3-core: triangles alone have degree 2 -> everything peels
+    res3 = k_core(g, 3)
+    assert all(r["in_core"] == 0 for r in res3.dataset.take_all())
