@@ -366,3 +366,66 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: str,
         return pd.DataFrame(out)
 
     return both.groupby("__b").map_groups(close, batch_format="pandas")
+
+
+def funnel(events: rd.Dataset, steps: Sequence[str], within_s: int = 86400,
+           user_col: str = "user_id", time_col: str = "ts",
+           type_col: str = "event_type",
+           num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Funnel analysis: per user, how many of the ordered ``steps`` were
+    completed, where step i+1 must occur STRICTLY after step i and
+    within ``within_s`` seconds of it. Step time t_i is the earliest
+    qualifying event (t_1 = the user's first step-1 event). Returns
+    (user, steps_completed) for every user in the log.
+
+    Same exchange shape as sessionize: one coarse user-hash-bucket
+    groupby; inside a bucket each step is one vectorized masked
+    per-user min (np.minimum.at over factorized user codes) — K passes
+    over the bucket's rows, no per-user Python.
+    """
+    within_us = int(within_s) * US
+    nb = _num_buckets(num_buckets)
+    steps = list(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b.column(user_col)
+        stp = np.array([step_idx.get(x, -1)
+                        for x in b.column(type_col).to_pylist()],
+                       dtype=np.int64)
+        return pa.table({user_col: users, "__t": _ts_us(b.column(time_col)),
+                         "__s": stp, "__b": _bucket_of(users, nb)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        users = df[user_col].to_numpy()
+        codes, uniq = pd.factorize(users)
+        t = df["__t"].to_numpy()
+        sv = df["__s"].to_numpy()
+        n = len(uniq)
+        done = np.zeros(n, dtype=np.int64)
+        prev_t = np.full(n, -np.inf)
+        alive = np.ones(n, dtype=bool)
+        for i in range(len(steps)):
+            cand = np.full(n, np.inf)
+            m = sv == i
+            if i == 0:
+                sel = m
+            else:
+                lo = prev_t[codes]
+                sel = m & (t > lo) & (t <= lo + within_us) & alive[codes]
+            if sel.any():
+                np.minimum.at(cand, codes[sel], t[sel])
+            hit = alive & np.isfinite(cand)
+            done[hit] = i + 1
+            prev_t = np.where(hit, cand, prev_t)
+            alive = hit
+            if not alive.any():
+                break
+        return pd.DataFrame({user_col: uniq,
+                             "steps_completed": done})
+
+    tagged = drop_empty_blocks(
+        events.select_columns([user_col, time_col, type_col])
+        .map_batches(tag, batch_format="pyarrow"))
+    out = tagged.groupby("__b").map_groups(per_bucket, batch_format="pandas")
+    return to_arrow_blocks(out)

@@ -56,3 +56,29 @@ FROM events e ASOF LEFT JOIN
       WHERE event_type = 'purchase') p
   ON e.user_id = p.user_id AND e.ts > p.ts
 ORDER BY e.event_id"""
+
+
+def funnel_sql(steps=("view", "click", "purchase"), within_s: int = 86400) -> str:
+    """Mirror of functions/events.funnel: step i+1 strictly after step i
+    and within ``within_s`` seconds; t_i = earliest qualifying event."""
+    within_us = int(within_s) * 1_000_000
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)",
+            f"""s1 AS (SELECT user_id, min(epoch_us(ts)) AS t
+  FROM events WHERE event_type = '{steps[0]}' GROUP BY user_id)"""]
+    for i in range(1, len(steps)):
+        ctes.append(f"""s{i+1} AS (
+  SELECT p.user_id, min(epoch_us(ev.ts)) AS t
+  FROM s{i} p JOIN events ev ON ev.user_id = p.user_id
+   AND ev.event_type = '{steps[i]}'
+   AND epoch_us(ev.ts) > p.t AND epoch_us(ev.ts) <= p.t + {within_us}
+  GROUP BY p.user_id)""")
+    cases = " + ".join(
+        f"CASE WHEN s{i+1}.t IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(len(steps)))
+    joins = "\n".join(f"LEFT JOIN s{i+1} ON s{i+1}.user_id = u.user_id"
+                      for i in range(len(steps)))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT u.user_id, CAST({cases} AS BIGINT) AS steps_completed
+FROM u
+{joins}
+ORDER BY u.user_id""")

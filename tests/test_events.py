@@ -167,3 +167,33 @@ def test_events_ops_empty_and_degenerate_inputs():
                      on="user_id", left_time="ts", right_cols=["event_id"],
                      fill_value=-1)
     assert out2.count() == 0
+
+
+def test_funnel_chain_and_windows():
+    from neo4j_graph_algorithms_ray.functions.events import funnel
+    import pandas as pd
+    import ray.data as rd
+
+    def ev(u, t, ty):
+        return {"user_id": u, "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=t),
+                "event_type": ty}
+
+    rows = [
+        # user 1: full funnel within windows
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+        # user 2: click BEFORE view -> stops at 1 (view only)
+        ev(2, 50, "click"), ev(2, 100, "view"),
+        # user 3: click too late (> within) -> 1
+        ev(3, 0, "view"), ev(3, 5000, "click"),
+        # user 4: no step-1 event at all -> 0
+        ev(4, 0, "error"),
+        # user 5: equal timestamp does NOT count (strictly after) -> 1
+        ev(5, 0, "view"), ev(5, 0, "click"),
+        # user 6: second view earlier than first click window edge;
+        # purchase within window of the EARLIEST qualifying click -> 3
+        ev(6, 0, "view"), ev(6, 1, "click"), ev(6, 30, "purchase"),
+    ]
+    got = {r["user_id"]: r["steps_completed"]
+           for r in funnel(rd.from_items(rows), ["view", "click", "purchase"],
+                           within_s=60).take_all()}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 3}
