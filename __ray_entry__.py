@@ -333,6 +333,13 @@ def _q_funnel(sf_dir: str):
     return funnel(ev, ["view", "click", "purchase"], within_s=86400)
 
 
+def _q_retention(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.events import retention_cohorts
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, bucket_s=604800)
+
+
 def _q_exact_dedup(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir))
@@ -622,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": _q_session_stats,
         "asof_purchase": _q_asof_purchase,
         "funnel": _q_funnel,
+        "retention_cohorts": _q_retention,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -706,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": oe.session_stats_sql(EVENT_GAP_S),
         "asof_purchase": oe.ASOF_PURCHASE_SQL,
         "funnel": oe.funnel_sql(("view", "click", "purchase"), 86400),
+        "retention_cohorts": oe.retention_sql(604800),
         "exact_dedup": od.EXACT_DEDUP_SQL,
         "token_count": od.TOKEN_COUNT_SQL,
         "quality_score": od.QUALITY_SQL,

@@ -429,3 +429,52 @@ def funnel(events: rd.Dataset, steps: Sequence[str], within_s: int = 86400,
         .map_batches(tag, batch_format="pyarrow"))
     out = tagged.groupby("__b").map_groups(per_bucket, batch_format="pandas")
     return to_arrow_blocks(out)
+
+
+def retention_cohorts(events: rd.Dataset, bucket_s: int = 604800,
+                      user_col: str = "user_id", time_col: str = "ts",
+                      num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Cohort retention: users are cohorted by the time bucket of their
+    FIRST event (epoch-aligned, ``bucket_s`` wide, default weekly);
+    output (cohort, age, n_users) = how many of each cohort's users were
+    active ``age`` buckets after their cohort bucket (age 0 = the cohort
+    bucket itself). The standard engagement-retention matrix.
+
+    Scale shape: per-batch distinct (user, bucket) pairs first (an Arrow
+    combine — a user's events collapse per bucket before any exchange),
+    one user-bucket groupby to find first-seen, then a map-side combined
+    count per (cohort, age). Events never shuffle raw.
+    """
+    bucket_us = int(bucket_s) * US
+    nb = _num_buckets(num_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b.column(user_col)
+        t = _ts_us(b.column(time_col)).to_numpy(zero_copy_only=False)
+        w = (t // bucket_us).astype(np.int64)
+        tbl = pa.table({user_col: users, "__w": w,
+                        "__b": _bucket_of(users, nb)})
+        # batch-local distinct (user, bucket): the map-side combine
+        return tbl.group_by([user_col, "__w", "__b"]).aggregate([])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # a user's events span input batches, so the batch-local
+        # distinct leaves cross-batch duplicates — final dedup here
+        df = df.drop_duplicates([user_col, "__w"])
+        codes, uniq = pd.factorize(df[user_col].to_numpy())
+        w = df["__w"].to_numpy()
+        first = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(first, codes, w)
+        cohort = first[codes]
+        age = w - cohort
+        g = pd.DataFrame({"cohort": cohort, "age": age}) \
+            .groupby(["cohort", "age"]).size().reset_index(name="n_users")
+        return g
+
+    tagged = drop_empty_blocks(
+        events.select_columns([user_col, time_col])
+        .map_batches(tag, batch_format="pyarrow"))
+    part = tagged.groupby("__b").map_groups(per_bucket, batch_format="pandas")
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+    out = preagg_sum(to_arrow_blocks(part), ["cohort", "age"], "n_users")
+    return out.sort(["cohort", "age"])

@@ -82,3 +82,16 @@ SELECT u.user_id, CAST({cases} AS BIGINT) AS steps_completed
 FROM u
 {joins}
 ORDER BY u.user_id""")
+
+
+def retention_sql(bucket_s: int = 604800) -> str:
+    """Mirror of functions/events.retention_cohorts (epoch-aligned
+    buckets of ``bucket_s`` seconds)."""
+    bucket_us = int(bucket_s) * 1_000_000
+    return f"""WITH ub AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {bucket_us} AS w FROM events),
+fw AS (SELECT user_id, min(w) AS cohort FROM ub GROUP BY user_id)
+SELECT fw.cohort, ub.w - fw.cohort AS age, count(*) AS n_users
+FROM ub JOIN fw ON fw.user_id = ub.user_id
+GROUP BY fw.cohort, ub.w - fw.cohort
+ORDER BY cohort, age"""

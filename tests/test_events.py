@@ -197,3 +197,20 @@ def test_funnel_chain_and_windows():
            for r in funnel(rd.from_items(rows), ["view", "click", "purchase"],
                            within_s=60).take_all()}
     assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 3}
+
+
+def test_retention_cohorts():
+    from neo4j_graph_algorithms_ray.functions.events import retention_cohorts
+    import pandas as pd
+    import ray.data as rd
+
+    W = 604800
+    def ev(u, week):
+        return {"user_id": u,
+                "ts": pd.Timestamp(week * W, unit="s"), "event_type": "x"}
+    rows = [ev(1, 100), ev(1, 100), ev(1, 101),  # dup events same week
+            ev(2, 100), ev(2, 102),
+            ev(3, 101)]
+    got = {(r["cohort"], r["age"]): r["n_users"]
+           for r in retention_cohorts(rd.from_items(rows)).take_all()}
+    assert got == {(100, 0): 2, (100, 1): 1, (100, 2): 1, (101, 0): 1}
