@@ -1,0 +1,103 @@
+"""Deterministic random-walk sampling over the link graph.
+
+The training-data operator behind DeepWalk/node2vec-style graph
+embeddings: sample fixed-length walks from a deterministic subset of
+start vertices and emit (start, step, node) rows. The reference library
+has no walk sampler (its closest primitive is per-source traversal,
+e.g. msbfs/BFS); this is one of the beyond-reference corpus operators
+the build brief mandates.
+
+Determinism contract (what makes the SQL oracle possible):
+
+- start set  = vertices whose md5-60bit(original id) % start_mod == 0
+  (the same pinned-hash idiom as functions/text.doc_sample);
+- at step t, a walk started at ``s`` standing on ``v`` moves to the
+  ``md5-60bit(f"{s}|{t}") mod outdeg(v)``-th smallest out-neighbor of
+  ``v`` — "smallest" by original id (dense vids are assigned in
+  ascending original-id order, so the shard-side vid-ranked gather and
+  a SQL ``ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)`` rank
+  identically);
+- a walk stops early at a dangling vertex.
+
+Scale shape: each step is a batched ranked-neighbor gather against the
+resident CSR shard actors — the frontier (one row per live walk) is
+routed to owning shards, no edge ever moves, and the adjacency is
+vid-sorted once per shard and cached. At 10^12-document scale the
+frontier for a corpus-wide walk set should itself stay a Dataset
+partitioned by the same vid ranges (map_batches against the shard
+pool); the driver-resident frontier here matches the sampled-walks use
+(|starts| = |V| / start_mod) and keeps one superstep per walk step, the
+same exchange discipline as the BSP kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+from neo4j_graph_algorithms_ray.functions.dedup import _md5_int
+from neo4j_graph_algorithms_ray.graph import GraphTables
+
+
+def _start_table(g: GraphTables, start_mod: int) -> pa.Table:
+    """(node, vid) of walk starts: md5-60bit(node) % start_mod == 0.
+    A streaming filter over the vertex table — only the selected
+    1/start_mod fraction reaches the driver."""
+
+    def pick(b: pa.Table) -> pa.Table:
+        urls = b["node"].to_pylist()
+        keep = np.array([_md5_int(str(u)) % start_mod == 0 for u in urls],
+                        dtype=bool)
+        return b.filter(pa.array(keep))
+
+    parts = g.vertices.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+    tbls = ray.get(parts)
+    return pa.concat_tables(tbls).combine_chunks()
+
+
+def random_walks(g: GraphTables, length: int = 4, start_mod: int = 7,
+                 *, num_partitions: Optional[int] = None,
+                 node_col: str = "node") -> rd.Dataset:
+    """Sample one deterministic walk of ``length`` steps from every
+    selected start vertex; returns (start, step, node) with step 0 =
+    the start itself and early stop at dangling vertices."""
+    eng = get_engine(g, num_partitions)
+    starts = _start_table(g, start_mod)
+    start_ids = np.asarray(starts["node"].to_pylist(), dtype=object)
+    cur = starts["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    out_start = [start_ids]
+    out_step = [np.zeros(len(cur), dtype=np.int64)]
+    out_vid = [cur]
+    alive = np.arange(len(cur))
+    for t in range(length):
+        if len(alive) == 0:
+            break
+        hashes = np.array(
+            [_md5_int(f"{start_ids[i]}|{t}") for i in alive], dtype=np.int64)
+        nxt = eng.walk_next(cur, hashes)
+        ok = nxt >= 0
+        alive, cur = alive[ok], nxt[ok]
+        out_start.append(start_ids[alive])
+        out_step.append(np.full(len(alive), t + 1, dtype=np.int64))
+        out_vid.append(cur)
+
+    tbl = pa.table({
+        "start": pa.array(np.concatenate(out_start).tolist(),
+                          type=starts.schema.field("node").type),
+        "step": pa.array(np.concatenate(out_step)),
+        "vid": pa.array(np.concatenate(out_vid)),
+    })
+    ds = rd.from_arrow(tbl)
+    from neo4j_graph_algorithms_ray.algorithms.common import attach_node_ids
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    return ds.select_columns(["start", "step", node_col]) \
+             .sort(["start", "step"])
+
+
+__all__ = ["random_walks"]

@@ -216,3 +216,29 @@ def web_kcore_sql(k: int = 3, rounds: int = 40) -> str:
   GROUP BY n.node, p.act)""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS url, act AS in_core FROM k{rounds} ORDER BY url")
+
+
+def random_walks_sql(length: int = 4, start_mod: int = 7) -> str:
+    """Deterministic random-walk mirror (algorithms/walks.py): starts =
+    urls with md5-60bit % start_mod == 0; step t moves from cur to the
+    (md5-60bit(start||'|'||t) mod outdeg(cur))-th out-neighbor in dst
+    order; early stop on dangling vertices. Unrolled ``length`` steps."""
+    h = lambda expr: f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            """ranked AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM wedges)""",
+            f"""w0 AS (SELECT node AS start, node AS cur FROM wnodes
+  WHERE {h('node')} % {start_mod} = 0)"""]
+    for t in range(length):
+        ctes.append(f"""w{t+1} AS MATERIALIZED (
+  SELECT w.start, r.dst AS cur
+  FROM w{t} w JOIN ranked r ON r.src = w.cur
+   AND r.rnk = {h(f"w.start || '|{t}'")} % r.deg)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT start, {t} AS step, cur AS node FROM w{t}"
+        for t in range(length + 1))
+    return ("WITH " + ",\n".join(ctes) + "\n" + sel
+            + "\nORDER BY start, step")

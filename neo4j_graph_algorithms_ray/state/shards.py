@@ -230,6 +230,30 @@ class ShardActor:
         return pa.table({"vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
                          "degree": pa.array(self.deg)})
 
+    def walk_next(self, vids: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        """Ranked-neighbor gather for deterministic random walks: for
+        each owned global vid, return the (hash mod degree)-th smallest
+        out-neighbor's global vid, or -1 when the vertex is dangling.
+
+        "Smallest" is by dense vid, which equals original-id order
+        (IdMap assigns vids ascending in original-id order), so a SQL
+        oracle's ROW_NUMBER() OVER (ORDER BY dst) ranks identically.
+        The vid-sorted adjacency is built lazily (one lexsort over the
+        shard's edges) and cached for the walk's remaining steps."""
+        if not hasattr(self, "_walk_nbr"):
+            order = np.lexsort((self.nbr, self.key_local))
+            self._walk_nbr = self.nbr[order].astype(np.int64)
+            self._walk_off = np.zeros(self.n_local + 1, dtype=np.int64)
+            np.cumsum(self.deg, out=self._walk_off[1:])
+        loc = np.asarray(vids, dtype=np.int64) - self.lo
+        deg = self.deg[loc]
+        nxt = np.full(len(loc), -1, dtype=np.int64)
+        has = deg > 0
+        if has.any():
+            r = np.asarray(hashes, dtype=np.int64)[has] % deg[has]
+            nxt[has] = self._walk_nbr[self._walk_off[loc[has]] + r]
+        return nxt
+
     # ---- checkpoint / restore (per-partition lineage) ----
     def checkpoint(self, ckpt_dir: str, iteration: int, names: list[str]) -> dict:
         d = os.path.join(ckpt_dir, f"iter={iteration}")
@@ -684,6 +708,29 @@ class ShardEngine:
     def fold_sum_cols(self, src, dst, zero_cells=None, rev=False):
         ray.get([a.fold_sum_cols.remote(src, dst, zero_cells)
                  for a in self._acts(rev)])
+
+    def walk_next(self, vids: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        """Route one walk step to owning shards and reassemble the next
+        frontier in input order (-1 marks a dangling stop). The frontier
+        never leaves numpy arrays; each shard only sees its own range."""
+        vids = np.asarray(vids, dtype=np.int64)
+        hashes = np.asarray(hashes, dtype=np.int64)
+        part = np.searchsorted(self.bounds, vids, side="right") - 1
+        order = np.argsort(part, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        v, h, p = vids[order], hashes[order], part[order]
+        cuts = np.searchsorted(p, np.arange(self.P + 1))
+        refs, slots = [], []
+        for j in range(self.P):
+            if cuts[j + 1] > cuts[j]:
+                refs.append(self.actors[j].walk_next.remote(
+                    v[cuts[j]:cuts[j + 1]], h[cuts[j]:cuts[j + 1]]))
+                slots.append(j)
+        out = np.empty(len(vids), dtype=np.int64)
+        for j, res in zip(slots, ray.get(refs)):
+            out[cuts[j]:cuts[j + 1]] = res
+        return out[inv]
 
     def drop_states(self, names, rev=False):
         ray.get([a.drop_states.remote(list(names)) for a in self._acts(rev)])
