@@ -554,6 +554,13 @@ def _q_random_walks(sf_dir: str):
     return random_walks(g, length=4, start_mod=7)
 
 
+def _q_cocitation(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.cocitation import cocitation_topk
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    return cocitation_topk(g, cap=20, topk=50)
+
+
 def _q_anchor_texts(sf_dir: str):
     from neo4j_graph_algorithms_ray.pipelines.webgraph import anchor_text_ds
     return anchor_text_ds(sf_dir)
@@ -606,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_hits": _q_web_hits,
         "web_kcore": _q_web_kcore,
         "random_walks": _q_random_walks,
+        "cocitation": _q_cocitation,
         "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
@@ -680,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "web_hits": ow.web_hits_sql(PR_ITERS),
         "web_kcore": ow.web_kcore_sql(3, 40),
         "random_walks": ow.random_walks_sql(4, 7),
+        "cocitation": ow.cocitation_sql(20, 50),
         "anchor_texts": ow.ANCHOR_TEXTS_SQL,
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),

@@ -242,3 +242,21 @@ def random_walks_sql(length: int = 4, start_mod: int = 7) -> str:
         for t in range(length + 1))
     return ("WITH " + ",\n".join(ctes) + "\n" + sel
             + "\nORDER BY start, step")
+
+
+def cocitation_sql(cap: int = 20, topk: int = 50) -> str:
+    """Co-citation mirror (algorithms/cocitation.py): pairs of targets
+    sharing a source whose outdeg is in [2, cap]; top-k by count with
+    (url_a, url_b) tie-break."""
+    return f"""WITH {WEB_BASE},
+{WEB_EDGES},
+elig AS (SELECT src FROM wedges GROUP BY src
+         HAVING count(*) BETWEEN 2 AND {cap}),
+pairs AS (
+  SELECT e1.dst AS a, e2.dst AS b
+  FROM wedges e1 JOIN wedges e2
+    ON e1.src = e2.src AND e1.dst < e2.dst
+  WHERE e1.src IN (SELECT src FROM elig))
+SELECT a AS node_a, b AS node_b, count(*) AS n_common
+FROM pairs GROUP BY a, b
+ORDER BY n_common DESC, node_a, node_b LIMIT {topk}"""

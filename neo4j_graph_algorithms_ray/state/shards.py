@@ -230,6 +230,48 @@ class ShardActor:
         return pa.table({"vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
                          "degree": pa.array(self.deg)})
 
+    def copair_counts(self, cap: int) -> pa.Table:
+        """Local co-citation pairs: every owned source with
+        2 <= outdeg <= cap emits its C(deg,2) unordered out-neighbor
+        pairs (a < b by vid == original-id order), pre-counted locally.
+        Hubs above the cap are excluded entirely — the web-scale DF-cap
+        discipline (a deg-10^6 hub would emit 5·10^11 pairs); callers'
+        oracles must mirror the same eligibility filter.
+
+        Vectorized per distinct degree value: vertices of one degree d
+        form a (k, d) adjacency matrix (one gather), and np.triu_indices
+        expands all pairs at once — no per-vertex Python loop."""
+        if not hasattr(self, "_walk_nbr"):
+            order = np.lexsort((self.nbr, self.key_local))
+            self._walk_nbr = self.nbr[order].astype(np.int64)
+            self._walk_off = np.zeros(self.n_local + 1, dtype=np.int64)
+            np.cumsum(self.deg, out=self._walk_off[1:])
+        pas, pbs = [], []
+        elig = (self.deg >= 2) & (self.deg <= cap)
+        for d in np.unique(self.deg[elig]):
+            vs = np.nonzero(self.deg == d)[0]
+            mat = self._walk_nbr[self._walk_off[vs][:, None]
+                                 + np.arange(d)[None, :]]
+            ii, jj = np.triu_indices(int(d), 1)
+            pas.append(mat[:, ii].ravel())
+            pbs.append(mat[:, jj].ravel())
+        if not pas:
+            e = np.empty(0, np.int64)
+            return pa.table({"a": pa.array(e), "b": pa.array(e),
+                             "n": pa.array(e)})
+        a = np.concatenate(pas)
+        b = np.concatenate(pbs)
+        # neighbor lists are vid-sorted, so ii<jj already gives a<b
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        newseg = np.empty(len(a), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(newseg)[0]
+        n = np.diff(np.append(starts, len(a))).astype(np.int64)
+        return pa.table({"a": pa.array(a[starts]), "b": pa.array(b[starts]),
+                         "n": pa.array(n)})
+
     def walk_next(self, vids: np.ndarray, hashes: np.ndarray) -> np.ndarray:
         """Ranked-neighbor gather for deterministic random walks: for
         each owned global vid, return the (hash mod degree)-th smallest
