@@ -1,0 +1,78 @@
+"""Streaming cardinality sketches over the document corpus.
+
+HyperLogLog (Flajolet et al. 2007) with md5-pinned hashing: the
+distinct-count primitive a 100-TB corpus pipeline uses where an exact
+``COUNT(DISTINCT token)`` would shuffle the whole vocabulary. The
+register table is a deterministic function of the corpus (every hash
+is the repo-standard md5-60bit), so a DuckDB oracle reproduces it
+bit-for-bit — and merging sketches is a per-register max, which is
+exactly the map-side combine the Ray plan uses (util.preagg_max), so
+the exchange carries at most ``m`` rows per batch regardless of corpus
+size.
+
+Layout (m = 256 registers, 60-bit hash h):
+  register = h % m                 (low bits)
+  rest     = h // m                (52 bits)
+  rho      = 52 - floor(log2(rest))   [= leading-zeros+1; 53 if rest=0]
+floor(log2) is exact here: rest < 2^52 is exactly representable in
+float64 and log2 of a power of two is exact, so the floor can't
+misround across an integer boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+HLL_M = 256          # registers (b = 8 index bits)
+HLL_REST_BITS = 52   # 60-bit md5 hash minus the 8 index bits
+
+
+def _hll_partial(b: pa.Table, text_col: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.functions.dedup import (_md5_u64,
+                                                            _token_arrays)
+    _, toks = _token_arrays(b[text_col])
+    if len(toks) == 0:
+        return pa.table({"register": pa.array([], pa.int64()),
+                         "max_rho": pa.array([], pa.int64())})
+    h, _ = _md5_u64(np.unique(toks), 15)
+    reg = (h % HLL_M).astype(np.int64)
+    rest = (h // HLL_M).astype(np.uint64)
+    rho = np.full(len(h), HLL_REST_BITS + 1, dtype=np.int64)
+    nz = rest > 0
+    rho[nz] = HLL_REST_BITS - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    order = np.argsort(reg, kind="stable")
+    reg, rho = reg[order], rho[order]
+    uniq, starts = np.unique(reg, return_index=True)
+    mx = np.maximum.reduceat(rho, starts)
+    return pa.table({"register": pa.array(uniq), "max_rho": pa.array(mx)})
+
+
+def hll_registers(docs: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
+    """(register, max_rho) HLL register table over the corpus's lowered
+    whitespace tokens — only registers that saw at least one token
+    appear. Deterministic; mergeable by per-register max."""
+    from neo4j_graph_algorithms_ray.util import preagg_max
+    parts = docs.map_batches(lambda b: _hll_partial(b, text_col),
+                             batch_format="pyarrow")
+    return preagg_max(parts, ["register"], "max_rho").sort("register")
+
+
+def hll_estimate(registers: rd.Dataset) -> float:
+    """Bias-corrected HLL cardinality estimate from a register table
+    (registers absent from the table count as zero)."""
+    rows = registers.take_all()
+    m = HLL_M
+    M = np.zeros(m)
+    for r in rows:
+        M[int(r["register"])] = r["max_rho"]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -M))
+    zeros = int((M == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)   # small-range correction
+    return float(est)
+
+
+__all__ = ["hll_registers", "hll_estimate", "HLL_M"]

@@ -162,6 +162,30 @@ def preagg_sum(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Data
     return out.rename_columns({f"sum({v})": v for v in vals})
 
 
+def preagg_max(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Dataset:
+    """groupby(keys).max(val(s)) with an Arrow map-side combine — the
+    max-aggregation twin of preagg_sum (same shuffle discipline: only
+    per-batch-distinct rows move; tiny partials merge driver-side)."""
+    vals = [val] if isinstance(val, str) else list(val)
+    aggs = [(v, "max") for v in vals]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate(aggs)
+        return g.rename_columns(keys + vals)
+
+    red = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if red.count() <= SMALL_AGG_DRIVER_LIMIT:
+        batches = list(red.iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 20))
+        if not batches:
+            return red
+        merged = pa.concat_tables(batches).group_by(keys) \
+            .aggregate(aggs).rename_columns(keys + vals)
+        return rd.from_arrow(merged)
+    out = red.groupby(keys).max(vals)
+    return out.rename_columns({f"max({v})": v for v in vals})
+
+
 def predistinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
     """Distinct rows over ``keys`` with an Arrow map-side combine
     (per-batch ``group_by(keys).aggregate([])``) before the shuffle;
