@@ -9,7 +9,7 @@ from neo4j_graph_algorithms_ray.algorithms.metapath import (  # noqa: F401
     graph_reducer, label_id_mapping, metapath_precompute_high_degree_nodes,
     read_precomputed_metapaths, write_metapaths_tsv)
 from neo4j_graph_algorithms_ray.algorithms.msbfs import (  # noqa: F401
-    closeness, harmonic, msbfs_hop_counts)
+    closeness, eccentricity, harmonic, msbfs_hop_counts)
 from neo4j_graph_algorithms_ray.algorithms.sssp import (  # noqa: F401
     all_shortest_paths_weighted, shortest_path_dijkstra, sssp_delta_stepping)
 from neo4j_graph_algorithms_ray.algorithms.scc import scc  # noqa: F401

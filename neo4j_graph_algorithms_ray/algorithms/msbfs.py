@@ -40,8 +40,11 @@ def _run_waves(eng, sources: np.ndarray, *, accumulate: list[str],
     ``accumulate`` names the shard state vectors bits_update may add
     into ("farness" / "inv_farness") — passed through explicitly so a
     cached engine never mutates stale vectors from a prior run.
-    Returns (supersteps, hop rows (source, target, depth) if emitted)."""
+    Returns (supersteps, hop rows (source, target, depth) if emitted,
+    per-source eccentricity = max BFS depth reached, tracked from the
+    8-byte new-visit bit unions each shard already reports)."""
     hops_src, hops_dst, hops_depth = [], [], []
+    ecc = np.zeros(len(sources), dtype=np.int64)
     supersteps = 0
     for base in range(0, len(sources), WAVE):
         wave = sources[base:base + WAVE]
@@ -68,15 +71,22 @@ def _run_waves(eng, sources: np.ndarray, *, accumulate: list[str],
                         hops_src.append(wave[b])
                         hops_dst.append(v)
                         hops_depth.append(np.full(len(v), depth, dtype=np.int64))
+            union = np.uint64(0)
+            for s in stats:
+                union |= np.uint64(s["new_union"])
+            if union:
+                hit = (union >> np.arange(len(wave), dtype=np.uint64)) \
+                      & np.uint64(1)
+                ecc[base:base + len(wave)][hit.astype(bool)] = depth
             if sum(s["new_visits"] for s in stats) == 0:
                 break
     if emit_hops:
         if hops_src:
             return supersteps, (np.concatenate(hops_src),
                                 np.concatenate(hops_dst),
-                                np.concatenate(hops_depth))
-        return supersteps, (np.empty(0, np.int64),) * 3
-    return supersteps, None
+                                np.concatenate(hops_depth)), ecc
+        return supersteps, (np.empty(0, np.int64),) * 3, ecc
+    return supersteps, None, ecc
 
 
 def closeness(
@@ -95,7 +105,7 @@ def closeness(
            else np.asarray(list(sources), dtype=np.int64))
     eng.init_state("farness", "const", 0.0)
     t0 = time.perf_counter()
-    steps, _ = _run_waves(eng, src, accumulate=["farness"])
+    steps, _, _ = _run_waves(eng, src, accumulate=["farness"])
     elapsed = time.perf_counter() - t0
     metrics = eng.drain_metrics()
 
@@ -125,7 +135,7 @@ def harmonic(
            else np.asarray(list(sources), dtype=np.int64))
     eng.init_state("inv_farness", "const", 0.0)
     t0 = time.perf_counter()
-    steps, _ = _run_waves(eng, src, accumulate=["inv_farness"])
+    steps, _, _ = _run_waves(eng, src, accumulate=["inv_farness"])
     elapsed = time.perf_counter() - t0
     metrics = eng.drain_metrics()
 
@@ -156,10 +166,40 @@ def msbfs_hop_counts(
     eng = get_engine(g, num_partitions)
     src = (np.arange(g.num_vertices, dtype=np.int64) if sources is None
            else np.asarray(list(sources), dtype=np.int64))
-    _, (hs, hd, hdep) = _run_waves(eng, src, accumulate=[], emit_hops=True,
+    _, (hs, hd, hdep), _ = _run_waves(eng, src, accumulate=[], emit_hops=True,
                                    max_depth=max_depth)
     vmap = g.vid_to_node_map()
     tbl = pa.table({"source": vmap.take(pa.array(hs)),
                     "target": vmap.take(pa.array(hd)),
                     "distance": pa.array(hdep)})
     return rd.from_arrow(tbl)
+
+
+def eccentricity(
+    g: GraphTables,
+    *,
+    sources: Optional[Sequence[int]] = None,
+    num_partitions: Optional[int] = None,
+    node_col: str = "node",
+) -> IterativeResult:
+    """Per-source eccentricity: max BFS depth reached from each source
+    (0 for sources with no out-edges). Rides the same MSBFS waves as
+    closeness/harmonic, but needs NO per-node state or hop emission —
+    each shard reports an 8-byte OR of newly-visited source bits per
+    superstep, so the driver-side cost is |sources| ints total. The
+    sampled form (sources ⊂ V) is the standard diameter
+    lower-bound/estimation primitive at web scale."""
+    eng = get_engine(g, num_partitions)
+    src = (np.arange(g.num_vertices, dtype=np.int64) if sources is None
+           else np.asarray(list(sources), dtype=np.int64))
+    t0 = time.perf_counter()
+    steps, _, ecc = _run_waves(eng, src, accumulate=[])
+    elapsed = time.perf_counter() - t0
+    metrics = eng.drain_metrics()
+    ds = rd.from_arrow(pa.table({"vid": pa.array(src),
+                                 "eccentricity": pa.array(ecc)}))
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    return IterativeResult(dataset=ds, iterations=steps, converged=True,
+                           metrics=[metrics],
+                           stats={"computeSec": elapsed, "sources": len(src),
+                                  "max_eccentricity": int(ecc.max()) if len(ecc) else 0})

@@ -337,3 +337,13 @@ SELECT n.node AS node,
        greatest(n.node, coalesce(max(m.w), n.node)) AS component
 FROM tnodes n LEFT JOIN mutual m ON m.v = n.node
 GROUP BY n.node ORDER BY node"""
+
+
+def eccentricity_sampled_sql(iters: int = 10) -> str:
+    """Eccentricity of the 64 smallest node ids: max BFS depth over the
+    same unrolled distance table as closeness (d=0 for the source
+    itself keeps unreaching sources at eccentricity 0)."""
+    ctes = _bfs_ctes(iters)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT s AS node, CAST(max(d) AS BIGINT) AS eccentricity
+FROM d{iters} GROUP BY s ORDER BY node""")

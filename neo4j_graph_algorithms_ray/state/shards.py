@@ -608,7 +608,13 @@ class ShardActor:
                         self.state["inv_farness"][nz] += npop / depth
                     else:
                         raise ValueError(f"unknown accumulate target {acc}")
-                out = {"new_visits": int(npop.sum())}
+                out = {"new_visits": int(npop.sum()),
+                       # OR of newly-visited source bits: 8 bytes per
+                       # shard per superstep lets the driver track
+                       # per-source max depth (eccentricity) without
+                       # emitting per-node hop rows
+                       "new_union": int(np.bitwise_or.reduce(new[nz]))
+                                    if len(nz) else 0}
                 if kw.get("emit_hops") and len(nz):
                     rows_v, rows_b = [], []
                     rem = new[nz].copy()
