@@ -219,6 +219,13 @@ def _q_wcc_threshold(sf_dir: str):
     return translate_vid_columns(g, res.dataset, ["component"])
 
 
+def _q_eccentricity_sampled(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import eccentricity
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade")
+    return eccentricity(g, sources=range(min(64, g.num_vertices))).dataset
+
+
 def _q_hop_distances(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import msbfs_hop_counts
     from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
@@ -372,6 +379,11 @@ def _q_fingerprint(sf_dir: str):
 def _q_vocab_topk(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import vocab_topk
     return vocab_topk(_docs(sf_dir), topk=100)
+
+
+def _q_hll_registers(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.sketches import hll_registers
+    return hll_registers(_docs(sf_dir))
 
 
 def _q_doc_sample(sf_dir: str):
@@ -554,6 +566,12 @@ def _q_random_walks(sf_dir: str):
     return random_walks(g, length=4, start_mod=7)
 
 
+def _q_reciprocity(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.reciprocity import edge_reciprocity
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    return edge_reciprocity(web_edge_ds(sf_dir), "src_url", "dst_url")
+
+
 def _q_cocitation(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.cocitation import cocitation_topk
     from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
@@ -614,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_kcore": _q_web_kcore,
         "random_walks": _q_random_walks,
         "cocitation": _q_cocitation,
+        "reciprocity": _q_reciprocity,
         "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
@@ -633,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_ids": _q_label_ids,
         "closeness_sampled": _q_closeness_sampled,
         "harmonic_sampled": _q_harmonic_sampled,
+        "eccentricity_sampled": _q_eccentricity_sampled,
         "sssp": _q_sssp,
         "wcc_threshold": _q_wcc_threshold,
         "hop_distances": _q_hop_distances,
@@ -652,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "vocab_topk": _q_vocab_topk,
+        "hll_registers": _q_hll_registers,
         "doc_sample": _q_doc_sample,
         "repetition_ratio": _q_repetition_ratio,
         "tfidf_topk": _q_tfidf_topk,
@@ -689,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "web_kcore": ow.web_kcore_sql(3, 40),
         "random_walks": ow.random_walks_sql(4, 7),
         "cocitation": ow.cocitation_sql(20, 50),
+        "reciprocity": ow.RECIPROCITY_SQL,
         "anchor_texts": ow.ANCHOR_TEXTS_SQL,
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),
@@ -713,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "label_ids": o.LABEL_IDS_SQL,
         "closeness_sampled": o.closeness_sampled_sql(10),
         "harmonic_sampled": o.harmonic_sampled_sql(10),
+        "eccentricity_sampled": o.eccentricity_sampled_sql(10),
         "sssp": o.sssp_sql(15),
         "wcc_threshold": o.wcc_threshold_sql(30, 3),
         "hop_distances": o.hop_distances_sql(10),
@@ -739,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": od.langid_sql(),
         "fingerprint": od.FINGERPRINT_SQL,
         "vocab_topk": od.vocab_topk_sql(100),
+        "hll_registers": od.HLL_REGISTERS_SQL,
         "doc_sample": od.doc_sample_sql(20),
         "repetition_ratio": od.repetition_ratio_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),

@@ -372,3 +372,17 @@ def doc_length_histogram_sql(width: int = 100) -> str:
     return f"""SELECT CAST(floor(n_chars / {width}.0) AS BIGINT) AS bucket,
        count(*) AS n
 FROM documents GROUP BY bucket ORDER BY bucket"""
+
+
+HLL_REGISTERS_SQL = """WITH tl AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+td AS (SELECT DISTINCT unnest(tk) AS tok FROM tl),
+h AS (SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+      FROM td WHERE tok <> ''),
+r AS (SELECT hv % 256 AS register,
+             CASE WHEN hv // 256 = 0 THEN 53
+                  ELSE 52 - CAST(floor(log2(hv // 256)) AS BIGINT) END AS rho
+      FROM h)
+SELECT register, max(rho) AS max_rho FROM r GROUP BY register
+ORDER BY register"""

@@ -260,3 +260,15 @@ pairs AS (
 SELECT a AS node_a, b AS node_b, count(*) AS n_common
 FROM pairs GROUP BY a, b
 ORDER BY n_common DESC, node_a, node_b LIMIT {topk}"""
+
+
+RECIPROCITY_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+p AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS o
+      FROM wedges GROUP BY a, b)
+SELECT CAST(sum(CASE WHEN o = 3 THEN 2 ELSE 1 END) AS BIGINT) AS total_edges,
+       CAST(sum(CASE WHEN o = 3 THEN 2 ELSE 0 END) AS BIGINT) AS reciprocal_edges,
+       round(sum(CASE WHEN o = 3 THEN 2.0 ELSE 0.0 END)
+             / sum(CASE WHEN o = 3 THEN 2 ELSE 1 END), 6) AS reciprocity
+FROM p"""
