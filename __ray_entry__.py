@@ -381,6 +381,26 @@ def _q_vocab_topk(sf_dir: str):
     return vocab_topk(_docs(sf_dir), topk=100)
 
 
+def _q_bigram_topk(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import ngram_topk
+    return ngram_topk(_docs(sf_dir), n=2, topk=100)
+
+
+def _q_length_percentiles(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import column_percentiles
+    return column_percentiles(_docs_full(sf_dir), "n_chars")
+
+
+def _q_degree_histogram(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+    from neo4j_graph_algorithms_ray.functions.text import column_histogram
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    deg = get_engine(g, None).degrees_dataset()
+    return column_histogram(deg, "degree", width=1.0) \
+        .rename_columns({"bucket": "degree"})
+
+
 def _q_hll_registers(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.sketches import hll_registers
     return hll_registers(_docs(sf_dir))
@@ -597,6 +617,15 @@ def _q_host_pagerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_host_pagerank_weighted(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph_weighted
+    g = get_host_graph_weighted(sf_dir)
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="host",
+                   weighted=True)
+    return _round6(res.dataset, "score")
+
+
 def _q_web_wcc_sizes(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import wcc
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -636,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
+        "host_pagerank_weighted": _q_host_pagerank_weighted,
         "pagerank": _q_pagerank,
         "pagerank_topk": _q_pagerank_topk,
         "wcc": _q_wcc,
@@ -673,6 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "vocab_topk": _q_vocab_topk,
         "hll_registers": _q_hll_registers,
+        "bigram_topk": _q_bigram_topk,
+        "length_percentiles": _q_length_percentiles,
+        "degree_histogram": _q_degree_histogram,
         "doc_sample": _q_doc_sample,
         "repetition_ratio": _q_repetition_ratio,
         "tfidf_topk": _q_tfidf_topk,
@@ -714,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": ow.ANCHOR_TEXTS_SQL,
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),
+        "host_pagerank_weighted": ow.host_pagerank_weighted_sql(PR_ITERS),
         "pagerank": o.pagerank_sql(PR_ITERS),
         "pagerank_topk": o.pagerank_topk_sql(PR_ITERS, TOPK),
         "wcc": o.wcc_sql(WCC_SQL_ITERS, "components"),
@@ -763,6 +797,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": od.FINGERPRINT_SQL,
         "vocab_topk": od.vocab_topk_sql(100),
         "hll_registers": od.HLL_REGISTERS_SQL,
+        "bigram_topk": od.BIGRAM_TOPK_SQL,
+        "length_percentiles": od.LENGTH_PERCENTILES_SQL,
+        "degree_histogram": ow.DEGREE_HISTOGRAM_SQL,
         "doc_sample": od.doc_sample_sql(20),
         "repetition_ratio": od.repetition_ratio_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),

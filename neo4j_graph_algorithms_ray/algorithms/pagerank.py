@@ -41,6 +41,7 @@ def pagerank(
     keep_vid: bool = False,
     node_col: str = "node",
     source_nodes: Optional[list] = None,
+    weighted: bool = False,
 ) -> IterativeResult:
     """Run PageRank; returns (node, score) plus iteration stats.
 
@@ -55,8 +56,12 @@ def pagerank(
     delta-push kernel; only the init vector changes (rank = delta =
     1−d on seeds, 0 elsewhere), so cost per superstep is identical
     and frontier sparsity makes early supersteps cheaper.
+
+    ``weighted=True`` pushes mass proportional to edge weight
+    (``d·delta[u]·w(u,v)/Σ_out w(u)``) — the weightProperty PageRank
+    variant; the graph must have been built with a ``weight_col``.
     """
-    eng = get_engine(g, num_partitions)
+    eng = get_engine(g, num_partitions, weighted=weighted)
     config = {"damping": damping, "max_iterations": max_iterations,
               "tolerance": tolerance, "P": eng.P}
 
@@ -86,8 +91,9 @@ def pagerank(
     metrics, it, converged = [], start_iter, False
     t0 = time.perf_counter()
     while it < max_iterations:
-        stats = eng.step("pr_push", "pr_update",
-                         scatter_kw={"damping": damping, "msg_dtype": msg_dtype})
+        stats = eng.step("pr_push_w" if weighted else "pr_push", "pr_update",
+                         scatter_kw=({"damping": damping} if weighted else
+                                     {"damping": damping, "msg_dtype": msg_dtype}))
         it += 1
         max_delta = max(s["max_delta"] for s in stats)
         if checkpoint_every and (it % checkpoint_every == 0):

@@ -272,3 +272,40 @@ SELECT CAST(sum(CASE WHEN o = 3 THEN 2 ELSE 1 END) AS BIGINT) AS total_edges,
        round(sum(CASE WHEN o = 3 THEN 2.0 ELSE 0.0 END)
              / sum(CASE WHEN o = 3 THEN 2 ELSE 1 END), 6) AS reciprocity
 FROM p"""
+
+
+def host_pagerank_weighted_sql(iters: int = 20) -> str:
+    """Weighted host PageRank mirror: edge weight = n_links (count of
+    distinct page-level links between the hosts, self-host dropped);
+    push proportional to w/Σ_out w."""
+    ctes = [WEB_BASE, WEB_EDGES,
+            """hw AS MATERIALIZED (
+  SELECT sh AS src, dh AS dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS sh,
+           regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dh
+    FROM wedges) x
+  WHERE sh != dh GROUP BY sh, dh)""",
+            "hnodes AS MATERIALIZED (SELECT src AS node FROM hw "
+            "UNION SELECT dst FROM hw)",
+            "hwd AS MATERIALIZED (SELECT src, sum(w) AS wd FROM hw GROUP BY src)",
+            "g0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM hnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""g{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r * e.w / dg.wd), 0) AS r
+  FROM hnodes n
+  LEFT JOIN hw e ON e.dst = n.node
+  LEFT JOIN g{k-1} p ON p.node = e.src
+  LEFT JOIN hwd dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS host, round(r, 6) AS score FROM g{iters} ORDER BY host")
+
+
+DEGREE_HISTOGRAM_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{WEB_NODES},
+wdeg AS (SELECT n.node, coalesce(d.dg, 0) AS degree
+         FROM wnodes n LEFT JOIN (SELECT src, count(*) AS dg
+                                  FROM wedges GROUP BY src) d
+           ON d.src = n.node)
+SELECT degree, count(*) AS n FROM wdeg GROUP BY degree ORDER BY degree"""

@@ -99,6 +99,21 @@ def get_host_graph(sf_dir: str) -> GraphTables:
     return g
 
 
+def get_host_graph_weighted(sf_dir: str) -> GraphTables:
+    """Host graph with ``n_links`` (distinct page-level links between
+    the hosts) as edge weight — the input for weighted host ranking,
+    where a host pointed at by many distinct pages of another host
+    receives proportionally more mass."""
+    name = f"hostgraph_w:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        edges = host_edge_ds(sf_dir).filter(expr="src_host != dst_host")
+        g = build_graph(edges, src_col="src_host", dst_col="dst_host",
+                        weight_col="n_links", name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    return g
+
+
 def anchor_text_ds(sf_dir: str) -> rd.Dataset:
     """Anchor-text index: (dst_url, anchor, n) — how often each anchor
     string points at each target page, every occurrence counted.

@@ -353,6 +353,28 @@ class ShardActor:
                 sums = np.add.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, sums)
+            if op == "pr_push_w":
+                # weighted delta-push: each edge carries
+                # d * delta[src] * w_edge / Σ_out w — the weightProperty
+                # PageRank variant (push mass proportional to edge
+                # weight). Falls back to the unweighted kernel shape
+                # when the engine was built without weights.
+                d = kw["damping"]
+                w = self.w if self.w is not None else None
+                if not hasattr(self, "_wdeg"):
+                    self._wdeg = (np.bincount(self.key_local, weights=w,
+                                              minlength=self.n_local)
+                                  if w is not None
+                                  else self.deg.astype(np.float64))
+                coef = np.zeros(self.n_local)
+                nz = self._wdeg > 0
+                coef[nz] = d * self.state["delta"][nz] / self._wdeg[nz]
+                vals = coef[self.src_in_dst_order]
+                if w is not None:
+                    vals = vals * w[self.perm]
+                sums = np.add.reduceat(vals, self.seg_starts)
+                self.metrics["edges_scattered"] += self.m
+                return self._route(None, sums)
             if op == "in_degree_count":
                 # per-unique-dst edge counts = scatter-segment lengths; one
                 # superstep computes global in-degrees without a reverse CSR
