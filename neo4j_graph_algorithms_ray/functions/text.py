@@ -366,3 +366,66 @@ def column_histogram(ds, col: str, *, width: float, lo: float = 0.0):
     agg = preagg_sum(ds.map_batches(partial, batch_format="pyarrow"),
                      ["bucket"], "n")
     return agg.sort("bucket")
+
+
+def ngram_topk(docs, *, n: int = 2, topk: int = 100, text_col: str = "text"):
+    """Top-k word n-grams by occurrence (the LM-training companion to
+    vocab_topk): lowered whitespace tokens joined by single spaces,
+    short docs (< n tokens) contributing their full token string —
+    word_shingles semantics, so the same vectorized shingle kernel
+    serves dedup sketches and n-gram stats. Returns
+    (ngram, n_occ, n_docs), ranked (n_occ DESC, ngram ASC)."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _shingle_arrays
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_idx, grams = _shingle_arrays(b[text_col], n)
+        if len(grams) == 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n_occ": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(grams)
+        n_occ = np.bincount(codes, minlength=len(uniq))
+        pair = np.unique(doc_idx.astype(np.int64) * len(uniq) + codes)
+        n_docs = np.bincount((pair % len(uniq)).astype(np.int64),
+                             minlength=len(uniq))
+        return pa.table({"ngram": pa.array(uniq, pa.string()),
+                         "n_occ": n_occ.astype(np.int64),
+                         "n_docs": n_docs.astype(np.int64)})
+
+    agg = preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
+                     ["ngram"], ["n_occ", "n_docs"])
+    return agg.sort(["n_occ", "ngram"], descending=[True, False]).limit(topk)
+
+
+def column_percentiles(ds, col: str, pcts=(25, 50, 75, 90, 99)):
+    """Exact percentiles of an integer-valued column without sorting the
+    data: per-value histogram partials (map-side combine) plus a tiny
+    driver-side cumulative walk. percentile p = smallest value whose
+    cumulative count reaches ceil(N·p/100) — the "lower" discrete
+    quantile, SQL-reproducible with a windowed running sum."""
+    import math
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    hist = column_histogram(ds, col, width=1.0)
+    rows = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(rows)
+    v = tbl["bucket"].to_numpy(zero_copy_only=False)
+    n = tbl["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v)
+    v, n = v[order], n[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for p in pcts:
+        thr = math.ceil(total * p / 100)
+        idx = int(np.searchsorted(cum, thr))
+        out_p.append(int(p))
+        out_v.append(int(v[min(idx, len(v) - 1)]) if total else 0)
+    return rd.from_arrow(pa.table({"pct": pa.array(out_p, pa.int64()),
+                                   "value": pa.array(out_v, pa.int64())}))

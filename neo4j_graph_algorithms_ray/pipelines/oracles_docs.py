@@ -386,3 +386,25 @@ r AS (SELECT hv % 256 AS register,
       FROM h)
 SELECT register, max(rho) AS max_rho FROM r GROUP BY register
 ORDER BY register"""
+
+
+BIGRAM_TOPK_SQL = """WITH tl AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+sh AS (SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+      i -> CASE WHEN len(tk) < 2 THEN array_to_string(tk, ' ')
+                ELSE tk[i] || ' ' || tk[i+1] END)) AS ngram
+  FROM tl)
+SELECT ngram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+FROM sh GROUP BY ngram ORDER BY n_occ DESC, ngram LIMIT 100"""
+
+
+LENGTH_PERCENTILES_SQL = """WITH h AS (
+  SELECT n_chars AS v, count(*) AS n FROM documents GROUP BY n_chars),
+c AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM h),
+nn AS (SELECT count(*) AS N FROM documents),
+ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+SELECT CAST(ps.pct AS BIGINT) AS pct, CAST(min(c.v) AS BIGINT) AS value
+FROM ps JOIN c ON c.cum >= ceil((SELECT N FROM nn) * ps.pct / 100.0)
+GROUP BY ps.pct ORDER BY pct"""
