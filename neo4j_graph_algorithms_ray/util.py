@@ -186,6 +186,39 @@ def preagg_max(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Data
     return out.rename_columns({f"max({v})": v for v in vals})
 
 
+def topk_per_group(ds: rd.Dataset, keys: list[str], order_col: str, k: int,
+                   *, descending: bool = True,
+                   tie_cols: list[str] | None = None) -> rd.Dataset:
+    """Top-k rows per key group by ``order_col`` (deterministic:
+    ``tie_cols`` break equal values) — the windowed
+    ROW_NUMBER()-per-partition primitive.
+
+    Scale shape: top-k is a per-key idempotent reduction, so each batch
+    first shrinks to its LOCAL per-key top-k (vectorized sort + group
+    head), bounding the exchange at k rows per (batch, key); small
+    partials finalize on the driver, larger ones go through one
+    ``groupby().map_groups`` shuffle keyed by the group columns."""
+    ties = tie_cols or []
+
+    def partial(df):
+        s = df.sort_values(keys + [order_col] + ties,
+                           ascending=[True] * len(keys) + [not descending]
+                           + [True] * len(ties), kind="mergesort")
+        return s.groupby(keys, sort=False).head(k)
+
+    red = ds.map_batches(partial, batch_format="pandas").materialize()
+    if red.count() <= SMALL_AGG_DRIVER_LIMIT:
+        import pandas as pd
+        batches = list(red.iter_batches(batch_format="pandas",
+                                        batch_size=1 << 20))
+        if not batches:
+            return red
+        return rd.from_pandas(partial(pd.concat(batches, ignore_index=True))
+                              .reset_index(drop=True))
+    return to_arrow_blocks(red.groupby(keys).map_groups(
+        lambda df: partial(df), batch_format="pandas"))
+
+
 def predistinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
     """Distinct rows over ``keys`` with an Arrow map-side combine
     (per-batch ``group_by(keys).aggregate([])``) before the shuffle;
