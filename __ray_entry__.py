@@ -381,6 +381,12 @@ def _q_vocab_topk(sf_dir: str):
     return vocab_topk(_docs(sf_dir), topk=100)
 
 
+def _q_bloom_urls(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.sketches import bloom_bits
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    return bloom_bits(read_pages(sf_dir, columns=["url"]), "url")
+
+
 def _q_bigram_topk(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import ngram_topk
     return ngram_topk(_docs(sf_dir), n=2, topk=100)
@@ -617,6 +623,23 @@ def _q_host_pagerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_host_top_pages(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import HOST_RE
+    from neo4j_graph_algorithms_ray.util import topk_per_group
+
+    def add_host(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        return b.append_column("host", h)
+
+    deg = _q_web_degrees(sf_dir).map_batches(add_host, batch_format="pyarrow")
+    top = topk_per_group(deg, ["host"], "out_degree", 2, tie_cols=["url"])
+    return top.select_columns(["host", "url", "out_degree"]) \
+              .sort(["host", "url"])
+
+
 def _q_host_pagerank_weighted(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import pagerank
     from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph_weighted
@@ -666,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
+        "host_top_pages": _q_host_top_pages,
         "pagerank": _q_pagerank,
         "pagerank_topk": _q_pagerank_topk,
         "wcc": _q_wcc,
@@ -703,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "vocab_topk": _q_vocab_topk,
         "hll_registers": _q_hll_registers,
+        "bloom_urls": _q_bloom_urls,
         "bigram_topk": _q_bigram_topk,
         "length_percentiles": _q_length_percentiles,
         "degree_histogram": _q_degree_histogram,
@@ -748,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),
         "host_pagerank_weighted": ow.host_pagerank_weighted_sql(PR_ITERS),
+        "host_top_pages": ow.host_top_pages_sql(2),
         "pagerank": o.pagerank_sql(PR_ITERS),
         "pagerank_topk": o.pagerank_topk_sql(PR_ITERS, TOPK),
         "wcc": o.wcc_sql(WCC_SQL_ITERS, "components"),
@@ -797,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": od.FINGERPRINT_SQL,
         "vocab_topk": od.vocab_topk_sql(100),
         "hll_registers": od.HLL_REGISTERS_SQL,
+        "bloom_urls": ow.BLOOM_URLS_SQL,
         "bigram_topk": od.BIGRAM_TOPK_SQL,
         "length_percentiles": od.LENGTH_PERCENTILES_SQL,
         "degree_histogram": ow.DEGREE_HISTOGRAM_SQL,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 HLL_M = 256          # registers (b = 8 index bits)
@@ -75,4 +76,72 @@ def hll_estimate(registers: rd.Dataset) -> float:
     return float(est)
 
 
-__all__ = ["hll_registers", "hll_estimate", "HLL_M"]
+BLOOM_BITS = 16384   # m (total filter bits)
+BLOOM_K = 4          # hash functions
+BLOOM_WORD = 32      # bits packed per output word (int64-safe, no sign)
+
+
+def _bloom_partial(b: pa.Table, col: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    keys = np.unique(np.asarray(b[col].to_pylist(), dtype=object))
+    if len(keys) == 0:
+        return pa.table({"word": pa.array([], pa.int64()),
+                         "bits": pa.array([], pa.int64())})
+    pos_list = []
+    for j in range(BLOOM_K):
+        salted = np.array([f"{s}|bloom:{j}" for s in keys], dtype=object)
+        h, _ = _md5_u64(salted, 15)
+        pos_list.append((h % BLOOM_BITS).astype(np.int64))
+    pos = np.concatenate(pos_list)
+    word = pos // BLOOM_WORD
+    bit = (np.int64(1) << (pos % BLOOM_WORD)).astype(np.int64)
+    order = np.argsort(word, kind="stable")
+    word, bit = word[order], bit[order]
+    uniq, starts = np.unique(word, return_index=True)
+    packed = np.bitwise_or.reduceat(bit, starts)
+    return pa.table({"word": pa.array(uniq), "bits": pa.array(packed)})
+
+
+def bloom_bits(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """Bloom filter over a key column → (word, bits): BLOOM_BITS bits
+    packed 32 per int64 word, BLOOM_K md5-pinned hashes per key. The
+    set-membership sketch a crawl pipeline uses to probe "was this URL
+    already fetched" without a join against the full key table.
+
+    Scale shape: per-batch partials are at most BLOOM_BITS/32 = 512
+    rows regardless of batch size, and OR-merging is idempotent, so the
+    driver-side merge stays 512 rows however large the corpus. Only
+    words with at least one set bit appear."""
+    parts = [t for t in ray.get(
+        ds.map_batches(lambda b: _bloom_partial(b, col),
+                       batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    agg: dict[int, int] = {}
+    for t in parts:
+        for w, v in zip(t["word"].to_pylist(), t["bits"].to_pylist()):
+            agg[w] = agg.get(w, 0) | v
+    words = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "word": pa.array(words, pa.int64()),
+        "bits": pa.array([agg[w] for w in words], pa.int64())}))
+
+
+def bloom_probe(bloom: rd.Dataset, keys) -> list[bool]:
+    """Membership probe against a (word, bits) table — false positives
+    possible, false negatives not."""
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_int
+    table = {r["word"]: r["bits"] for r in bloom.take_all()}
+    out = []
+    for s in keys:
+        hit = True
+        for j in range(BLOOM_K):
+            pos = _md5_int(f"{s}|bloom:{j}") % BLOOM_BITS
+            if not (table.get(pos // BLOOM_WORD, 0) >> (pos % BLOOM_WORD)) & 1:
+                hit = False
+                break
+        out.append(hit)
+    return out
+
+
+__all__ = ["hll_registers", "hll_estimate", "HLL_M",
+           "bloom_bits", "bloom_probe", "BLOOM_BITS", "BLOOM_K"]

@@ -309,3 +309,34 @@ wdeg AS (SELECT n.node, coalesce(d.dg, 0) AS degree
                                   FROM wedges GROUP BY src) d
            ON d.src = n.node)
 SELECT degree, count(*) AS n FROM wdeg GROUP BY degree ORDER BY degree"""
+
+
+def host_top_pages_sql(k: int = 2) -> str:
+    """Grouped top-k mirror (util.topk_per_group): the k highest
+    out-degree pages per host, ties broken by url."""
+    return f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{WEB_NODES},
+wdeg AS (SELECT n.node AS url, coalesce(d.dg, 0) AS out_degree
+         FROM wnodes n LEFT JOIN (SELECT src, count(*) AS dg
+                                  FROM wedges GROUP BY src) d
+           ON d.src = n.node),
+rnk AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, url,
+               out_degree,
+               ROW_NUMBER() OVER (
+                 PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                 ORDER BY out_degree DESC, url) AS rn
+        FROM wdeg)
+SELECT host, url, out_degree FROM rnk WHERE rn <= {k}
+ORDER BY host, url"""
+
+
+BLOOM_URLS_SQL = f"""WITH {WEB_BASE},
+keys AS (SELECT {_url('d')} AS u FROM degs),
+kk AS (SELECT unnest(range(4)) AS j),
+h AS (SELECT CAST(('0x' || substr(md5(u || '|bloom:' || j), 1, 15)) AS BIGINT)
+             % 16384 AS pos
+      FROM keys CROSS JOIN kk),
+b AS (SELECT pos // 32 AS word, pos % 32 AS bit FROM h)
+SELECT word, CAST(sum(DISTINCT CAST(1 AS BIGINT) << CAST(bit AS INT)) AS BIGINT) AS bits
+FROM b GROUP BY word ORDER BY word"""

@@ -50,3 +50,19 @@ def test_hll_batch_invariance():
     a = sorted((r["register"], r["max_rho"]) for r in hll_registers(one).take_all())
     b = sorted((r["register"], r["max_rho"]) for r in hll_registers(many).take_all())
     assert a == b
+
+
+def test_bloom_no_false_negatives_and_batch_invariance():
+    from neo4j_graph_algorithms_ray.functions.sketches import (bloom_bits,
+                                                               bloom_probe)
+    keys = [f"http://h{i}.test/p{i}" for i in range(300)]
+    ds = rd.from_arrow(pa.table({"url": keys}))
+    bloom = bloom_bits(ds, "url")
+    assert all(bloom_probe(bloom, keys))          # no false negatives
+    other = [f"http://other{i}.test/x" for i in range(500)]
+    fp = sum(bloom_probe(bloom, other)) / len(other)
+    assert fp < 0.05                              # m/n≈55 bits/key, k=4
+    sharded = rd.from_arrow(pa.table({"url": keys})).repartition(16)
+    a = [(r["word"], r["bits"]) for r in bloom.take_all()]
+    b = [(r["word"], r["bits"]) for r in bloom_bits(sharded, "url").take_all()]
+    assert sorted(a) == sorted(b)
