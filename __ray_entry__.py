@@ -381,6 +381,11 @@ def _q_vocab_topk(sf_dir: str):
     return vocab_topk(_docs(sf_dir), topk=100)
 
 
+def _q_cms_tokens(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.sketches import cms_table
+    return cms_table(_docs(sf_dir))
+
+
 def _q_bloom_urls(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.sketches import bloom_bits
     from neo4j_graph_algorithms_ray.sources.pages import read_pages
@@ -728,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "hll_registers": _q_hll_registers,
         "bloom_urls": _q_bloom_urls,
+        "cms_tokens": _q_cms_tokens,
         "bigram_topk": _q_bigram_topk,
         "length_percentiles": _q_length_percentiles,
         "degree_histogram": _q_degree_histogram,
@@ -824,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": od.vocab_topk_sql(100),
         "hll_registers": od.HLL_REGISTERS_SQL,
         "bloom_urls": ow.BLOOM_URLS_SQL,
+        "cms_tokens": od.CMS_TABLE_SQL,
         "bigram_topk": od.BIGRAM_TOPK_SQL,
         "length_percentiles": od.LENGTH_PERCENTILES_SQL,
         "degree_histogram": ow.DEGREE_HISTOGRAM_SQL,

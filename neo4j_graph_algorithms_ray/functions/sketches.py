@@ -143,5 +143,60 @@ def bloom_probe(bloom: rd.Dataset, keys) -> list[bool]:
     return out
 
 
+CMS_D = 4       # hash rows
+CMS_W = 1024    # buckets per row
+
+
+def _cms_partial(b: pa.Table, text_col: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64, _token_arrays
+    _, toks = _token_arrays(b[text_col])
+    if len(toks) == 0:
+        return pa.table({"row": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    uniq, counts = np.unique(toks, return_counts=True)
+    rows, buckets, ns = [], [], []
+    for j in range(CMS_D):
+        salted = np.array([f"{s}|cms:{j}" for s in uniq], dtype=object)
+        h, _ = _md5_u64(salted, 15)
+        bkt = (h % CMS_W).astype(np.int64)
+        order = np.argsort(bkt, kind="stable")
+        bs, cs = bkt[order], counts[order]
+        ub, starts = np.unique(bs, return_index=True)
+        sums = np.add.reduceat(cs, starts).astype(np.int64)
+        rows.append(np.full(len(ub), j, dtype=np.int64))
+        buckets.append(ub)
+        ns.append(sums)
+    return pa.table({"row": pa.array(np.concatenate(rows)),
+                     "bucket": pa.array(np.concatenate(buckets)),
+                     "n": pa.array(np.concatenate(ns))})
+
+
+def cms_table(docs: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
+    """Count-min sketch of token occurrence counts (Cormode &
+    Muthukrishnan 2005): CMS_D md5-pinned hash rows × CMS_W buckets.
+    Merging is per-cell SUM, so the sketch flows through the same
+    map-side combine as every aggregate here (util.preagg_sum) and the
+    exchange is capped at D·W = 4096 rows per batch whatever the corpus
+    size. Point-estimate = min over the D rows (cms_estimate);
+    overestimates only. Only non-zero cells appear."""
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+    parts = docs.map_batches(lambda b: _cms_partial(b, text_col),
+                             batch_format="pyarrow")
+    return preagg_sum(parts, ["row", "bucket"], "n").sort(["row", "bucket"])
+
+
+def cms_estimate(cms: rd.Dataset, tokens) -> dict[str, int]:
+    """Point estimates for the given tokens (≥ true count)."""
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_int
+    cells = {(r["row"], r["bucket"]): r["n"] for r in cms.take_all()}
+    out = {}
+    for t in tokens:
+        out[t] = min(cells.get((j, _md5_int(f"{t}|cms:{j}") % CMS_W), 0)
+                     for j in range(CMS_D))
+    return out
+
+
 __all__ = ["hll_registers", "hll_estimate", "HLL_M",
-           "bloom_bits", "bloom_probe", "BLOOM_BITS", "BLOOM_K"]
+           "bloom_bits", "bloom_probe", "BLOOM_BITS", "BLOOM_K",
+           "cms_table", "cms_estimate", "CMS_D", "CMS_W"]

@@ -408,3 +408,19 @@ ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
 SELECT CAST(ps.pct AS BIGINT) AS pct, CAST(min(c.v) AS BIGINT) AS value
 FROM ps JOIN c ON c.cum >= ceil((SELECT N FROM nn) * ps.pct / 100.0)
 GROUP BY ps.pct ORDER BY pct"""
+
+
+CMS_TABLE_SQL = """WITH tl AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT unnest(tk) AS tok FROM tl),
+tc AS (SELECT tok, count(*) AS c FROM occ WHERE tok <> '' GROUP BY tok),
+jj AS (SELECT unnest(range(4)) AS j),
+cells AS (
+  SELECT j AS row,
+         CAST(('0x' || substr(md5(tok || '|cms:' || j), 1, 15)) AS BIGINT)
+           % 1024 AS bucket,
+         c
+  FROM tc CROSS JOIN jj)
+SELECT row, bucket, CAST(sum(c) AS BIGINT) AS n
+FROM cells GROUP BY row, bucket ORDER BY row, bucket"""

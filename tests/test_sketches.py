@@ -66,3 +66,19 @@ def test_bloom_no_false_negatives_and_batch_invariance():
     a = [(r["word"], r["bits"]) for r in bloom.take_all()]
     b = [(r["word"], r["bits"]) for r in bloom_bits(sharded, "url").take_all()]
     assert sorted(a) == sorted(b)
+
+
+def test_cms_overestimates_and_exact_for_heavy_hitters():
+    from collections import Counter
+    from neo4j_graph_algorithms_ray.functions.sketches import (cms_estimate,
+                                                               cms_table)
+    docs = _corpus(100, 300, seed=4)
+    ds = rd.from_arrow(pa.table({"text": docs})).repartition(8)
+    cms = cms_table(ds)
+    true = Counter(t for d in docs for t in d.lower().split())
+    est = cms_estimate(cms, list(true))
+    for tok, c in true.items():
+        assert est[tok] >= c                       # never underestimates
+    # vocab 300 << D*W cells: collisions rare, most estimates exact
+    exact = sum(1 for t, c in true.items() if est[t] == c)
+    assert exact / len(true) > 0.9
