@@ -90,6 +90,16 @@ def _q_labelprop(sf_dir: str):
     return translate_vid_columns(g, res.dataset, ["label"])
 
 
+def _q_labelprop_weighted(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms import label_propagation
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade_w")
+    res = label_propagation(g, max_iterations=LPA_SWEEPS, mode="semi",
+                            weighted=True)
+    return translate_vid_columns(g, res.dataset, ["label"])
+
+
 def _q_triangle_global(sf_dir: str):
     import pandas as pd
     from neo4j_graph_algorithms_ray.algorithms import triangle_count
@@ -700,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc": _q_wcc,
         "wcc_sizes": _q_wcc_sizes,
         "labelprop": _q_labelprop,
+        "labelprop_weighted": _q_labelprop_weighted,
         "triangle_count_global": _q_triangle_global,
         "triangle_count_per_node": _q_triangle_per_node,
         "degrees": _q_degrees,
@@ -785,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc": o.wcc_sql(WCC_SQL_ITERS, "components"),
         "wcc_sizes": o.wcc_sql(WCC_SQL_ITERS, "sizes"),
         "labelprop": o.lpa_sql(LPA_SWEEPS),
+        "labelprop_weighted": o.lpa_weighted_sql(LPA_SWEEPS),
         "triangle_count_global": o.TRIANGLE_GLOBAL_SQL,
         "triangle_count_per_node": o.TRIANGLE_PER_NODE_SQL,
         "degrees": o.DEGREE_SQL,

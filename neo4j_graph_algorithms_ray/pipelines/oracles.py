@@ -347,3 +347,35 @@ def eccentricity_sampled_sql(iters: int = 10) -> str:
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT s AS node, CAST(max(d) AS BIGINT) AS eccentricity
 FROM d{iters} GROUP BY s ORDER BY node""")
+
+
+def lpa_weighted_sql(sweeps: int = 6) -> str:
+    """Weighted LPA mirror over the weighted trade graph (w = 1 +
+    (src+dst) % 5): votes are weight sums, argmax-weight tie-broken by
+    min label, semi-synchronous parity sweeps — same schedule as
+    lpa_sql, weightProperty semantics of the reference's LPA."""
+    ctes = [TRADE_EDGES, TRADE_NODES,
+            "vn AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) - 1 "
+            "AS vid FROM tnodes)",
+            """ev AS MATERIALIZED (
+  SELECT s.vid AS sv, t.vid AS tv,
+         CAST(1 + (e.src + e.dst) % 5 AS DOUBLE) AS w
+  FROM tedges e JOIN vn s ON s.node = e.src JOIN vn t ON t.node = e.dst)""",
+            "l0 AS (SELECT vid, vid AS lab FROM vn)"]
+    for k in range(1, sweeps + 1):
+        parity = (k - 1) % 2
+        ctes.append(f"""v{k} AS MATERIALIZED (
+  SELECT e.tv AS vid, p.lab AS lab, sum(e.w) AS c
+  FROM ev e JOIN l{k-1} p ON p.vid = e.sv GROUP BY e.tv, p.lab)""")
+        ctes.append(f"""b{k} AS MATERIALIZED (
+  SELECT vid, lab AS best FROM (
+    SELECT vid, lab, row_number() OVER (PARTITION BY vid ORDER BY c DESC, lab ASC) AS rn
+    FROM v{k}) t WHERE rn = 1)""")
+        ctes.append(f"""l{k} AS MATERIALIZED (
+  SELECT n.vid,
+         CASE WHEN n.vid % 2 = {parity} AND b.best IS NOT NULL THEN b.best ELSE p.lab END AS lab
+  FROM vn n JOIN l{k-1} p ON p.vid = n.vid LEFT JOIN b{k} b ON b.vid = n.vid)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT n.node AS node, ln.node AS label
+FROM vn n JOIN l{sweeps} l ON l.vid = n.vid JOIN vn ln ON ln.vid = l.lab
+ORDER BY n.node""")

@@ -114,3 +114,45 @@ def test_k_core_peeling():
     # 3-core: triangles alone have degree 2 -> everything peels
     res3 = k_core(g, 3)
     assert all(r["in_core"] == 0 for r in res3.dataset.take_all())
+
+
+def test_weighted_lpa_matches_replay():
+    """Weighted LPA (weight-summed votes, argmax-weight min-label
+    tie-break, alternating-parity semi-sync sweeps) vs a pure-python
+    replay on a small weighted digraph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms import label_propagation
+    from neo4j_graph_algorithms_ray.graph import build_graph
+
+    rng = np.random.default_rng(31)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 20, (80, 2))
+                  if a != b})
+    w = {e: float(1 + (e[0] + e[1]) % 5) for e in edges}
+    ds = rd.from_arrow(pa.table({"src": [e[0] for e in edges],
+                                 "dst": [e[1] for e in edges],
+                                 "weight": [w[e] for e in edges]}))
+    g = build_graph(ds, weight_col="weight", name="wlpa_t")
+    res = label_propagation(g, max_iterations=4, mode="semi", weighted=True)
+    got = {r["node"]: r["label"] for r in res.dataset.take_all()}
+
+    nodes = sorted({x for e in edges for x in e})
+    vid = {v: i for i, v in enumerate(nodes)}
+    lab = {vid[v]: vid[v] for v in nodes}
+    for it in range(4):
+        parity = it % 2
+        votes = {}
+        for (s, d), wv in w.items():
+            key = (vid[d], lab[vid[s]])
+            votes[key] = votes.get(key, 0.0) + wv
+        best = {}
+        for (dv, lb), c in votes.items():
+            cur = best.get(dv)
+            if cur is None or (c, -lb) > (cur[0], -cur[1]):
+                best[dv] = (c, lb)
+        for dv, (c, lb) in best.items():
+            if dv % 2 == parity:
+                lab[dv] = lb
+    assert got == {v: lab[vid[v]] for v in nodes}
