@@ -205,6 +205,30 @@ def _q_sssp(sf_dir: str):
     return _round6(ds, "distance")
 
 
+def _q_sssp_path(sf_dir: str):
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms.sssp import shortest_path_dijkstra
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "trade_w")
+    dist = _q_sssp(sf_dir)   # reached (node, distance) via delta stepping
+    target = max(r["node"] for r in dist.take_all())
+    source = _min_node(g)
+    r = shortest_path_dijkstra(g, source, target)
+    return pa.table({
+        "step": pa.array(range(len(r["path"])), pa.int64()),
+        "node": pa.array(r["path"], pa.int64()),
+        "cost": pa.array([round(c, 6) for c in r["costs"]], pa.float64())})
+
+
+def _min_node(g):
+    import pyarrow.compute as pc
+    refs = g.vertices.select_columns(["node"]).to_arrow_refs()
+    import ray as _ray
+    vals = [pc.min(t["node"]).as_py() for t in _ray.get(refs) if t.num_rows]
+    return min(vals)
+
+
 def _q_wcc_threshold(sf_dir: str):
     """unionFind threshold variant: union only edges with weight >= 3
     (GraphUnionFind.java:82-104 — threshold filter before the build)."""
@@ -724,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_sampled": _q_harmonic_sampled,
         "eccentricity_sampled": _q_eccentricity_sampled,
         "sssp": _q_sssp,
+        "sssp_path": _q_sssp_path,
         "wcc_threshold": _q_wcc_threshold,
         "hop_distances": _q_hop_distances,
         "all_pairs_weighted": _q_all_pairs_weighted,
@@ -815,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_sampled": o.harmonic_sampled_sql(10),
         "eccentricity_sampled": o.eccentricity_sampled_sql(10),
         "sssp": o.sssp_sql(15),
+        "sssp_path": o.sssp_path_sql(15),
         "wcc_threshold": o.wcc_threshold_sql(30, 3),
         "hop_distances": o.hop_distances_sql(10),
         "all_pairs_weighted": o.all_pairs_weighted_sql(15, 4),

@@ -125,7 +125,13 @@ def shortest_path_dijkstra(g: GraphTables, source, target) -> dict:
         cur = prev[cur] if cur != svid else -1
     vmap = g.vid_to_node_map()
     path = [vmap[int(v)].as_py() for v in reversed(path_vids)]
-    return {"path": path, "cost": float(dist[tvid]), "found": True}
+    costs = [float(dist[int(v)]) for v in reversed(path_vids)]
+    # path determinism (what the SQL oracle mirrors): the heap pops in
+    # (dist, vid) order, so prev[v] is set by the FIRST predecessor to
+    # reach v's final distance = argmin over {u : dist(u)+w(u,v) =
+    # dist(v)} of (dist(u), u)
+    return {"path": path, "cost": float(dist[tvid]), "found": True,
+            "costs": costs}
 
 
 def all_shortest_paths_weighted(

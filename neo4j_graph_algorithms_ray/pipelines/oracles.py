@@ -379,3 +379,44 @@ def lpa_weighted_sql(sweeps: int = 6) -> str:
 SELECT n.node AS node, ln.node AS label
 FROM vn n JOIN l{sweeps} l ON l.vid = n.vid JOIN vn ln ON ln.vid = l.lab
 ORDER BY n.node""")
+
+
+def sssp_path_sql(iters: int = 15) -> str:
+    """Shortest-path PATH reconstruction mirror (shortest_path_dijkstra,
+    algo.shortestPath stream parity): source = min node, target = max
+    reachable node over the weighted trade graph. Distances via the
+    Bellman-Ford unroll; predecessor of v = argmin (dist(u), u) among
+    tight edges — exactly the engine heap's first-popper rule; the path
+    walks target→source by recursive CTE and is emitted forward."""
+    ctes = [TRADE_EDGES, TRADE_NODES,
+            "s0 AS (SELECT min(node) AS v FROM tnodes)",
+            "e0 AS (SELECT v, CAST(0 AS DOUBLE) AS d FROM s0)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""e{k} AS MATERIALIZED (
+  SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM e{k-1}
+    UNION ALL
+    SELECT te.dst AS v, p.d + 1 + (te.src + te.dst) % 5 AS d
+    FROM e{k-1} p JOIN tedges te ON te.src = p.v
+  ) u GROUP BY v)""")
+    ctes.append(f"dst_pick AS (SELECT max(v) AS t FROM e{iters})")
+    ctes.append(f"""pred AS MATERIALIZED (
+  SELECT v, u FROM (
+    SELECT dv.v AS v, du.v AS u,
+           row_number() OVER (PARTITION BY dv.v ORDER BY du.d, du.v) AS rn
+    FROM e{iters} dv
+    JOIN tedges te ON te.dst = dv.v
+    JOIN e{iters} du ON du.v = te.src
+    WHERE du.d + 1 + (te.src + te.dst) % 5 = dv.d) x
+  WHERE rn = 1)""")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + f""",
+walk(back, v) AS (
+  SELECT 0, (SELECT t FROM dst_pick)
+  UNION ALL
+  SELECT w.back + 1, p.u FROM walk w JOIN pred p ON p.v = w.v
+  WHERE w.v != (SELECT v FROM s0)
+)
+SELECT CAST((SELECT max(back) FROM walk) - back AS BIGINT) AS step,
+       v AS node,
+       round((SELECT d FROM e{iters} e WHERE e.v = walk.v), 6) AS cost
+FROM walk ORDER BY step""")

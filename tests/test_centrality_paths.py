@@ -106,6 +106,7 @@ def test_dijkstra_path(weighted_graph):
     assert out["found"]
     assert out["path"] == ["a", "b", "c", "d"]
     assert out["cost"] == pytest.approx(4.0)
+    assert out["costs"] == pytest.approx([0.0, 1.0, 3.0, 4.0])
 
 
 def test_all_shortest_paths_weighted(weighted_graph):
