@@ -662,6 +662,22 @@ def _q_host_pagerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_neighbor_degree_mean(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.neighborhood import (
+        neighbor_degree_mean)
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    ds = neighbor_degree_mean(g, node_col="url")
+    return _round6(ds, "nbr_degree_mean")
+
+
+def _q_assortativity(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.neighborhood import (
+        degree_assortativity)
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    return degree_assortativity(get_web_graph(sf_dir))
+
+
 def _q_host_top_pages(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -729,6 +745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
         "host_top_pages": _q_host_top_pages,
+        "neighbor_degree_mean": _q_neighbor_degree_mean,
+        "assortativity": _q_assortativity,
         "pagerank": _q_pagerank,
         "pagerank_topk": _q_pagerank_topk,
         "wcc": _q_wcc,
@@ -816,6 +834,8 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),
         "host_pagerank_weighted": ow.host_pagerank_weighted_sql(PR_ITERS),
         "host_top_pages": ow.host_top_pages_sql(2),
+        "neighbor_degree_mean": ow.NEIGHBOR_DEGREE_MEAN_SQL,
+        "assortativity": ow.ASSORTATIVITY_SQL,
         "pagerank": o.pagerank_sql(PR_ITERS),
         "pagerank_topk": o.pagerank_topk_sql(PR_ITERS, TOPK),
         "wcc": o.wcc_sql(WCC_SQL_ITERS, "components"),

@@ -340,3 +340,34 @@ h AS (SELECT CAST(('0x' || substr(md5(u || '|bloom:' || j), 1, 15)) AS BIGINT)
 b AS (SELECT pos // 32 AS word, pos % 32 AS bit FROM h)
 SELECT word, CAST(sum(DISTINCT CAST(1 AS BIGINT) << CAST(bit AS INT)) AS BIGINT) AS bits
 FROM b GROUP BY word ORDER BY word"""
+
+
+NEIGHBOR_DEGREE_MEAN_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{WEB_NODES},
+wdeg AS (SELECT src, count(*) AS dg FROM wedges GROUP BY src),
+nd AS (SELECT n.node, count(e.src) AS ind, coalesce(sum(d.dg), 0) AS sd
+       FROM wnodes n
+       LEFT JOIN wedges e ON e.dst = n.node
+       LEFT JOIN wdeg d ON d.src = e.src
+       GROUP BY n.node)
+SELECT node AS url, CAST(ind AS BIGINT) AS in_degree,
+       round(CASE WHEN ind > 0 THEN sd * 1.0 / ind ELSE 0 END, 6)
+         AS nbr_degree_mean
+FROM nd ORDER BY url"""
+
+
+ASSORTATIVITY_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+od AS (SELECT src, count(*) AS dg FROM wedges GROUP BY src),
+idg AS (SELECT dst, count(*) AS dg FROM wedges GROUP BY dst),
+xy AS (SELECT CAST(o.dg AS DOUBLE) AS x, CAST(i.dg AS DOUBLE) AS y
+       FROM wedges e JOIN od o ON o.src = e.src JOIN idg i ON i.dst = e.dst),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM xy)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       round(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+             THEN (n*sxy - sx*sy)
+                  / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+             ELSE 0 END, 6) AS assortativity
+FROM s"""

@@ -213,6 +213,17 @@ class ShardActor:
         elif op == "ge":                  # out = (a >= c) as float
             a, c = operands
             res = (val(a) >= val(c)).astype(np.float64)
+        elif op == "degree":              # out = local out-degree vector
+            res = self.deg.astype(np.float64)
+        elif op == "mul":                 # out = a * b elementwise
+            a, b = operands
+            res = np.asarray(val(a), dtype=np.float64) \
+                * np.asarray(val(b), dtype=np.float64)
+        elif op == "div0":                # out = a / b, 0 where b == 0
+            a, b = operands
+            av, bv = val(a), val(b)
+            res = np.divide(av, bv, out=np.zeros(self.n_local),
+                            where=np.asarray(bv) != 0)
         else:
             raise ValueError(f"unknown apply_state op {op}")
         if res.shape == ():
