@@ -319,6 +319,13 @@ def _q_window_agg(sf_dir: str):
     return _round6(ds, "sum_value")
 
 
+def _q_hopping_agg(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.events import hopping_aggregate
+    ds = hopping_aggregate(_events(sf_dir), window_s=EVENT_WINDOW_S,
+                           hop_s=EVENT_WINDOW_S // 4)
+    return _round6(ds, "sum_value")
+
+
 def _q_sessionize(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.events import sessionize
     return sessionize(_events(sf_dir), gap_s=EVENT_GAP_S)
@@ -429,6 +436,11 @@ def _q_bloom_urls(sf_dir: str):
 def _q_bigram_topk(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import ngram_topk
     return ngram_topk(_docs(sf_dir), n=2, topk=100)
+
+
+def _q_pmi_topk(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import pmi_topk
+    return pmi_topk(_docs(sf_dir), topk=50, min_count=5)
 
 
 def _q_length_percentiles(sf_dir: str):
@@ -704,6 +716,31 @@ def _q_host_pagerank_weighted(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_host_rank_mass(sf_dir: str):
+    """PageRank mass aggregated per host — pipeline chaining: BSP rank
+    → vectorized host extraction → map-side-combined sum. The crawl
+    prioritization signal (which hosts hold the rank)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (HOST_RE,
+                                                               get_web_graph)
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+    g = get_web_graph(sf_dir)
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url")
+
+    def to_host(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        return pa.table({"host": h, "rank_mass": b["score"],
+                         "n_pages": pa.array(np.ones(b.num_rows, np.int64))})
+
+    agg = preagg_sum(res.dataset.map_batches(to_host, batch_format="pyarrow"),
+                     ["host"], ["rank_mass", "n_pages"])
+    return _round6(agg, "rank_mass").sort("host")
+
+
 def _q_web_wcc_sizes(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import wcc
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -744,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
+        "host_rank_mass": _q_host_rank_mass,
         "host_top_pages": _q_host_top_pages,
         "neighbor_degree_mean": _q_neighbor_degree_mean,
         "assortativity": _q_assortativity,
@@ -774,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": _q_louvain,
         "betweenness_sampled": _q_betweenness_sampled,
         "window_agg": _q_window_agg,
+        "hopping_agg": _q_hopping_agg,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
         "asof_purchase": _q_asof_purchase,
@@ -790,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_tokens": _q_cms_tokens,
         "bigram_topk": _q_bigram_topk,
         "length_percentiles": _q_length_percentiles,
+        "pmi_topk": _q_pmi_topk,
         "degree_histogram": _q_degree_histogram,
         "doc_sample": _q_doc_sample,
         "repetition_ratio": _q_repetition_ratio,
@@ -833,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),
         "host_pagerank_weighted": ow.host_pagerank_weighted_sql(PR_ITERS),
+        "host_rank_mass": ow.host_rank_mass_sql(PR_ITERS),
         "host_top_pages": ow.host_top_pages_sql(2),
         "neighbor_degree_mean": ow.NEIGHBOR_DEGREE_MEAN_SQL,
         "assortativity": ow.ASSORTATIVITY_SQL,
@@ -875,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         # event-stream operators (oracles_events.py): tumbling window,
         # gap sessionization, strict as-of join (DuckDB ASOF JOIN).
         "window_agg": oe.window_agg_sql(EVENT_WINDOW_S),
+        "hopping_agg": oe.hopping_agg_sql(EVENT_WINDOW_S, EVENT_WINDOW_S // 4),
         "sessionize": oe.sessionize_sql(EVENT_GAP_S),
         "session_stats": oe.session_stats_sql(EVENT_GAP_S),
         "asof_purchase": oe.ASOF_PURCHASE_SQL,
@@ -891,6 +933,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_tokens": od.CMS_TABLE_SQL,
         "bigram_topk": od.BIGRAM_TOPK_SQL,
         "length_percentiles": od.LENGTH_PERCENTILES_SQL,
+        "pmi_topk": od.pmi_topk_sql(50, 5),
         "degree_histogram": ow.DEGREE_HISTOGRAM_SQL,
         "doc_sample": od.doc_sample_sql(20),
         "repetition_ratio": od.repetition_ratio_sql(),

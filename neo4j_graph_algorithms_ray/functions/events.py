@@ -478,3 +478,44 @@ def retention_cohorts(events: rd.Dataset, bucket_s: int = 604800,
     from neo4j_graph_algorithms_ray.util import preagg_sum
     out = preagg_sum(to_arrow_blocks(part), ["cohort", "age"], "n_users")
     return out.sort(["cohort", "age"])
+
+
+def hopping_aggregate(events: rd.Dataset, window_s: int = 3600,
+                      hop_s: int = 900,
+                      keys: Sequence[str] = ("event_type",),
+                      time_col: str = "ts",
+                      value_col: str = "value") -> rd.Dataset:
+    """Hopping (sliding) window aggregate: windows of ``window_s``
+    starting every ``hop_s`` (window_s must be a multiple of hop_s).
+    Each event lands in window_s/hop_s overlapping windows — the
+    standard stream-analytics smoothing of the tumbling aggregate.
+
+    Scale shape: the replication factor is the constant window_s/hop_s
+    (here 4), applied per batch BEFORE the map-side combine, so the
+    exchange still carries only per-batch-distinct (window, key) rows —
+    the raw event is never shuffled, let alone 4×."""
+    assert window_s % hop_s == 0, "window_s must be a multiple of hop_s"
+    keys = list(keys)
+    reps = window_s // hop_s
+    hop_us = int(hop_s) * US
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b.column(time_col)).to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * int(hop_s)
+        n = len(base)
+        ws = np.repeat(base, reps) - np.tile(
+            np.arange(reps, dtype=np.int64) * int(hop_s), n)
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        t = pa.table({"window_start_s": ws,
+                      **{k: b.column(k).take(pa.array(idx)) for k in keys},
+                      "n_events": np.ones(len(ws), dtype=np.int64),
+                      "sum_value": b.column(value_col).take(pa.array(idx))})
+        g = t.group_by(["window_start_s"] + keys).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")])
+        return g.rename_columns(["window_start_s"] + keys
+                                + ["n_events", "sum_value"])
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+    agg = preagg_sum(events.map_batches(partial, batch_format="pyarrow"),
+                     ["window_start_s"] + keys, ["n_events", "sum_value"])
+    return agg

@@ -15,6 +15,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
@@ -429,3 +430,84 @@ def column_percentiles(ds, col: str, pcts=(25, 50, 75, 90, 99)):
         out_v.append(int(v[min(idx, len(v) - 1)]) if total else 0)
     return rd.from_arrow(pa.table({"pct": pa.array(out_p, pa.int64()),
                                    "value": pa.array(out_v, pa.int64())}))
+
+
+def pmi_topk(docs, *, topk: int = 50, min_count: int = 5,
+             text_col: str = "text"):
+    """Top-k bigram collocations by pointwise mutual information:
+    pmi(x,y) = ln(c_xy·Nt² / (Nb·c_x·c_y)) over STRICT adjacent token
+    pairs (docs with ≥2 tokens), floored at ``min_count`` occurrences —
+    the classic collocation / multi-word-expression detector for
+    tokenizer and phrase-vocabulary curation.
+
+    Scale shape: unigram and bigram counts are map-side-combined
+    aggregates; the unigram table is then BROADCAST via ray.put (the
+    tfidf DF-table pattern — one object-store copy, no shuffle join)
+    into the bigram scoring pass. Ranking is on round(pmi, 6) with
+    bigram tie-break so the SQL oracle orders identically.
+    """
+    import pyarrow as pa
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        _, toks = _token_arrays(b[text_col])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n": np.bincount(codes, minlength=len(uniq))
+                                .astype(np.int64)})
+
+    def big_partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b[text_col])
+        if len(toks) < 2:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string()),
+                             "n_xy": pa.array([], pa.int64())})
+        same = doc_idx[:-1] == doc_idx[1:]
+        x, y = toks[:-1][same], toks[1:][same]
+        pair = np.char.add(np.char.add(x.astype(str), " "), y.astype(str))
+        codes, uniq = pd.factorize(pair)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        sp = np.char.partition(uniq.astype(str), " ")
+        return pa.table({"x": pa.array(sp[:, 0]), "y": pa.array(sp[:, 2]),
+                         "n_xy": pa.array(n)})
+
+    uni = preagg_sum(docs.map_batches(uni_partial, batch_format="pyarrow"),
+                     ["token"], "n").materialize()
+    big = preagg_sum(docs.map_batches(big_partial, batch_format="pyarrow"),
+                     ["x", "y"], "n_xy").materialize()
+    uni_tbls = [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows]
+    vocab = pa.concat_tables(uni_tbls)
+    nt = int(pc.sum(vocab["n"]).as_py() or 0)
+    nb_parts = [int(pc.sum(t["n_xy"]).as_py() or 0)
+                for t in ray.get(big.to_arrow_refs()) if t.num_rows]
+    nb = sum(nb_parts)
+    cnt_map = pd.Series(vocab["n"].to_numpy(zero_copy_only=False),
+                        index=pd.Index(vocab["token"].to_pylist()))
+    cnt_ref = ray.put(cnt_map)
+
+    def score(b: pa.Table) -> pa.Table:
+        cnt = ray.get(cnt_ref)
+        keep = b.filter(pc.greater_equal(b["n_xy"], min_count))
+        if keep.num_rows == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_xy": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        x = keep["x"].to_pylist()
+        y = keep["y"].to_pylist()
+        cxy = keep["n_xy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = cnt.reindex(x).to_numpy(dtype=np.float64)
+        cy = cnt.reindex(y).to_numpy(dtype=np.float64)
+        pmi = np.round(np.log((cxy * nt * nt) / (nb * cx * cy)), 6)
+        bigram = [f"{a} {b_}" for a, b_ in zip(x, y)]
+        return pa.table({"bigram": pa.array(bigram, pa.string()),
+                         "n_xy": keep["n_xy"], "pmi": pa.array(pmi)})
+
+    scored = big.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi", "bigram"], descending=[True, False]) \
+                 .limit(topk)

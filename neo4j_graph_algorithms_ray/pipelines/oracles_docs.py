@@ -424,3 +424,27 @@ cells AS (
   FROM tc CROSS JOIN jj)
 SELECT row, bucket, CAST(sum(c) AS BIGINT) AS n
 FROM cells GROUP BY row, bucket ORDER BY row, bucket"""
+
+
+def pmi_topk_sql(topk: int = 50, min_count: int = 5) -> str:
+    """PMI collocation mirror (functions/text.pmi_topk): strict
+    adjacent-token bigrams, pmi = ln(c_xy·Nt²/(Nb·c_x·c_y)) rounded 6,
+    ranked (pmi DESC, bigram ASC)."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+uni AS MATERIALIZED (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(tk) AS tok FROM tl) GROUP BY tok),
+nt AS (SELECT sum(c) AS v FROM uni),
+big0 AS (SELECT unnest(list_transform(range(1, len(tk)),
+           i -> {{'x': tk[i], 'y': tk[i+1]}})) AS s FROM tl),
+big AS MATERIALIZED (
+  SELECT s.x AS x, s.y AS y, count(*) AS cxy FROM big0 GROUP BY 1, 2),
+nb AS (SELECT sum(cxy) AS v FROM big)
+SELECT f.x || ' ' || f.y AS bigram, CAST(f.cxy AS BIGINT) AS n_xy,
+       round(ln((f.cxy * (SELECT v FROM nt) * (SELECT v FROM nt))
+                / ((SELECT v FROM nb) * ux.c * uy.c)), 6) AS pmi
+FROM big f JOIN uni ux ON ux.tok = f.x JOIN uni uy ON uy.tok = f.y
+WHERE f.cxy >= {min_count}
+ORDER BY pmi DESC, bigram LIMIT {topk}"""

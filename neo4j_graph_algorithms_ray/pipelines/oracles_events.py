@@ -95,3 +95,18 @@ SELECT fw.cohort, ub.w - fw.cohort AS age, count(*) AS n_users
 FROM ub JOIN fw ON fw.user_id = ub.user_id
 GROUP BY fw.cohort, ub.w - fw.cohort
 ORDER BY cohort, age"""
+
+
+def hopping_agg_sql(window_s: int = 3600, hop_s: int = 900) -> str:
+    """Hopping-window mirror: each event contributes to window_s/hop_s
+    overlapping windows (every replica is in range by construction —
+    W − j·H ≥ H > ts mod H for j < W/H)."""
+    hop_us = hop_s * 1_000_000
+    reps = window_s // hop_s
+    return f"""SELECT (CAST(epoch_us(ts) // {hop_us} AS BIGINT) - j) * {hop_s}
+         AS window_start_s,
+       event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM events CROSS JOIN (SELECT unnest(range({reps})) AS j) r
+GROUP BY 1, 2 ORDER BY 1, 2"""

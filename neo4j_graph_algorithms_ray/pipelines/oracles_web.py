@@ -371,3 +371,24 @@ SELECT CAST(n AS BIGINT) AS n_edges,
                   / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
              ELSE 0 END, 6) AS assortativity
 FROM s"""
+
+
+def host_rank_mass_sql(iters: int = 20) -> str:
+    """PageRank-mass-per-host mirror: the web_pagerank unroll grouped
+    by host (sum of unrounded rank, then round)."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+            "FROM wedges GROUP BY src)",
+            "r0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN r{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT regexp_extract(node, '^[a-z]+://([^/]+)', 1) AS host,
+       round(sum(r), 6) AS rank_mass, count(*) AS n_pages
+FROM r{iters} GROUP BY host ORDER BY host""")

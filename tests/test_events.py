@@ -214,3 +214,35 @@ def test_retention_cohorts():
     got = {(r["cohort"], r["age"]): r["n_users"]
            for r in retention_cohorts(rd.from_items(rows)).take_all()}
     assert got == {(100, 0): 2, (100, 1): 1, (100, 2): 1, (101, 0): 1}
+
+
+def test_hopping_aggregate_brute():
+    """Hopping windows vs brute-force replication: every event must
+    appear in exactly window_s/hop_s windows and sums must match."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.events import hopping_aggregate
+
+    rng = np.random.default_rng(3)
+    n = 400
+    ts = pd.to_datetime(rng.integers(0, 50_000, n), unit="s")
+    et = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    val = rng.integers(0, 10, n).astype(float)
+    ds = rd.from_arrow(pa.table({"ts": pa.array(ts), "event_type": et,
+                                 "value": val})).repartition(8)
+    W, H = 3600, 900
+    got = {(r["window_start_s"], r["event_type"]):
+           (r["n_events"], round(r["sum_value"], 6))
+           for r in hopping_aggregate(ds, W, H).take_all()}
+    want = {}
+    for t, e, v in zip(ts.astype("int64") // 10**9, et, val):
+        base = (int(t) // H) * H
+        for j in range(W // H):
+            k = (base - j * H, e)
+            c, s = want.get(k, (0, 0.0))
+            want[k] = (c + 1, s + v)
+    want = {k: (c, round(s, 6)) for k, (c, s) in want.items()}
+    assert got == want

@@ -158,3 +158,34 @@ def test_column_histogram_exact():
     rows = {r["bucket"]: r["n"]
             for r in column_histogram(ds, "v", width=100).take_all()}
     assert rows == {0: 100, 1: 100, 2: 50}
+
+
+def test_pmi_topk_brute():
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.text import pmi_topk
+
+    docs = ["new york new york city", "york new haven", "the city of new york",
+            "city the the", "a", ""] * 5
+    ds = rd.from_arrow(pa.table({"text": docs})).repartition(4)
+    got = [(r["bigram"], r["n_xy"], r["pmi"])
+           for r in pmi_topk(ds, topk=10, min_count=3).take_all()]
+    uni, big = Counter(), Counter()
+    for d in docs:
+        t = d.lower().split()
+        uni.update(t)
+        big.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    nt, nb = sum(uni.values()), sum(big.values())
+    want = []
+    for bg, cxy in big.items():
+        if cxy < 3:
+            continue
+        x, y = bg.split(" ")
+        want.append((bg, cxy,
+                     round(math.log((cxy * nt * nt) / (nb * uni[x] * uni[y])), 6)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    assert got == want[:10]
