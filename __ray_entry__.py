@@ -438,6 +438,11 @@ def _q_bigram_topk(sf_dir: str):
     return ngram_topk(_docs(sf_dir), n=2, topk=100)
 
 
+def _q_hash_features(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import hash_features
+    return hash_features(_docs(sf_dir), dims=256)
+
+
 def _q_pmi_topk(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import pmi_topk
     return pmi_topk(_docs(sf_dir), topk=50, min_count=5)
@@ -830,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": _q_bigram_topk,
         "length_percentiles": _q_length_percentiles,
         "pmi_topk": _q_pmi_topk,
+        "hash_features": _q_hash_features,
         "degree_histogram": _q_degree_histogram,
         "doc_sample": _q_doc_sample,
         "repetition_ratio": _q_repetition_ratio,
@@ -934,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": od.BIGRAM_TOPK_SQL,
         "length_percentiles": od.LENGTH_PERCENTILES_SQL,
         "pmi_topk": od.pmi_topk_sql(50, 5),
+        "hash_features": od.hash_features_sql(256),
         "degree_histogram": ow.DEGREE_HISTOGRAM_SQL,
         "doc_sample": od.doc_sample_sql(20),
         "repetition_ratio": od.repetition_ratio_sql(),

@@ -511,3 +511,39 @@ def pmi_topk(docs, *, topk: int = 50, min_count: int = 5,
     scored = big.map_batches(score, batch_format="pyarrow")
     return scored.sort(["pmi", "bigram"], descending=[True, False]) \
                  .limit(topk)
+
+
+def hash_features(docs, *, dims: int = 256, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Hashing-trick featurizer (Weinberger et al. 2009): each doc's
+    lowered whitespace tokens fold into a ``dims``-bucket sparse count
+    vector via the md5-pinned hash → (doc_id, feature, n), one row per
+    non-zero cell. The fixed-dimension text-vectorization step for
+    downstream ML (classifiers, dedup prefilters) — no vocabulary
+    table, so no shuffle and no broadcast at any corpus size.
+
+    Scale shape: entirely per-batch (a doc never spans batches);
+    factorize + bincount on (doc, feature) codes, zero exchange."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import (_md5_u64,
+                                                            _token_arrays)
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b[text_col])
+        ids = b[id_col]
+        if len(toks) == 0:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "feature": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        h, inv = _md5_u64(toks, 15)
+        feat = (h[inv] % dims).astype(np.int64)
+        key = doc_idx.astype(np.int64) * dims + feat
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            id_col: ids.take(pa.array(uniq // dims)),
+            "feature": pa.array(uniq % dims),
+            "n": pa.array(counts.astype(np.int64))})
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+               .sort([id_col, "feature"])

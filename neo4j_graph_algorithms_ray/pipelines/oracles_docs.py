@@ -448,3 +448,17 @@ SELECT f.x || ' ' || f.y AS bigram, CAST(f.cxy AS BIGINT) AS n_xy,
 FROM big f JOIN uni ux ON ux.tok = f.x JOIN uni uy ON uy.tok = f.y
 WHERE f.cxy >= {min_count}
 ORDER BY pmi DESC, bigram LIMIT {topk}"""
+
+
+def hash_features_sql(dims: int = 256) -> str:
+    """Hashing-trick featurizer mirror: md5-60bit(token) % dims,
+    per-doc bucket counts."""
+    return f"""WITH tl AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT doc_id, unnest(tk) AS tok FROM tl)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {dims} AS feature,
+       count(*) AS n
+FROM occ WHERE tok <> ''
+GROUP BY doc_id, feature ORDER BY doc_id, feature"""

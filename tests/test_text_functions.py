@@ -189,3 +189,23 @@ def test_pmi_topk_brute():
                      round(math.log((cxy * nt * nt) / (nb * uni[x] * uni[y])), 6)))
     want.sort(key=lambda r: (-r[2], r[0]))
     assert got == want[:10]
+
+
+def test_hash_features_brute():
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.text import hash_features
+
+    docs = {"d1": "a b a c", "d2": "b b", "d3": ""}
+    ds = rd.from_arrow(pa.table({"doc_id": list(docs), "text": list(docs.values())}))
+    got = [(r["doc_id"], r["feature"], r["n"])
+           for r in hash_features(ds, dims=16).take_all()]
+    want = {}
+    for d, t in docs.items():
+        for tok in t.lower().split():
+            f = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 16
+            want[(d, f)] = want.get((d, f), 0) + 1
+    assert sorted(got) == sorted((d, f, n) for (d, f), n in want.items())
