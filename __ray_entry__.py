@@ -253,6 +253,40 @@ def _q_wcc_threshold(sf_dir: str):
     return translate_vid_columns(g, res.dataset, ["component"])
 
 
+def _q_closeness_weighted(sf_dir: str):
+    """Weighted closeness of the 4 smallest node ids: (n-1)/farness
+    over weighted shortest-path distances (beyond-reference; the
+    reference's closeness is hop-based only). Composition: per-source
+    Dijkstra fan-out → per-source map-side farness sum."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import all_shortest_paths_weighted
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+    g = get_graph(sf_dir, "trade_w")
+    m = g.vid_to_node_map()
+    srcs = [m[i].as_py() for i in range(min(4, g.num_vertices))]
+    ap = all_shortest_paths_weighted(g, sources=srcs)
+
+    def fold(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["source"], "farness": b["distance"],
+                         "n_reached": pa.array(np.ones(b.num_rows, np.int64))})
+
+    agg = preagg_sum(ap.map_batches(fold, batch_format="pyarrow"),
+                     ["node"], ["farness", "n_reached"])
+    n = g.num_vertices
+    # one row per SOURCE (|srcs| rows total), including zero-reach
+    # sources the aggregate never saw — tiny, finalize on the driver
+    far = {r["node"]: r["farness"] for r in agg.take_all()}
+    import ray.data as rd
+    cent = [round((n - 1) / far[s], 6) if far.get(s, 0) > 0 else 0.0
+            for s in srcs]
+    return rd.from_arrow(pa.table({"node": pa.array(srcs),
+                                   "centrality": pa.array(cent,
+                                                          pa.float64())}))
+
+
 def _q_eccentricity_sampled(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import eccentricity
     from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
@@ -666,6 +700,47 @@ def _q_anchor_texts(sf_dir: str):
     return anchor_text_ds(sf_dir)
 
 
+def _q_top_anchor_per_page(sf_dir: str):
+    """The single most-frequent anchor string per target page (ties by
+    anchor asc) — the canonical link-text label used as a document
+    title/description feature. Composition: anchor index → grouped
+    top-1."""
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import anchor_text_ds
+    from neo4j_graph_algorithms_ray.util import topk_per_group
+    top = topk_per_group(anchor_text_ds(sf_dir), ["dst_url"], "n", 1,
+                         tie_cols=["anchor"])
+    return top.select_columns(["dst_url", "anchor", "n"]).sort("dst_url")
+
+
+def _q_window_unique_users(sf_dir: str):
+    """Distinct users per tumbling window — the streaming cardinality
+    metric. Exchange carries only per-batch-distinct (window, user)
+    pairs (predistinct), then a count combine; raw events never move."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.events import _ts_us
+    from neo4j_graph_algorithms_ray.util import preagg_sum, predistinct
+    win_us = EVENT_WINDOW_S * 1_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b.column("ts")).to_numpy(zero_copy_only=False)
+        ws = (ts // win_us) * EVENT_WINDOW_S
+        return pa.table({"window_start_s": pa.array(ws),
+                         "user_id": b["user_id"]})
+
+    pairs = predistinct(_events(sf_dir).map_batches(tag, batch_format="pyarrow"),
+                        ["window_start_s", "user_id"])
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"window_start_s": b["window_start_s"],
+                         "n_users": pa.array(np.ones(b.num_rows, np.int64))})
+
+    agg = preagg_sum(pairs.map_batches(ones, batch_format="pyarrow"),
+                     ["window_start_s"], "n_users")
+    return agg.sort("window_start_s")
+
+
 def _q_host_graph(sf_dir: str):
     from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
     return host_edge_ds(sf_dir)
@@ -783,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation": _q_cocitation,
         "reciprocity": _q_reciprocity,
         "anchor_texts": _q_anchor_texts,
+        "top_anchor_per_page": _q_top_anchor_per_page,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
@@ -808,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_sampled": _q_closeness_sampled,
         "harmonic_sampled": _q_harmonic_sampled,
         "eccentricity_sampled": _q_eccentricity_sampled,
+        "closeness_weighted": _q_closeness_weighted,
         "sssp": _q_sssp,
         "sssp_path": _q_sssp_path,
         "wcc_threshold": _q_wcc_threshold,
@@ -818,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_sampled": _q_betweenness_sampled,
         "window_agg": _q_window_agg,
         "hopping_agg": _q_hopping_agg,
+        "window_unique_users": _q_window_unique_users,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
         "asof_purchase": _q_asof_purchase,
@@ -876,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation": ow.cocitation_sql(20, 50),
         "reciprocity": ow.RECIPROCITY_SQL,
         "anchor_texts": ow.ANCHOR_TEXTS_SQL,
+        "top_anchor_per_page": ow.TOP_ANCHOR_PER_PAGE_SQL,
         "host_graph": ow.HOST_GRAPH_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),
         "host_pagerank_weighted": ow.host_pagerank_weighted_sql(PR_ITERS),
@@ -906,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_sampled": o.closeness_sampled_sql(10),
         "harmonic_sampled": o.harmonic_sampled_sql(10),
         "eccentricity_sampled": o.eccentricity_sampled_sql(10),
+        "closeness_weighted": o.closeness_weighted_sql(15, 4),
         "sssp": o.sssp_sql(15),
         "sssp_path": o.sssp_path_sql(15),
         "wcc_threshold": o.wcc_threshold_sql(30, 3),
@@ -923,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         # gap sessionization, strict as-of join (DuckDB ASOF JOIN).
         "window_agg": oe.window_agg_sql(EVENT_WINDOW_S),
         "hopping_agg": oe.hopping_agg_sql(EVENT_WINDOW_S, EVENT_WINDOW_S // 4),
+        "window_unique_users": oe.window_unique_users_sql(EVENT_WINDOW_S),
         "sessionize": oe.sessionize_sql(EVENT_GAP_S),
         "session_stats": oe.session_stats_sql(EVENT_GAP_S),
         "asof_purchase": oe.ASOF_PURCHASE_SQL,

@@ -420,3 +420,26 @@ SELECT CAST((SELECT max(back) FROM walk) - back AS BIGINT) AS step,
        v AS node,
        round((SELECT d FROM e{iters} e WHERE e.v = walk.v), 6) AS cost
 FROM walk ORDER BY step""")
+
+
+def closeness_weighted_sql(iters: int = 15, nsources: int = 4) -> str:
+    """Weighted closeness mirror: (n-1)/Σ weighted distances from the
+    same Bellman-Ford unroll as all_pairs_weighted (self excluded)."""
+    ctes = [TRADE_EDGES, TRADE_NODES,
+            f"srcs AS (SELECT node AS s FROM tnodes ORDER BY node LIMIT {nsources})",
+            "w0 AS (SELECT s, s AS v, CAST(0 AS DOUBLE) AS d FROM srcs)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""w{k} AS MATERIALIZED (
+  SELECT s, v, min(d) AS d FROM (
+    SELECT s, v, d FROM w{k-1}
+    UNION ALL
+    SELECT p.s, te.dst AS v, p.d + 1 + (te.src + te.dst) % 5 AS d
+    FROM w{k-1} p JOIN tedges te ON te.src = p.v
+  ) u GROUP BY s, v)""")
+    return ("WITH " + ",\n".join(ctes) + f""",
+nn AS (SELECT count(*) AS n FROM tnodes),
+far AS (SELECT s, sum(d) AS f FROM w{iters} WHERE v != s GROUP BY s)
+SELECT srcs.s AS node,
+       round(CASE WHEN coalesce(f, 0) > 0
+             THEN ((SELECT n FROM nn) - 1) / f ELSE 0 END, 6) AS centrality
+FROM srcs LEFT JOIN far ON far.s = srcs.s ORDER BY node""")

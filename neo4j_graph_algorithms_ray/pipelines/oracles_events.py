@@ -110,3 +110,11 @@ def hopping_agg_sql(window_s: int = 3600, hop_s: int = 900) -> str:
        round(SUM(value), 6) AS sum_value
 FROM events CROSS JOIN (SELECT unnest(range({reps})) AS j) r
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def window_unique_users_sql(window_s: int = 3600) -> str:
+    win_us = window_s * 1_000_000
+    return f"""SELECT CAST(epoch_us(ts) // {win_us} AS BIGINT) * {window_s}
+         AS window_start_s,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY 1"""

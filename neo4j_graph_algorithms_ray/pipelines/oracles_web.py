@@ -392,3 +392,13 @@ def host_rank_mass_sql(iters: int = 20) -> str:
 SELECT regexp_extract(node, '^[a-z]+://([^/]+)', 1) AS host,
        round(sum(r), 6) AS rank_mass, count(*) AS n_pages
 FROM r{iters} GROUP BY host ORDER BY host""")
+
+
+TOP_ANCHOR_PER_PAGE_SQL = f"""WITH {WEB_BASE},
+an AS (SELECT {_url('t')} AS dst_url, 'link ' || j AS anchor, count(*) AS n
+       FROM links GROUP BY dst_url, anchor),
+rk AS (SELECT dst_url, anchor, n,
+              ROW_NUMBER() OVER (PARTITION BY dst_url
+                                 ORDER BY n DESC, anchor) AS rn
+       FROM an)
+SELECT dst_url, anchor, n FROM rk WHERE rn = 1 ORDER BY dst_url"""
