@@ -741,6 +741,41 @@ def _q_window_unique_users(sf_dir: str):
     return agg.sort("window_start_s")
 
 
+def _q_host_crawl_recency(sf_dir: str):
+    """Crawl freshness per host: page count + newest warc_ts — the
+    recrawl-scheduling signal, and the only query exercising the
+    input-hint's timestamp column. Map-side max/count combine over a
+    column-pruned read (url, warc_ts only)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import HOST_RE
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    from neo4j_graph_algorithms_ray.util import preagg_max, preagg_sum
+    import numpy as np
+    import ray.data as rd
+
+    pages = read_pages(sf_dir, columns=["url", "warc_ts"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        return pa.table({"host": h, "latest_ts": b["warc_ts"],
+                         "n_pages": pa.array(np.ones(b.num_rows, np.int64))})
+
+    tagged = pages.map_batches(tag, batch_format="pyarrow")
+    mx = {r["host"]: r["latest_ts"]
+          for r in preagg_max(tagged, ["host"], "latest_ts").take_all()}
+    ct = {r["host"]: r["n_pages"]
+          for r in preagg_sum(tagged.drop_columns(["latest_ts"]),
+                              ["host"], "n_pages").take_all()}
+    hosts = sorted(mx)
+    return rd.from_arrow(pa.table({
+        "host": pa.array(hosts),
+        "n_pages": pa.array([ct[h] for h in hosts], pa.int64()),
+        "latest_ts": pa.array([mx[h] for h in hosts],
+                              pa.timestamp("us"))}))
+
+
 def _q_host_graph(sf_dir: str):
     from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
     return host_edge_ds(sf_dir)
@@ -860,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "top_anchor_per_page": _q_top_anchor_per_page,
         "host_graph": _q_host_graph,
+        "host_crawl_recency": _q_host_crawl_recency,
         "host_pagerank": _q_host_pagerank,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
         "host_rank_mass": _q_host_rank_mass,
@@ -956,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": ow.ANCHOR_TEXTS_SQL,
         "top_anchor_per_page": ow.TOP_ANCHOR_PER_PAGE_SQL,
         "host_graph": ow.HOST_GRAPH_SQL,
+        "host_crawl_recency": ow.HOST_CRAWL_RECENCY_SQL,
         "host_pagerank": ow.host_pagerank_sql(PR_ITERS),
         "host_pagerank_weighted": ow.host_pagerank_weighted_sql(PR_ITERS),
         "host_rank_mass": ow.host_rank_mass_sql(PR_ITERS),

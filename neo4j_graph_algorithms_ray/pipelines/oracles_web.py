@@ -402,3 +402,10 @@ rk AS (SELECT dst_url, anchor, n,
                                  ORDER BY n DESC, anchor) AS rn
        FROM an)
 SELECT dst_url, anchor, n FROM rk WHERE rn = 1 ORDER BY dst_url"""
+
+
+HOST_CRAWL_RECENCY_SQL = """SELECT 'site-' || (doc_id % 20) || '.test' AS host,
+       count(*) AS n_pages,
+       TIMESTAMP '2024-01-01 00:00:00' + max(doc_id) * INTERVAL 1 SECOND
+         AS latest_ts
+FROM documents GROUP BY host ORDER BY host"""
