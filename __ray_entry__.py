@@ -208,13 +208,14 @@ def _q_sssp(sf_dir: str):
 def _q_sssp_path(sf_dir: str):
     import pyarrow as pa
 
-    from neo4j_graph_algorithms_ray.algorithms.sssp import shortest_path_dijkstra
+    from neo4j_graph_algorithms_ray.algorithms.sssp import (
+        shortest_path_to_farthest)
     from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
     g = get_graph(sf_dir, "trade_w")
-    dist = _q_sssp(sf_dir)   # reached (node, distance) via delta stepping
-    target = max(r["node"] for r in dist.take_all())
     source = _min_node(g)
-    r = shortest_path_dijkstra(g, source, target)
+    # target = max reachable original id, picked inside the same
+    # Dijkstra pass (vid order == original-id order)
+    r = shortest_path_to_farthest(g, source)
     return pa.table({
         "step": pa.array(range(len(r["path"])), pa.int64()),
         "node": pa.array(r["path"], pa.int64()),
@@ -258,7 +259,6 @@ def _q_closeness_weighted(sf_dir: str):
     over weighted shortest-path distances (beyond-reference; the
     reference's closeness is hop-based only). Composition: per-source
     Dijkstra fan-out → per-source map-side farness sum."""
-    import numpy as np
     import pyarrow as pa
 
     from neo4j_graph_algorithms_ray.algorithms import all_shortest_paths_weighted
@@ -270,17 +270,18 @@ def _q_closeness_weighted(sf_dir: str):
     ap = all_shortest_paths_weighted(g, sources=srcs)
 
     def fold(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["source"], "farness": b["distance"],
-                         "n_reached": pa.array(np.ones(b.num_rows, np.int64))})
+        return pa.table({"node": b["source"], "farness": b["distance"]})
 
     agg = preagg_sum(ap.map_batches(fold, batch_format="pyarrow"),
-                     ["node"], ["farness", "n_reached"])
+                     ["node"], "farness")
     n = g.num_vertices
     # one row per SOURCE (|srcs| rows total), including zero-reach
     # sources the aggregate never saw — tiny, finalize on the driver
     far = {r["node"]: r["farness"] for r in agg.take_all()}
     import ray.data as rd
-    cent = [round((n - 1) / far[s], 6) if far.get(s, 0) > 0 else 0.0
+
+    from neo4j_graph_algorithms_ray.util import round6
+    cent = [round6((n - 1) / far[s]) if far.get(s, 0) > 0 else 0.0
             for s in srcs]
     return rd.from_arrow(pa.table({"node": pa.array(srcs),
                                    "centrality": pa.array(cent,
@@ -762,7 +763,9 @@ def _q_host_crawl_recency(sf_dir: str):
         return pa.table({"host": h, "latest_ts": b["warc_ts"],
                          "n_pages": pa.array(np.ones(b.num_rows, np.int64))})
 
-    tagged = pages.map_batches(tag, batch_format="pyarrow")
+    # materialize: max and count below each consume the tagged table —
+    # without it the parquet read + regex would execute twice
+    tagged = pages.map_batches(tag, batch_format="pyarrow").materialize()
     mx = {r["host"]: r["latest_ts"]
           for r in preagg_max(tagged, ["host"], "latest_ts").take_all()}
     ct = {r["host"]: r["n_pages"]

@@ -81,10 +81,11 @@ def degree_assortativity(g: GraphTables, *,
     num = n * sxy - sx * sy
     den = math.sqrt(max(n * sxx - sx * sx, 0.0)) \
         * math.sqrt(max(n * syy - sy * sy, 0.0))
-    r = num / den if den > 0 else 0.0
+    from neo4j_graph_algorithms_ray.util import round6
+    r = round6(num / den) if den > 0 else 0.0
     return rd.from_arrow(pa.table({
         "n_edges": pa.array([int(n)], pa.int64()),
-        "assortativity": pa.array([round(r, 6)], pa.float64())}))
+        "assortativity": pa.array([r], pa.float64())}))
 
 
 __all__ = ["neighbor_degree_mean", "degree_assortativity"]

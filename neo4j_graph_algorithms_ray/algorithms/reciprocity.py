@@ -49,9 +49,10 @@ def edge_reciprocity(edges: rd.Dataset, src_col: str = "src",
     parts = ray.get(pairs.map_batches(reduce_part, batch_format="pyarrow")
                     .to_arrow_refs())
     merged = pa.concat_tables([t for t in parts if t.num_rows])
+    from neo4j_graph_algorithms_ray.util import round6
     total = int(pc.sum(merged["total_edges"]).as_py() or 0)
     recip = int(pc.sum(merged["reciprocal_edges"]).as_py() or 0)
-    ratio = round(recip / total, 6) if total else 0.0
+    ratio = round6(recip / total) if total else 0.0
     return rd.from_arrow(pa.table({
         "total_edges": pa.array([total], pa.int64()),
         "reciprocal_edges": pa.array([recip], pa.int64()),

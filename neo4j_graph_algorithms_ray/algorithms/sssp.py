@@ -95,11 +95,10 @@ def _driver_adjacency(g: GraphTables, weighted: bool):
     return offsets, d, w
 
 
-def shortest_path_dijkstra(g: GraphTables, source, target) -> dict:
-    """Single-pair Dijkstra (algo.shortestPath parity): returns
-    {"path": [original ids...], "cost": float, "found": bool}."""
+def _dijkstra_full(g: GraphTables, svid: int, tvid: int = -1):
+    """Driver-side Dijkstra from ``svid``; stops early at ``tvid`` if
+    given. Returns (dist, prev) over all vids."""
     offsets, dsts, ws = _driver_adjacency(g, weighted=True)
-    svid, tvid = _to_vid(g, source), _to_vid(g, target)
     n = g.num_vertices
     dist = np.full(n, np.inf)
     prev = np.full(n, -1, dtype=np.int64)
@@ -116,6 +115,10 @@ def shortest_path_dijkstra(g: GraphTables, source, target) -> dict:
             if nd < dist[v]:
                 dist[v], prev[v] = nd, u
                 heapq.heappush(pq, (nd, v))
+    return dist, prev
+
+
+def _backtrack(g: GraphTables, svid: int, tvid: int, dist, prev) -> dict:
     if not np.isfinite(dist[tvid]):
         return {"path": [], "cost": float("inf"), "found": False}
     path_vids = []
@@ -132,6 +135,26 @@ def shortest_path_dijkstra(g: GraphTables, source, target) -> dict:
     # dist(v)} of (dist(u), u)
     return {"path": path, "cost": float(dist[tvid]), "found": True,
             "costs": costs}
+
+
+def shortest_path_dijkstra(g: GraphTables, source, target) -> dict:
+    """Single-pair Dijkstra (algo.shortestPath parity): returns
+    {"path": [original ids...], "cost": float, "costs": [...],
+    "found": bool}."""
+    svid, tvid = _to_vid(g, source), _to_vid(g, target)
+    dist, prev = _dijkstra_full(g, svid, tvid)
+    return _backtrack(g, svid, tvid, dist, prev)
+
+
+def shortest_path_to_farthest(g: GraphTables, source) -> dict:
+    """Path from ``source`` to its farthest-by-max-vid reachable vertex
+    (the max ORIGINAL id among reached vertices — vid order equals
+    original-id order): one full Dijkstra, no second pass."""
+    svid = _to_vid(g, source)
+    dist, prev = _dijkstra_full(g, svid)
+    reach = np.nonzero(np.isfinite(dist))[0]
+    tvid = int(reach.max())
+    return _backtrack(g, svid, tvid, dist, prev)
 
 
 def all_shortest_paths_weighted(

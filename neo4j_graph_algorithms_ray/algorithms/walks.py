@@ -50,9 +50,12 @@ def _start_table(g: GraphTables, start_mod: int) -> pa.Table:
     1/start_mod fraction reaches the driver."""
 
     def pick(b: pa.Table) -> pa.Table:
-        urls = b["node"].to_pylist()
-        keep = np.array([_md5_int(str(u)) % start_mod == 0 for u in urls],
-                        dtype=bool)
+        from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+        urls = np.asarray(b["node"].to_pylist(), dtype=object)
+        if len(urls) == 0:
+            return b
+        h, inv = _md5_u64(urls.astype(str).astype(object), 15)
+        keep = (h[inv] % np.uint64(start_mod)) == 0
         return b.filter(pa.array(keep))
 
     parts = g.vertices.map_batches(pick, batch_format="pyarrow").to_arrow_refs()

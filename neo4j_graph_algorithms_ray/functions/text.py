@@ -503,7 +503,8 @@ def pmi_topk(docs, *, topk: int = 50, min_count: int = 5,
         cxy = keep["n_xy"].to_numpy(zero_copy_only=False).astype(np.float64)
         cx = cnt.reindex(x).to_numpy(dtype=np.float64)
         cy = cnt.reindex(y).to_numpy(dtype=np.float64)
-        pmi = np.round(np.log((cxy * nt * nt) / (nb * cx * cy)), 6)
+        from neo4j_graph_algorithms_ray.util import round6
+        pmi = round6(np.log((cxy * nt * nt) / (nb * cx * cy)))
         bigram = [f"{a} {b_}" for a, b_ in zip(x, y)]
         return pa.table({"bigram": pa.array(bigram, pa.string()),
                          "n_xy": keep["n_xy"], "pmi": pa.array(pmi)})

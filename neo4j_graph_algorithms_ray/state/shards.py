@@ -241,6 +241,17 @@ class ShardActor:
         return pa.table({"vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
                          "degree": pa.array(self.deg)})
 
+    def _ensure_ranked_adj(self):
+        """Lazily build (once, cached) the vid-sorted adjacency: for
+        each local vertex its out-neighbors in ascending global-vid
+        order — which equals original-id order, the determinism
+        contract the walk and co-citation SQL oracles rank by."""
+        if not hasattr(self, "_walk_nbr"):
+            order = np.lexsort((self.nbr, self.key_local))
+            self._walk_nbr = self.nbr[order].astype(np.int64)
+            self._walk_off = np.zeros(self.n_local + 1, dtype=np.int64)
+            np.cumsum(self.deg, out=self._walk_off[1:])
+
     def copair_counts(self, cap: int) -> pa.Table:
         """Local co-citation pairs: every owned source with
         2 <= outdeg <= cap emits its C(deg,2) unordered out-neighbor
@@ -252,11 +263,7 @@ class ShardActor:
         Vectorized per distinct degree value: vertices of one degree d
         form a (k, d) adjacency matrix (one gather), and np.triu_indices
         expands all pairs at once — no per-vertex Python loop."""
-        if not hasattr(self, "_walk_nbr"):
-            order = np.lexsort((self.nbr, self.key_local))
-            self._walk_nbr = self.nbr[order].astype(np.int64)
-            self._walk_off = np.zeros(self.n_local + 1, dtype=np.int64)
-            np.cumsum(self.deg, out=self._walk_off[1:])
+        self._ensure_ranked_adj()
         pas, pbs = [], []
         elig = (self.deg >= 2) & (self.deg <= cap)
         for d in np.unique(self.deg[elig]):
@@ -293,11 +300,7 @@ class ShardActor:
         oracle's ROW_NUMBER() OVER (ORDER BY dst) ranks identically.
         The vid-sorted adjacency is built lazily (one lexsort over the
         shard's edges) and cached for the walk's remaining steps."""
-        if not hasattr(self, "_walk_nbr"):
-            order = np.lexsort((self.nbr, self.key_local))
-            self._walk_nbr = self.nbr[order].astype(np.int64)
-            self._walk_off = np.zeros(self.n_local + 1, dtype=np.int64)
-            np.cumsum(self.deg, out=self._walk_off[1:])
+        self._ensure_ranked_adj()
         loc = np.asarray(vids, dtype=np.int64) - self.lo
         deg = self.deg[loc]
         nxt = np.full(len(loc), -1, dtype=np.int64)
@@ -368,21 +371,19 @@ class ShardActor:
                 # weighted delta-push: each edge carries
                 # d * delta[src] * w_edge / Σ_out w — the weightProperty
                 # PageRank variant (push mass proportional to edge
-                # weight). Falls back to the unweighted kernel shape
-                # when the engine was built without weights.
+                # weight). Requires a weighted engine: the graph must
+                # have been built with a weight column (a weighted
+                # ShardActor loads it in __init__ or fails there).
+                assert self.w is not None, \
+                    "pr_push_w needs weighted=True shards (weight column)"
                 d = kw["damping"]
-                w = self.w if self.w is not None else None
                 if not hasattr(self, "_wdeg"):
-                    self._wdeg = (np.bincount(self.key_local, weights=w,
-                                              minlength=self.n_local)
-                                  if w is not None
-                                  else self.deg.astype(np.float64))
+                    self._wdeg = np.bincount(self.key_local, weights=self.w,
+                                             minlength=self.n_local)
                 coef = np.zeros(self.n_local)
                 nz = self._wdeg > 0
                 coef[nz] = d * self.state["delta"][nz] / self._wdeg[nz]
-                vals = coef[self.src_in_dst_order]
-                if w is not None:
-                    vals = vals * w[self.perm]
+                vals = coef[self.src_in_dst_order] * self.w[self.perm]
                 sums = np.add.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, sums)

@@ -47,6 +47,18 @@ def zip_with_index(ds: rd.Dataset, index_col: str = "vid") -> rd.Dataset:
     return rd.from_arrow_refs(stamped)
 
 
+def round6(x):
+    """round-half-away-from-zero to 6 decimals — DuckDB's round()
+    semantics (Python round()/np.round are half-to-even and disagree
+    with the SQL oracles at exact midpoints). Scalar or ndarray."""
+    import pyarrow.compute as _pc
+    arr = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    out = _pc.round(pa.array(arr), ndigits=6,
+                    round_mode="half_towards_infinity") \
+        .to_numpy(zero_copy_only=False)
+    return float(out[0]) if np.isscalar(x) or np.ndim(x) == 0 else out
+
+
 def to_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Normalize block format to Arrow. Datasets produced by
     pandas-format map_groups carry pandas blocks, on which downstream
@@ -136,14 +148,16 @@ def distinct_pairs(ds: rd.Dataset, c1: str, c2: str,
 SMALL_AGG_DRIVER_LIMIT = 5_000_000
 
 
-def preagg_sum(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Dataset:
-    """groupby(keys).sum(val(s)) with an Arrow map-side combine: each
+def _preagg(ds: rd.Dataset, keys: list[str], val: str | list[str],
+            op: str) -> rd.Dataset:
+    """groupby(keys).<op>(val(s)) with an Arrow map-side combine: each
     batch is pre-aggregated with ``pa.Table.group_by`` (vectorized) so
     the shuffle moves only per-batch-distinct rows; when the partials
     are small the final merge happens on the driver (no shuffle at all).
-    Returns columns keys + vals."""
+    ``op`` in {"sum", "max"} — both are associative+commutative, so the
+    same combine regime is exact for either. Returns keys + vals."""
     vals = [val] if isinstance(val, str) else list(val)
-    aggs = [(v, "sum") for v in vals]
+    aggs = [(v, op) for v in vals]
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by(keys).aggregate(aggs)
@@ -158,32 +172,17 @@ def preagg_sum(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Data
         merged = pa.concat_tables(batches).group_by(keys) \
             .aggregate(aggs).rename_columns(keys + vals)
         return rd.from_arrow(merged)
-    out = red.groupby(keys).sum(vals)
-    return out.rename_columns({f"sum({v})": v for v in vals})
+    out = (red.groupby(keys).sum(vals) if op == "sum"
+           else red.groupby(keys).max(vals))
+    return out.rename_columns({f"{op}({v})": v for v in vals})
+
+
+def preagg_sum(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Dataset:
+    return _preagg(ds, keys, val, "sum")
 
 
 def preagg_max(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Dataset:
-    """groupby(keys).max(val(s)) with an Arrow map-side combine — the
-    max-aggregation twin of preagg_sum (same shuffle discipline: only
-    per-batch-distinct rows move; tiny partials merge driver-side)."""
-    vals = [val] if isinstance(val, str) else list(val)
-    aggs = [(v, "max") for v in vals]
-
-    def partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(keys).aggregate(aggs)
-        return g.rename_columns(keys + vals)
-
-    red = ds.map_batches(partial, batch_format="pyarrow").materialize()
-    if red.count() <= SMALL_AGG_DRIVER_LIMIT:
-        batches = list(red.iter_batches(batch_format="pyarrow",
-                                        batch_size=1 << 20))
-        if not batches:
-            return red
-        merged = pa.concat_tables(batches).group_by(keys) \
-            .aggregate(aggs).rename_columns(keys + vals)
-        return rd.from_arrow(merged)
-    out = red.groupby(keys).max(vals)
-    return out.rename_columns({f"max({v})": v for v in vals})
+    return _preagg(ds, keys, val, "max")
 
 
 def topk_per_group(ds: rd.Dataset, keys: list[str], order_col: str, k: int,
