@@ -27,6 +27,53 @@ from neo4j_graph_algorithms_ray.algorithms.common import (
 from neo4j_graph_algorithms_ray.graph import GraphTables
 
 
+def _md5_sample_vids(g: GraphTables, k: int) -> np.ndarray:
+    """Deterministic, SQL-replicable source sampling: the ``k`` nodes
+    with the smallest repo-standard md5-60bit hash of the original id's
+    string form (DuckDB mirror:
+    ``CAST(('0x'||substr(md5(node),1,15)) AS BIGINT)``), ties broken by
+    node ascending. Distributed per-batch partial bottom-k — only k rows
+    per block reach the driver."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def part(b: pa.Table) -> pa.Table:
+        nodes = b["node"].to_pylist()
+        hs = np.array([int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8],
+                                      "big") >> 4 for x in nodes],
+                      dtype=np.int64)
+        order = np.argsort(hs, kind="stable")[:k]
+        return pa.table({"vid": b["vid"].take(pa.array(order)),
+                         "node": b["node"].take(pa.array(order)),
+                         "h": pa.array(hs[order])})
+
+    parts = g.vertices.select_columns(["vid", "node"]) \
+        .map_batches(part, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: (r["h"], r["node"]))
+    return np.array([r["vid"] for r in parts[:k]], dtype=np.int64)
+
+
+def _pick_sources(g: GraphTables, eng_or_adj, sample: int, strategy: str,
+                  seed: int) -> np.ndarray:
+    """Shared source-selection for the sampled Brandes variants."""
+    n = g.num_vertices
+    rng = np.random.default_rng(seed)
+    k = min(sample, n)
+    if strategy == "md5":
+        return _md5_sample_vids(g, k)
+    if strategy == "degree":
+        deg = eng_or_adj().astype(np.float64)
+        k = min(k, int((deg > 0).sum()))
+        if k == 0:
+            return np.empty(0, dtype=np.int64)
+        p = deg / deg.sum() if deg.sum() > 0 else None
+        return rng.choice(n, size=k, replace=False, p=p).astype(np.int64)
+    if strategy == "random":
+        return rng.choice(n, size=k, replace=False).astype(np.int64)
+    raise ValueError(f"strategy must be random/degree/md5, got {strategy!r}")
+
+
 def betweenness(
     g: GraphTables,
     *,
@@ -54,17 +101,17 @@ def betweenness(
         src_vids = np.array([_to_vid(g, s) for s in sources], dtype=np.int64)
         scale = 1.0
     elif sample is not None:
-        rng = np.random.default_rng(seed)
-        k = min(sample, n)
-        if strategy == "degree":
-            deg = np.diff(offsets).astype(np.float64)
-            k = min(k, int((deg > 0).sum()))
-            p = deg / deg.sum() if deg.sum() > 0 else None
-            src_vids = rng.choice(n, size=k, replace=False, p=p).astype(np.int64)
-        elif strategy == "random":
-            src_vids = rng.choice(n, size=k, replace=False).astype(np.int64)
-        else:
-            raise ValueError(f"strategy must be random/degree, got {strategy!r}")
+        src_vids = _pick_sources(g, lambda: np.diff(offsets), sample,
+                                 strategy, seed)
+        # degree strategy on an edgeless graph clamps k to 0 — the
+        # centrality is exactly zero everywhere, return it directly
+        if len(src_vids) == 0:
+            ds = attach_node_ids(g, rd.from_arrow(pa.table({
+                "vid": pa.array(np.arange(n, dtype=np.int64)),
+                "centrality": pa.array(np.zeros(n))})), out_col=node_col)
+            return IterativeResult(dataset=ds, iterations=0, converged=True,
+                                   metrics=[], stats={"computeSec": 0.0,
+                                                      "sources": 0, "scale": 1.0})
         scale = n / len(src_vids)
     else:
         src_vids = np.arange(n, dtype=np.int64)
@@ -192,23 +239,23 @@ def betweenness_bsp(
         src_vids = np.array([_to_vid(g, s) for s in sources], dtype=np.int64)
         scale = 1.0
     elif sample is not None:
-        rng = np.random.default_rng(seed)
-        k = min(sample, n)
-        if strategy == "degree":
-            # out-degree vector in vid order (driver-side: rng.choice
-            # needs the full probability vector anyway — 8B/vertex, the
-            # selection boundary, not the graph)
-            deg = np.concatenate([
+        # degree strategy pulls the out-degree vector driver-side:
+        # rng.choice needs the full probability vector anyway —
+        # 8B/vertex, the selection boundary, not the graph
+        def _deg():
+            return np.concatenate([
                 t.column("degree").to_numpy(zero_copy_only=False)
                 for t in ray.get([a.out_degree_table.remote()
-                                  for a in eng.actors])]).astype(np.float64)
-            k = min(k, int((deg > 0).sum()))
-            p = deg / deg.sum() if deg.sum() > 0 else None
-            src_vids = rng.choice(n, size=k, replace=False, p=p).astype(np.int64)
-        elif strategy == "random":
-            src_vids = rng.choice(n, size=k, replace=False).astype(np.int64)
-        else:
-            raise ValueError(f"strategy must be random/degree, got {strategy!r}")
+                                  for a in eng.actors])])
+
+        src_vids = _pick_sources(g, _deg, sample, strategy, seed)
+        if len(src_vids) == 0:  # degree strategy, edgeless graph
+            ds = attach_node_ids(g, rd.from_arrow(pa.table({
+                "vid": pa.array(np.arange(n, dtype=np.int64)),
+                "centrality": pa.array(np.zeros(n))})), out_col=node_col)
+            return IterativeResult(dataset=ds, iterations=0, converged=True,
+                                   metrics=[], stats={"computeSec": 0.0,
+                                                      "sources": 0, "scale": 1.0})
         scale = n / len(src_vids)
     else:
         src_vids = np.arange(n, dtype=np.int64)

@@ -98,6 +98,42 @@ def translate_vid_columns(g: GraphTables, ds: rd.Dataset, cols: list[str]) -> rd
     return ds.map_batches(tr, batch_format="pyarrow")
 
 
+def node_to_vid_map(g: GraphTables, nodes) -> dict:
+    """Original ids → dense vids for a SMALL node set via a distributed
+    is_in filter over the vertex table — the vertex table never leaves
+    the cluster and never materializes on the driver (the lookup cost is
+    one pruned scan regardless of graph size). Missing nodes are simply
+    absent from the returned dict; callers decide whether that's an
+    error."""
+    import pyarrow.compute as pc
+
+    keys = pa.array(list(dict.fromkeys(nodes)))
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["node"].cast(keys.type), value_set=keys))
+
+    rows = g.vertices.select_columns(["vid", "node"]) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    return {r["node"]: int(r["vid"]) for r in rows}
+
+
+def vid_to_node_lookup(g: GraphTables, vids) -> dict:
+    """Dense vids → original ids for a SMALL vid set (path endpoints,
+    sampled sources) — same distributed-filter shape as
+    :func:`node_to_vid_map`, inverse direction."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    keys = pa.array(np.unique(np.asarray(list(vids), dtype=np.int64)))
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["vid"], value_set=keys))
+
+    rows = g.vertices.select_columns(["vid", "node"]) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    return {int(r["vid"]): r["node"] for r in rows}
+
+
 @dataclass
 class IterativeResult:
     """Common result shape for iterative algorithms (the reference's

@@ -76,10 +76,14 @@ def label_propagation(
     if start_iter == 0:
         eng.init_state("label", "vid")
         if seeds is not None:
-            import pyarrow.compute as pc
+            from neo4j_graph_algorithms_ray.algorithms.common import \
+                node_to_vid_map
             node_ids, labels = seeds
-            m = g.vid_to_node_map()
-            vids = pc.index_in(node_ids, value_set=m).to_numpy().astype(np.int64)
+            ids = list(node_ids) if isinstance(node_ids, (list, tuple)) \
+                else node_ids.to_pylist() if hasattr(node_ids, "to_pylist") \
+                else list(np.asarray(node_ids))
+            nm = node_to_vid_map(g, ids)  # small seed set, distributed filter
+            vids = np.array([nm[x] for x in ids], dtype=np.int64)
             eng.set_state_from_table("label", vids, np.asarray(labels, dtype=np.int64))
         elif seed_dataset is not None:
             joined = seed_dataset.join(g.vertices, "inner", num_partitions=max(2, eng.P),

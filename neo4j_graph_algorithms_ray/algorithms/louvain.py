@@ -94,6 +94,7 @@ def _louvain_broadcast(g: GraphTables, *, max_iterations: int,
     labels_np = np.arange(n, dtype=np.int64)
 
     it, changed_total, converged = 0, 0, False
+    quiet_streak = 0
     t0 = time.perf_counter()
     while it < max_iterations:
         parity = it % 2
@@ -146,7 +147,14 @@ def _louvain_broadcast(g: GraphTables, *, max_iterations: int,
         moved = int(move.sum())
         it += 1
         changed_total += moved
-        if moved == 0 and parity == 1:
+        # converged = a FULL parity cycle (both parities) made no moves:
+        # that state is a fixpoint for every future sweep, so stopping
+        # here equals running out max_iterations — which is what the
+        # fixed-sweep SQL-unroll oracle replays. (Breaking on a single
+        # quiet parity-1 sweep, as before, could stop with parity-0
+        # moves still pending.)
+        quiet_streak = quiet_streak + 1 if moved == 0 else 0
+        if quiet_streak >= 2:
             converged = True
             break
     elapsed = time.perf_counter() - t0
@@ -220,6 +228,7 @@ def _louvain_shuffle(
         batch_format="pyarrow").materialize()
 
     it, changed_total, converged = 0, 0, False
+    quiet_streak = 0
     t0 = time.perf_counter()
     while it < max_iterations:
         parity = it % 2
@@ -310,7 +319,9 @@ def _louvain_shuffle(
         labels = picked.select_columns(["vid", "comm", "degree"]).materialize()
         it += 1
         changed_total += moved
-        if moved == 0 and parity == 1:
+        # full-parity-cycle fixpoint test — see _louvain_broadcast
+        quiet_streak = quiet_streak + 1 if moved == 0 else 0
+        if quiet_streak >= 2:
             converged = True
             break
     elapsed = time.perf_counter() - t0

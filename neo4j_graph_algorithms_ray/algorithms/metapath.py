@@ -129,15 +129,16 @@ def filter_metapaths(paths: rd.Dataset, start_labels: Optional[Sequence[str]] = 
     ends = list(end_labels) if end_labels else None
 
     def flt(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch["path"], SEP)
         keep = pa.array([True] * batch.num_rows)
         if starts is not None:
-            first = pc.list_element(toks, 0)
+            first = pc.list_element(pc.split_pattern(batch["path"], SEP), 0)
             keep = pc.and_(keep, pc.is_in(first, value_set=pa.array(starts)))
         if ends is not None:
-            lens = pc.list_value_length(toks)
-            last = pa.array([t[-1].as_py() for t in toks])
-            del lens
+            # last token = path with everything up to the final SEP
+            # stripped (greedy ^.* eats through the last separator) —
+            # one vectorized RE2 kernel, no per-row .as_py()
+            last = pc.replace_substring_regex(
+                batch["path"], r"^.* \| ", "", max_replacements=1)
             keep = pc.and_(keep, pc.is_in(last, value_set=pa.array(ends)))
         return batch.filter(keep)
 

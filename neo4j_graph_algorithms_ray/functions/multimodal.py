@@ -48,16 +48,31 @@ class FakeDecoder:
                 "install PIL/torchaudio and swap FakeDecoder for a real one")
         payload = batch[self.payload_col]
         n_bytes = pc.binary_length(payload).cast(pa.int64())
-        buf = payload.combine_chunks()
-        feats = np.zeros((batch.num_rows, self.dim), dtype=np.float32)
-        first = np.full(batch.num_rows, -1, dtype=np.int64)
-        for i in range(batch.num_rows):
-            b = buf[i].as_py() or b""
-            if b:
-                first[i] = b[0]
-                arr = np.frombuffer(b, dtype=np.uint8)
-                # deterministic fake "feature": bucketed byte histogram
-                feats[i] = np.bincount(arr % self.dim, minlength=self.dim)[:self.dim]
+        # vectorized over the Arrow flat layout: one np.frombuffer over
+        # the value buffer + the offsets vector, no per-row .as_py() —
+        # the pattern a real codec swap should inherit (decode batched
+        # against the contiguous buffer, slice by offsets)
+        arr = pc.fill_null(payload, b"").combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.binary())
+        off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+            arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+        lens = np.diff(offs)
+        n = batch.num_rows
+        first = np.full(n, -1, dtype=np.int64)
+        nz = lens > 0
+        first[nz] = data[offs[:-1][nz]]
+        # deterministic fake "feature": bucketed byte histogram per row,
+        # computed for ALL rows at once via one flat bincount keyed by
+        # row_index * dim + (byte % dim)
+        row_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+        flat = np.bincount(row_of_byte * self.dim
+                           + (data[offs[0]:offs[-1]] % self.dim),
+                           minlength=n * self.dim)
+        feats = flat.reshape(n, self.dim).astype(np.float32) if n else \
+            np.zeros((0, self.dim), dtype=np.float32)
         return pa.table({
             self.id_col: batch[self.id_col],
             "n_bytes": n_bytes,

@@ -14,9 +14,15 @@ Layout (m = 256 registers, 60-bit hash h):
   register = h % m                 (low bits)
   rest     = h // m                (52 bits)
   rho      = 52 - floor(log2(rest))   [= leading-zeros+1; 53 if rest=0]
-floor(log2) is exact here: rest < 2^52 is exactly representable in
-float64 and log2 of a power of two is exact, so the floor can't
-misround across an integer boundary.
+floor(log2(rest)) is computed in float64 on BOTH sides (numpy here,
+DuckDB in the oracle) and the two round identically, which is the
+parity contract. It is NOT exact in corner cases: for rest within ~11
+of 2^52 (and analogously just below lower powers of two), float64
+log2 rounds up across the integer boundary, yielding rho one lower
+than the true leading-zero count (e.g. rest = 2^52-1 → rho 0, true
+rho 1). The register value can therefore deviate from textbook HLL by
+1 on ~2^-40 of hashes — irrelevant to the estimate and bit-identical
+between engine and oracle, which is what the value-hash gate checks.
 """
 
 from __future__ import annotations

@@ -20,8 +20,18 @@ from neo4j_graph_algorithms_ray.registry import GraphCatalog
 from neo4j_graph_algorithms_ray.sources.pages import read_pages
 from neo4j_graph_algorithms_ray.stages.extract import ExtractLinks, ExtractText
 
-EXTRACT_CONCURRENCY = 2
 EXTRACT_BATCH = 4096
+
+
+def extract_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for the extraction stages, sized to
+    the cluster at call time: (1, CPU count). A fixed small cap starves
+    the first stage of the 100× run; a fixed LARGE pool can reserve
+    every CPU and deadlock upstream stages — autoscaling (1, N) does
+    neither."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus))
 
 
 def extracted_text_ds(sf_dir: str) -> rd.Dataset:
@@ -30,7 +40,7 @@ def extracted_text_ds(sf_dir: str) -> rd.Dataset:
     pages = read_pages(sf_dir, columns=["url", "html", "lang", "warc_ts"])
     return pages.map_batches(ExtractText, batch_format="pyarrow",
                              batch_size=EXTRACT_BATCH,
-                             concurrency=EXTRACT_CONCURRENCY)
+                             concurrency=extract_concurrency())
 
 
 def web_edge_ds(sf_dir: str) -> rd.Dataset:
@@ -38,7 +48,7 @@ def web_edge_ds(sf_dir: str) -> rd.Dataset:
     pages = read_pages(sf_dir, columns=["url", "html"])
     edges = pages.map_batches(ExtractLinks, batch_format="pyarrow",
                               batch_size=EXTRACT_BATCH,
-                              concurrency=EXTRACT_CONCURRENCY)
+                              concurrency=extract_concurrency())
     edges = edges.filter(expr="src_url != dst_url")
     return edges.groupby(["src_url", "dst_url"]).count() \
                 .select_columns(["src_url", "dst_url"])
@@ -131,7 +141,7 @@ def anchor_text_ds(sf_dir: str) -> rd.Dataset:
     pages = read_pages(sf_dir, columns=["url", "html"])
     an = pages.map_batches(ExtractAnchors, batch_format="pyarrow",
                            batch_size=EXTRACT_BATCH,
-                           concurrency=EXTRACT_CONCURRENCY)
+                           concurrency=extract_concurrency())
     an = an.map_batches(
         lambda b: pa.table({"dst_url": b["dst_url"], "anchor": b["anchor"],
                             "n": pa.array(np.ones(b.num_rows, np.int64))}),

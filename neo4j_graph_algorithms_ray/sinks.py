@@ -23,6 +23,7 @@ Pick ``group_size`` so one group's pipeline saturates the cluster
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 from typing import Callable, Optional, Sequence
@@ -32,6 +33,33 @@ import ray.data as rd
 
 def _marker(part_dir: str) -> str:
     return os.path.join(part_dir, "_SUCCESS")
+
+
+def _marker_matches(part_dir: str, group: Sequence[str]) -> bool:
+    """A _SUCCESS marker is only honored when the group's recorded input
+    file list equals the current one. Positional group ids silently
+    remap when the input file set changes between the failed run and
+    the retry (file added/removed/renamed) — that must fail loudly, not
+    drop or double-count input."""
+    try:
+        with open(_marker(part_dir)) as f:
+            content = f.read()
+    except OSError:
+        return False
+    if not content.strip():
+        # legacy empty marker (pre-manifest): can't verify — refuse the
+        # skip so the group recomputes rather than trusting a blind match
+        raise RuntimeError(
+            f"{_marker(part_dir)} has no input manifest; delete the "
+            "partition (or the marker) to recompute it explicitly")
+    recorded = json.loads(content).get("input_files")
+    if recorded != [os.path.basename(p) for p in group]:
+        raise RuntimeError(
+            f"input file set changed for {part_dir}: marker recorded "
+            f"{recorded}, current group is "
+            f"{[os.path.basename(p) for p in group]}; delete {part_dir} "
+            "(or the whole output dir) to recompute with the new inputs")
+    return True
 
 
 def partition_done(out_dir: str, gid: int) -> bool:
@@ -66,15 +94,15 @@ def resumable_write(
     written, skipped = [], []
     for gid, group in enumerate(groups):
         part_dir = os.path.join(out_dir, f"part={gid:05d}")
-        if os.path.exists(_marker(part_dir)):
+        if os.path.exists(_marker(part_dir)) and _marker_matches(part_dir, group):
             skipped.append(gid)
             continue
         if os.path.isdir(part_dir):  # residue of a failed attempt
             shutil.rmtree(part_dir)
         os.makedirs(part_dir, exist_ok=True)
         transform(rf(group)).write_parquet(part_dir)
-        with open(_marker(part_dir), "w"):
-            pass
+        with open(_marker(part_dir), "w") as f:
+            json.dump({"input_files": [os.path.basename(p) for p in group]}, f)
         written.append(gid)
     return {"written": written, "skipped": skipped}
 
