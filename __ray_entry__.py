@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PR_ITERS = 20
 WCC_SQL_ITERS = 25
 LPA_SWEEPS = 6
+LOUVAIN_SWEEPS = 6
 TOPK = 20
 
 
@@ -322,19 +323,31 @@ def _q_louvain(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import louvain
     from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
     g = get_graph(sf_dir, "copart")
-    return louvain(g, max_iterations=6).dataset
+    return louvain(g, max_iterations=LOUVAIN_SWEEPS).dataset
 
 
 def _q_betweenness_sampled(sf_dir: str):
     # BSP scale path (sharded CSR waves): identical output contract to
     # the task-parallel exact path (pytest asserts parity), exercised
     # here so the driver gate covers the variant that survives graphs
-    # larger than one worker's RAM.
+    # larger than one worker's RAM. Runs on the host graph with the
+    # deterministic md5 sampling strategy so a DuckDB oracle can replay
+    # the exact source set (oracles_web.host_betweenness_sql).
     from neo4j_graph_algorithms_ray.algorithms import betweenness_bsp
-    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
-    g = get_graph(sf_dir, "trade")
-    res = betweenness_bsp(g, sample=64, seed=42)
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    g = get_host_graph(sf_dir)
+    res = betweenness_bsp(g, sample=10, strategy="md5", node_col="host")
     return _round6(res.dataset, "centrality")
+
+
+def _q_betweenness_exact(sf_dir: str):
+    # exact Brandes (every node a source) on the directed host graph —
+    # the task-parallel variant, value-hash-gated against the SQL
+    # pair-dependency oracle.
+    from neo4j_graph_algorithms_ray.algorithms import betweenness
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    g = get_host_graph(sf_dir)
+    return _round6(betweenness(g, node_col="host").dataset, "centrality")
 
 
 # ---------------- event-stream queries (functions/events.py) ----------------
@@ -932,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": _q_scc,
         "louvain": _q_louvain,
         "betweenness_sampled": _q_betweenness_sampled,
+        "betweenness_exact": _q_betweenness_exact,
         "window_agg": _q_window_agg,
         "hopping_agg": _q_hopping_agg,
         "window_unique_users": _q_window_unique_users,
@@ -1015,11 +1029,13 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": o.GRAPH_STATS_SQL,
         "metapaths": o.metapath_sql(3),
         "get_schema": o.GET_SCHEMA_SQL,
-        # scc / louvain / betweenness_sampled are deliberately rows-only:
-        # not SQL-expressible (iterative FW-BW / modularity sweeps /
-        # Brandes); verified in pytest against Tarjan / modularity /
-        # brute-force oracles instead (tests/test_scc_louvain_mst.py,
-        # tests/test_centrality_paths.py).
+        # louvain: exact unrolled parity-sweep mirror (gains are
+        # integer-valued doubles, so the SQL replays the engine
+        # decision-for-decision); betweenness via the pair-dependency
+        # identity with md5-deterministic sampling.
+        "louvain": o.louvain_sql(LOUVAIN_SWEEPS),
+        "betweenness_sampled": ow.host_betweenness_sql(sample=10),
+        "betweenness_exact": ow.host_betweenness_sql(),
         "metapaths_schema_full": o.SCHEMA_FULL_SQL,
         "label_ids": o.LABEL_IDS_SQL,
         "closeness_sampled": o.closeness_sampled_sql(10),

@@ -114,6 +114,69 @@ FROM vn n JOIN l{sweeps} l ON l.vid = n.vid JOIN vn ln ON ln.vid = l.lab
 ORDER BY n.node""")
 
 
+def louvain_sql(sweeps: int = 6) -> str:
+    """Exact unrolled mirror of the engine's semi-synchronous parity
+    Louvain sweeps over the copart graph (algorithms/louvain.py
+    _louvain_broadcast): per sweep, each vertex of the sweep's parity
+    moves to the candidate community with the best modularity gain
+    ``lw − k·sTot_c/(2m)`` (own community's sTot excludes the vertex),
+    tie-break community-vid ascending, move only if it beats the stay
+    gain by > 1e-12. All gain operands are integer-valued doubles and
+    the expression tree matches the numpy one, so gains are
+    bit-identical and the unroll replays the engine decision-for-
+    decision. Running the full ``sweeps`` unroll equals the engine's
+    early-converged result because the engine only stops after a full
+    quiet parity cycle (a fixpoint for every later sweep)."""
+    ctes = [
+        CO_EDGES,
+        "conodes AS MATERIALIZED (SELECT u AS node FROM co UNION SELECT v FROM co)",
+        "cvn AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) - 1 AS vid FROM conodes)",
+        """cev AS MATERIALIZED (
+  SELECT s.vid AS sv, t.vid AS tv
+  FROM (SELECT u, v FROM co UNION ALL SELECT v, u FROM co) e
+  JOIN cvn s ON s.node = e.u JOIN cvn t ON t.node = e.v)""",
+        "cdeg AS MATERIALIZED (SELECT sv AS vid, CAST(count(*) AS DOUBLE) AS k FROM cev GROUP BY sv)",
+        "w2m AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM cev)",
+        "L0 AS (SELECT vid, vid AS comm FROM cvn)",
+    ]
+    for k in range(1, sweeps + 1):
+        parity = (k - 1) % 2
+        ctes.append(f"""cand{k} AS MATERIALIZED (
+  SELECT src, dcomm, SUM(lw) AS lw FROM (
+    SELECT e.sv AS src, l.comm AS dcomm, CAST(1 AS DOUBLE) AS lw
+    FROM cev e JOIN L{k-1} l ON l.vid = e.tv
+    UNION ALL
+    SELECT vid, comm, CAST(0 AS DOUBLE) FROM L{k-1}
+  ) GROUP BY src, dcomm)""")
+        ctes.append(f"""stot{k} AS MATERIALIZED (
+  SELECT l.comm, SUM(d.k) AS stot FROM L{k-1} l
+  JOIN cdeg d ON d.vid = l.vid GROUP BY l.comm)""")
+        ctes.append(f"""gain{k} AS MATERIALIZED (
+  SELECT c.src, c.dcomm, o.comm AS own,
+         c.lw - d.k * (s.stot - CASE WHEN c.dcomm = o.comm THEN d.k
+                                     ELSE 0 END) / (SELECT m2 FROM w2m) AS g
+  FROM cand{k} c
+  JOIN stot{k} s ON s.comm = c.dcomm
+  JOIN L{k-1} o ON o.vid = c.src
+  JOIN cdeg d ON d.vid = c.src)""")
+        ctes.append(f"""best{k} AS (
+  SELECT src, dcomm, own, g FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY g DESC, dcomm ASC) AS rn
+    FROM gain{k}) t WHERE rn = 1)""")
+        ctes.append(f"""L{k} AS MATERIALIZED (
+  SELECT b.src AS vid,
+         CASE WHEN b.src % 2 = {parity} AND b.dcomm != b.own
+                   AND b.g > o.g + 1e-12
+              THEN b.dcomm ELSE b.own END AS comm
+  FROM best{k} b
+  JOIN gain{k} o ON o.src = b.src AND o.dcomm = b.own)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT n.node AS node, c.node AS community
+FROM cvn n JOIN L{sweeps} l ON l.vid = n.vid JOIN cvn c ON c.vid = l.comm
+ORDER BY n.node""")
+
+
 TRIANGLE_GLOBAL_SQL = f"""WITH {CO_EDGES}
 SELECT count(*) AS triangle_count
 FROM co e1

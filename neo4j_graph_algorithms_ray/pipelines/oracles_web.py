@@ -135,6 +135,65 @@ def host_pagerank_sql(iters: int = 20) -> str:
             + f"\nSELECT node AS host, round(r, 6) AS score FROM h{iters} ORDER BY host")
 
 
+def host_betweenness_sql(sample: int = 0, max_depth: int = 19) -> str:
+    """Exact directed Brandes betweenness over the host graph via the
+    pair-dependency identity bc(v) = Σ_{s≠v≠t} σ_sv·σ_vt/σ_st with
+    dist(s,v)+dist(v,t)=dist(s,t): shortest distances from a bounded
+    recursive BFS closure, path counts σ from UNION ALL enumeration of
+    shortest-path-DAG walks (each walk row is one distinct shortest
+    path, so count(*) = σ). ``sample=k`` restricts sources to the k
+    hosts with the smallest repo-standard md5-60bit hash (the engine's
+    strategy='md5') and scales by n/k — the engine's RABrandes
+    semantics made deterministic. Feasible because the host graph is
+    ~20 nodes; the engine runs the same values distributed."""
+    srcs = ("srcs AS (SELECT node FROM hnodes ORDER BY "
+            "CAST(('0x'||substr(md5(node),1,15)) AS BIGINT) ASC, node ASC "
+            f"LIMIT {sample})" if sample
+            else "srcs AS (SELECT node FROM hnodes)")
+    scale = (f"((SELECT CAST(count(*) AS DOUBLE) FROM hnodes) / {sample})"
+             if sample else "1.0")
+    return f"""WITH RECURSIVE {WEB_BASE},
+{WEB_EDGES},
+hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1)),
+hnodes AS MATERIALIZED (
+  -- DISTINCT over UNION ALL, not UNION: under WITH RECURSIVE, DuckDB
+  -- 1.0 stops deduplicating UNION in non-recursive CTEs
+  SELECT DISTINCT node FROM (SELECT src AS node FROM hedges
+                             UNION ALL SELECT dst FROM hedges)),
+{srcs},
+reach(s, v, d) AS (
+  SELECT node, node, 0 FROM hnodes
+  UNION
+  SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN hedges e ON e.src = r.v
+  WHERE r.d < {max_depth}),
+dist AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM reach GROUP BY s, v),
+spw(s, v, d) AS (
+  SELECT node, node, 0 FROM hnodes
+  UNION ALL
+  SELECT w.s, e.dst, w.d + 1
+  FROM spw w JOIN hedges e ON e.src = w.v
+  JOIN dist dd ON dd.s = w.s AND dd.v = e.dst AND dd.d = w.d + 1),
+sigma AS MATERIALIZED (
+  SELECT s, v, MIN(d) AS d, CAST(count(*) AS DOUBLE) AS sig
+  FROM spw GROUP BY s, v),
+bc AS (
+  SELECT sv.v AS node, SUM(sv.sig * vt.sig / st.sig) AS c
+  FROM sigma sv
+  JOIN srcs ON srcs.node = sv.s
+  JOIN sigma vt ON vt.s = sv.v
+  JOIN sigma st ON st.s = sv.s AND st.v = vt.v AND st.d = sv.d + vt.d
+  WHERE sv.v != sv.s AND vt.v != sv.v AND vt.v != sv.s
+  GROUP BY sv.v)
+SELECT n.node AS host,
+       round(coalesce(bc.c, 0) * {scale}, 6) AS centrality
+FROM hnodes n LEFT JOIN bc ON bc.node = n.node ORDER BY host"""
+
+
 ANCHOR_TEXTS_SQL = f"""WITH {WEB_BASE}
 SELECT {_url('t')} AS dst_url, 'link ' || j AS anchor, count(*) AS n
 FROM links GROUP BY dst_url, anchor ORDER BY dst_url, anchor"""
