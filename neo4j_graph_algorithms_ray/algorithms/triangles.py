@@ -331,11 +331,13 @@ def _orient_split(tbl: pa.Table, P: int, *deg_blocks: pa.Table):
                  for j in range(P))
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _build_partition(n: int, *slices: pa.Table):
     """Assemble one src-hash partition: compact rank-sorted CSR for
-    wedge generation + the partition's sorted oriented edge keys for
-    the closure probe. Returns (srcs, starts, nbr, okeys)."""
+    wedge generation, and — as a SEPARATE object — the partition's
+    sorted oriented edge keys for the closure probe (separate so a
+    closure task probing this bucket fetches only the 8 B/edge key
+    array, not the whole CSR). Returns ((srcs, starts, nbr), okeys)."""
     if slices:
         s = np.concatenate([x.column("s").to_numpy(zero_copy_only=False)
                             for x in slices]).astype(np.int64)
@@ -350,35 +352,45 @@ def _build_partition(n: int, *slices: pa.Table):
     srcs, starts = np.unique(s, return_index=True)
     starts = np.append(starts, len(s)).astype(np.int64)
     okeys = np.sort(s * np.int64(n) + t)
-    return srcs, starts, t, okeys
+    return (srcs, starts, t), okeys
 
 
 @ray.remote(num_returns=3)
 def _close_partition(part, n: int, okey_refs: list):
     """Generate this partition's wedges and probe them against the
-    src-hash-bucketed edge-key arrays. A wedge (t1, t2) probes bucket
-    ``t1 % P`` — wedges never shuffle; only the needed bucket key
-    arrays are fetched from the object store (lazily, via refs in a
-    plain list; plasma-shares them per node). Returns three refs:
+    src-hash-bucketed edge-key arrays, BUCKET-MAJOR: each wedge batch is
+    sorted by target bucket ``t1 % P`` and probed one bucket at a time,
+    with the bucket's plasma view released before the next fetch — the
+    task never holds more than ONE okey bucket (total okeys are 8 B/edge
+    ≈ 8 TB at 10^12 edges; pinning every touched bucket, as a naive
+    cache would, converges each task's working set to the whole array
+    and defeats plasma eviction). Re-fetches across batches hit the
+    node-local plasma copy (zero-copy view) while memory allows; under
+    pressure Ray evicts and re-pulls — residency is bounded by plasma,
+    not by task-held references. Returns three refs:
     (per-vid counts table, triangle total, triples table)."""
-    srcs, starts, nbr, _ = part
+    srcs, starts, nbr = part
     P = len(okey_refs)
     total = 0
     tri_a, tri_b, tri_c = [], [], []
     triu: dict[int, tuple] = {}
     partial_v, partial_c = [], []
-    bucket_cache: dict[int, np.ndarray] = {}
     for src_rep, t1, t2 in _iter_wedges(srcs, starts, nbr, triu):
-        hit = np.zeros(len(t1), dtype=bool)
         buck = t1 % P
-        for jb in np.unique(buck):
-            ok = bucket_cache.get(int(jb))
-            if ok is None:
-                ok = ray.get(okey_refs[int(jb)])[3]
-                bucket_cache[int(jb)] = ok
-            m = buck == jb
+        border = np.argsort(buck, kind="stable")
+        t1s, t2s = t1[border], t2[border]
+        cuts = np.searchsorted(buck[border], np.arange(P + 1))
+        hit_s = np.zeros(len(t1s), dtype=bool)
+        for jb in range(P):
+            a, b = cuts[jb], cuts[jb + 1]
+            if a == b:
+                continue
+            ok = ray.get(okey_refs[jb])
             if len(ok):
-                hit[m] = _probe(ok, t1[m], t2[m], n)
+                hit_s[a:b] = _probe(ok, t1s[a:b], t2s[a:b], n)
+            del ok  # release the plasma view before the next bucket
+        hit = np.empty_like(hit_s)
+        hit[border] = hit_s
         nhit = int(hit.sum())
         if not nhit:
             continue
@@ -419,9 +431,11 @@ def _triangle_count_join(
     Dataset block refs; edges exchange once by ``s % P``; wedges are
     generated AND closed inside the partition tasks (they never hit a
     shuffle — at copart-sf0.1 density the wedge table is 60× the edge
-    table). Partitioning assumption: one src-hash partition's edges +
-    one closure bucket fit in a worker's heap; the okey buckets live in
-    the object store and are plasma-shared per node
+    table); closure is bucket-major, holding at most ONE okey bucket at
+    a time (see _close_partition). Partitioning assumption: one
+    src-hash partition's edges + one closure bucket fit in a worker's
+    heap; the okey buckets live in the object store, plasma-shared per
+    node and evictable under pressure
     (reference test parity: tests/.../impl/TriangleCountTest.java:50-135)."""
     p = max(2, default_partitions(g, num_partitions))
     n = g.num_vertices
@@ -435,12 +449,14 @@ def _triangle_count_join(
               for blk in und.to_arrow_refs()]
     if splits and p == 1:
         splits = [[s] for s in splits]
-    part_refs = [_build_partition.remote(n, *[sp[j] for sp in splits])
-                 for j in range(p)]
+    built = [_build_partition.remote(n, *[sp[j] for sp in splits])
+             for j in range(p)]
+    csr_refs = [b[0] for b in built]
+    okey_refs = [b[1] for b in built]
 
     cnt_refs, total_refs, tri_refs = [], [], []
     for j in range(p):
-        c, tot, tr = _close_partition.remote(part_refs[j], n, part_refs)
+        c, tot, tr = _close_partition.remote(csr_refs[j], n, okey_refs)
         cnt_refs.append(c)
         total_refs.append(tot)
         tri_refs.append(tr)

@@ -20,10 +20,14 @@ Scale notes:
   (np.*.reduceat over a once-precomputed dst-sorted permutation), so
   any destination receives ≤ P messages per iteration (hub-proof);
 - messages route shard→shard as Ray objects (num_returns=P), an
-  all-to-all of O(touched vertices) not O(edges). This is P² refs per
-  superstep — cheap at P ≤ 64 (the per-ref overhead is ~µs and the
-  payloads dominate); past that, route through √P aggregator actors
-  (two-level exchange) before widening P;
+  all-to-all of O(touched vertices) not O(edges). Direct exchange is P²
+  refs per superstep — cheap at P ≤ 64 (the per-ref overhead is ~µs and
+  the payloads dominate); past NGA_TWO_LEVEL_P (default 64) the engine
+  switches to a TWO-LEVEL exchange: senders emit G = ⌈√P⌉ grouped packs
+  (P·G refs), one aggregator task per group combines them op-aware
+  (sum/min/max/or; 2-D sum for Brandes waves) and re-emits per-member
+  messages (P refs) — P·√P + P refs total, and a hub vertex receives
+  ≤ G combined messages instead of ≤ P;
 - state checkpoints to Parquet per iteration with a manifest
   (per-partition lineage + metrics) and can resume (state/checkpoint.py).
 """
@@ -41,6 +45,56 @@ import pyarrow.parquet as pq
 import ray
 
 from neo4j_graph_algorithms_ray.util import popcount64
+
+# scatter-op → aggregator combine kind for the two-level exchange.
+# Ops absent here (lpa's (idx,label,w) triples, bwd_color's exact pairs)
+# are forwarded uncombined — still one ref per group instead of one per
+# sender. Combining changes float summation ORDER only, which both the
+# SQL oracles and the pytest allclose checks already tolerate (round6 /
+# 1e-9), exactly as for the direct exchange.
+_COMBINE_OF_OP = {
+    "pr_push": "sum", "pr_push_w": "sum", "sum_state": "sum",
+    "in_degree_count": "sum", "min_state": "min", "min_state_delta": "min",
+    "relax": "min", "max_state_masked": "max", "bits": "or",
+    "brandes_fwd": "sum2d", "brandes_bwd": "sum2d",
+}
+
+_COMBINE_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum,
+                  "or": np.bitwise_or, "sum2d": np.add}
+
+
+def _combine_member(kind, member_lists):
+    """Merge one member shard's messages from all senders of a group
+    into a single (locs, vals) tuple (map-side combine, tier 2)."""
+    nz = [m for m in member_lists if len(m[0])]
+    if not nz:
+        return [(np.empty(0, np.int64), np.empty(0))]
+    locs = np.concatenate([m[0] for m in nz])
+    axis0 = kind == "sum2d"
+    vals = np.concatenate([m[1] for m in nz], axis=0)
+    order = np.argsort(locs, kind="stable")
+    locs_s = locs[order]
+    uniq, starts = np.unique(locs_s, return_index=True)
+    vals_s = np.take(vals, order, axis=0) if axis0 else vals[order]
+    merged = _COMBINE_UFUNC[kind].reduceat(vals_s, starts,
+                                           axis=0 if axis0 else -1)
+    return [(uniq.astype(locs.dtype), merged)]
+
+
+@ray.remote
+def _aggregate_group(nmembers: int, combine, *packs):
+    """Tier-2 exchange node: ``packs`` = one grouped pack per sender,
+    each a tuple of per-member message tuples. Emits one object per
+    member (num_returns=nmembers) holding a LIST of message tuples —
+    combined to length 1 when the op has a combiner."""
+    outs = []
+    for m in range(nmembers):
+        member_lists = [p[m] for p in packs]
+        if combine is None:
+            outs.append(list(member_lists))
+        else:
+            outs.append(_combine_member(combine, member_lists))
+    return tuple(outs) if nmembers > 1 else outs[0]
 
 
 # num_cpus=0: shard actors are resident state holders that compute only
@@ -85,25 +139,33 @@ class ShardActor:
         o = tbl.column(other).to_numpy(zero_copy_only=False).astype(np.int64)
         w = (tbl.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
              if weighted else None)
-        order = np.argsort(k, kind="stable")
         # int32 per-edge index arrays where the id ranges allow — the
         # scatter gather is memory-bandwidth-bound, so index bytes are
         # roughly half the traffic per edge (the reference's analogous
         # trick is int-quantized score exchange, PageRank.java:54)
         loc_dtype = np.int32 if self.n_local < (1 << 31) else np.int64
-        glob_dtype = np.int32 if int(bounds[-1]) < (1 << 31) else np.int64
-        self.key_local = (k[order] - self.lo).astype(loc_dtype)  # owning-side vertex per edge
-        self.nbr = o[order].astype(glob_dtype)                    # global vid of the other side
-        self.w = w[order] if w is not None else None
-        self.m = len(self.nbr)
-        self.deg = np.bincount(self.key_local, minlength=self.n_local).astype(np.int64)
-        # scatter plan: permutation sorting edges by destination + segment
-        # starts per unique destination + slice per target shard. The
-        # composed gather src_in_dst_order = key_local[perm] is
-        # precomputed so each scatter does ONE gather over E, not two.
-        self.perm = np.argsort(self.nbr, kind="stable")
-        nbr_sorted = self.nbr[self.perm]
-        self.src_in_dst_order = self.key_local[self.perm]
+        self.glob_dtype = np.int32 if int(bounds[-1]) < (1 << 31) else np.int64
+        self.m = len(k)
+        self.deg = np.bincount(k - self.lo, minlength=self.n_local).astype(np.int64)
+        # COMPACT resident layout: only the destination-sorted view is
+        # kept — (src_in_dst_order, and dst ids implicitly as
+        # uniq_dst + seg_starts run lengths). Every scatter/update op is
+        # expressed in dst order, so the original edge order, the
+        # dst-sort permutation and the per-edge dst column are all
+        # redundant and are NOT retained: ~4 B/edge resident instead of
+        # the ~20 B/edge of a flat (key_local, nbr, perm, gather) CSR —
+        # the same resident-bytes battle the reference fights with
+        # delta+vlong adjacency compression
+        # (core/.../huge/HugeGraphFactory.java:393,428), won here by
+        # de-duplication instead of bit-packing so the hot path pays
+        # zero decode. Ops that need explicit per-edge dst ids (LPA
+        # votes, SCC backward coloring, ranked walks) re-expand them
+        # with one np.repeat over the run lengths (see _dsts).
+        order = np.argsort(o, kind="stable")
+        nbr_sorted = o[order]
+        self.src_in_dst_order = (k[order] - self.lo).astype(loc_dtype)
+        self.w_dst = w[order] if w is not None else None
+        self.weighted = w is not None
         self.uniq_dst, self.seg_starts = np.unique(nbr_sorted, return_index=True)
         self.dst_slices = np.searchsorted(self.uniq_dst, self.bounds)
         # per-unique-dst target shard + local index (int32 when ranges
@@ -116,14 +178,29 @@ class ShardActor:
         self.state: dict[str, np.ndarray] = {}
         self.metrics = self._fresh_metrics()
 
+    def _dsts(self) -> np.ndarray:
+        """Per-edge destination vids in dst-sorted order, re-expanded
+        from the run-length form (repeat of uniq_dst by segment length).
+        NOT cached: the expansion is one vectorized repeat per call and
+        caching would put the 4-8 B/edge column back on the resident
+        budget that dropping it bought."""
+        seg_len = np.diff(np.append(self.seg_starts, self.m))
+        return np.repeat(self.uniq_dst.astype(self.glob_dtype), seg_len)
+
     def _fresh_metrics(self):
         return {"part": self.part, "edges_scattered": 0, "msgs_out": 0,
                 "scatter_ms": 0.0, "update_ms": 0.0}
 
     # ---- introspection ----
     def info(self):
+        resident = (self.src_in_dst_order.nbytes + self.deg.nbytes
+                    + self.uniq_dst.nbytes + self.seg_starts.nbytes
+                    + self.uniq_local.nbytes
+                    + (self.w_dst.nbytes if self.w_dst is not None else 0))
         return {"part": self.part, "lo": self.lo, "hi": self.hi,
-                "n_local": self.n_local, "m": self.m}
+                "n_local": self.n_local, "m": self.m,
+                "resident_bytes": int(resident),
+                "bytes_per_edge": round(resident / self.m, 2) if self.m else 0.0}
 
     def drain_metrics(self):
         m, self.metrics = self.metrics, self._fresh_metrics()
@@ -186,6 +263,19 @@ class ShardActor:
     def state_sum(self, name: str) -> float:
         return float(self.state[name].sum())
 
+    def state_min_above(self, name: str, lo: float) -> float:
+        """Smallest FINITE state value ≥ lo (delta-stepping next-bucket
+        probe; 8 bytes per shard per bucket transition)."""
+        st = self.state[name]
+        sel = (st >= lo) & np.isfinite(st)
+        return float(st[sel].min()) if sel.any() else float("inf")
+
+    def weight_stats(self) -> tuple:
+        """(Σw, m, max w) for auto-Δ selection; zeros when unweighted."""
+        if self.w_dst is None or self.m == 0:
+            return 0.0, 0, 0.0
+        return float(self.w_dst.sum()), int(self.m), float(self.w_dst.max())
+
     def apply_state(self, out: str, op: str, *operands, dtype=None):
         """Elementwise derived state via a TYPED op over the shard's
         state vectors — no eval(). Operands are state names, the
@@ -224,6 +314,13 @@ class ShardActor:
             av, bv = val(a), val(b)
             res = np.divide(av, bv, out=np.zeros(self.n_local),
                             where=np.asarray(bv) != 0)
+        elif op == "ge_lt":               # out = (lo <= a < hi)
+            a, lo, hi = operands
+            av = val(a)
+            res = (av >= lo) & (av < hi)
+        elif op == "and_pos":             # out = (a > 0) & (b > 0)
+            a, b = operands
+            res = (np.asarray(val(a)) > 0) & (np.asarray(val(b)) > 0)
         else:
             raise ValueError(f"unknown apply_state op {op}")
         if res.shape == ():
@@ -247,8 +344,9 @@ class ShardActor:
         order — which equals original-id order, the determinism
         contract the walk and co-citation SQL oracles rank by."""
         if not hasattr(self, "_walk_nbr"):
-            order = np.lexsort((self.nbr, self.key_local))
-            self._walk_nbr = self.nbr[order].astype(np.int64)
+            dsts = self._dsts()
+            order = np.lexsort((dsts, self.src_in_dst_order))
+            self._walk_nbr = dsts[order].astype(np.int64)
             self._walk_off = np.zeros(self.n_local + 1, dtype=np.int64)
             np.cumsum(self.deg, out=self._walk_off[1:])
 
@@ -309,6 +407,41 @@ class ShardActor:
             r = np.asarray(hashes, dtype=np.int64)[has] % deg[has]
             nxt[has] = self._walk_nbr[self._walk_off[loc[has]] + r]
         return nxt
+
+    # ---- pointer jumping (label shortcut: state[v] := state[state[v]]) ----
+    def pj_requests(self, name: str):
+        """Phase 1: unique label-pointers this shard holds, split by
+        owning shard (labels are global vids)."""
+        ptrs = self.state[name].astype(np.int64)
+        uq = np.unique(ptrs)
+        self._pj_uniq = uq
+        cuts = np.searchsorted(uq, self.bounds)
+        return tuple(uq[cuts[j]:cuts[j + 1]] for j in range(self.P))
+
+    def pj_answer(self, name: str, *reqs):
+        """Phase 2 (owner side): answer each requester's pointer list
+        with the owner's current labels for those vids."""
+        st = self.state[name]
+        return tuple(st[np.asarray(r, dtype=np.int64) - self.lo]
+                     for r in reqs)
+
+    def pj_apply(self, name: str, *answers) -> int:
+        """Phase 3: relabel state[v] := label(state[v]); newly-changed
+        vertices are added to the ``changed`` frontier so the next
+        delta scatter pushes the shortcut labels."""
+        uq = self._pj_uniq
+        del self._pj_uniq
+        vals = (np.concatenate([np.asarray(a) for a in answers])
+                if answers else np.empty(0, np.int64))
+        st = self.state[name]
+        new = vals[np.searchsorted(uq, st)].astype(st.dtype)
+        ch = new != st
+        nch = int(ch.sum())
+        if nch:
+            st[ch] = new[ch]
+            if "changed" in self.state:
+                self.state["changed"][ch] = 1
+        return nch
 
     # ---- checkpoint / restore (per-partition lineage) ----
     def checkpoint(self, ckpt_dir: str, iteration: int, names: list[str]) -> dict:
@@ -374,16 +507,17 @@ class ShardActor:
                 # weight). Requires a weighted engine: the graph must
                 # have been built with a weight column (a weighted
                 # ShardActor loads it in __init__ or fails there).
-                assert self.w is not None, \
+                assert self.w_dst is not None, \
                     "pr_push_w needs weighted=True shards (weight column)"
                 d = kw["damping"]
                 if not hasattr(self, "_wdeg"):
-                    self._wdeg = np.bincount(self.key_local, weights=self.w,
+                    self._wdeg = np.bincount(self.src_in_dst_order,
+                                             weights=self.w_dst,
                                              minlength=self.n_local)
                 coef = np.zeros(self.n_local)
                 nz = self._wdeg > 0
                 coef[nz] = d * self.state["delta"][nz] / self._wdeg[nz]
-                vals = coef[self.src_in_dst_order] * self.w[self.perm]
+                vals = coef[self.src_in_dst_order] * self.w_dst
                 sums = np.add.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, sums)
@@ -423,19 +557,22 @@ class ShardActor:
                 self.metrics["edges_scattered"] += int(sel.sum())
                 return self._route(idx, mins[keep])
             if op == "max_state_masked":
-                vals = self.state[kw["name"]][self.key_local]
-                active = self.state["active"][self.key_local] > 0
-                vals = np.where(active, vals, np.int64(-1))[self.perm]
+                vals = self.state[kw["name"]][self.src_in_dst_order]
+                active = self.state["active"][self.src_in_dst_order] > 0
+                vals = np.where(active, vals, np.int64(-1))
                 maxs = np.maximum.reduceat(vals, self.seg_starts)
                 keep = maxs >= 0
                 self.metrics["edges_scattered"] += self.m
                 idx = np.nonzero(keep)[0]
                 return self._route(idx, maxs[keep])
             if op == "lpa":
-                lab = self.state["label"][self.key_local]
-                wgt = self.w if self.w is not None else np.ones(self.m)
-                order = np.lexsort((lab, self.nbr))
-                dsts, labs, ws = self.nbr[order], lab[order], wgt[order]
+                lab = self.state["label"][self.src_in_dst_order]
+                wgt = self.w_dst if self.w_dst is not None else np.ones(self.m)
+                alldst = self._dsts()
+                # alldst is already sorted; lexsort = per-dst-segment
+                # sort by label (same (dst, label) order as before)
+                order = np.lexsort((lab, alldst))
+                dsts, labs, ws = alldst[order], lab[order], wgt[order]
                 newseg = np.empty(self.m, dtype=bool)
                 newseg[0] = True
                 np.not_equal(dsts[1:], dsts[:-1], out=newseg[1:])
@@ -464,11 +601,32 @@ class ShardActor:
                 self.metrics["edges_scattered"] += self.m
                 return self._route(nz, ors[nz])
             if op == "relax":
-                w = self.w[self.perm] if self.w is not None else 1.0
-                vals = self.state["dist"][self.src_in_dst_order] + w
+                w = self.w_dst if self.w_dst is not None else 1.0
+                sel = None
                 if "changed" in self.state:
                     # frontier-sparse: only sources relaxed last round push
                     sel = (self.state["changed"] > 0)[self.src_in_dst_order]
+                wc = kw.get("wclass")
+                if wc:
+                    # delta-stepping edge classing: light (w ≤ Δ) edges
+                    # relax repeatedly within a bucket, heavy (w > Δ)
+                    # once per settled bucket
+                    # (ShortestPathDeltaStepping.java:46-70). Masks are
+                    # static per (class, Δ) — cached across supersteps.
+                    dlt = float(kw["delta"])
+                    key = (wc, dlt)
+                    masks = getattr(self, "_wclass_masks", None)
+                    if masks is None:
+                        masks = self._wclass_masks = {}
+                    cmask = masks.get(key)
+                    if cmask is None:
+                        wp = (w if isinstance(w, np.ndarray)
+                              else np.full(self.m, w))
+                        cmask = (wp <= dlt) if wc == "light" else (wp > dlt)
+                        masks[key] = cmask
+                    sel = cmask if sel is None else (sel & cmask)
+                vals = self.state["dist"][self.src_in_dst_order] + w
+                if sel is not None:
                     vals = np.where(sel, vals, np.inf)
                 mins = np.minimum.reduceat(vals, self.seg_starts)
                 fin = np.isfinite(mins)
@@ -524,11 +682,11 @@ class ShardActor:
                 # edge u→w; receiver accepts iff color matches. No reduce —
                 # exact (dst, color) pairs, deduped.
                 fr = self.state["bwd_frontier"] > 0
-                edge_sel = fr[self.key_local]
+                edge_sel = fr[self.src_in_dst_order]
                 if not edge_sel.any():
                     return self._empty_msgs(1)
-                dsts = self.nbr[edge_sel]
-                cols = self.state["color"][self.key_local][edge_sel]
+                dsts = self._dsts()[edge_sel].astype(np.int64)
+                cols = self.state["color"][self.src_in_dst_order][edge_sel]
                 key = np.stack([dsts, cols])
                 _, ui = np.unique(key, axis=1, return_index=True)
                 dsts, cols = dsts[ui], cols[ui]
@@ -543,9 +701,27 @@ class ShardActor:
         finally:
             self.metrics["scatter_ms"] += (time.perf_counter() - t0) * 1e3
 
+    def scatter_grouped(self, op: str, group_bounds, **kw):
+        """Two-level exchange tier 1: run the scatter, then pack the
+        per-shard slices into one object per aggregator group
+        (num_returns = #groups instead of P)."""
+        out = self.scatter(op, **kw)
+        return tuple(tuple(out[a:b])
+                     for a, b in zip(group_bounds[:-1], group_bounds[1:]))
+
     # ---- update ops (receiver side) ----
     def update(self, op: str, *msgs, **kw):
         t0 = time.perf_counter()
+        # two-level exchange delivers LISTS of message tuples (one per
+        # aggregator group); flatten to the direct-exchange shape
+        if msgs and not isinstance(msgs[0], tuple):
+            flat = []
+            for m in msgs:
+                if isinstance(m, tuple):
+                    flat.append(m)
+                else:
+                    flat.extend(m)
+            msgs = tuple(flat)
         try:
             self.metrics["msgs_out"] += sum(len(m[0]) for m in msgs)
             if op == "pr_update":
@@ -840,6 +1016,36 @@ class ShardEngine:
     def state_sum(self, name: str) -> float:
         return sum(ray.get([a.state_sum.remote(name) for a in self.actors]))
 
+    def state_min_above(self, name: str, lo: float) -> float:
+        return min(ray.get([a.state_min_above.remote(name, lo)
+                            for a in self.actors]))
+
+    def pointer_jump(self, name: str = "component") -> int:
+        """One shortcut round: state[v] := state[state[v]] everywhere —
+        a distributed gather (request → owner answer → apply), cutting
+        min-label fixpoints from O(diameter) to O(log d) supersteps on
+        chain-heavy graphs. Returns the number of relabeled vertices."""
+        P = self.P
+        if P == 1:
+            reqs = ray.get(self.actors[0].pj_requests.remote(name))
+            ans = ray.get(self.actors[0].pj_answer.remote(name, reqs[0]))
+            return ray.get(self.actors[0].pj_apply.remote(name, ans[0]))
+        req = [a.pj_requests.options(num_returns=P).remote(name)
+               for a in self.actors]
+        ans = [self.actors[j].pj_answer.options(num_returns=P)
+               .remote(name, *[req[i][j] for i in range(P)])
+               for j in range(P)]
+        return sum(ray.get([
+            self.actors[i].pj_apply.remote(name, *[ans[j][i] for j in range(P)])
+            for i in range(P)]))
+
+    def mean_max_weight(self) -> tuple:
+        stats = ray.get([a.weight_stats.remote() for a in self.actors])
+        tot = sum(s[0] for s in stats)
+        m = sum(s[1] for s in stats)
+        mx = max((s[2] for s in stats), default=0.0)
+        return (tot / m if m else 0.0), mx
+
     def set_state_from_table(self, name: str, vids: np.ndarray, values: np.ndarray):
         part = np.searchsorted(self.bounds, vids, side="right") - 1
         order = np.argsort(part, kind="stable")
@@ -851,7 +1057,12 @@ class ShardEngine:
 
     def step(self, scatter_op: str, update_op: str, *, actors=None,
              update_actors=None, scatter_kw=None, update_kw=None) -> list[dict]:
-        """One BSP superstep: scatter on all shards → route → update."""
+        """One BSP superstep: scatter on all shards → route → update.
+
+        Exchange topology: direct all-to-all (P² refs) below
+        NGA_TWO_LEVEL_P shards, two-level ⌈√P⌉-group aggregation above
+        it (P·√P + P refs, op-aware combining at the aggregator — see
+        module docstring)."""
         actors = actors or self.actors
         update_actors = update_actors or self.actors
         sk, uk = scatter_kw or {}, update_kw or {}
@@ -861,11 +1072,45 @@ class ShardEngine:
             stats = [ray.get(update_actors[0].update.remote(
                 update_op, *ray.get(msgs[0]), **uk))]
             return stats
+        if self.P >= self._two_level_threshold():
+            return self._step_two_level(scatter_op, update_op, actors,
+                                        update_actors, sk, uk)
         refs = [a.scatter.options(num_returns=self.P).remote(scatter_op, **sk)
                 for a in actors]
         upd = [update_actors[j].update.remote(update_op,
                                               *[refs[i][j] for i in range(self.P)], **uk)
                for j in range(self.P)]
+        return ray.get(upd)
+
+    @staticmethod
+    def _two_level_threshold() -> int:
+        return int(os.environ.get("NGA_TWO_LEVEL_P", "64"))
+
+    def _step_two_level(self, scatter_op, update_op, actors, update_actors,
+                        sk, uk) -> list[dict]:
+        P = self.P
+        G = int(np.ceil(np.sqrt(P)))
+        size = (P + G - 1) // G
+        gb = [min(g * size, P) for g in range(G + 1)]
+        gb_arr = [g for g in gb]
+        combine = _COMBINE_OF_OP.get(scatter_op)
+        packs = [a.scatter_grouped.options(num_returns=G)
+                 .remote(scatter_op, gb_arr, **sk) for a in actors]
+        # packs[i][g] → aggregator g → per-member combined message lists
+        member_refs: list = [None] * P
+        for g in range(G):
+            nm = gb[g + 1] - gb[g]
+            if nm <= 0:
+                continue
+            out = _aggregate_group.options(num_returns=nm).remote(
+                nm, combine, *[packs[i][g] for i in range(P)])
+            if nm == 1:
+                member_refs[gb[g]] = out
+            else:
+                for m in range(nm):
+                    member_refs[gb[g] + m] = out[m]
+        upd = [update_actors[j].update.remote(update_op, member_refs[j], **uk)
+               for j in range(P)]
         return ray.get(upd)
 
     def drain_metrics(self) -> list[dict]:

@@ -1,0 +1,87 @@
+"""Bucketed delta-stepping + WCC pointer-jumping semantics.
+
+- delta buckets must produce bit-identical distances to the synchronous
+  relaxation (same min-plus fixpoint over the same float path sums)
+  while relaxing FEWER edges on wide weight ranges — the whole point of
+  the bucketed algorithm (ShortestPathDeltaStepping.java:46-70);
+- pointer jumping must leave WCC components identical while cutting the
+  superstep count on high-diameter (chain) graphs from O(d) toward
+  O(log d).
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray import build_graph
+
+
+def _wide_weight_edges(seed=11, n=300, m=2400):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    w = rng.integers(1, 100, int(keep.sum())).astype(np.float64)
+    return pa.table({"src": src[keep].astype(np.int64),
+                     "dst": dst[keep].astype(np.int64),
+                     "weight": w})
+
+
+def test_bucketed_delta_matches_sync_with_fewer_relaxations():
+    from neo4j_graph_algorithms_ray.algorithms import sssp_delta_stepping
+    edges = _wide_weight_edges()
+    g = build_graph(rd.from_arrow(edges), weight_col="weight",
+                    name="delta_wide")
+    sync = sssp_delta_stepping(g, 0, num_partitions=4, mode="sync")
+    buck = sssp_delta_stepping(g, 0, num_partitions=4, mode="bucketed")
+    a = sync.dataset.to_pandas().sort_values("node").reset_index(drop=True)
+    b = buck.dataset.to_pandas().sort_values("node").reset_index(drop=True)
+    assert np.array_equal(a["node"].to_numpy(), b["node"].to_numpy())
+    av, bv = a["distance"].to_numpy(), b["distance"].to_numpy()
+    fin = np.isfinite(av)
+    assert np.array_equal(fin, np.isfinite(bv))
+    assert np.array_equal(av[fin], bv[fin])  # bit-identical fixpoint
+    assert buck.converged and sync.converged
+    # the bucketed form must relax strictly fewer edges: heavy edges
+    # fire once per settled vertex instead of once per improvement
+    assert buck.edges_scattered < sync.edges_scattered, \
+        (buck.edges_scattered, sync.edges_scattered)
+    assert buck.stats["buckets"] >= 2
+
+
+def test_bucketed_delta_unweighted_degenerates_to_bfs():
+    from neo4j_graph_algorithms_ray.algorithms import sssp_delta_stepping
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 120, 500)
+    dst = rng.integers(0, 120, 500)
+    keep = src != dst
+    edges = pa.table({"src": src[keep].astype(np.int64),
+                      "dst": dst[keep].astype(np.int64)})
+    g = build_graph(rd.from_arrow(edges), name="delta_unw")
+    sync = sssp_delta_stepping(g, 0, num_partitions=4, mode="sync")
+    buck = sssp_delta_stepping(g, 0, num_partitions=4, mode="bucketed")
+    a = sync.dataset.to_pandas().sort_values("node")["distance"].to_numpy()
+    b = buck.dataset.to_pandas().sort_values("node")["distance"].to_numpy()
+    fin = np.isfinite(a)
+    assert np.array_equal(fin, np.isfinite(b))
+    assert np.array_equal(a[fin], b[fin])
+
+
+def test_wcc_pointer_jump_cuts_path_graph_iterations():
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    n = 64
+    edges = pa.table({"src": np.arange(n - 1, dtype=np.int64),
+                      "dst": np.arange(1, n, dtype=np.int64)})
+    g1 = build_graph(rd.from_arrow(edges), undirected=True, name="pj_path_a")
+    g2 = build_graph(rd.from_arrow(edges), undirected=True, name="pj_path_b")
+    plain = wcc(g1, num_partitions=4, jump_every=0)
+    jumped = wcc(g2, num_partitions=4, jump_every=2)
+    a = plain.dataset.to_pandas().sort_values("node").reset_index(drop=True)
+    b = jumped.dataset.to_pandas().sort_values("node").reset_index(drop=True)
+    assert (a["component"] == 0).all() and (b["component"] == 0).all()
+    assert jumped.converged and plain.converged
+    # O(diameter) vs O(log d): path of 64 needs ~63 plain supersteps
+    assert plain.iterations >= n - 2
+    assert jumped.iterations < plain.iterations // 2, \
+        (jumped.iterations, plain.iterations)
+    assert jumped.stats["pointer_jumps"] >= 1
