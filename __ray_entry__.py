@@ -340,6 +340,14 @@ def _q_betweenness_sampled(sf_dir: str):
     return _round6(res.dataset, "centrality")
 
 
+def _q_algo_list(sf_dir: str):
+    # algo.list parity (ListProc.java:42-46): the procedure surface as
+    # (name, impl) rows. The oracle is a hand-pinned VALUES literal, so
+    # registry drift fails the value-hash gate.
+    from neo4j_graph_algorithms_ray.registry import list_procedures
+    return list_procedures()
+
+
 def _q_betweenness_exact(sf_dir: str):
     # exact Brandes (every node a source) on the directed host graph —
     # the task-parallel variant, value-hash-gated against the SQL
@@ -946,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": _q_louvain,
         "betweenness_sampled": _q_betweenness_sampled,
         "betweenness_exact": _q_betweenness_exact,
+        "algo_list": _q_algo_list,
         "window_agg": _q_window_agg,
         "hopping_agg": _q_hopping_agg,
         "window_unique_users": _q_window_unique_users,
@@ -1036,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain": o.louvain_sql(LOUVAIN_SWEEPS),
         "betweenness_sampled": ow.host_betweenness_sql(sample=10),
         "betweenness_exact": ow.host_betweenness_sql(),
+        "algo_list": o.ALGO_LIST_SQL,
         "metapaths_schema_full": o.SCHEMA_FULL_SQL,
         "label_ids": o.LABEL_IDS_SQL,
         "closeness_sampled": o.closeness_sampled_sql(10),

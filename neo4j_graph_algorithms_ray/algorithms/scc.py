@@ -38,17 +38,57 @@ def scc(
     *,
     num_partitions: Optional[int] = None,
     max_rounds: int = 10_000,
+    trim_rounds: int = 1,
     node_col: str = "node",
 ) -> IterativeResult:
     """Exact SCCs of the directed graph → (node, component), component
     canonicalized to the max dense vid in the SCC (translated back to
-    its original id)."""
+    its original id).
+
+    ``trim_rounds``: MultistepSCC's trim phase
+    (algo/.../impl/multistepscc/MultistepSCC.java:43-70 — trim before
+    FW-BW): vertices with no active in-edges OR no active out-edges
+    are singleton SCCs; each trim round deactivates them in two
+    supersteps (active in/out-degree via sum_state over the fwd and
+    rev CSR) before the coloring loop ever touches them. Real web
+    graphs shed a large leaf/source fringe here. More rounds cascade
+    the trim (a removed sink exposes new sinks) at one full edge pass
+    per round; the reference trims once."""
     eng = get_engine(g, num_partitions, reverse=True)
     eng.init_state("active", "const", 1, dtype="int8")
     eng.init_state("component", "const", -1, dtype="int64")
-    supersteps, rounds = 0, 0
+    supersteps, rounds, trimmed_total = 0, 0, 0
     t0 = time.perf_counter()
     remaining = g.num_vertices
+    for _ in range(trim_rounds):
+        if remaining == 0:
+            break
+        eng.copy_state("active", to_rev=True)
+        # float64 indicator copy: sum_state reduceat in the state's own
+        # dtype would wrap an int8 mask at in-degree > 127
+        eng.apply_state("__actf", "copy", "active", dtype="float64")
+        eng.apply_state("__actf", "copy", "active", dtype="float64", rev=True)
+        eng.init_state("in_act", "const", 0.0)
+        eng.init_state("out_act", "const", 0.0)
+        eng.step("sum_state", "set_sum_update",
+                 scatter_kw={"name": "__actf"}, update_kw={"name": "in_act"})
+        eng.step("sum_state", "set_sum_update",
+                 actors=eng.rev_actors, update_actors=eng.actors,
+                 scatter_kw={"name": "__actf"}, update_kw={"name": "out_act"})
+        supersteps += 2
+        eng.apply_state("__trim", "trim", "active", "in_act", "out_act",
+                        dtype="int8")
+        ntrim = int(eng.state_sum("__trim"))
+        if ntrim == 0:
+            break
+        eng.apply_state("component", "where_pos", "__trim", "vid", "component",
+                        dtype="int64")
+        eng.apply_state("active", "where_pos", "__trim", 0, "active",
+                        dtype="int8")
+        trimmed_total += ntrim
+        remaining -= ntrim
+    eng.drop_states(["in_act", "out_act", "__trim", "__actf"])
+    eng.drop_states(["__actf"], rev=True)
     while remaining > 0 and rounds < max_rounds:
         rounds += 1
         # --- phase 1: forward max-color fixpoint over active subgraph ---
@@ -87,4 +127,5 @@ def scc(
     ds = attach_node_ids(g, ds, out_col=node_col)
     return IterativeResult(dataset=ds, iterations=rounds, converged=True,
                            metrics=[metrics],
-                           stats={"computeSec": elapsed, "supersteps": supersteps})
+                           stats={"computeSec": elapsed, "supersteps": supersteps,
+                                  "trimmed": trimmed_total})

@@ -506,3 +506,74 @@ SELECT srcs.s AS node,
        round(CASE WHEN coalesce(f, 0) > 0
              THEN ((SELECT n FROM nn) - 1) / f ELSE 0 END, 6) AS centrality
 FROM srcs LEFT JOIN far ON far.s = srcs.s ORDER BY node""")
+
+
+# algo.list oracle: a HAND-PINNED literal of the procedure surface
+# (deliberately not generated from registry.PROCEDURES at runtime —
+# drift between the registry and this pin fails the value-hash gate,
+# which is the point of gating an introspection query).
+ALGO_LIST_SQL = """SELECT name, impl FROM (VALUES
+  ('algo.ComputeAllMetaPathsSchemaFullWeights', 'neo4j_graph_algorithms_ray.algorithms.metapath.compute_all_metapaths_schema_full'),
+  ('algo.GetSchema', 'neo4j_graph_algorithms_ray.algorithms.metapath.get_schema'),
+  ('algo.allShortestPaths.stream', 'neo4j_graph_algorithms_ray.algorithms.sssp.all_shortest_paths_weighted'),
+  ('algo.betweenness', 'neo4j_graph_algorithms_ray.algorithms.betweenness.betweenness'),
+  ('algo.betweenness.sampled', 'neo4j_graph_algorithms_ray.algorithms.betweenness.betweenness_bsp'),
+  ('algo.betweenness.sampled.stream', 'neo4j_graph_algorithms_ray.algorithms.betweenness.betweenness_bsp'),
+  ('algo.betweenness.stream', 'neo4j_graph_algorithms_ray.algorithms.betweenness.betweenness'),
+  ('algo.closeness', 'neo4j_graph_algorithms_ray.algorithms.msbfs.closeness'),
+  ('algo.closeness.stream', 'neo4j_graph_algorithms_ray.algorithms.msbfs.closeness'),
+  ('algo.computeAllMetaPaths', 'neo4j_graph_algorithms_ray.algorithms.metapath.compute_all_metapaths'),
+  ('algo.computeAllMetaPathsBetweenTypes', 'neo4j_graph_algorithms_ray.algorithms.metapath.compute_all_metapaths'),
+  ('algo.computeAllMetaPathsForInstances', 'neo4j_graph_algorithms_ray.algorithms.metapath.compute_metapaths_for_instances'),
+  ('algo.computeAllMetaPathsSchemaFull', 'neo4j_graph_algorithms_ray.algorithms.metapath.compute_all_metapaths_schema_full'),
+  ('algo.filterMetaPaths', 'neo4j_graph_algorithms_ray.algorithms.metapath.filter_metapaths'),
+  ('algo.getLabelIdToLabelNameMapping', 'neo4j_graph_algorithms_ray.algorithms.metapath.label_id_mapping'),
+  ('algo.gettingStarted', 'neo4j_graph_algorithms_ray.algorithms.mst.getting_started'),
+  ('algo.gettingStarted.stream', 'neo4j_graph_algorithms_ray.algorithms.mst.getting_started'),
+  ('algo.graph.info', 'neo4j_graph_algorithms_ray.registry.GraphCatalog.info'),
+  ('algo.graph.load', 'neo4j_graph_algorithms_ray.registry.GraphCatalog.set'),
+  ('algo.graph.remove', 'neo4j_graph_algorithms_ray.registry.GraphCatalog.remove'),
+  ('algo.graphReducer', 'neo4j_graph_algorithms_ray.algorithms.metapath.graph_reducer'),
+  ('algo.harmonic', 'neo4j_graph_algorithms_ray.algorithms.msbfs.harmonic'),
+  ('algo.harmonic.stream', 'neo4j_graph_algorithms_ray.algorithms.msbfs.harmonic'),
+  ('algo.louvain', 'neo4j_graph_algorithms_ray.algorithms.louvain.louvain'),
+  ('algo.louvain.stream', 'neo4j_graph_algorithms_ray.algorithms.louvain.louvain'),
+  ('algo.metaPath', 'neo4j_graph_algorithms_ray.algorithms.mst.getting_started'),
+  ('algo.metaPath.stream', 'neo4j_graph_algorithms_ray.algorithms.mst.getting_started'),
+  ('algo.metaPathPrecomputeHighDegreeNodes', 'neo4j_graph_algorithms_ray.algorithms.metapath.metapath_precompute_high_degree_nodes'),
+  ('algo.mst', 'neo4j_graph_algorithms_ray.algorithms.mst.mst_prim'),
+  ('algo.pageRank', 'neo4j_graph_algorithms_ray.algorithms.pagerank.pagerank'),
+  ('algo.pageRank.stream', 'neo4j_graph_algorithms_ray.algorithms.pagerank.pagerank'),
+  ('algo.readPrecomputedMetaPaths', 'neo4j_graph_algorithms_ray.algorithms.metapath.read_precomputed_metapaths'),
+  ('algo.scc', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.scc.forwardBackward.stream', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.scc.iterative', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.scc.iterative.stream', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.scc.multistep', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.scc.multistep.stream', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.scc.recursive.tarjan', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.scc.recursive.tunedTarjan', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.scc.recursive.tunedTarjan.stream', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.scc.stream', 'neo4j_graph_algorithms_ray.algorithms.scc.scc'),
+  ('algo.shortestPath', 'neo4j_graph_algorithms_ray.algorithms.sssp.shortest_path_dijkstra'),
+  ('algo.shortestPath.deltaStepping', 'neo4j_graph_algorithms_ray.algorithms.sssp.sssp_delta_stepping'),
+  ('algo.shortestPath.deltaStepping.stream', 'neo4j_graph_algorithms_ray.algorithms.sssp.sssp_delta_stepping'),
+  ('algo.shortestPath.stream', 'neo4j_graph_algorithms_ray.algorithms.sssp.shortest_path_dijkstra'),
+  ('algo.shortestPaths', 'neo4j_graph_algorithms_ray.algorithms.msbfs.msbfs_hop_counts'),
+  ('algo.shortestPaths.stream', 'neo4j_graph_algorithms_ray.algorithms.msbfs.msbfs_hop_counts'),
+  ('algo.triangle.stream', 'neo4j_graph_algorithms_ray.algorithms.triangles.triangle_stream'),
+  ('algo.triangleCount', 'neo4j_graph_algorithms_ray.algorithms.triangles.triangle_count'),
+  ('algo.triangleCount.forkJoin', 'neo4j_graph_algorithms_ray.algorithms.triangles.triangle_count'),
+  ('algo.triangleCount.forkJoin.stream', 'neo4j_graph_algorithms_ray.algorithms.triangles.triangle_count'),
+  ('algo.triangleCount.stream', 'neo4j_graph_algorithms_ray.algorithms.triangles.triangle_count'),
+  ('algo.unionFind', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc'),
+  ('algo.unionFind.forkJoin', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc'),
+  ('algo.unionFind.forkJoin.stream', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc'),
+  ('algo.unionFind.forkJoinMerge', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc'),
+  ('algo.unionFind.forkJoinMerge.stream', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc'),
+  ('algo.unionFind.mscoloring', 'neo4j_graph_algorithms_ray.algorithms.wcc.mscoloring'),
+  ('algo.unionFind.mscoloring.stream', 'neo4j_graph_algorithms_ray.algorithms.wcc.mscoloring'),
+  ('algo.unionFind.queue', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc'),
+  ('algo.unionFind.queue.stream', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc'),
+  ('algo.unionFind.stream', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc')
+) AS t(name, impl) ORDER BY name"""

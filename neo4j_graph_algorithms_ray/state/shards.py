@@ -321,6 +321,10 @@ class ShardActor:
         elif op == "and_pos":             # out = (a > 0) & (b > 0)
             a, b = operands
             res = (np.asarray(val(a)) > 0) & (np.asarray(val(b)) > 0)
+        elif op == "trim":                # out = (f > 0) & (a<=0 | b<=0)
+            f, a, b = operands            # SCC trim: active with no
+            res = (np.asarray(val(f)) > 0) & (  # active in- OR out-edges
+                (np.asarray(val(a)) <= 0) | (np.asarray(val(b)) <= 0))
         else:
             raise ValueError(f"unknown apply_state op {op}")
         if res.shape == ():
@@ -1084,7 +1088,15 @@ class ShardEngine:
 
     @staticmethod
     def _two_level_threshold() -> int:
-        return int(os.environ.get("NGA_TWO_LEVEL_P", "64"))
+        # measured crossover on a single 32-core node (166M-edge
+        # scale-free PageRank, f32 messages, 10 iters): P=64 direct
+        # 173M edges-scattered/s vs 123M two-level (the aggregator hop
+        # re-serializes every message byte); at P=128 the direct P²
+        # exchange (16k refs/superstep) did not finish inside a 25-min
+        # budget while two-level ran at 56M. Default 96 = between the
+        # two; multi-node clusters, where the P² refs cross the NIC,
+        # may want it lower.
+        return int(os.environ.get("NGA_TWO_LEVEL_P", "96"))
 
     def _step_two_level(self, scatter_op, update_op, actors, update_actors,
                         sk, uk) -> list[dict]:
