@@ -646,13 +646,27 @@ def simhash_pairs(docs: rd.Dataset, *, max_hamming: int = 8,
 
 def embedding_neardup_pairs(emb: rd.Dataset, *, threshold: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            block_col: str | None = "label") -> rd.Dataset:
+                            block_col: str | None = "label",
+                            group_cap: int = 100_000) -> rd.Dataset:
     """Pairs with cosine ≥ threshold, blocked by ``block_col`` (the
     IVF-style candidate restriction: only same-block pairs are compared;
-    at web scale the block is a coarse quantizer cell)."""
+    at web scale the block is a coarse quantizer cell).
+
+    ``group_cap`` makes the within-block all-pairs contract EXPLICIT:
+    a block larger than the cap raises instead of silently attempting a
+    quadratic comparison (a 10M-vector cell would be 10^14 cosine
+    pairs). Blocks that trip the cap need a finer quantizer (more IVF
+    cells) or the LSH path — that re-blocking decision belongs to the
+    caller, not here, so failing loudly is the correct scale behavior."""
     from neo4j_graph_algorithms_ray.functions.text import round6
 
     def pergroup(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_cap:
+            blk = g[block_col].iloc[0] if block_col else "<all>"
+            raise ValueError(
+                f"embedding_neardup_pairs: block {blk!r} has {len(g)} "
+                f"vectors > group_cap={group_cap}; use a finer quantizer "
+                "(more blocks) or an LSH candidate stage")
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         m = np.stack(g[vec_col].to_numpy()).astype(np.float64)

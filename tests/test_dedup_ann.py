@@ -238,3 +238,31 @@ def test_neardup_scale_paths_match_small_paths(monkeypatch):
                 for r in neardup_clusters(_ds()).take_all()}
     assert big_pairs == small_pairs
     assert big_reps == small_reps
+
+
+def test_embedding_neardup_group_cap_fails_loudly():
+    """Oversized blocks must raise (explicit quadratic-contract guard),
+    not silently attempt an all-pairs comparison."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        embedding_neardup_pairs)
+
+    n, d = 30, 4
+    rng = np.random.default_rng(0)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(rng.normal(size=n * d).astype(np.float32)), d),
+        "label": pa.array(np.zeros(n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(tbl)
+    with pytest.raises((ValueError, Exception)) as ei:
+        embedding_neardup_pairs(ds, group_cap=10).materialize()
+    assert "group_cap" in str(ei.value)
+    # under the cap it works
+    out = embedding_neardup_pairs(ds, group_cap=1000).materialize()
+    assert out.count() >= 0

@@ -56,3 +56,24 @@ def test_resumable_write_retries_partial(input_shards, tmp_path):
     back = read_resumable_output(out)
     vals = sorted(r["x"] for r in back.take_all())
     assert vals == sorted((i * 10 + j) * 2 for i in range(6) for j in range(5))
+
+
+def test_resumable_write_detects_changed_input_set(input_shards, tmp_path):
+    """_SUCCESS markers record the group's input files; a changed file
+    set must fail loudly instead of silently remapping groups."""
+    out = str(tmp_path / "out")
+    resumable_write(input_shards, _double, out, group_size=2)
+    # drop one input file: group boundaries shift
+    changed = input_shards[:1] + input_shards[2:]
+    with pytest.raises(RuntimeError, match="input file set changed"):
+        resumable_write(changed, _double, out, group_size=2)
+
+
+def test_resumable_write_rejects_legacy_empty_marker(input_shards, tmp_path):
+    out = str(tmp_path / "out")
+    resumable_write(input_shards, _double, out, group_size=2)
+    marker = os.path.join(out, "part=00000", "_SUCCESS")
+    with open(marker, "w"):
+        pass  # blank pre-manifest marker — unverifiable
+    with pytest.raises(RuntimeError, match="no input manifest"):
+        resumable_write(input_shards, _double, out, group_size=2)
