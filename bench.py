@@ -195,6 +195,11 @@ def scaling_workload(num_cpus: int) -> dict:
     # partitioned-parquet graph layout (same content fingerprint)
     os.environ["NGA_GRAPH_ROOT"] = os.environ.get(
         "NGA_SCALE_ROOT", "/tmp/nga_scale_shared")
+    # float32 message traffic is the production configuration for the
+    # north-metric kernel (halves exchange+scatter DRAM bytes; the
+    # reference's analogous cut is ×100k int score quantization,
+    # PageRank.java:54) — overridable for f64 comparison runs
+    os.environ.setdefault("NGA_PR_MSG_DTYPE", "float32")
     ray = _init_ray(num_cpus)
     import ray.data as rd
 
