@@ -287,10 +287,16 @@ def main():
         # — the sandbox stand-in for N→4N cluster nodes each bringing
         # their own DRAM bus (BASELINE.md).
         outer = int(os.environ.get("NGA_SCALE_OUTER", "2"))
+        # The N→4N pair: default 8→32 (the full box). NGA_SCALE_CPUS
+        # picks other levels, e.g. "2,8" — a pair where the shared DRAM
+        # bus is NOT saturated at either leg, isolating the engine's own
+        # scaling from the single-box bandwidth ceiling (BASELINE.md).
+        lo, hi = (int(x) for x in
+                  os.environ.get("NGA_SCALE_CPUS", "8,32").split(","))
 
         def run_pair(pinned: bool) -> dict:
             results = {}
-            for n in (8, 32):
+            for n in (lo, hi):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
                 cmd = [sys.executable, os.path.abspath(__file__),
                        "--scaling-worker"]
@@ -348,22 +354,24 @@ def main():
             return results
 
         results = run_pair(pinned=True)
-        t8 = results[8]["edges_scattered_per_sec"]
-        t32 = results[32]["edges_scattered_per_sec"]
-        eff = (t32 / t8) / 4 if t8 else 0.0
-        rec = {"metric": "scaling_efficiency_8_to_32",
+        factor = hi / lo
+        t_lo = results[lo]["edges_scattered_per_sec"]
+        t_hi = results[hi]["edges_scattered_per_sec"]
+        eff = (t_hi / t_lo) / factor if t_lo else 0.0
+        rec = {"metric": f"scaling_efficiency_{lo}_to_{hi}",
                "value": round(eff, 3), "unit": "ratio",
-               "throughput_8": t8, "throughput_32": t32, "runs": results}
+               f"throughput_{lo}": t_lo, f"throughput_{hi}": t_hi,
+               "runs": results}
         if os.environ.get("NGA_SCALE_CONTROL"):
             ctl = run_pair(pinned=False)
-            c8 = ctl[8]["edges_scattered_per_sec"]
-            c32 = ctl[32]["edges_scattered_per_sec"]
+            c_lo = ctl[lo]["edges_scattered_per_sec"]
+            c_hi = ctl[hi]["edges_scattered_per_sec"]
             rec["control_unpinned"] = {
-                "throughput_8": c8, "throughput_32": c32,
+                f"throughput_{lo}": c_lo, f"throughput_{hi}": c_hi,
                 # equal physical bandwidth at both settings → the
-                # meaningful ratio is T32/T8 (expected ≈ 1.0), not /4
-                "t32_over_t8": round(c32 / c8 if c8 else 0.0, 3),
-                "efficiency": round((c32 / c8) / 4 if c8 else 0.0, 3),
+                # meaningful ratio is T_hi/T_lo (expected ≈ 1.0), not /factor
+                "t_hi_over_t_lo": round(c_hi / c_lo if c_lo else 0.0, 3),
+                "efficiency": round((c_hi / c_lo) / factor if c_lo else 0.0, 3),
                 "runs": ctl}
         print(json.dumps(rec))
         return
