@@ -24,7 +24,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from neo4j_graph_algorithms_ray.graph import GraphTables, build_graph
-from neo4j_graph_algorithms_ray.util import distinct_pairs, to_arrow_blocks
+from neo4j_graph_algorithms_ray.util import (broadcast_join, distinct_pairs,
+                                             to_arrow_blocks)
 from neo4j_graph_algorithms_ray.registry import GraphCatalog
 
 SUPP_OFF = 1_000_000
@@ -54,8 +55,10 @@ def purchase_edge_ds(sf_dir: str) -> rd.Dataset:
 def _purchase_edge_ds(sf_dir: str) -> rd.Dataset:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    j = li.join(orders, "inner", num_partitions=8, on=("l_orderkey",),
-                right_on=("o_orderkey",))
+    # orders is the dimension side (one row per key): broadcast it and
+    # probe inside map_batches — no shuffle; hash-join fallback above
+    # BCAST_JOIN_LIMIT rows
+    j = broadcast_join(li, orders, on="l_orderkey", right_on="o_orderkey")
 
     def mk(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -72,8 +75,8 @@ def copart_edge_ds(sf_dir: str) -> rd.Dataset:
     order key (one hash shuffle; per-order python groups would be ~10x
     slower at 15k+ orders)."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    j = li.join(li, "inner", num_partitions=8, on=("l_orderkey",),
-                right_on=("l_orderkey",), left_suffix="_a", right_suffix="_b")
+    j = broadcast_join(li, li, on="l_orderkey",
+                       left_suffix="_a", right_suffix="_b")
 
     def mk(batch: pa.Table) -> pa.Table:
         a = batch.column("l_partkey_a").to_numpy(zero_copy_only=False)
@@ -90,8 +93,7 @@ def trade_edge_ds(sf_dir: str) -> rd.Dataset:
     g1 = purchase_edge_ds(sf_dir)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    j = supp.join(cust, "inner", num_partitions=4, on=("s_nationkey",),
-                  right_on=("c_nationkey",))
+    j = broadcast_join(supp, cust, on="s_nationkey", right_on="c_nationkey")
 
     def mk(batch: pa.Table) -> pa.Table:
         return pa.table({

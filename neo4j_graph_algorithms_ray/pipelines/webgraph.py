@@ -50,8 +50,8 @@ def web_edge_ds(sf_dir: str) -> rd.Dataset:
                               batch_size=EXTRACT_BATCH,
                               concurrency=extract_concurrency())
     edges = edges.filter(expr="src_url != dst_url")
-    return edges.groupby(["src_url", "dst_url"]).count() \
-                .select_columns(["src_url", "dst_url"])
+    from neo4j_graph_algorithms_ray.util import predistinct
+    return predistinct(edges, ["src_url", "dst_url"])
 
 
 def get_web_graph(sf_dir: str, *, undirected: bool = False) -> GraphTables:

@@ -109,6 +109,96 @@ def safe_join(left: rd.Dataset, right: rd.Dataset, join_type: str,
                      right_on=right_on, **kw)
 
 
+# Right-side row limit for the broadcast-join regime: 5M rows of a few
+# int64 columns ≈ 100-200 MB in the object store — read zero-copy by
+# every map task on a node, shipped once per node, never per batch.
+BCAST_JOIN_LIMIT = 5_000_000
+_BCAST_CACHE: dict = {}
+
+
+def broadcast_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
+                   right_on: str | None = None,
+                   left_suffix: str = "_a", right_suffix: str = "_b",
+                   num_partitions: int = 8,
+                   limit: int = BCAST_JOIN_LIMIT) -> rd.Dataset:
+    """Inner equi-join where the right side broadcasts when small.
+
+    Below ``limit`` right rows (and a numeric key) the right table is
+    key-sorted once, ``ray.put`` into the object store, and the join
+    runs as a vectorized ``searchsorted`` + repeat-expansion inside
+    ``map_batches`` — no shuffle, no aggregator actors, M:N supported.
+    Above the limit (or for non-numeric keys) it falls back to the
+    hash-shuffle ``safe_join``. This is the prescribed 100-TB shape for
+    fact⋈dimension joins: the small side moves once per node instead of
+    the big side moving once per join.
+
+    Output schema matches ``Dataset.join``: all left columns + right
+    payload columns (the right key column is dropped); collisions get
+    ``left_suffix``/``right_suffix``.
+    """
+    rk_col = right_on or on
+    right = right.materialize()
+    fallback = right.count() > limit
+
+    rtbl = None
+    if not fallback:
+        rtbl = pa.concat_tables(
+            [t for t in ray.get(right.to_arrow_refs()) if t.num_rows],
+            promote_options="default") if right.count() else None
+        if rtbl is None or not pa.types.is_integer(rtbl.schema.field(rk_col).type):
+            fallback = rtbl is not None  # non-numeric key → shuffle join
+    if fallback:
+        return safe_join(left, right, "inner", num_partitions,
+                         on=(on,), right_on=((right_on,) if right_on else None),
+                         left_suffix=left_suffix, right_suffix=right_suffix)
+
+    if rtbl is None:  # empty right side: inner join result is empty
+        left_schema = left.schema()
+        names = list(left_schema.names)
+        empty = pa.table({n: pa.array([], type=f)
+                          for n, f in zip(names, left_schema.types)})
+        return rd.from_arrow(empty)
+
+    rk = rtbl.column(rk_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(rk, kind="stable")
+    rk_sorted = rk[order]
+    payload_names = [n for n in rtbl.schema.names if n != rk_col]
+    payload = {n: rtbl.column(n).take(pa.array(order)).combine_chunks()
+               for n in payload_names}
+    bc = ray.put((rk_sorted, payload))
+    left_names = set(left.schema().names)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        # one zero-copy plasma read per worker process, not per batch
+        if len(_BCAST_CACHE) > 8:  # bound long-session worker memory
+            _BCAST_CACHE.clear()
+        rks, pay = _BCAST_CACHE.get(bc.hex()) or _BCAST_CACHE.setdefault(
+            bc.hex(), ray.get(bc))
+        k = batch.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(rks, k, side="left")
+        hi = np.searchsorted(rks, k, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        li = np.repeat(np.arange(len(k), dtype=np.int64), cnt)
+        # right indices: each left row i maps to rks[lo[i]:hi[i]]
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        ri = starts + offs
+        out = batch.take(pa.array(li))
+        cols, names = list(out.columns), list(out.schema.names)
+        ri_arr = pa.array(ri)
+        for n in payload_names:
+            pn = n + right_suffix if n in left_names else n
+            if n in left_names:
+                names[names.index(n)] = n + left_suffix
+            cols.append(pay[n].take(ri_arr))
+            names.append(pn)
+        return pa.table(dict(zip(names, cols)))
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
 DISTINCT_DRIVER_LIMIT = 50_000_000
 
 
