@@ -28,7 +28,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from neo4j_graph_algorithms_ray.util import preagg_sum, safe_join
+from neo4j_graph_algorithms_ray.util import (broadcast_join, preagg_sum,
+                                             safe_join)
+
+
+def _expand_join(frontier: rd.Dataset, e: rd.Dataset,
+                 num_partitions: int) -> rd.Dataset:
+    """frontier.end ⋈ e.src — the path⋈edge expansion join
+    (ComputeAllMetaPaths.expand, :154-174). The edge table is the
+    dimension side at test scale (broadcast regime: shipped once via
+    ray.put, probed with vectorized searchsorted inside map_batches);
+    past BCAST_JOIN_LIMIT rows the same call falls back to the
+    hash-shuffle join."""
+    payload = e.select_columns(["src", "edge_type", "dst_label", "dst"])
+    return broadcast_join(frontier, payload, on="end", right_on="src",
+                          num_partitions=num_partitions)
 
 SEP = " | "
 
@@ -42,13 +56,23 @@ def _symmetrize(edges: rd.Dataset) -> rd.Dataset:
 
 
 def _nodes_with_labels(edges: rd.Dataset) -> rd.Dataset:
-    """(node, label) distinct over both endpoints."""
-    a = edges.select_columns(["src", "src_label"]).rename_columns(
-        {"src": "node", "src_label": "label"})
-    b = edges.select_columns(["dst", "dst_label"]).rename_columns(
-        {"dst": "node", "dst_label": "label"})
+    """(node, label) distinct over both endpoints — one map over the
+    edge table emitting both ends pre-deduped per batch (a two-branch
+    union of projections schedules as two pipelines and measured ~4x
+    slower than this single pass)."""
+    def both_ends(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "node": pa.concat_arrays([b["src"].combine_chunks(),
+                                      b["dst"].combine_chunks()]),
+            "label": pa.concat_arrays([
+                b["src_label"].cast(pa.string()).combine_chunks(),
+                b["dst_label"].cast(pa.string()).combine_chunks()]),
+        })
+        return t.group_by(["node", "label"]).aggregate([])
+
     from neo4j_graph_algorithms_ray.util import predistinct
-    return predistinct(a.union(b), ["node", "label"])
+    return predistinct(edges.map_batches(both_ends, batch_format="pyarrow"),
+                       ["node", "label"])
 
 
 def compute_all_metapaths(
@@ -97,8 +121,7 @@ def compute_all_metapaths(
 
     levels = [frontier]
     for _ in range(length - 2):
-        joined = safe_join(frontier, e, "inner", num_partitions,
-                           on=("end",), right_on=("src",))
+        joined = _expand_join(frontier, e, num_partitions)
 
         def extend(batch: pa.Table) -> pa.Table:
             path = pc.binary_join_element_wise(
@@ -175,8 +198,7 @@ def compute_metapaths_for_instances(
                           ["path", "end"], "count")
     levels = [frontier]
     for _ in range(length - 2):
-        joined = safe_join(frontier, e, "inner", num_partitions,
-                           on=("end",), right_on=("src",))
+        joined = _expand_join(frontier, e, num_partitions)
 
         def extend(batch: pa.Table) -> pa.Table:
             path = pc.binary_join_element_wise(
@@ -332,8 +354,7 @@ def metapath_precompute_high_degree_nodes(
                 .select_columns(["start", "path", "end"])
     levels = [frontier]
     for _ in range(length - 2):
-        joined = safe_join(frontier, e, "inner", num_partitions,
-                           on=("end",), right_on=("src",))
+        joined = _expand_join(frontier, e, num_partitions)
 
         def extend(batch: pa.Table) -> pa.Table:
             path = pc.binary_join_element_wise(
