@@ -94,6 +94,28 @@ def _build_oriented(n: int, *blocks: pa.Table):
 
 
 @ray.remote
+def _close_wedge_range(built, lo: int, hi: int, n: int):
+    """Close all rank-oriented wedges of vertices [lo, hi) against the
+    sorted oriented-edge-key array; returns (nonzero vids, their
+    per-vid triangle increments, range triangle total)."""
+    offsets, nbr, okeys, _deg = built
+    counts = np.zeros(n, dtype=np.int64)
+    total = 0
+    srcs = np.arange(lo, hi, dtype=np.int64)
+    for src_rep, t1, t2 in _iter_wedges(srcs, offsets[lo:hi + 1], nbr, {}):
+        hit = _probe(okeys, t1, t2, n)
+        nhit = int(hit.sum())
+        if not nhit:
+            continue
+        total += nhit
+        np.add.at(counts, src_rep[hit], 1)
+        np.add.at(counts, t1[hit], 1)
+        np.add.at(counts, t2[hit], 1)
+    nz = np.nonzero(counts)[0]
+    return nz, counts[nz], total
+
+
+@ray.remote
 def _wedge_bounds(built, p: int) -> np.ndarray:
     """Wedge-weighted range bounds: split vertices into ≤p contiguous
     ranges of equal Σ C(outdeg,2) (the closure work unit), not equal
@@ -191,47 +213,19 @@ def _triangle_count_broadcast(g: GraphTables, *, num_partitions, keep_vid,
     ref = _build_oriented.remote(n, *blocks)
 
     bounds = ray.get(_wedge_bounds.remote(ref, p))
-    ranges = rd.from_arrow(pa.table({"lo": bounds[:-1], "hi": bounds[1:]})) \
-        .repartition(len(bounds) - 1)
-
-    class WedgeCloser:
-        def __init__(self):
-            self.offsets, self.nbr, self.okeys, self.deg = ray.get(ref)
-            self._triu: dict[int, tuple] = {}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            counts = np.zeros(n, dtype=np.int64)
-            total = 0
-            for lo, hi in zip(batch.column("lo").to_pylist(),
-                              batch.column("hi").to_pylist()):
-                srcs = np.arange(lo, hi, dtype=np.int64)
-                for src_rep, t1, t2 in _iter_wedges(srcs, self.offsets[lo:hi + 1],
-                                                    self.nbr, self._triu):
-                    hit = _probe(self.okeys, t1, t2, n)
-                    nhit = int(hit.sum())
-                    if not nhit:
-                        continue
-                    total += nhit
-                    np.add.at(counts, src_rep[hit], 1)
-                    np.add.at(counts, t1[hit], 1)
-                    np.add.at(counts, t2[hit], 1)
-            nz = np.nonzero(counts)[0]
-            total_col = np.zeros(len(nz), dtype=np.int64)
-            if len(nz):
-                total_col[0] = total
-            return pa.table({"vid": pa.array(nz), "cnt": pa.array(counts[nz]),
-                             "total": pa.array(total_col)})
-
-    parts = ranges.map_batches(WedgeCloser, batch_format="pyarrow",
-                               batch_size=1, concurrency=(1, p))
+    # plain Ray tasks, one per wedge-balanced range: tasks reuse warm
+    # worker processes (an actor-pool map here pays ~2-3 s of pool
+    # spawn per call) and the built CSR arrives as a zero-copy plasma
+    # read via the resolved ``built`` argument
+    futures = [_close_wedge_range.remote(ref, int(lo), int(hi), n)
+               for lo, hi in zip(bounds[:-1], bounds[1:])]
     counts = np.zeros(n, dtype=np.int64)
     n_triangles = 0
-    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        # np.add.at — a concatenated batch can hold the same vid from
-        # several range-tasks; fancy += would drop the duplicates
-        np.add.at(counts, b.column("vid").to_numpy(zero_copy_only=False),
-                  b.column("cnt").to_numpy(zero_copy_only=False))
-        n_triangles += int(b.column("total").to_numpy(zero_copy_only=False).sum())
+    for nz, cnt, total in ray.get(futures):
+        # np.add.at — several range-tasks can count the same vid;
+        # fancy += would drop the duplicates
+        np.add.at(counts, nz, cnt)
+        n_triangles += int(total)
 
     deg = ray.get(ref)[3]
     with np.errstate(divide="ignore", invalid="ignore"):
