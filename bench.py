@@ -293,6 +293,8 @@ def main():
         # scaling from the single-box bandwidth ceiling (BASELINE.md).
         lo, hi = (int(x) for x in
                   os.environ.get("NGA_SCALE_CPUS", "8,32").split(","))
+        if not 0 < lo < hi:  # fail fast, not after an hour of legs
+            raise SystemExit(f"NGA_SCALE_CPUS must be 0<lo<hi, got {lo},{hi}")
 
         def run_pair(pinned: bool) -> dict:
             results = {}

@@ -28,21 +28,31 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from neo4j_graph_algorithms_ray.util import (broadcast_join, preagg_sum,
-                                             safe_join)
+from neo4j_graph_algorithms_ray.util import preagg_sum, safe_join
 
 
-def _expand_join(frontier: rd.Dataset, e: rd.Dataset,
-                 num_partitions: int) -> rd.Dataset:
+class _Expander:
     """frontier.end ⋈ e.src — the path⋈edge expansion join
-    (ComputeAllMetaPaths.expand, :154-174). The edge table is the
-    dimension side at test scale (broadcast regime: shipped once via
-    ray.put, probed with vectorized searchsorted inside map_batches);
-    past BCAST_JOIN_LIMIT rows the same call falls back to the
-    hash-shuffle join."""
-    payload = e.select_columns(["src", "edge_type", "dst_label", "dst"])
-    return broadcast_join(frontier, payload, on="end", right_on="src",
-                          num_partitions=num_partitions)
+    (ComputeAllMetaPaths.expand, :154-174). The edge table is
+    loop-invariant across expansion levels, so its broadcast side is
+    prepared ONCE here (key-sorted + ray.put) and every level probes it
+    with vectorized searchsorted inside map_batches; past
+    BCAST_JOIN_LIMIT rows every level falls back to the hash-shuffle
+    join instead."""
+
+    def __init__(self, e: rd.Dataset, num_partitions: int):
+        from neo4j_graph_algorithms_ray.util import prepare_broadcast
+        self.payload = e.select_columns(
+            ["src", "edge_type", "dst_label", "dst"])
+        self.side = prepare_broadcast(self.payload, "src")
+        self.num_partitions = num_partitions
+
+    def __call__(self, frontier: rd.Dataset) -> rd.Dataset:
+        from neo4j_graph_algorithms_ray.util import probe_broadcast
+        if self.side is not None:
+            return probe_broadcast(frontier, self.side, on="end")
+        return safe_join(frontier, self.payload, "inner",
+                         self.num_partitions, on=("end",), right_on=("src",))
 
 SEP = " | "
 
@@ -120,8 +130,9 @@ def compute_all_metapaths(
                           ["path", "end"], "count").materialize()
 
     levels = [frontier]
+    expand = _Expander(e, num_partitions) if length > 2 else None
     for _ in range(length - 2):
-        joined = _expand_join(frontier, e, num_partitions)
+        joined = expand(frontier)
 
         def extend(batch: pa.Table) -> pa.Table:
             path = pc.binary_join_element_wise(
@@ -197,8 +208,9 @@ def compute_metapaths_for_instances(
     frontier = preagg_sum(e.map_batches(first_hop, batch_format="pyarrow"),
                           ["path", "end"], "count")
     levels = [frontier]
+    expand = _Expander(e, num_partitions) if length > 2 else None
     for _ in range(length - 2):
-        joined = _expand_join(frontier, e, num_partitions)
+        joined = expand(frontier)
 
         def extend(batch: pa.Table) -> pa.Table:
             path = pc.binary_join_element_wise(
@@ -353,8 +365,9 @@ def metapath_precompute_high_degree_nodes(
                 .groupby(["start", "path", "end"]).count() \
                 .select_columns(["start", "path", "end"])
     levels = [frontier]
+    expand = _Expander(e, num_partitions) if length > 2 else None
     for _ in range(length - 2):
-        joined = _expand_join(frontier, e, num_partitions)
+        joined = expand(frontier)
 
         def extend(batch: pa.Table) -> pa.Table:
             path = pc.binary_join_element_wise(

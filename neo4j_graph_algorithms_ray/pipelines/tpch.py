@@ -72,8 +72,9 @@ def _purchase_edge_ds(sf_dir: str) -> rd.Dataset:
 
 def copart_edge_ds(sf_dir: str) -> rd.Dataset:
     """Part–part co-occurrence within an order, via self-join on the
-    order key (one hash shuffle; per-order python groups would be ~10x
-    slower at 15k+ orders)."""
+    order key (broadcast regime below 5M rows — shuffle-free; the
+    hash-shuffle fallback above it is still one exchange, and per-order
+    python groups would be ~10x slower at 15k+ orders)."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     j = broadcast_join(li, li, on="l_orderkey",
                        left_suffix="_a", right_suffix="_b")

@@ -116,65 +116,77 @@ BCAST_JOIN_LIMIT = 5_000_000
 _BCAST_CACHE: dict = {}
 
 
-def broadcast_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
-                   right_on: str | None = None,
-                   left_suffix: str = "_a", right_suffix: str = "_b",
-                   num_partitions: int = 8,
-                   limit: int = BCAST_JOIN_LIMIT) -> rd.Dataset:
-    """Inner equi-join where the right side broadcasts when small.
+class BroadcastSide:
+    """Key-sorted, ``ray.put`` right side of a broadcast join — build
+    once with :func:`prepare_broadcast`, probe with any number of left
+    datasets (:func:`probe_broadcast`). Reuse matters when the same
+    dimension table joins in a loop (metapath expansion levels)."""
 
-    Below ``limit`` right rows (and a numeric key) the right table is
-    key-sorted once, ``ray.put`` into the object store, and the join
-    runs as a vectorized ``searchsorted`` + repeat-expansion inside
-    ``map_batches`` — no shuffle, no aggregator actors, M:N supported.
-    Above the limit (or for non-numeric keys) it falls back to the
-    hash-shuffle ``safe_join``. This is the prescribed 100-TB shape for
-    fact⋈dimension joins: the small side moves once per node instead of
-    the big side moving once per join.
+    def __init__(self, ref, payload_names: list[str]):
+        self.ref = ref
+        self.payload_names = payload_names
 
-    Output schema matches ``Dataset.join``: all left columns + right
-    payload columns (the right key column is dropped); collisions get
-    ``left_suffix``/``right_suffix``.
-    """
-    rk_col = right_on or on
+
+def prepare_broadcast(right: rd.Dataset, rk_col: str,
+                      limit: int = BCAST_JOIN_LIMIT):
+    """Collect + key-sort ``right`` into the object store for the
+    broadcast-join regime. Returns ``None`` (caller must use the
+    shuffle join) when the table exceeds ``limit`` rows or the key is
+    not an integer type. Null keys are dropped here — an inner join
+    never matches NULL to NULL (the numpy NaN→INT64_MIN cast otherwise
+    would, diverging from the hash-join fallback)."""
+    import pyarrow.compute as pc
+
     right = right.materialize()
-    fallback = right.count() > limit
-
-    rtbl = None
-    if not fallback:
-        rtbl = pa.concat_tables(
-            [t for t in ray.get(right.to_arrow_refs()) if t.num_rows],
-            promote_options="default") if right.count() else None
-        if rtbl is None or not pa.types.is_integer(rtbl.schema.field(rk_col).type):
-            fallback = rtbl is not None  # non-numeric key → shuffle join
-    if fallback:
-        return safe_join(left, right, "inner", num_partitions,
-                         on=(on,), right_on=((right_on,) if right_on else None),
-                         left_suffix=left_suffix, right_suffix=right_suffix)
-
-    if rtbl is None:  # empty right side: inner join result is empty
-        left_schema = left.schema()
-        names = list(left_schema.names)
-        empty = pa.table({n: pa.array([], type=f)
-                          for n, f in zip(names, left_schema.types)})
-        return rd.from_arrow(empty)
-
+    if right.count() > limit:
+        return None
+    refs = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+    if refs:
+        rtbl = pa.concat_tables(refs, promote_options="default")
+    else:
+        sch = right.schema()
+        rtbl = pa.table({n: pa.array([], type=t)
+                         for n, t in zip(sch.names, sch.types)})
+    if not pa.types.is_integer(rtbl.schema.field(rk_col).type):
+        return None
+    keycol = rtbl.column(rk_col)
+    if keycol.null_count:
+        rtbl = rtbl.filter(pc.is_valid(keycol))
     rk = rtbl.column(rk_col).to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(rk, kind="stable")
-    rk_sorted = rk[order]
     payload_names = [n for n in rtbl.schema.names if n != rk_col]
     payload = {n: rtbl.column(n).take(pa.array(order)).combine_chunks()
                for n in payload_names}
-    bc = ray.put((rk_sorted, payload))
+    return BroadcastSide(ray.put((rk[order], payload)), payload_names)
+
+
+def probe_broadcast(left: rd.Dataset, side: BroadcastSide, *, on: str,
+                    left_suffix: str = "_a",
+                    right_suffix: str = "_b") -> rd.Dataset:
+    """Inner-join ``left`` against a prepared broadcast side: vectorized
+    ``searchsorted`` + repeat-expansion per batch, M:N supported, no
+    shuffle. Output matches ``Dataset.join``: all left columns + right
+    payload columns (right key dropped), collisions suffixed."""
+    import pyarrow.compute as pc
+
+    bc, payload_names = side.ref, side.payload_names
     left_names = set(left.schema().names)
 
     def probe(batch: pa.Table) -> pa.Table:
-        # one zero-copy plasma read per worker process, not per batch
-        if len(_BCAST_CACHE) > 8:  # bound long-session worker memory
-            _BCAST_CACHE.clear()
-        rks, pay = _BCAST_CACHE.get(bc.hex()) or _BCAST_CACHE.setdefault(
-            bc.hex(), ray.get(bc))
-        k = batch.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        # one zero-copy plasma read per worker process, not per batch;
+        # evict OTHER joins' entries when the cache grows (clearing our
+        # own would re-fetch every batch)
+        key = bc.hex()
+        if len(_BCAST_CACHE) > 8:
+            for stale in [k for k in _BCAST_CACHE if k != key]:
+                del _BCAST_CACHE[stale]
+        rks, pay = _BCAST_CACHE.get(key) or _BCAST_CACHE.setdefault(
+            key, ray.get(bc))
+        kc = batch.column(on)
+        if kc.null_count:  # inner join: NULL keys never match
+            batch = batch.filter(pc.is_valid(kc))
+            kc = batch.column(on)
+        k = kc.to_numpy(zero_copy_only=False).astype(np.int64)
         lo = np.searchsorted(rks, k, side="left")
         hi = np.searchsorted(rks, k, side="right")
         cnt = hi - lo
@@ -197,6 +209,41 @@ def broadcast_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
         return pa.table(dict(zip(names, cols)))
 
     return left.map_batches(probe, batch_format="pyarrow")
+
+
+def broadcast_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
+                   right_on: str | None = None,
+                   left_suffix: str = "_a", right_suffix: str = "_b",
+                   num_partitions: int = 8,
+                   limit: int = BCAST_JOIN_LIMIT) -> rd.Dataset:
+    """Inner equi-join where the right side broadcasts when small.
+
+    Below ``limit`` right rows (and integer keys on BOTH sides) the
+    right table is key-sorted once, ``ray.put`` into the object store,
+    and the join runs as a vectorized ``searchsorted`` +
+    repeat-expansion inside ``map_batches`` — no shuffle, no aggregator
+    actors, M:N supported. Above the limit (or for non-integer keys) it
+    falls back to the hash-shuffle ``safe_join``. This is the
+    prescribed 100-TB shape for fact⋈dimension joins: the small side
+    moves once per node instead of the big side moving once per join.
+
+    Output schema matches ``Dataset.join``: all left columns + right
+    payload columns (the right key column is dropped); collisions get
+    ``left_suffix``/``right_suffix``. NULL join keys never match (both
+    regimes).
+    """
+    # the left key must be integer too: astype(int64) in the probe
+    # would silently truncate floats that the hash join instead rejects
+    lsch = left.schema()
+    ltype = dict(zip(lsch.names, lsch.types)).get(on)
+    side = (prepare_broadcast(right, right_on or on, limit)
+            if ltype is not None and pa.types.is_integer(ltype) else None)
+    if side is None:
+        return safe_join(left, right, "inner", num_partitions,
+                         on=(on,), right_on=((right_on,) if right_on else None),
+                         left_suffix=left_suffix, right_suffix=right_suffix)
+    return probe_broadcast(left, side, on=on, left_suffix=left_suffix,
+                           right_suffix=right_suffix)
 
 
 DISTINCT_DRIVER_LIMIT = 50_000_000

@@ -70,6 +70,46 @@ def test_broadcast_join_empty_right():
     assert out.count() == 0
 
 
+def test_broadcast_join_null_keys_never_match():
+    """Inner-join semantics: NULL keys must not match each other (the
+    naive NaN->INT64_MIN cast would pair them up), and the broadcast
+    regime must agree with the hash-join fallback."""
+    left = rd.from_arrow(pa.table({"k": pa.array([1, None], pa.int64()),
+                                   "lv": pa.array([10, 20], pa.int64())}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([None, 1], pa.int64()),
+                                    "rv": pa.array([7, 8], pa.int64())}))
+    got = broadcast_join(left, right, on="k", right_on="rk").to_pandas()
+    assert got.to_dict("records") == [{"k": 1, "lv": 10, "rv": 8}]
+    fb = broadcast_join(left, right, on="k", right_on="rk",
+                        limit=1).to_pandas()
+    assert fb.to_dict("records") == got.to_dict("records")
+
+
+def test_broadcast_join_empty_right_keeps_payload_schema():
+    """An empty right side must still produce the full output schema
+    (left columns + right payload), same as the non-empty regimes."""
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "lv": [3, 4]}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64()),
+                                    "rv": pa.array([], pa.int64())}))
+    out = broadcast_join(left, right, on="k", right_on="rk")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "lv", "rv"}
+
+
+def test_broadcast_join_float_left_key_falls_back():
+    """A float left key must not be silently truncated by the broadcast
+    probe; it routes to the hash join (which rejects the type mismatch
+    exactly as Dataset.join would)."""
+    import pytest
+
+    left = rd.from_pandas(pd.DataFrame({"k": np.array([2.5, 2.0]),
+                                        "lv": np.array([1, 2], np.int64)}))
+    right = rd.from_pandas(pd.DataFrame({"rk": np.array([2], np.int64),
+                                         "rv": np.array([7], np.int64)}))
+    with pytest.raises(Exception):
+        broadcast_join(left, right, on="k", right_on="rk").materialize()
+
+
 def test_broadcast_join_missing_keys_dropped():
     left = rd.from_pandas(pd.DataFrame({"k": np.array([1, 2, 3], np.int64)}))
     right = rd.from_pandas(pd.DataFrame({"k2": np.array([2], np.int64),
