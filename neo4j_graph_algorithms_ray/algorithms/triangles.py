@@ -244,40 +244,35 @@ def _triangle_count_broadcast(g: GraphTables, *, num_partitions, keep_vid,
     return out, stats, tri
 
 
+@ray.remote
+def _gen_triples_range(built, lo: int, hi: int, n: int) -> pa.Table:
+    offsets, nbr, okeys, _deg = built
+    tri_a, tri_b, tri_c = [], [], []
+    srcs = np.arange(lo, hi, dtype=np.int64)
+    for src_rep, t1, t2 in _iter_wedges(srcs, offsets[lo:hi + 1], nbr, {}):
+        hit = _probe(okeys, t1, t2, n)
+        if hit.any():
+            tri_a.append(src_rep[hit])
+            tri_b.append(t1[hit])
+            tri_c.append(t2[hit])
+    if not tri_a:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
+    return pa.table({"a": np.concatenate(tri_a), "b": np.concatenate(tri_b),
+                     "c": np.concatenate(tri_c)})
+
+
 def _triples_broadcast(ref, n: int, p: int) -> rd.Dataset:
     """(a,b,c) rank-oriented triangle triples via the same batched
-    closure (separate pass so the counting path stays lean)."""
+    closure (separate pass so the counting path stays lean). One plain
+    Ray task per wedge-balanced range (same rationale as the counting
+    path: no actor-pool spawn); the per-range tables stay in plasma and
+    come back as a Dataset."""
     bounds = ray.get(_wedge_bounds.remote(ref, p))
-    ranges = rd.from_arrow(pa.table({"lo": bounds[:-1], "hi": bounds[1:]})) \
-        .repartition(len(bounds) - 1)
-
-    class TripleGen:
-        def __init__(self):
-            self.offsets, self.nbr, self.okeys, _ = ray.get(ref)
-            self._triu: dict[int, tuple] = {}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            tri_a, tri_b, tri_c = [], [], []
-            for lo, hi in zip(batch.column("lo").to_pylist(),
-                              batch.column("hi").to_pylist()):
-                srcs = np.arange(lo, hi, dtype=np.int64)
-                for src_rep, t1, t2 in _iter_wedges(srcs, self.offsets[lo:hi + 1],
-                                                    self.nbr, self._triu):
-                    hit = _probe(self.okeys, t1, t2, n)
-                    if hit.any():
-                        tri_a.append(src_rep[hit])
-                        tri_b.append(t1[hit])
-                        tri_c.append(t2[hit])
-            if not tri_a:
-                return pa.table({"a": pa.array([], pa.int64()),
-                                 "b": pa.array([], pa.int64()),
-                                 "c": pa.array([], pa.int64())})
-            return pa.table({"a": np.concatenate(tri_a),
-                             "b": np.concatenate(tri_b),
-                             "c": np.concatenate(tri_c)})
-
-    return ranges.map_batches(TripleGen, batch_format="pyarrow",
-                              batch_size=1, concurrency=(1, p))
+    refs = [_gen_triples_range.remote(ref, int(lo), int(hi), n)
+            for lo, hi in zip(bounds[:-1], bounds[1:])]
+    return rd.from_arrow_refs(refs)
 
 
 def _degree_dataset(und: rd.Dataset) -> rd.Dataset:
