@@ -11,10 +11,10 @@ Semantics are pinned so the DuckDB oracles can replicate them exactly
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 
 STOPWORDS = {
@@ -33,90 +33,148 @@ def round6(x: np.ndarray) -> np.ndarray:
     return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
 
 
+def _text_column(batch: pa.Table, col: str) -> pa.ChunkedArray:
+    return pc.fill_null(batch[col].cast(pa.string()), "")
+
+
+def _split_tokens(txt) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Arrow-native whitespace tokenize of a string column →
+    (flat_tokens pa.Array, doc_idx int64[], n_tok int64[]).
+
+    One `utf8_split_whitespace` over the trimmed column — ~10× faster
+    than an RE2 ``\\S+`` scan per the kernel profile. Empty /
+    whitespace-only docs yield one '' entry in ``flat`` (harmless for
+    length sums and set membership) but n_tok = 0 for them."""
+    trimmed = pc.utf8_trim_whitespace(txt)
+    parts = pc.utf8_split_whitespace(trimmed)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+    empty = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False) == 0
+    n_tok = np.where(empty, 0, counts).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return flat, doc_idx, n_tok
+
+
 class TokenCount:
-    """(id, text) → (id, n_tokens). Whitespace tokenization."""
+    """(id, text) → (id, n_tokens). Whitespace tokenization, one Arrow
+    split kernel per batch — no per-row Python, no regex scan."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
-        self.pat = re.compile(r"\S+")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[self.text_col].map(lambda t: len(self.pat.findall(t or "")))
-        return pd.DataFrame({self.id_col: batch[self.id_col],
-                             "n_tokens": toks.astype(np.int64)})
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, _, n_tok = _split_tokens(_text_column(batch, self.text_col))
+        return pa.table({self.id_col: batch[self.id_col],
+                         "n_tokens": pa.array(n_tok)})
+
+
+def _lang_hits(flat_lower: pa.Array, doc_idx: np.ndarray, ndocs: int,
+               words) -> np.ndarray:
+    """Per-doc count of lowered tokens in ``words`` — Arrow hash
+    ``is_in`` over the flat token array (no Python-object conversion),
+    then a bincount over the matching doc indices."""
+    if len(flat_lower) == 0:
+        return np.zeros(ndocs, dtype=np.int64)
+    mask = pc.is_in(flat_lower, value_set=pa.array(sorted(words))) \
+             .to_numpy(zero_copy_only=False)
+    return np.bincount(doc_idx[mask], minlength=ndocs).astype(np.int64)
 
 
 class QualityScore:
     """(id, text) → per-doc quality features: n_chars, n_tokens,
     mean_token_len, stopword_ratio (English list), punct_ratio.
-    The shape of the reference-free heuristics used for corpus filtering."""
+    The shape of the reference-free heuristics used for corpus filtering.
+
+    Fully vectorized: one Arrow whitespace split per batch drives token
+    count / summed token length (utf8_length over the flat tokens +
+    weighted bincount) / stopword hits (hash `is_in` + bincount); the
+    punct count is a single RE2 char-class scan. Zero per-row Python.
+    """
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
-        self.tok = re.compile(r"\S+")
-        self.stop = set(STOPWORDS["en"])
+        self.stop = frozenset(STOPWORDS["en"])
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, rows = batch[self.id_col], batch[self.text_col]
-        n_chars = rows.str.len().astype(np.int64)
-        toks = rows.map(lambda t: self.tok.findall(t or ""))
-        n_tok = toks.map(len).astype(np.int64)
-        tok_chars = toks.map(lambda ts: sum(len(t) for t in ts))
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = _text_column(batch, self.text_col)
+        ndocs = len(txt)
+        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+        punct = pc.count_substring_regex(txt, "[" + PUNCT + "]") \
+                  .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, doc_idx, n_tok = _split_tokens(txt)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        tok_chars = np.bincount(doc_idx, weights=tok_len.astype(np.float64),
+                                minlength=ndocs)
+        stop_hits = _lang_hits(pc.utf8_lower(flat), doc_idx, ndocs, self.stop)
         mean_len = np.where(n_tok > 0, tok_chars / np.maximum(n_tok, 1), 0.0)
-        stop_hits = toks.map(lambda ts: sum(1 for t in ts if t.lower() in self.stop))
         stop_ratio = np.where(n_tok > 0, stop_hits / np.maximum(n_tok, 1), 0.0)
-        punct = rows.map(lambda t: sum(1 for ch in (t or "") if ch in PUNCT))
         punct_ratio = np.where(n_chars > 0, punct / np.maximum(n_chars, 1), 0.0)
-        return pd.DataFrame({
-            self.id_col: ids, "n_chars": n_chars, "n_tokens": n_tok,
-            "mean_token_len": round6(mean_len),
-            "stopword_ratio": round6(stop_ratio),
-            "punct_ratio": round6(punct_ratio),
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_chars": pa.array(n_chars), "n_tokens": pa.array(n_tok),
+            "mean_token_len": pa.array(round6(mean_len)),
+            "stopword_ratio": pa.array(round6(stop_ratio)),
+            "punct_ratio": pa.array(round6(punct_ratio)),
         })
 
 
 class LangId:
     """N-gram-free heuristic language ID: stopword hit counts per
     language; predicted lang = argmax hits (alphabetical tie-break),
-    'und' when no hits."""
+    'und' when no hits.
+
+    Vectorized: one Arrow split per batch, then one hash `is_in` +
+    bincount per language over the shared flat token array; argmax over
+    the (langs × docs) hit matrix — ``self.langs`` is sorted, so numpy's
+    first-max argmax IS the alphabetical tie-break."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
-        self.tok = re.compile(r"\S+")
         self.langs = sorted(STOPWORDS)
-        self.sets = {lang: set(ws) for lang, ws in STOPWORDS.items()}
+        self.sets = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def pred(t: str) -> str:
-            toks = [w.lower() for w in self.tok.findall(t or "")]
-            hits = {lang: sum(1 for w in toks if w in self.sets[lang])
-                    for lang in self.langs}
-            m = max(hits.values()) if hits else 0
-            if m == 0:
-                return "und"
-            return min(lang for lang, h in hits.items() if h == m)
-
-        return pd.DataFrame({self.id_col: batch[self.id_col],
-                             "pred_lang": batch[self.text_col].map(pred)})
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = _text_column(batch, self.text_col)
+        ndocs = len(txt)
+        flat, doc_idx, _ = _split_tokens(txt)
+        low = pc.utf8_lower(flat)
+        hits = np.stack([
+            _lang_hits(low, doc_idx, ndocs, self.sets[lang])
+            for lang in self.langs]) if ndocs else np.zeros((len(self.langs), 0))
+        best = np.asarray(self.langs, dtype=object)[hits.argmax(axis=0)]
+        pred = np.where(hits.max(axis=0) > 0, best, "und") if ndocs \
+            else np.empty(0, object)
+        return pa.table({self.id_col: batch[self.id_col],
+                         "pred_lang": pa.array(pred.astype(object), pa.string())})
 
 
 class Fingerprint:
     """Deterministic document fingerprint: md5 hex of the normalized
-    text (lowercase, whitespace collapsed to single spaces, trimmed)."""
+    text (lowercase, whitespace collapsed to single spaces, trimmed).
+
+    Normalization is column-level Arrow (`utf8_lower` →
+    `replace_substring_regex(\\s+→' ')` → trim spaces), matching the SQL
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` exactly;
+    only the md5 itself runs per DISTINCT normalized string."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
-        self.ws = re.compile(r"\s+")
 
-    def normalize(self, t: str) -> str:
-        # collapse first, then strip: matches the SQL
-        # trim(regexp_replace(lower(text), '\s+', ' ', 'g')) exactly
-        return self.ws.sub(" ", (t or "").lower()).strip(" ")
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fp = batch[self.text_col].map(
-            lambda t: hashlib.md5(self.normalize(t).encode("utf-8")).hexdigest())
-        return pd.DataFrame({self.id_col: batch[self.id_col], "fingerprint": fp})
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = _text_column(batch, self.text_col)
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " "), " ")
+        inv, uniq = pd.factorize(norm.to_numpy(zero_copy_only=False))
+        md5 = hashlib.md5
+        digests = np.fromiter(
+            (md5(s.encode("utf-8")).hexdigest() for s in uniq),
+            dtype=object, count=len(uniq))
+        fp = digests[inv] if len(uniq) else np.empty(0, object)
+        return pa.table({self.id_col: batch[self.id_col],
+                         "fingerprint": pa.array(fp, pa.string())})
 
 
 def vocab_topk(docs, *, topk: int = 100, id_col: str = "doc_id",

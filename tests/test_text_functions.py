@@ -23,13 +23,13 @@ def _ds():
 
 def test_token_count():
     out = {r["doc_id"]: r["n_tokens"]
-           for r in _ds().map_batches(TokenCount, batch_format="pandas", concurrency=1).take_all()}
+           for r in _ds().map_batches(TokenCount, batch_format="pyarrow", concurrency=1).take_all()}
     assert out == {0: 8, 1: 8, 2: 3, 3: 0, 4: 3}
 
 
 def test_quality_score():
     rows = {r["doc_id"]: r for r in
-            _ds().map_batches(QualityScore, batch_format="pandas", concurrency=1).take_all()}
+            _ds().map_batches(QualityScore, batch_format="pyarrow", concurrency=1).take_all()}
     assert rows[3]["n_tokens"] == 0 and rows[3]["stopword_ratio"] == 0.0
     r0 = rows[0]
     assert r0["n_chars"] == len(DOCS[0]["text"])
@@ -41,7 +41,7 @@ def test_quality_score():
 
 def test_langid():
     out = {r["doc_id"]: r["pred_lang"]
-           for r in _ds().map_batches(LangId, batch_format="pandas", concurrency=1).take_all()}
+           for r in _ds().map_batches(LangId, batch_format="pyarrow", concurrency=1).take_all()}
     assert out[0] == "en"
     assert out[1] == "de"
     assert out[2] == "und"
@@ -50,7 +50,7 @@ def test_langid():
 
 def test_fingerprint_normalization():
     out = {r["doc_id"]: r["fingerprint"]
-           for r in _ds().map_batches(Fingerprint, batch_format="pandas", concurrency=1).take_all()}
+           for r in _ds().map_batches(Fingerprint, batch_format="pyarrow", concurrency=1).take_all()}
     expect4 = hashlib.md5(b"spaced out tabs").hexdigest()
     assert out[4] == expect4
     assert out[3] == hashlib.md5(b"").hexdigest()
