@@ -359,6 +359,13 @@ def _modularity(edges: rd.Dataset, labels: rd.Dataset,
     w_in = j.map_batches(intra, batch_format="pyarrow").sum("w") or 0
     stot = labels.groupby("comm").sum("degree") \
         .rename_columns({"sum(degree)": "stot"})
-    stot_pdf = stot.to_pandas()
-    q = w_in / w2m - float(((stot_pdf["stot"] / w2m) ** 2).sum())
-    return float(q)
+
+    def sq(b: pa.Table) -> pa.Table:
+        s = b.column("stot").to_numpy(zero_copy_only=False) / w2m
+        return pa.table({"sq": pa.array([float((s * s).sum())])})
+
+    # sum((stot/w2m)^2) as a distributed partial-sum aggregate — the
+    # community-degree table can be O(nodes) in early sweeps, so it
+    # never lands on the driver.
+    sq_sum = stot.map_batches(sq, batch_format="pyarrow").sum("sq") or 0.0
+    return float(w_in / w2m - sq_sum)

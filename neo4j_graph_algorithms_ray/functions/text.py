@@ -392,11 +392,23 @@ def inverted_index(docs, *, min_df: int = 2, id_col: str = "doc_id",
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # segmented posting-list build, no per-token Python: run-length
+        # segments over the (token, id)-sorted frame become a ListArray
+        # whose binary_join emits every bucket's postings in one kernel.
         g = g.sort_values(["token", id_col])
-        agg = g.groupby("token", sort=True)[id_col].agg(
-            df="size", postings=lambda x: ",".join(map(str, x)))
-        agg = agg[agg["df"] >= min_df].reset_index()
-        return agg[["token", "df", "postings"]]
+        toks = g["token"].to_numpy()
+        ids = g[id_col].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], toks[1:] != toks[:-1])))
+        bounds = np.concatenate((starts, [len(toks)]))
+        counts = np.diff(bounds)
+        lst = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32), pa.int32()),
+            pa.array(ids.astype(str), pa.string()))
+        postings = pc.binary_join(lst, ",").to_pandas()
+        out = pd.DataFrame({"token": toks[starts],
+                            "df": counts.astype(np.int64),
+                            "postings": postings})
+        return out[out["df"] >= min_df].reset_index(drop=True)
 
     out = pairs.map_batches(add_bucket, batch_format="pyarrow") \
                .groupby("_bkt").map_groups(per_bucket, batch_format="pandas")

@@ -50,9 +50,13 @@ BROADCAST_VERTEX_LIMIT = 50_000_000
 def broadcast_vertex_limit() -> int:
     return int(os.environ.get("NGA_BROADCAST_VERTEX_LIMIT",
                               BROADCAST_VERTEX_LIMIT))
-# Below this edge count, distinct-vertex extraction merges per-block
-# uniques on the driver (O(n) memory — same order as the broadcast map).
-EDGE_DRIVER_DISTINCT_LIMIT = 200_000_000
+# Below this ESTIMATED DISTINCT-ENDPOINT count (sum of per-block unique
+# counts — a cheap upper bound computed in parallel before deciding),
+# distinct-vertex extraction merges per-block uniques on the driver
+# (O(n) memory — same order as the broadcast vid map, which is what the
+# merged array becomes anyway). Gating on edge count was wrong: a 200M-
+# edge table with mostly-unique endpoints would pull ~3 GB to the driver.
+EDGE_DRIVER_DISTINCT_LIMIT = 50_000_000
 
 
 @dataclass
@@ -112,25 +116,36 @@ def _unique_endpoint_ids(edges: rd.Dataset, src_col: str, dst_col: str) -> rd.Da
     return both.groupby("node").count().select_columns(["node"])
 
 
-def _unique_endpoints_driver(edges: rd.Dataset, src_col: str, dst_col: str,
-                             extra: Optional[rd.Dataset]) -> pa.Array:
-    """Driver-side distinct+sort of node ids for the broadcast regime:
-    tiny Ray tasks compute per-block uniques; the driver merges. Memory
-    is O(n + blocks·block_uniques) — same order as the broadcast vid map
-    itself, so this costs nothing extra below BROADCAST_VERTEX_LIMIT.
-    Returns the vid-ordered (ascending) node array."""
-    @ray.remote
-    def block_unique(tbl: pa.Table, cols: list[str]) -> pa.Array:
-        arrs = [tbl[c].combine_chunks() for c in cols if c in tbl.column_names]
-        if tbl.num_rows == 0 or not arrs:  # schema-less empty blocks
-            return pa.array([], pa.int64())
-        return pc.unique(pa.chunked_array(arrs))
+@ray.remote
+def _block_unique(tbl: pa.Table, cols: list[str]) -> pa.Array:
+    arrs = [tbl[c].combine_chunks() for c in cols if c in tbl.column_names]
+    if tbl.num_rows == 0 or not arrs:  # schema-less empty blocks
+        return pa.array([], pa.int64())
+    return pc.unique(pa.chunked_array(arrs))
 
-    refs = [block_unique.remote(r, [src_col, dst_col])
+
+@ray.remote
+def _arr_len(arr: pa.Array) -> int:
+    return len(arr)
+
+
+def _block_unique_refs(edges: rd.Dataset, src_col: str, dst_col: str,
+                       extra: Optional[rd.Dataset]) -> list:
+    """Per-block distinct endpoint arrays as object refs (parallel,
+    cheap: one pc.unique per block, arrays stay in the object store)."""
+    refs = [_block_unique.remote(r, [src_col, dst_col])
             for r in edges.materialize().to_arrow_refs()]
     if extra is not None:
-        refs += [block_unique.remote(r, ["node"])
+        refs += [_block_unique.remote(r, ["node"])
                  for r in extra.materialize().to_arrow_refs()]
+    return refs
+
+
+def _merge_unique_driver(refs: list) -> pa.Array:
+    """Driver-side distinct+sort merge of per-block unique arrays for
+    the broadcast regime. Memory is O(n + blocks·block_uniques) — same
+    order as the broadcast vid map itself, so this costs nothing extra
+    below BROADCAST_VERTEX_LIMIT. Returns the vid-ordered node array."""
     parts = ray.get(refs)
     allv = pc.unique(pa.chunked_array(parts)) if parts else pa.array([], pa.int64())
     order = pc.sort_indices(allv)
@@ -182,18 +197,21 @@ def build_graph(
 
     # --- dense-id assignment (IdMap analogue; ascending original-id order) ---
     e = e.materialize()
-    m_in = e.count()
     node_arr = None
-    edge_driver_limit = int(os.environ.get("NGA_EDGE_DRIVER_DISTINCT_LIMIT",
-                                           EDGE_DRIVER_DISTINCT_LIMIT))
-    if m_in <= edge_driver_limit:
+    distinct_driver_limit = int(os.environ.get("NGA_EDGE_DRIVER_DISTINCT_LIMIT",
+                                               EDGE_DRIVER_DISTINCT_LIMIT))
+    uniq_refs = _block_unique_refs(
+        e, "src", "dst",
+        extra_vertices.select_columns(["node"]) if extra_vertices is not None else None)
+    # gate on the actual driver cost — estimated distinct endpoints
+    # (sum of per-block unique counts, an upper bound) — not edge count
+    est_distinct = sum(ray.get([_arr_len.remote(r) for r in uniq_refs]))
+    if est_distinct <= distinct_driver_limit:
         # broadcast regime: distinct+sort merged on the driver from
         # per-block uniques (a 35M-row groupby-distinct costs minutes in
         # a hash shuffle; this path is seconds and the result is the
         # broadcast vid map we need anyway)
-        node_arr = _unique_endpoints_driver(
-            e, "src", "dst",
-            extra_vertices.select_columns(["node"]) if extra_vertices is not None else None)
+        node_arr = _merge_unique_driver(uniq_refs)
         n = len(node_arr)
         vt = pa.table({"node": node_arr,
                        "vid": pa.array(np.arange(n, dtype=np.int64))})

@@ -68,3 +68,36 @@ def test_attach_keep_vid_join_regime(monkeypatch):
     assert out.schema().names[0] == "node"
     assert [r["vid"] for r in rows] == list(range(g.num_vertices))
     assert all(r["value"] == 2.0 * r["vid"] for r in rows)
+
+
+def test_distinct_gate_routes_on_endpoint_cardinality(monkeypatch):
+    """The driver-merge regime is gated on ESTIMATED DISTINCT ENDPOINTS,
+    not edge count: a many-edge table over few vertices stays on the
+    driver-merge path, while a high-cardinality table (limit shrunk
+    below its distinct count) must route to the distributed id-assign
+    path — both producing identical graphs."""
+    import neo4j_graph_algorithms_ray.graph as gmod
+
+    calls = []
+    orig = gmod._merge_unique_driver
+    monkeypatch.setattr(gmod, "_merge_unique_driver",
+                        lambda refs: calls.append(1) or orig(refs))
+
+    # 60 edges over 6 vertices, limit 10: edge count >> limit but the
+    # distinct estimate (<=12 per block-unique sum) fits -> driver merge
+    src = np.arange(60, dtype=np.int64) % 6
+    dst = (np.arange(60, dtype=np.int64) + 1) % 6
+    import pyarrow as pa
+    tbl = pa.table({"src": src, "dst": dst})
+    monkeypatch.setenv("NGA_EDGE_DRIVER_DISTINCT_LIMIT", "13")
+    g_small = build_graph(rd.from_arrow(tbl), name="gate_small", dedup=True)
+    assert calls, "dense many-edge table should use the driver merge"
+    assert g_small.num_vertices == 6
+
+    # same table, limit 3 < 6 distinct endpoints -> distributed path
+    calls.clear()
+    monkeypatch.setenv("NGA_EDGE_DRIVER_DISTINCT_LIMIT", "3")
+    g_big = build_graph(rd.from_arrow(tbl), name="gate_big", dedup=True)
+    assert not calls, "high-cardinality table must take the distributed path"
+    assert g_big.num_vertices == 6
+    assert g_big.num_edges == g_small.num_edges
