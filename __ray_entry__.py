@@ -358,6 +358,190 @@ def _q_betweenness_exact(sf_dir: str):
     return _round6(betweenness(g, node_col="host").dataset, "centrality")
 
 
+def _q_mscoloring(sf_dir: str):
+    # algo.unionFind.mscoloring (MSColoring.java:46-125): WCC by MAX-id
+    # propagation; oracle = wcc_sql unroll with greatest/max.
+    from neo4j_graph_algorithms_ray.algorithms import mscoloring
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase_und")
+    return mscoloring(g).dataset
+
+
+def _q_mst_prim(sf_dir: str):
+    import numpy as np
+    # algo.mst (MSTPrim.java:46-70): sequential Prim from the smallest
+    # host over the undirected weighted host graph; oracle = recursive
+    # single-row Prim replay (oracles_web.host_mst_sql).
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import mst_prim
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import \
+        get_host_graph_weighted_und
+    from neo4j_graph_algorithms_ray.util import round6
+    g = get_host_graph_weighted_und(sf_dir)
+    start = g.vid_to_node_map()[0].as_py()
+    r = mst_prim(g, start)
+    rr = lambda x: float(round6(np.array([x]))[0])
+    return pa.table({
+        "weight_sum": pa.array([rr(r["weight_sum"])]),
+        "weight_min": pa.array([rr(r["weight_min"])]),
+        "weight_max": pa.array([rr(r["weight_max"])]),
+        "edge_count": pa.array([len(r["edges"])], pa.int64()),
+        "effective_node_count": pa.array([r["effective_node_count"]], pa.int64()),
+    })
+
+
+def _q_msf_boruvka(sf_dir: str):
+    import numpy as np
+    # distributed Borůvka MSF on the same graph — all MSTs share one
+    # weight multiset, so the Prim oracle's totals gate it too.
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import msf_boruvka
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import \
+        get_host_graph_weighted_und
+    from neo4j_graph_algorithms_ray.util import round6
+    g = get_host_graph_weighted_und(sf_dir)
+    r = msf_boruvka(g)
+    return pa.table({
+        "weight_sum": pa.array([float(round6(np.array([r["weight_sum"]]))[0])]),
+        "edge_count": pa.array([r["edge_count"]], pa.int64()),
+        "components": pa.array([r["components"]], pa.int64()),
+    })
+
+
+def _q_getting_started(sf_dir: str):
+    # algo.gettingStarted (GettingStarted.java:30-40): any relationship?
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import getting_started
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+    return pa.table({"has_relationships": pa.array([getting_started(g)])})
+
+
+def _q_filter_metapaths(sf_dir: str):
+    # algo.filterMetaPaths (FilterMetaPaths.java:17-55) composed over
+    # computeAllMetaPaths output: Customer-start, Nation-end paths.
+    from neo4j_graph_algorithms_ray.algorithms import (
+        compute_all_metapaths, filter_metapaths)
+    from neo4j_graph_algorithms_ray.pipelines.tpch import typed_edge_ds
+    paths = compute_all_metapaths(typed_edge_ds(sf_dir), length=3,
+                                  undirected=True)
+    return filter_metapaths(paths, start_labels=["Customer"],
+                            end_labels=["Nation"])
+
+
+def _q_metapaths_for_instances(sf_dir: str):
+    # ComputeAllMetaPathsForInstances: paths between the 5 smallest
+    # customers and every Nation node, with walk counts.
+    from neo4j_graph_algorithms_ray.algorithms import \
+        compute_metapaths_for_instances
+    from neo4j_graph_algorithms_ray.pipelines.tpch import (_read,
+                                                           typed_edge_ds)
+    te = typed_edge_ds(sf_dir)
+    starts = [r["c_custkey"] for r in _read(sf_dir, "customer", ["c_custkey"])
+              .sort("c_custkey").limit(5).take_all()]
+    ends = sorted({r["dst"] for r in te.filter(expr="dst_label == 'Nation'")
+                  .select_columns(["dst"]).take_all()})
+    return compute_metapaths_for_instances(te, starts, ends, length=3,
+                                           undirected=True)
+
+
+def _q_metapath_precompute_hubs(sf_dir: str):
+    # MetaPathPrecomputeHighDegreeNodes.java:18-76: (start, path, end)
+    # instance rows for the top-1% degree hubs, deterministic tie-break.
+    from neo4j_graph_algorithms_ray.algorithms import \
+        metapath_precompute_high_degree_nodes
+    from neo4j_graph_algorithms_ray.pipelines.tpch import typed_edge_ds
+    return metapath_precompute_high_degree_nodes(
+        typed_edge_ds(sf_dir), ratio=0.01, length=3, undirected=True)
+
+
+def _q_scalars_flags(sf_dir: str):
+    import numpy as np
+    # algo.isFinite/isInfinite/Infinity/NaN (IsFiniteFunc.java:27-45)
+    # exercised as batch kernels over a lineitem-derived column with
+    # injected inf/nan; single aggregated row of flag counts.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions import scalars
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_tax"])
+
+    def flags(b: "pa.Table") -> "pa.Table":
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        tax = b["l_tax"].to_numpy(zero_copy_only=False)
+        safe = np.where(disc > 0, disc, 1.0)
+        val = np.where(disc > 0, price / safe, scalars.infinity())
+        val = np.where(tax == 0, scalars.nan(), val)
+        arr = pa.array(val)
+        return pa.table({
+            "n_finite": pa.array([int(pc.sum(scalars.is_finite(arr)).as_py() or 0)], pa.int64()),
+            "n_infinite": pa.array([int(pc.sum(scalars.is_infinite(arr)).as_py() or 0)], pa.int64()),
+            "n_nan": pa.array([int(pc.sum(pc.is_nan(arr)).as_py() or 0)], pa.int64()),
+        })
+
+    part = li.map_batches(flags, batch_format="pyarrow")
+    import pyarrow as _pa
+    return _pa.table({
+        "n_finite": _pa.array([int(part.sum("n_finite") or 0)], _pa.int64()),
+        "n_infinite": _pa.array([int(part.sum("n_infinite") or 0)], _pa.int64()),
+        "n_nan": _pa.array([int(part.sum("n_nan") or 0)], _pa.int64()),
+    })
+
+
+def _q_graph_catalog(sf_dir: str):
+    import numpy as np
+    # LoadGraphFactory / algo.graph.load+info+remove round trip
+    # (registry.py GraphCatalog) on a fresh tiny nation→region graph —
+    # not an alias of a shared cached graph, so remove() closing its
+    # engines cannot disturb other queries.
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.tpch import _read
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+
+    def mk(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b["n_nationkey"].cast(pa.int64()),
+            "dst": pa.array(3_000_000
+                            + b["n_regionkey"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+        })
+
+    edges = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]) \
+        .map_batches(mk, batch_format="pyarrow")
+    g = build_graph(edges, name="driver_catalog_rt")
+    GraphCatalog.set("driver_catalog_rt", g)
+    info = GraphCatalog.info("driver_catalog_rt")
+    removed = GraphCatalog.remove("driver_catalog_rt")
+    exists_after = GraphCatalog.check("driver_catalog_rt")
+    return pa.table({
+        "name": pa.array([info["name"]]),
+        "nodes": pa.array([info["nodes"]], pa.int64()),
+        "relationships": pa.array([info["relationships"]], pa.int64()),
+        "removed": pa.array([removed]),
+        "exists_after": pa.array([exists_after]),
+    })
+
+
+def _q_betweenness_maxdepth(sf_dir: str):
+    # MaxDepthBetweennessCentrality.java parity: exact BSP Brandes with
+    # the BFS capped at depth 3; oracle = the bounded pair-dependency
+    # SQL with the same cap.
+    from neo4j_graph_algorithms_ray.algorithms import betweenness_bsp
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    g = get_host_graph(sf_dir)
+    res = betweenness_bsp(g, max_depth=3, node_col="host")
+    return _round6(res.dataset, "centrality")
+
+
 # ---------------- event-stream queries (functions/events.py) ----------------
 
 EVENT_WINDOW_S = 3600
@@ -949,8 +1133,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase": _q_asof_purchase,
         "funnel": _q_funnel,
         "retention_cohorts": _q_retention,
-        # ---- end of the 40 previously-unverified; ~10 slots below stay
-        # inside the window for this round's new §2-coverage queries ----
+        # ---- end of the 40 previously-unverified; the 10 slots below
+        # carry this round's NEW §2-coverage queries (operators that
+        # were pytest-only or untested until now) ----
+        "mscoloring": _q_mscoloring,
+        "mst_prim": _q_mst_prim,
+        "msf_boruvka": _q_msf_boruvka,
+        "getting_started": _q_getting_started,
+        "filter_metapaths": _q_filter_metapaths,
+        "metapaths_for_instances": _q_metapaths_for_instances,
+        "metapath_precompute_hubs": _q_metapath_precompute_hubs,
+        "scalars_flags": _q_scalars_flags,
+        "graph_catalog": _q_graph_catalog,
+        "betweenness_maxdepth": _q_betweenness_maxdepth,
+        # ---------------- position 51+ (multi-round green) ----------------
         "web_pagerank": _q_web_pagerank,
         "pagerank": _q_pagerank,
         "wcc": _q_wcc,
@@ -961,7 +1157,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": _q_sssp,
         "scc": _q_scc,
         "labelprop": _q_labelprop,
-        # ---------------- position 51+ (multi-round green) ----------------
         "page_text": _q_page_text,
         "page_links": _q_page_links,
         "web_degrees": _q_web_degrees,
@@ -1053,6 +1248,16 @@ def oracle_sql() -> dict[str, str]:
         "louvain": o.louvain_sql(LOUVAIN_SWEEPS),
         "betweenness_sampled": ow.host_betweenness_sql(sample=10),
         "betweenness_exact": ow.host_betweenness_sql(),
+        "betweenness_maxdepth": ow.host_betweenness_sql(max_depth=3),
+        "mscoloring": o.mscoloring_sql(WCC_SQL_ITERS),
+        "mst_prim": ow.host_mst_sql("prim"),
+        "msf_boruvka": ow.host_mst_sql("boruvka"),
+        "getting_started": o.GETTING_STARTED_SQL,
+        "filter_metapaths": o.filter_metapaths_sql(3, "Customer", "Nation"),
+        "metapaths_for_instances": o.METAPATHS_FOR_INSTANCES_SQL,
+        "metapath_precompute_hubs": o.precompute_high_degree_sql(0.01),
+        "scalars_flags": o.SCALARS_SQL,
+        "graph_catalog": o.GRAPH_CATALOG_SQL,
         "algo_list": o.ALGO_LIST_SQL,
         "metapaths_schema_full": o.SCHEMA_FULL_SQL,
         "label_ids": o.LABEL_IDS_SQL,

@@ -351,7 +351,11 @@ def metapath_precompute_high_degree_nodes(
     e = e.materialize()
     deg = e.groupby("src").count()
     k = max(1, int(deg.count() * ratio))
-    hubs = pa.array([r["src"] for r in deg.sort("count()", descending=True).limit(k).take_all()])
+    # deterministic hub pick: (degree DESC, node ASC) — ties on degree
+    # would otherwise make the hub set run-dependent (and un-oracle-able)
+    hubs = pa.array([r["src"] for r in
+                     deg.sort(["count()", "src"],
+                              descending=[True, False]).limit(k).take_all()])
 
     def first_hop(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_in(batch["src"], value_set=hubs))
@@ -361,9 +365,10 @@ def metapath_precompute_high_degree_nodes(
             batch["dst_label"].cast(pa.string()), SEP)
         return pa.table({"start": batch["src"], "path": path, "end": batch["dst"]})
 
-    frontier = e.map_batches(first_hop, batch_format="pyarrow") \
-                .groupby(["start", "path", "end"]).count() \
-                .select_columns(["start", "path", "end"])
+    from neo4j_graph_algorithms_ray.util import predistinct
+    cols = ["start", "path", "end"]
+    frontier = predistinct(e.map_batches(first_hop, batch_format="pyarrow"),
+                           cols).materialize()
     levels = [frontier]
     expand = _Expander(e, num_partitions) if length > 2 else None
     for _ in range(length - 2):
@@ -375,12 +380,10 @@ def metapath_precompute_high_degree_nodes(
                 batch["dst_label"].cast(pa.string()), SEP)
             return pa.table({"start": batch["start"], "path": path, "end": batch["dst"]})
 
-        frontier = joined.map_batches(extend, batch_format="pyarrow") \
-                         .groupby(["start", "path", "end"]).count() \
-                         .select_columns(["start", "path", "end"])
+        frontier = predistinct(joined.map_batches(extend, batch_format="pyarrow"),
+                               cols).materialize()
         levels.append(frontier)
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
-    return out.groupby(["start", "path", "end"]).count() \
-              .select_columns(["start", "path", "end"])
+    return predistinct(out, cols)

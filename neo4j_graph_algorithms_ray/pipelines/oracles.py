@@ -577,3 +577,99 @@ ALGO_LIST_SQL = """SELECT name, impl FROM (VALUES
   ('algo.unionFind.queue.stream', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc'),
   ('algo.unionFind.stream', 'neo4j_graph_algorithms_ray.algorithms.wcc.wcc')
 ) AS t(name, impl) ORDER BY name"""
+
+
+def mscoloring_sql(iters: int = 25) -> str:
+    """algo.unionFind.mscoloring mirror: WCC by MAX-id propagation over
+    the symmetrized purchase graph (MSColoring.java:46-125 semantics),
+    unrolled like wcc_sql with greatest/max instead of least/min."""
+    ctes = [G1_EDGES, G1_NODES,
+            "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges "
+            "UNION ALL SELECT dst AS a, src AS b FROM edges)",
+            "c0 AS (SELECT node, node AS c FROM nodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""c{k} AS MATERIALIZED (
+  SELECT n.node, greatest(p.c, coalesce(max(q.c), p.c)) AS c
+  FROM nodes n
+  JOIN c{k-1} p ON p.node = n.node
+  LEFT JOIN sym e ON e.a = n.node
+  LEFT JOIN c{k-1} q ON q.node = e.b
+  GROUP BY n.node, p.c)""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT node, c AS component FROM c{iters} ORDER BY node")
+
+
+GETTING_STARTED_SQL = f"""WITH {G1_EDGES}
+SELECT (SELECT count(*) FROM edges) > 0 AS has_relationships"""
+
+
+def filter_metapaths_sql(length: int = 3, start: str = "Customer",
+                         end: str = "Nation") -> str:
+    """compute_all_metapaths + filter_metapaths mirror: keep paths whose
+    first/last label token matches (FilterMetaPaths.java:17-55)."""
+    base = metapath_sql(length).replace(" ORDER BY path", "")
+    return f"""SELECT path, "count" FROM ({base}) t
+WHERE string_split(path, ' | ')[1] = '{start}'
+  AND string_split(path, ' | ')[-1] = '{end}'
+ORDER BY path"""
+
+
+METAPATHS_FOR_INSTANCES_SQL = f"""WITH {TYPED_EDGES},
+sym AS MATERIALIZED (SELECT src, dst, sl, et, dl FROM te
+        UNION ALL SELECT dst, src, dl, et, sl FROM te),
+starts AS (SELECT c_custkey AS v FROM customer ORDER BY c_custkey LIMIT 5),
+ends AS (SELECT DISTINCT dst AS v FROM te WHERE dl = 'Nation'),
+lv2 AS (SELECT sl || ' | ' || et || ' | ' || dl AS path, count(*) AS cnt
+        FROM sym WHERE src IN (SELECT v FROM starts)
+          AND dst IN (SELECT v FROM ends) GROUP BY 1),
+lv3 AS (SELECT e1.sl || ' | ' || e1.et || ' | ' || e1.dl || ' | '
+               || e2.et || ' | ' || e2.dl AS path, count(*) AS cnt
+        FROM sym e1 JOIN sym e2 ON e2.src = e1.dst
+        WHERE e1.src IN (SELECT v FROM starts)
+          AND e2.dst IN (SELECT v FROM ends) GROUP BY 1)
+SELECT path, CAST(sum(cnt) AS BIGINT) AS "count"
+FROM (SELECT * FROM lv2 UNION ALL SELECT * FROM lv3) u
+GROUP BY path ORDER BY path"""
+
+
+def precompute_high_degree_sql(ratio: float = 0.01) -> str:
+    """MetaPathPrecomputeHighDegreeNodes mirror: distinct (start, path,
+    end) instance rows for the top-ratio degree hubs (symmetrized typed
+    graph, tie-break degree DESC then node ASC), path length <= 3."""
+    return f"""WITH {TYPED_EDGES},
+sym AS MATERIALIZED (SELECT src, dst, sl, et, dl FROM te
+        UNION ALL SELECT dst, src, dl, et, sl FROM te),
+deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+hubs AS (SELECT src FROM deg
+         QUALIFY row_number() OVER (ORDER BY d DESC, src) <=
+           greatest(1, CAST(floor((SELECT count(*) FROM deg) * {ratio}) AS BIGINT))),
+lv2 AS (SELECT src AS start, sl || ' | ' || et || ' | ' || dl AS path,
+               dst AS "end"
+        FROM sym WHERE src IN (SELECT src FROM hubs)),
+lv3 AS (SELECT e1.src AS start, e1.sl || ' | ' || e1.et || ' | ' || e1.dl
+               || ' | ' || e2.et || ' | ' || e2.dl AS path, e2.dst AS "end"
+        FROM sym e1 JOIN sym e2 ON e2.src = e1.dst
+        WHERE e1.src IN (SELECT src FROM hubs))
+SELECT DISTINCT start, path, "end"
+FROM (SELECT * FROM lv2 UNION ALL SELECT * FROM lv3) u
+ORDER BY start, path, "end" """
+
+
+SCALARS_SQL = """WITH v AS (
+  SELECT CASE WHEN l_tax = 0 THEN CAST('nan' AS DOUBLE)
+              WHEN l_discount = 0 THEN CAST('infinity' AS DOUBLE)
+              ELSE l_extendedprice / l_discount END AS val
+  FROM lineitem)
+SELECT CAST(count(*) FILTER (WHERE isfinite(val)) AS BIGINT) AS n_finite,
+       CAST(count(*) FILTER (WHERE isinf(val)) AS BIGINT) AS n_infinite,
+       CAST(count(*) FILTER (WHERE isnan(val)) AS BIGINT) AS n_nan
+FROM v"""
+
+
+GRAPH_CATALOG_SQL = """SELECT 'driver_catalog_rt' AS name,
+  CAST((SELECT count(DISTINCT n_nationkey) FROM nation)
+     + (SELECT count(DISTINCT n_regionkey) FROM nation) AS BIGINT) AS nodes,
+  CAST((SELECT count(*) FROM (
+     SELECT DISTINCT n_nationkey, n_regionkey FROM nation) x) AS BIGINT)
+     AS relationships,
+  TRUE AS removed, FALSE AS exists_after"""

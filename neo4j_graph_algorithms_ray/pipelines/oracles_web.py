@@ -468,3 +468,49 @@ HOST_CRAWL_RECENCY_SQL = """SELECT 'site-' || (doc_id % 20) || '.test' AS host,
        TIMESTAMP '2024-01-01 00:00:00' + max(doc_id) * INTERVAL 1 SECOND
          AS latest_ts
 FROM documents GROUP BY host ORDER BY host"""
+
+
+def host_mst_sql(kind: str = "prim") -> str:
+    """MST over the undirected weighted host graph (w = n_links per
+    directed host pair, both orientations usable) — a sequential Prim
+    replay as a single-row recursive CTE: the state row carries the
+    visited list; each step LATERAL-picks the (w, u, v)-lexicographic
+    minimum crossing edge, exactly the engine heap's pop order
+    (mst.py:24, ties (weight, src_vid, dst_vid); vid order == host
+    string order so the string ORDER BY matches). All MSTs share one
+    weight multiset, so the same totals also oracle Borůvka
+    (kind='boruvka': weight_sum/edge_count/components; the host graph
+    is connected, components = nodes - tree edges)."""
+    head = f"""WITH RECURSIVE {WEB_BASE},
+{WEB_EDGES},
+hw AS MATERIALIZED (
+  SELECT sh AS src, dh AS dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS sh,
+           regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dh
+    FROM wedges) x
+  WHERE sh != dh GROUP BY sh, dh),
+und AS MATERIALIZED (
+  SELECT src AS u, dst AS v, w FROM hw
+  UNION ALL SELECT dst, src, w FROM hw),
+hn AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
+st(vis, total, cnt, wmin, wmax) AS (
+  SELECT [(SELECT min(node) FROM hn)], CAST(0 AS DOUBLE), 0,
+         CAST('infinity' AS DOUBLE), CAST('-infinity' AS DOUBLE)
+  UNION ALL
+  SELECT list_append(st.vis, pick.v), st.total + pick.w, st.cnt + 1,
+         least(st.wmin, pick.w), greatest(st.wmax, pick.w)
+  FROM st, LATERAL (
+    SELECT w, u, v FROM und
+    WHERE list_contains(st.vis, u) AND NOT list_contains(st.vis, v)
+    ORDER BY w, u, v LIMIT 1) pick),
+fin AS (SELECT * FROM st ORDER BY cnt DESC LIMIT 1)"""
+    if kind == "prim":
+        return head + """
+SELECT round(total, 6) AS weight_sum, round(wmin, 6) AS weight_min,
+       round(wmax, 6) AS weight_max, cnt AS edge_count,
+       cnt + 1 AS effective_node_count
+FROM fin"""
+    return head + """
+SELECT round(total, 6) AS weight_sum, cnt AS edge_count,
+       (SELECT count(*) FROM hn) - cnt AS components
+FROM fin"""

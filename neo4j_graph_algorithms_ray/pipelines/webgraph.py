@@ -124,6 +124,20 @@ def get_host_graph_weighted(sf_dir: str) -> GraphTables:
     return g
 
 
+def get_host_graph_weighted_und(sf_dir: str) -> GraphTables:
+    """Undirected weighted host graph (both orientations of every
+    host→host edge, w = n_links) — the MST/MSF input."""
+    name = f"hostgraph_wu:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        edges = host_edge_ds(sf_dir).filter(expr="src_host != dst_host")
+        g = build_graph(edges, src_col="src_host", dst_col="dst_host",
+                        weight_col="n_links", undirected=True,
+                        name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    return g
+
+
 def anchor_text_ds(sf_dir: str) -> rd.Dataset:
     """Anchor-text index: (dst_url, anchor, n) — how often each anchor
     string points at each target page, every occurrence counted.
