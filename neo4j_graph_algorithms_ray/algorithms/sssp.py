@@ -115,6 +115,12 @@ def sssp_delta_stepping(
                 converged = True
                 break
             bucket = int(nxt // delta)
+            # float corner: if fl((b+1)*delta) rounded below the true
+            # product, nxt == hi of its own bucket and ge_lt [lo,hi)
+            # would exclude it forever — force progress to the bucket
+            # that actually contains nxt under the rounded bound
+            if (bucket + 1) * delta <= nxt:
+                bucket += 1
         eng.drop_states(["__inb"])
     else:
         raise ValueError(f"mode must be bucketed/sync, got {mode!r}")

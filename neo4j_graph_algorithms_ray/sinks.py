@@ -62,8 +62,19 @@ def _marker_matches(part_dir: str, group: Sequence[str]) -> bool:
     return True
 
 
-def partition_done(out_dir: str, gid: int) -> bool:
-    return os.path.exists(_marker(os.path.join(out_dir, f"part={gid:05d}")))
+def partition_done(out_dir: str, gid: int,
+                   group: Optional[Sequence[str]] = None) -> bool:
+    """True when partition ``gid`` has a _SUCCESS marker. Pass the
+    partition's input-file ``group`` to also validate the marker's
+    input manifest (the same check resumable_write applies before
+    skipping) — without it a marker written from a STALE input set
+    still reports done."""
+    part_dir = os.path.join(out_dir, f"part={gid:05d}")
+    if not os.path.exists(_marker(part_dir)):
+        return False
+    if group is None:
+        return True
+    return _marker_matches(part_dir, list(group))
 
 
 def resumable_write(

@@ -22,7 +22,8 @@ Scale notes:
 - messages route shard→shard as Ray objects (num_returns=P), an
   all-to-all of O(touched vertices) not O(edges). Direct exchange is P²
   refs per superstep — cheap at P ≤ 64 (the per-ref overhead is ~µs and
-  the payloads dominate); past NGA_TWO_LEVEL_P (default 64) the engine
+  the payloads dominate); past NGA_TWO_LEVEL_P (default 96, the
+  measured single-node crossover — see _two_level_threshold) the engine
   switches to a TWO-LEVEL exchange: senders emit G = ⌈√P⌉ grouped packs
   (P·G refs), one aggregator task per group combines them op-aware
   (sum/min/max/or; 2-D sum for Brandes waves) and re-emits per-member

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -113,6 +115,11 @@ def safe_join(left: rd.Dataset, right: rd.Dataset, join_type: str,
 # int64 columns ≈ 100-200 MB in the object store — read zero-copy by
 # every map task on a node, shipped once per node, never per batch.
 BCAST_JOIN_LIMIT = 5_000_000
+# ... and the byte cap that actually enforces that sizing note: a 5M-row
+# side with wide string payload columns can be several GB, which the
+# _BCAST_CACHE then copies into every worker heap. Past this, fall back
+# to the shuffle join.
+BCAST_JOIN_BYTE_LIMIT = 256 * 1024 * 1024
 _BCAST_CACHE: dict = {}
 
 
@@ -148,6 +155,9 @@ def prepare_broadcast(right: rd.Dataset, rk_col: str,
         rtbl = pa.table({n: pa.array([], type=t)
                          for n, t in zip(sch.names, sch.types)})
     if not pa.types.is_integer(rtbl.schema.field(rk_col).type):
+        return None
+    if rtbl.nbytes > int(os.environ.get("NGA_BCAST_BYTE_LIMIT",
+                                        BCAST_JOIN_BYTE_LIMIT)):
         return None
     keycol = rtbl.column(rk_col)
     if keycol.null_count:
