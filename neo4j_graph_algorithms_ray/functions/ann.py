@@ -30,6 +30,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _vec_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow ``list<float>`` column — one
+    flattened-values reshape (zero-copy from the block for non-null
+    fixed-width lists) instead of a per-row object stack."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    return vals.reshape(n, -1).astype(np.float64, copy=False)
+
+
 def brute_force_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                      k: int = 10, *, id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -42,10 +55,10 @@ def brute_force_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put((qm, np.asarray(query_ids, dtype=np.int64)))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         qmat, qids = ray.get(q_ref)
-        ids = batch[id_col].to_numpy()
-        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_vec_matrix(batch[vec_col]))
         sims = qmat @ m.T  # (Q, B)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids)):
@@ -63,7 +76,7 @@ def brute_force_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray
                              "cosine": np.concatenate(out_s)})
 
     from neo4j_graph_algorithms_ray.util import to_arrow_blocks
-    partials = to_arrow_blocks(emb.map_batches(partial, batch_format="pandas"))
+    partials = to_arrow_blocks(emb.map_batches(partial, batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -146,10 +159,10 @@ def ivf_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
     state = ray.put((cents, qm, np.asarray(query_ids, dtype=np.int64),
                      probe_mask))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         cts, qmat, qids, pmask = ray.get(state)
-        ids = batch[id_col].to_numpy()
-        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_vec_matrix(batch[vec_col]))
         cell = (m @ cts.T).argmax(axis=1)
         cand = pmask[:, cell].any(axis=0)
         ids, m, cell = ids[cand], m[cand], cell[cand]
@@ -175,7 +188,7 @@ def ivf_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                              "cosine": np.concatenate(out_s)})
 
     from neo4j_graph_algorithms_ray.util import to_arrow_blocks
-    partials = to_arrow_blocks(emb.map_batches(partial, batch_format="pandas"))
+    partials = to_arrow_blocks(emb.map_batches(partial, batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -229,10 +242,10 @@ def lsh_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
     state = ray.put((planes, qm, np.asarray(query_ids, dtype=np.int64),
                      np.array(sorted(probe), dtype=np.uint64)))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         pl, qmat, qids, probes = ray.get(state)
-        ids = batch[id_col].to_numpy()
-        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_vec_matrix(batch[vec_col]))
         codes = ((m @ pl.T > 0).astype(np.uint64)
                  << np.arange(pl.shape[0], dtype=np.uint64)).sum(axis=1)
         cand = np.isin(codes, probes)
@@ -258,7 +271,7 @@ def lsh_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                              "cosine": np.concatenate(out_s)})
 
     from neo4j_graph_algorithms_ray.util import to_arrow_blocks
-    partials = to_arrow_blocks(emb.map_batches(partial, batch_format="pandas"))
+    partials = to_arrow_blocks(emb.map_batches(partial, batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -286,16 +299,16 @@ def kmeans_clusters(emb: rd.Dataset, ncells: int = 16, *,
                                 id_col=id_col, vec_col=vec_col)
     cref = ray.put(cents)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pd.DataFrame:
         c = ray.get(cref)
-        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        m = _normalize(_vec_matrix(batch[vec_col]))
         sims = m @ c.T
         a = sims.argmax(axis=1)
-        return pd.DataFrame({id_col: batch[id_col],
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(zero_copy_only=False),
                              "cluster": a.astype(np.int64),
                              "sim": round6(sims[np.arange(len(a)), a])})
 
-    return emb.map_batches(assign, batch_format="pandas")
+    return emb.map_batches(assign, batch_format="pyarrow")
 
 
 def cluster_balanced_sample(emb: rd.Dataset, per_cluster: int = 10, *,

@@ -498,11 +498,39 @@ class ShardActor:
                 # float64 — the SQL oracles need exact parity; bench can
                 # opt in via NGA_PR_MSG_DTYPE=float32.
                 msg_dtype = np.dtype(kw.get("msg_dtype") or "float64")
-                push = np.zeros(self.n_local, dtype=msg_dtype)
-                nz = self.deg > 0
-                push[nz] = (d * self.state["delta"][nz] / self.deg[nz])
-                vals = push[self.src_in_dst_order]
-                sums = np.add.reduceat(vals, self.seg_starts)
+                if msg_dtype == np.int16:
+                    # int-quantized messages (the reference's ×100k trick,
+                    # PageRank.java:54): the per-edge gather — the DRAM-
+                    # dominant term — moves 2 B/edge instead of 4/8.
+                    # The scale is DYNAMIC per shard per superstep
+                    # (dequantization happens sender-side before routing,
+                    # so receivers never see it): capped at msg_scale but
+                    # lowered when this step's max |push| would overflow
+                    # int16 — hub sources can accumulate delta ≫ 2 on
+                    # skewed graphs, so a fixed scale is unsafe. Segment
+                    # sums accumulate in int64 (hub dst segments overflow
+                    # int32) and dequantize to float32 before routing, so
+                    # the exchange contract is unchanged. Opt-in
+                    # (NGA_PR_MSG_DTYPE=int16): the ~1/scale quantization
+                    # error perturbs convergence, so oracle paths stay
+                    # float64.
+                    cap = float(kw.get("msg_scale") or 16384.0)
+                    push = np.zeros(self.n_local, dtype=np.float64)
+                    nz = self.deg > 0
+                    push[nz] = (d * self.state["delta"][nz] / self.deg[nz])
+                    amax = float(np.abs(push).max()) if push.size else 0.0
+                    scale = min(cap, 32000.0 / amax) if amax > 0 else 1.0
+                    q = np.round(push * scale).astype(np.int16)
+                    vals = q[self.src_in_dst_order]
+                    sums = (np.add.reduceat(vals, self.seg_starts,
+                                            dtype=np.int64)
+                            .astype(np.float32) / np.float32(scale))
+                else:
+                    push = np.zeros(self.n_local, dtype=msg_dtype)
+                    nz = self.deg > 0
+                    push[nz] = (d * self.state["delta"][nz] / self.deg[nz])
+                    vals = push[self.src_in_dst_order]
+                    sums = np.add.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, sums)
             if op == "pr_push_w":
