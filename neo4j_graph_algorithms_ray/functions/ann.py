@@ -43,6 +43,14 @@ def _vec_matrix(col) -> np.ndarray:
     return vals.reshape(n, -1).astype(np.float64, copy=False)
 
 
+def _empty_topk() -> pd.DataFrame:
+    """Typed empty partial for zero-row blocks — a (0, 0) vector matrix
+    would otherwise crash the query matmul with a dim mismatch."""
+    return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                         "vec_id": np.empty(0, np.int64),
+                         "cosine": np.empty(0, np.float64)})
+
+
 def brute_force_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                      k: int = 10, *, id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -56,6 +64,8 @@ def brute_force_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray
     q_ref = ray.put((qm, np.asarray(query_ids, dtype=np.int64)))
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return _empty_topk()
         qmat, qids = ray.get(q_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_vec_matrix(batch[vec_col]))
@@ -160,6 +170,8 @@ def ivf_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                      probe_mask))
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return _empty_topk()
         cts, qmat, qids, pmask = ray.get(state)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_vec_matrix(batch[vec_col]))
@@ -243,6 +255,8 @@ def lsh_topk(emb: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                      np.array(sorted(probe), dtype=np.uint64)))
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return _empty_topk()
         pl, qmat, qids, probes = ray.get(state)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_vec_matrix(batch[vec_col]))
@@ -300,6 +314,10 @@ def kmeans_clusters(emb: rd.Dataset, ncells: int = 16, *,
     cref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 "cluster": np.empty(0, np.int64),
+                                 "sim": np.empty(0, np.float64)})
         c = ray.get(cref)
         m = _normalize(_vec_matrix(batch[vec_col]))
         sims = m @ c.T

@@ -395,6 +395,10 @@ def inverted_index(docs, *, min_df: int = 2, id_col: str = "doc_id",
         # segmented posting-list build, no per-token Python: run-length
         # segments over the (token, id)-sorted frame become a ListArray
         # whose binary_join emits every bucket's postings in one kernel.
+        if len(g) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "df": pd.Series(dtype=np.int64),
+                                 "postings": pd.Series(dtype=object)})
         g = g.sort_values(["token", id_col])
         toks = g["token"].to_numpy()
         ids = g[id_col].to_numpy()

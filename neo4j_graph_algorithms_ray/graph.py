@@ -116,29 +116,28 @@ def _unique_endpoint_ids(edges: rd.Dataset, src_col: str, dst_col: str) -> rd.Da
     return both.groupby("node").count().select_columns(["node"])
 
 
-@ray.remote
-def _block_unique(tbl: pa.Table, cols: list[str]) -> pa.Array:
+@ray.remote(num_returns=2)
+def _block_unique(tbl: pa.Table, cols: list[str]):
+    """(count, unique array) as TWO refs — the driver reads the tiny
+    count refs to estimate distinct endpoints without ever pulling the
+    arrays out of the object store."""
     arrs = [tbl[c].combine_chunks() for c in cols if c in tbl.column_names]
     if tbl.num_rows == 0 or not arrs:  # schema-less empty blocks
-        return pa.array([], pa.int64())
-    return pc.unique(pa.chunked_array(arrs))
-
-
-@ray.remote
-def _arr_len(arr: pa.Array) -> int:
-    return len(arr)
+        return 0, pa.array([], pa.int64())
+    u = pc.unique(pa.chunked_array(arrs))
+    return len(u), u
 
 
 def _block_unique_refs(edges: rd.Dataset, src_col: str, dst_col: str,
-                       extra: Optional[rd.Dataset]) -> list:
-    """Per-block distinct endpoint arrays as object refs (parallel,
+                       extra: Optional[rd.Dataset]) -> tuple[list, list]:
+    """Per-block (count, distinct-endpoint-array) object refs (parallel,
     cheap: one pc.unique per block, arrays stay in the object store)."""
-    refs = [_block_unique.remote(r, [src_col, dst_col])
-            for r in edges.materialize().to_arrow_refs()]
+    pairs = [_block_unique.remote(r, [src_col, dst_col])
+             for r in edges.materialize().to_arrow_refs()]
     if extra is not None:
-        refs += [_block_unique.remote(r, ["node"])
-                 for r in extra.materialize().to_arrow_refs()]
-    return refs
+        pairs += [_block_unique.remote(r, ["node"])
+                  for r in extra.materialize().to_arrow_refs()]
+    return [p[0] for p in pairs], [p[1] for p in pairs]
 
 
 def _merge_unique_driver(refs: list) -> pa.Array:
@@ -200,13 +199,33 @@ def build_graph(
     node_arr = None
     distinct_driver_limit = int(os.environ.get("NGA_EDGE_DRIVER_DISTINCT_LIMIT",
                                                EDGE_DRIVER_DISTINCT_LIMIT))
-    uniq_refs = _block_unique_refs(
-        e, "src", "dst",
-        extra_vertices.select_columns(["node"]) if extra_vertices is not None else None)
-    # gate on the actual driver cost — estimated distinct endpoints
-    # (sum of per-block unique counts, an upper bound) — not edge count
-    est_distinct = sum(ray.get([_arr_len.remote(r) for r in uniq_refs]))
+    # gate on the actual driver cost — estimated distinct endpoints —
+    # not edge count. Cheap pre-check first: 2·edges (+ extras) is an
+    # upper bound on distinct endpoints, so small edge tables skip the
+    # estimation entirely; otherwise sum the per-block unique counts
+    # (an upper bound too — only the tiny count refs reach the driver).
+    # Set NGA_EDGE_DRIVER_DISTINCT_LIMIT=0 on genuinely huge graphs to
+    # skip the per-block unique pass and go straight to the distributed
+    # id-assign path.
+    bound = 2 * e.count() + (extra_vertices.count()
+                             if extra_vertices is not None else 0)
+    uniq_refs = None
+    if bound <= distinct_driver_limit:
+        est_distinct = bound
+    elif distinct_driver_limit <= 0:
+        est_distinct = bound
+    else:
+        len_refs, uniq_refs = _block_unique_refs(
+            e, "src", "dst",
+            extra_vertices.select_columns(["node"])
+            if extra_vertices is not None else None)
+        est_distinct = sum(ray.get(len_refs))
     if est_distinct <= distinct_driver_limit:
+        if uniq_refs is None:
+            _, uniq_refs = _block_unique_refs(
+                e, "src", "dst",
+                extra_vertices.select_columns(["node"])
+                if extra_vertices is not None else None)
         # broadcast regime: distinct+sort merged on the driver from
         # per-block uniques (a 35M-row groupby-distinct costs minutes in
         # a hash shuffle; this path is seconds and the result is the

@@ -168,9 +168,6 @@ _BUILDERS = {
     "copart": (copart_edge_ds, True, None),
     "trade": (trade_edge_ds, False, None),
     "trade_w": (trade_weighted_edge_ds, False, "weight"),
-    # undirected weighted trade graph (MST/MSF input; the symmetric
-    # weight rule w = 1+(src+dst)%5 keeps both directions equal)
-    "trade_w_und": (trade_weighted_edge_ds, True, "weight"),
 }
 
 
