@@ -181,6 +181,36 @@ def headline(num_cpus: int) -> dict:
           repeats=2)
     extras["dedup_docs_per_sec"] = round(n_docs / queries["neardup_dedup"], 1)
 
+    # corpus-featurizer throughput (the per-document stages a 100 TB run
+    # executes on everything): quality features + language ID in one
+    # pass. sf0.1 has only 5k docs — fixed pipeline costs would swamp a
+    # docs/s number — so replicate to ~160k docs (featurizers are
+    # row-local; replication changes nothing about per-doc work).
+    reps = int(os.environ.get("NGA_BENCH_DOC_REPS", "32"))
+    import pyarrow.parquet as _pq
+    _t = _pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]) \
+             .replace_schema_metadata(None)  # pandas metadata breaks block-schema hashing
+    import pyarrow as _pa
+
+    # one replicated Arrow table (chained Dataset.union builds a deeply
+    # nested plan that the executor schedules pathologically)
+    big_docs = _rd.from_arrow(
+        _pa.concat_tables([_t] * reps)).repartition(num_cpus * 2).materialize()
+    n_big = _t.num_rows * reps
+    from neo4j_graph_algorithms_ray.functions.text import LangId, QualityScore
+
+    def featurize_all():
+        q = big_docs.map_batches(QualityScore, batch_format="pyarrow",
+                                 batch_size=4096, concurrency=(1, num_cpus))
+        lang = big_docs.map_batches(LangId, batch_format="pyarrow",
+                                    batch_size=4096, concurrency=(1, num_cpus))
+        return q.count() + lang.count()
+
+    timed(f"text_featurize_{n_big}d", featurize_all, repeats=2)
+    extras["featurize_docs_per_sec"] = round(
+        n_big / queries[f"text_featurize_{n_big}d"], 1)
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",
