@@ -208,8 +208,13 @@ def headline(num_cpus: int) -> dict:
         return q.count() + lang.count()
 
     timed(f"text_featurize_{n_big}d", featurize_all, repeats=2)
-    extras["featurize_docs_per_sec"] = round(
-        n_big / queries[f"text_featurize_{n_big}d"], 1)
+    # throughput line only — NOT part of the headline total (the total's
+    # query composition is pinned so it stays comparable across rounds;
+    # BASELINE.md bands were measured without this stage)
+    feat_sec = queries.pop(f"text_featurize_{n_big}d")
+    extras["featurize_sec"] = feat_sec
+    extras["featurize_docs"] = n_big
+    extras["featurize_docs_per_sec"] = round(n_big / feat_sec, 1)
 
     total = round(sum(queries.values()), 3)
     ray.shutdown()
