@@ -635,26 +635,26 @@ def _q_exact_dedup(sf_dir: str):
 
 def _q_token_count(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import TokenCount
-    return _docs(sf_dir).map_batches(TokenCount, batch_format="pyarrow",
-                                     batch_size=4096, concurrency=2)
+    return _docs(sf_dir).map_batches(TokenCount(), batch_format="pyarrow",
+                                     batch_size=4096)
 
 
 def _q_quality(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import QualityScore
-    return _docs(sf_dir).map_batches(QualityScore, batch_format="pyarrow",
-                                     batch_size=4096, concurrency=2)
+    return _docs(sf_dir).map_batches(QualityScore(), batch_format="pyarrow",
+                                     batch_size=4096)
 
 
 def _q_langid(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import LangId
-    return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
-                                     batch_size=4096, concurrency=2)
+    return _docs(sf_dir).map_batches(LangId(), batch_format="pyarrow",
+                                     batch_size=4096)
 
 
 def _q_fingerprint(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import Fingerprint
-    return _docs(sf_dir).map_batches(Fingerprint, batch_format="pyarrow",
-                                     batch_size=4096, concurrency=2)
+    return _docs(sf_dir).map_batches(Fingerprint(), batch_format="pyarrow",
+                                     batch_size=4096)
 
 
 def _q_vocab_topk(sf_dir: str):

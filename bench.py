@@ -161,8 +161,8 @@ def headline(num_cpus: int) -> dict:
         from neo4j_graph_algorithms_ray.util import read_parquet_clean
         pages = read_parquet_clean(pdir, columns=["url", "html"],
                                    file_extensions=["parquet"])
-        edges = pages.map_batches(ExtractLinks, batch_format="pyarrow",
-                                  batch_size=2048, concurrency=(1, num_cpus))
+        edges = pages.map_batches(ExtractLinks(), batch_format="pyarrow",
+                                  batch_size=2048)
         return edges.count()
 
     n_edges = timed(f"extract_links_{n_pages}p", extract_all, repeats=2)
@@ -201,10 +201,10 @@ def headline(num_cpus: int) -> dict:
     from neo4j_graph_algorithms_ray.functions.text import LangId, QualityScore
 
     def featurize_all():
-        q = big_docs.map_batches(QualityScore, batch_format="pyarrow",
-                                 batch_size=4096, concurrency=(1, num_cpus))
-        lang = big_docs.map_batches(LangId, batch_format="pyarrow",
-                                    batch_size=4096, concurrency=(1, num_cpus))
+        q = big_docs.map_batches(QualityScore(), batch_format="pyarrow",
+                                 batch_size=4096)
+        lang = big_docs.map_batches(LangId(), batch_format="pyarrow",
+                                    batch_size=4096)
         return q.count() + lang.count()
 
     timed(f"text_featurize_{n_big}d", featurize_all, repeats=2)

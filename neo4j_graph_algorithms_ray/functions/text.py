@@ -1,8 +1,10 @@
 """Text-analysis stages for large-scale training-data pipelines:
 token counting, quality scoring, language ID, fingerprinting.
 
-All are stateless-per-batch but regex/stopword state is compiled once
-per actor (`__init__`), so they run as actor-pool map_batches stages.
+All are stateless-per-batch; the tiny regex/stopword state is built in
+`__init__` and ships inside the serialized callable, so call sites pass
+an instance to plain (task-pool) map_batches — warm workers, no
+actor-pool spin-up.
 Semantics are pinned so the DuckDB oracles can replicate them exactly
 (see pipelines/oracles_docs.py): tokens = maximal ``\\S+`` runs of the
 *trimmed* text; ratios rounded half-away-from-zero at 6 decimals.

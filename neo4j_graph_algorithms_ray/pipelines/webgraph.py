@@ -1,7 +1,7 @@
 """The flagship web-link-graph pipeline (the north star end-to-end):
 
     pages parquet (url, warc_ts, html, text, lang)
-      → actor-pool ExtractLinks (zero-copy Arrow batches)
+      → ExtractLinks map_batches (zero-copy Arrow batches, warm task pool)
       → (src_url, dst_url) href edges, self-link filter + distinct
       → dense-id assignment + accumulated-degree CSR shards
       → PageRank / WCC / … over the link graph, scores per url.
@@ -23,32 +23,26 @@ from neo4j_graph_algorithms_ray.stages.extract import ExtractLinks, ExtractText
 EXTRACT_BATCH = 4096
 
 
-def extract_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds for the extraction stages, sized to
-    the cluster at call time: (1, CPU count). A fixed small cap starves
-    the first stage of the 100× run; a fixed LARGE pool can reserve
-    every CPU and deadlock upstream stages — autoscaling (1, N) does
-    neither."""
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (1, max(2, cpus))
-
-
 def extracted_text_ds(sf_dir: str) -> rd.Dataset:
     """(url, text, lang, warc_ts) with text re-extracted from html
-    (must equal the pages table's own text column byte-for-byte)."""
+    (must equal the pages table's own text column byte-for-byte).
+
+    The extract stages are INSTANCES, not classes: their state is a few
+    pattern strings, so shipping the callable in each task closure and
+    running on warm task-pool workers beats an actor pool (which pays
+    ~2s pool spin-up per call) ~3.5× at 100k pages. Classes with heavy
+    per-actor state (decoders, CSR shards) still go through actor pools
+    — see functions/multimodal.py, algorithms/betweenness.py."""
     pages = read_pages(sf_dir, columns=["url", "html", "lang", "warc_ts"])
-    return pages.map_batches(ExtractText, batch_format="pyarrow",
-                             batch_size=EXTRACT_BATCH,
-                             concurrency=extract_concurrency())
+    return pages.map_batches(ExtractText(), batch_format="pyarrow",
+                             batch_size=EXTRACT_BATCH)
 
 
 def web_edge_ds(sf_dir: str) -> rd.Dataset:
     """Distinct (src_url, dst_url) href edges, self-links dropped."""
     pages = read_pages(sf_dir, columns=["url", "html"])
-    edges = pages.map_batches(ExtractLinks, batch_format="pyarrow",
-                              batch_size=EXTRACT_BATCH,
-                              concurrency=extract_concurrency())
+    edges = pages.map_batches(ExtractLinks(), batch_format="pyarrow",
+                              batch_size=EXTRACT_BATCH)
     edges = edges.filter(expr="src_url != dst_url")
     from neo4j_graph_algorithms_ray.util import predistinct
     return predistinct(edges, ["src_url", "dst_url"])
@@ -153,9 +147,8 @@ def anchor_text_ds(sf_dir: str) -> rd.Dataset:
     from neo4j_graph_algorithms_ray.util import preagg_sum
 
     pages = read_pages(sf_dir, columns=["url", "html"])
-    an = pages.map_batches(ExtractAnchors, batch_format="pyarrow",
-                           batch_size=EXTRACT_BATCH,
-                           concurrency=extract_concurrency())
+    an = pages.map_batches(ExtractAnchors(), batch_format="pyarrow",
+                           batch_size=EXTRACT_BATCH)
     an = an.map_batches(
         lambda b: pa.table({"dst_url": b["dst_url"], "anchor": b["anchor"],
                             "n": pa.array(np.ones(b.num_rows, np.int64))}),

@@ -3,10 +3,14 @@
 The reference's graph source is a live Neo4j store scanned by importer
 tasks (core/.../core/heavyweight/RelationshipImporter.java:45); our
 native source is the Common-Crawl-style pages table, and these stages
-are the importer analogue: stateful callable classes passed to
-``ds.map_batches(Cls, concurrency=N, batch_format="pyarrow")`` — setup
-(compiled patterns) once per actor in ``__init__``, zero-copy Arrow
-kernels per batch in ``__call__``.
+are the importer analogue: callable classes with setup in ``__init__``
+and zero-copy Arrow kernels per batch in ``__call__``. Because their
+state is a few pattern strings, call sites pass an INSTANCE
+(``ds.map_batches(ExtractLinks(), batch_format="pyarrow")``) so the
+stage runs on warm task-pool workers — measured ~3.5× faster than an
+actor pool at 100k pages (pool spin-up ~2s dominates). Heavy-state
+stages (decoders, resident CSR) still use the actor-pool form
+(``map_batches(Cls, concurrency=(1, N))``).
 
 Both stages are fully vectorized: tag-stripping and whitespace
 normalization run through ``pyarrow.compute.replace_substring_regex``
