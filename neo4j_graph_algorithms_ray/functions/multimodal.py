@@ -87,7 +87,9 @@ def media_pipeline(docs: rd.Dataset, *, id_col: str = "doc_id",
     """attach payload → actor-pool decode. Small batches because binary
     rows are wide (ray_guide: memory-aware batch sizing)."""
     with_payload = attach_payload(docs)
+    # autoscaling (1, N): a fixed pool of N can reserve every cluster
+    # CPU and starve/deadlock the upstream payload stage
     return with_payload.map_batches(
         FakeDecoder, fn_constructor_kwargs={"id_col": id_col},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=(1, concurrency), num_cpus=1)
