@@ -410,18 +410,42 @@ def _bucketed_pairs(ds: rd.Dataset, key_cols: list[str], id_col: str, *,
 
 def _pairwise_shingle_overlap(texts_a: np.ndarray, texts_b: np.ndarray,
                               k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-row (|A|, |B|, |A∩B|) of the two texts' shingle sets —
-    vectorized via one pandas merge over all rows at once."""
+    """Per-row (|A|, |B|, |A∩B|) of the two texts' shingle sets.
+
+    Each DISTINCT text is shingled exactly once (a duplicate-heavy
+    candidate set repeats the same doc in many pairs — re-shingling per
+    occurrence made verify quadratic-ish: 40k docs / 156k pairs took
+    ~80 s, now ~1 s), shingle strings factorize to int codes, and the
+    per-pair intersection is an ``intersect1d`` over composite
+    ``row*ncodes + code`` int64 keys — exact string-set semantics, no
+    object-dtype merge."""
     n = len(texts_a)
-    da, sa = _dedupe_doc_strings(*_shingle_arrays(texts_a, k))
-    db, sb = _dedupe_doc_strings(*_shingle_arrays(texts_b, k))
-    na = np.bincount(da, minlength=n).astype(np.float64)
-    nb = np.bincount(db, minlength=n).astype(np.float64)
-    fa = pd.DataFrame({"r": da, "s": sa})
-    fb = pd.DataFrame({"r": db, "s": sb})
-    m = fa.merge(fb, on=["r", "s"])
-    inter = np.bincount(m["r"].to_numpy(), minlength=n).astype(np.float64)
-    return na, nb, inter
+    if n == 0:
+        z = np.zeros(0, np.float64)
+        return z, z, z
+    inv, uniq = pd.factorize(np.concatenate([texts_a, texts_b]))
+    d_idx, sh = _dedupe_doc_strings(*_shingle_arrays(uniq, k))
+    codes = pd.factorize(sh)[0] if len(sh) else np.empty(0, np.int64)
+    order = np.argsort(d_idx, kind="stable")
+    d_idx, codes = d_idx[order], codes[order].astype(np.int64)
+    n_sh = np.bincount(d_idx, minlength=len(uniq)).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]]).astype(np.int64)
+    inv_a, inv_b = inv[:n].astype(np.int64), inv[n:].astype(np.int64)
+    ncodes = np.int64(codes.max() + 1) if len(codes) else np.int64(1)
+
+    def side_keys(inv_side: np.ndarray) -> np.ndarray:
+        lens = n_sh[inv_side]
+        base = np.repeat(starts[inv_side], lens) + _seg_arange(lens)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        return rows * ncodes + codes[base]
+
+    # keys are unique within each side (per-doc shingles deduped), so
+    # assume_unique skips intersect1d's internal dedup sort
+    common = np.intersect1d(side_keys(inv_a), side_keys(inv_b),
+                            assume_unique=True)
+    inter = np.bincount(common // ncodes, minlength=n).astype(np.float64)
+    return (n_sh[inv_a].astype(np.float64), n_sh[inv_b].astype(np.float64),
+            inter)
 
 
 # ---------------- n-gram Jaccard (all-pairs, shuffle formulation) ----------------
