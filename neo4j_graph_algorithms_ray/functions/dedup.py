@@ -162,6 +162,26 @@ def _dedupe_doc_strings(doc_idx: np.ndarray, strings: np.ndarray):
 
 # ---------------- exact dedup ----------------
 
+def _content_hashes(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(id, h, nz): md5 of the text column hashed straight off the
+    Arrow flat utf-8 buffer via offset memoryview slices — no
+    Python-string materialization or re-encode per doc (2× the
+    to_pylist() form; the remaining per-doc cost is the C md5 call
+    itself). ``nz`` flags texts with at least one token (trimmed
+    length > 0) — the zero-shingle guard for duplicate-group pairs."""
+    txt = pc.fill_null(batch[text_col].cast(pa.string()), "").combine_chunks()
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
+    offs = np.frombuffer(txt.buffers()[1], np.int32)[
+        txt.offset: txt.offset + len(txt) + 1]
+    mv = memoryview(txt.buffers()[2] or b"")
+    md5 = hashlib.md5
+    hs = [md5(mv[offs[i]:offs[i + 1]]).hexdigest() for i in range(len(txt))]
+    nz = pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(txt)), 0)
+    return pa.table({id_col: batch[id_col], "h": pa.array(hs, pa.string()),
+                     "nz": nz})
+
+
 def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """One row per distinct text: (doc_id = min id, dup_count).
 
@@ -169,19 +189,7 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     exact-dedup shuffle. Content hashed to md5 before the groupby so the
     shuffle key is 32 bytes, not the document."""
     def h(batch: pa.Table) -> pa.Table:
-        txt = pc.fill_null(batch[text_col].cast(pa.string()), "").combine_chunks()
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
-        # hash straight off the Arrow flat utf-8 buffer via offset
-        # memoryview slices — no Python-string materialization or
-        # re-encode per doc (2× the to_pylist() form; the remaining
-        # per-doc cost is the C md5 call itself)
-        offs = np.frombuffer(txt.buffers()[1], np.int32)[
-            txt.offset: txt.offset + len(txt) + 1]
-        mv = memoryview(txt.buffers()[2] or b"")
-        md5 = hashlib.md5
-        hs = [md5(mv[offs[i]:offs[i + 1]]).hexdigest() for i in range(len(txt))]
-        return pa.table({id_col: batch[id_col], "h": pa.array(hs, pa.string())})
+        return _content_hashes(batch, id_col, text_col).drop_columns(["nz"])
 
     def combine(b: pa.Table) -> pa.Table:
         g = b.group_by("h").aggregate([(id_col, "min"), ("n", "sum")])
@@ -205,6 +213,111 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     agg = red.groupby("h").aggregate(Min(id_col, alias_name=id_col),
                                      Sum("n", alias_name="dup_count"))
     return agg.select_columns([id_col, "dup_count"])
+
+
+# ---------------- exact-duplicate collapse ----------------
+#
+# Near-dup candidate generation is quadratic in exact-duplicate
+# multiplicity: a text copied m times turns every bucket/shingle group
+# it touches into an m-clique (40k docs with 8 copies each made the
+# ngram pair explosion 64× — 88M intermediate rows for a 156k-pair
+# result). The pair queries therefore collapse exact duplicates FIRST
+# (md5 groupby → one representative per distinct text), run candidate
+# generation + verification over representatives only, and expand the
+# rep-level pairs back over the duplicate groups at the end. Identical
+# texts have identical signatures/shingle sets, so the expanded result
+# is exactly the direct computation's (pinned by
+# tests/test_dedup_ann.py::test_collapse_matches_direct); the one
+# semantic shift is ngram's df hub-guard, which now counts DISTINCT
+# TEXTS per shingle (mirrored in the SQL oracle).
+
+
+def _dup_membership(docs: rd.Dataset, id_col: str, text_col: str):
+    """(membership Dataset (id, rep, nz), n_docs, n_reps): rep = min id
+    among exact-duplicate texts. Driver merge below the small-aggregate
+    limit; groupby-min + hash join above it."""
+    from neo4j_graph_algorithms_ray.util import SMALL_AGG_DRIVER_LIMIT
+
+    hashed = docs.map_batches(
+        lambda b: _content_hashes(b, id_col, text_col),
+        batch_format="pyarrow").materialize()
+    n_docs = hashed.count()
+    if n_docs <= SMALL_AGG_DRIVER_LIMIT:
+        import ray
+        refs = hashed.to_arrow_refs()
+        tbl = (pa.concat_tables([ray.get(r) for r in refs]) if refs
+               else pa.table({id_col: pa.array([], pa.int64()),
+                              "h": pa.array([], pa.string()),
+                              "nz": pa.array([], pa.bool_())}))
+        df = tbl.to_pandas()
+        rep = df.groupby("h")[id_col].transform("min")
+        out = pa.table({id_col: pa.array(df[id_col].to_numpy()),
+                        "rep": pa.array(rep.to_numpy(dtype=np.int64)),
+                        "nz": pa.array(df["nz"].to_numpy())})
+        return rd.from_arrow(out).materialize(), n_docs, int(df["h"].nunique())
+    from ray.data.aggregate import Min
+    rep = hashed.groupby("h").aggregate(Min(id_col, alias_name="rep")) \
+                .materialize()
+    n_reps = rep.count()
+    member = safe_join(hashed, rep, "inner", 8, on=("h",))
+    return (member.select_columns([id_col, "rep", "nz"]).materialize(),
+            n_docs, n_reps)
+
+
+def _representative_docs(docs: rd.Dataset, member: rd.Dataset,
+                         id_col: str) -> rd.Dataset:
+    """docs filtered to duplicate-group representatives (id == rep)."""
+    from neo4j_graph_algorithms_ray.util import broadcast_join
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b[id_col], b["rep"])
+        return b.filter(keep).select([id_col])
+
+    rep_ids = member.map_batches(reps_only, batch_format="pyarrow")
+    return broadcast_join(docs, rep_ids, on=id_col)
+
+
+def _expand_rep_pairs(rep_pairs: rd.Dataset, member: rd.Dataset, *,
+                      id_col: str, measure_col: str,
+                      self_measure, measure_type: "pa.DataType",
+                      emit_self: bool, require_nz: bool) -> rd.Dataset:
+    """Rep-level (a, b, measure) → doc-level: every member of a's group
+    pairs with every member of b's group (measure unchanged — identical
+    texts), plus within-group pairs at ``self_measure`` for groups ≥ 2
+    (skipped for zero-token groups when ``require_nz``, whose shingle
+    union is empty and thus never pairs in the direct computation)."""
+    from neo4j_graph_algorithms_ray.util import broadcast_join
+
+    mm = member.select_columns([id_col, "rep"])
+    j = broadcast_join(rep_pairs, mm, on="a", right_on="rep")
+    j = j.rename_columns({id_col: "_ma"})
+    j = broadcast_join(j, mm, on="b", right_on="rep")
+    j = j.rename_columns({id_col: "_mb"})
+
+    def fin(b: pa.Table) -> pa.Table:
+        x = b["_ma"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["_mb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(np.minimum(x, y)),
+                         "b": pa.array(np.maximum(x, y)),
+                         measure_col: b[measure_col].cast(measure_type)})
+
+    cross = j.map_batches(fin, batch_format="pyarrow")
+    if not emit_self:
+        return cross
+
+    groups = member
+    if require_nz:
+        groups = groups.map_batches(
+            lambda b: b.filter(pc.equal(b["nz"], True)),
+            batch_format="pyarrow")
+    wp = _bucketed_pairs(groups.select_columns([id_col, "rep"]),
+                         ["rep"], id_col)
+    wp = wp.map_batches(
+        lambda b: b.append_column(
+            measure_col, pa.array(np.full(b.num_rows, self_measure),
+                                  measure_type)),
+        batch_format="pyarrow")
+    return cross.union(wp)
 
 
 # ---------------- MinHash + LSH ----------------
@@ -256,7 +369,8 @@ class MinHashSignatures:
 
 def minhash_lsh_pairs(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
                       k: int = 3, threshold: float = 0.5,
-                      id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      collapse_dups: bool = True) -> rd.Dataset:
     """Candidate pairs via banded LSH, verified by exact shingle-set
     Jaccard ≥ threshold → (a, b, jaccard) with a < b.
 
@@ -264,7 +378,37 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
     verification recomputes exact shingle sets for candidate ids only
     (candidates are sparse). Every stage vectorized; bucket keys are
     the band's signature values joined as a string (exact, collision-
-    free, and what the SQL oracle reproduces)."""
+    free, and what the SQL oracle reproduces).
+
+    ``collapse_dups`` (default) runs the whole pipeline over one
+    representative per distinct text and expands pairs back over the
+    duplicate groups — identical texts share every band, so the result
+    is exactly the direct computation's (identical-text pairs carry
+    jaccard 1.0). Skipped at threshold ≤ 0, where the direct path also
+    emits zero-shingle bucket collisions at jaccard 0.0."""
+    if collapse_dups and threshold > 0:
+        member, n_docs, n_reps = _dup_membership(docs, id_col, text_col)
+        if n_reps < n_docs:
+            reps = _representative_docs(docs, member, id_col)
+            rp = _minhash_lsh_pairs_direct(
+                reps, num_perm=num_perm, bands=bands, k=k,
+                threshold=threshold, id_col=id_col, text_col=text_col)
+            return _ensure_pair_schema(
+                _expand_rep_pairs(rp, member, id_col=id_col,
+                                  measure_col="jaccard", self_measure=1.0,
+                                  measure_type=pa.float64(),
+                                  emit_self=(1.0 >= threshold),
+                                  require_nz=True),
+                {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
+    return _minhash_lsh_pairs_direct(docs, num_perm=num_perm, bands=bands,
+                                     k=k, threshold=threshold,
+                                     id_col=id_col, text_col=text_col)
+
+
+def _minhash_lsh_pairs_direct(docs: rd.Dataset, *, num_perm: int = 8,
+                              bands: int = 4, k: int = 3,
+                              threshold: float = 0.5, id_col: str = "doc_id",
+                              text_col: str = "text") -> rd.Dataset:
     rows_per_band = num_perm // bands
     sig_stage = MinHashSignatures(num_perm, k, id_col, text_col)
 
@@ -374,7 +518,11 @@ def _bucketed_pairs(ds: rd.Dataset, key_cols: list[str], id_col: str, *,
                          % nbuckets).astype(np.int64)
         return out
 
-    keyed = to_arrow_blocks(ds.map_batches(add_bucket, batch_format="pandas"))
+    # 0-row PANDAS batches (e.g. from an upstream filter) convert to
+    # 0-COLUMN arrow blocks, which crash concat and hash shuffles alike
+    from neo4j_graph_algorithms_ray.util import drop_empty_blocks
+    keyed = drop_empty_blocks(
+        to_arrow_blocks(ds.map_batches(add_bucket, batch_format="pandas")))
 
     def gen(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["k", id_col]).sort_values(["k", id_col])
@@ -397,9 +545,10 @@ def _bucketed_pairs(ds: rd.Dataset, key_cols: list[str], id_col: str, *,
     keyed = keyed.materialize()
     if keyed.count() <= SMALL_AGG_DRIVER_LIMIT:
         import ray
-        refs = keyed.to_arrow_refs()
-        frame = (pa.concat_tables([ray.get(r) for r in refs]).to_pandas()
-                 if refs else pd.DataFrame({"k": [], id_col: []}))
+        tabs = [t for t in (ray.get(r) for r in keyed.to_arrow_refs())
+                if t.num_rows]
+        frame = (pa.concat_tables(tabs).to_pandas()
+                 if tabs else pd.DataFrame({"k": [], id_col: []}))
         out = gen(frame)
         return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
                              .replace_schema_metadata(None))
@@ -435,8 +584,10 @@ def _pairwise_shingle_overlap(texts_a: np.ndarray, texts_b: np.ndarray,
 
     def side_keys(inv_side: np.ndarray) -> np.ndarray:
         lens = n_sh[inv_side]
-        base = np.repeat(starts[inv_side], lens) + _seg_arange(lens)
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nz = lens > 0  # _seg_arange requires strictly positive segments
+        lens_nz = lens[nz]
+        base = np.repeat(starts[inv_side][nz], lens_nz) + _seg_arange(lens_nz)
+        rows = np.repeat(np.nonzero(nz)[0].astype(np.int64), lens_nz)
         return rows * ncodes + codes[base]
 
     # keys are unique within each side (per-doc shingles deduped), so
@@ -458,7 +609,8 @@ NGRAM_DF_CAP = 10_000
 
 def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
                         df_cap: int = NGRAM_DF_CAP,
-                        id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        collapse_dups: bool = True) -> rd.Dataset:
     """All-pairs word-k-gram Jaccard ≥ threshold → (a, b, jaccard).
 
     Inverted-index formulation: explode (shingle, doc) rows (vectorized
@@ -467,13 +619,49 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
     under the cap; pairs held together ONLY by ultra-common shingles are
     intentionally not emitted), groupby shingle → per-shingle doc pairs,
     groupby pair → intersection size, jaccard from per-doc shingle
-    counts."""
+    counts.
+
+    ``collapse_dups`` (default) computes over one representative per
+    distinct text and expands — the per-shingle pair explosion is
+    quadratic in duplicate multiplicity, the dominant cost on real
+    crawl corpora. Under collapse the df hub-guard counts DISTINCT
+    TEXTS per shingle (a shingle is not "hot" because one page was
+    mirrored a million times); the SQL oracle mirrors this."""
+    if collapse_dups:
+        member, n_docs, n_reps = _dup_membership(docs, id_col, text_col)
+        if n_reps < n_docs:
+            reps = _representative_docs(docs, member, id_col)
+            rp = _ngram_jaccard_pairs_direct(
+                reps, k=k, threshold=threshold, df_cap=df_cap,
+                id_col=id_col, text_col=text_col)
+            return _ensure_pair_schema(
+                _expand_rep_pairs(rp, member, id_col=id_col,
+                                  measure_col="jaccard", self_measure=1.0,
+                                  measure_type=pa.float64(),
+                                  emit_self=(1.0 >= threshold),
+                                  require_nz=True),
+                {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
+    return _ngram_jaccard_pairs_direct(docs, k=k, threshold=threshold,
+                                       df_cap=df_cap, id_col=id_col,
+                                       text_col=text_col)
+
+
+def _ngram_jaccard_pairs_direct(docs: rd.Dataset, *, k: int = 3,
+                                threshold: float = 0.5,
+                                df_cap: int = NGRAM_DF_CAP,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> rd.Dataset:
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         di, sh = _dedupe_doc_strings(*_shingle_arrays(batch[text_col].to_numpy(), k))
         ids = batch[id_col].to_numpy()
         return pd.DataFrame({id_col: ids[di], "sh": sh})
 
-    sh = to_arrow_blocks(docs.map_batches(explode, batch_format="pandas")).materialize()
+    from neo4j_graph_algorithms_ray.util import drop_empty_blocks
+    # drop_empty_blocks: 0-row pandas batches (empty/whitespace-only
+    # docs, filtered upstreams) convert to 0-column arrow blocks that
+    # crash concat and shuffles
+    sh = drop_empty_blocks(to_arrow_blocks(
+        docs.map_batches(explode, batch_format="pandas")))
     # per-doc shingle counts: docs never span batches, so a per-batch
     # Arrow combine is exact and skips the full groupby shuffle
     from neo4j_graph_algorithms_ray.util import preagg_sum as _psum
@@ -504,8 +692,8 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
                          % 128).astype(np.int64)
         return out
 
-    keyed = to_arrow_blocks(sh.map_batches(add_bucket,
-                                           batch_format="pandas")).materialize()
+    keyed = drop_empty_blocks(to_arrow_blocks(
+        sh.map_batches(add_bucket, batch_format="pandas")))
 
     from neo4j_graph_algorithms_ray.functions.text import round6
     from neo4j_graph_algorithms_ray.util import SMALL_AGG_DRIVER_LIMIT
@@ -515,9 +703,10 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
     # groupby, the pair-count shuffle and both count joins.
     if keyed.count() <= SMALL_AGG_DRIVER_LIMIT:
         import ray
-        refs = keyed.to_arrow_refs()
-        frame = (pa.concat_tables([ray.get(r) for r in refs]).to_pandas()
-                 if refs else pd.DataFrame({"k": [], id_col: []}))
+        tabs = [t for t in (ray.get(r) for r in keyed.to_arrow_refs())
+                if t.num_rows]
+        frame = (pa.concat_tables(tabs).to_pandas()
+                 if tabs else pd.DataFrame({"k": [], id_col: []}))
         pdf = pair_explode(frame)
         empty = {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
         if not len(pdf):
@@ -601,11 +790,37 @@ class SimHash:
 
 
 def simhash_pairs(docs: rd.Dataset, *, max_hamming: int = 8,
-                  id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  collapse_dups: bool = True) -> rd.Dataset:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming.
     Banded: 4 16-bit bands; a pair within distance ≤ max_hamming<16
     shares at least one exact band (pigeonhole holds for ≤3 flips per
-    64/16 bands; for larger budgets recall is approximate — documented)."""
+    64/16 bands; for larger budgets recall is approximate — documented).
+
+    ``collapse_dups`` (default) computes over one representative per
+    distinct text and expands — identical texts have identical
+    simhashes (hamming 0, always ≤ max_hamming), so the result equals
+    the direct computation's, including empty-text duplicate groups
+    (simhash 0)."""
+    if collapse_dups and max_hamming >= 0:
+        member, n_docs, n_reps = _dup_membership(docs, id_col, text_col)
+        if n_reps < n_docs:
+            reps = _representative_docs(docs, member, id_col)
+            rp = _simhash_pairs_direct(reps, max_hamming=max_hamming,
+                                       id_col=id_col, text_col=text_col)
+            return _ensure_pair_schema(
+                _expand_rep_pairs(rp, member, id_col=id_col,
+                                  measure_col="hamming", self_measure=0,
+                                  measure_type=pa.int64(),
+                                  emit_self=True, require_nz=False),
+                {"a": pa.int64(), "b": pa.int64(), "hamming": pa.int64()})
+    return _simhash_pairs_direct(docs, max_hamming=max_hamming,
+                                 id_col=id_col, text_col=text_col)
+
+
+def _simhash_pairs_direct(docs: rd.Dataset, *, max_hamming: int = 8,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> rd.Dataset:
     sigs = to_arrow_blocks(docs.map_batches(SimHash(id_col, text_col),
                                         batch_format="pandas")).materialize()
 

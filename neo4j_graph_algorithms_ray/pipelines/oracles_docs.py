@@ -76,12 +76,18 @@ counts AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
 def ngram_jaccard_sql(df_cap: int = 10_000, threshold: float = 0.5) -> str:
     """Mirrors functions/dedup.ngram_jaccard_pairs incl. the DF cap:
-    shingles in more than ``df_cap`` documents generate no pairs (the
-    per-doc shingle counts stay uncapped on both sides)."""
+    shingles in more than ``df_cap`` DISTINCT TEXTS generate no pairs
+    (the engine collapses exact duplicates before pair generation, so
+    its hub guard counts distinct texts; per-doc shingle counts stay
+    uncapped on both sides)."""
     return f"""WITH {SHINGLE_CTES},
+mem AS MATERIALIZED (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+  FROM documents),
 shc AS MATERIALIZED (
   SELECT sh.doc_id, sh.s FROM sh
-  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {df_cap}) hot USING (s)),
+  JOIN (SELECT s FROM sh JOIN mem USING (doc_id)
+        GROUP BY s HAVING count(DISTINCT rep) <= {df_cap}) hot USING (s)),
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
   FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id

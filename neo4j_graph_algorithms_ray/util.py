@@ -76,16 +76,30 @@ def to_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Remove schema-less empty blocks (emitted by groupby/map_groups for
     empty partitions) — they crash pyarrow's acero hash join with
-    "No match ... for key field reference". Materializes the dataset."""
+    "No match ... for key field reference". Materializes the dataset.
+
+    Blocks can still be PANDAS here even after an arrow map_batches:
+    Ray passes empty input blocks through without running the fn — so
+    inspect/convert per block rather than assuming pa.Table."""
+    import pandas as pd
+
     ds = ds.materialize()
     refs = ds.to_arrow_refs()
 
     @ray.remote
-    def _rows(t: pa.Table) -> int:
-        return t.num_rows
+    def _rows(t) -> tuple:
+        if isinstance(t, pd.DataFrame):
+            return len(t), True
+        return t.num_rows, False
 
-    counts = ray.get([_rows.remote(r) for r in refs])
-    keep = [r for r, c in zip(refs, counts) if c > 0]
+    @ray.remote
+    def _to_arrow(t) -> pa.Table:
+        return pa.Table.from_pandas(t, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    stats = ray.get([_rows.remote(r) for r in refs])
+    keep = [(_to_arrow.remote(r) if is_pd else r)
+            for r, (c, is_pd) in zip(refs, stats) if c > 0]
     if not keep:
         return ds  # fully empty; caller must handle
     return rd.from_arrow_refs(keep)

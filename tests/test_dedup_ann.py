@@ -266,3 +266,34 @@ def test_embedding_neardup_group_cap_fails_loudly():
     # under the cap it works
     out = embedding_neardup_pairs(ds, group_cap=1000).materialize()
     assert out.count() >= 0
+
+
+def test_collapse_matches_direct():
+    """collapse_dups (exact-dup collapse + expansion, the default) must
+    produce exactly the direct computation's pairs for all three pair
+    queries — including triple duplicate groups, empty-text duplicate
+    groups (zero shingles), and near-dup groups of duplicated texts."""
+    docs = rd.from_items([
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": BASE},                          # triple group
+        {"doc_id": 3, "text": BASE.replace("lazy", "sleepy")},
+        {"doc_id": 4, "text": BASE.replace("lazy", "sleepy")},  # dup of 3
+        {"doc_id": 5, "text": ""},
+        {"doc_id": 6, "text": ""},                            # empty dup group
+        {"doc_id": 7, "text": "   "},                         # whitespace-only
+        {"doc_id": 8, "text": "solo unrelated document nothing shared"},
+    ])
+
+    def pairset(ds, measure):
+        return sorted((r["a"], r["b"], r[measure]) for r in ds.take_all())
+
+    for fn, measure, kw in [
+        (minhash_lsh_pairs, "jaccard", {"threshold": 0.5}),
+        (ngram_jaccard_pairs, "jaccard", {"threshold": 0.5}),
+        (simhash_pairs, "hamming", {"max_hamming": 10}),
+    ]:
+        got = pairset(fn(docs, collapse_dups=True, **kw), measure)
+        want = pairset(fn(docs, collapse_dups=False, **kw), measure)
+        assert got == want, f"{fn.__name__}: {got} != {want}"
+        assert (0, 1, 1.0 if measure == "jaccard" else 0) in got
