@@ -181,6 +181,30 @@ def headline(num_cpus: int) -> dict:
           repeats=2)
     extras["dedup_docs_per_sec"] = round(n_docs / queries["neardup_dedup"], 1)
 
+    # duplicate-heavy dedup throughput (extras only — the headline's
+    # query composition is pinned): the same end-to-end pipeline over
+    # the corpus replicated 8×, the regime where exact-dup collapse
+    # carries the cost. Real crawl corpora are duplicate-heavy, so this
+    # is the more scale-honest docs/s number.
+    import pyarrow as _pa
+    reps = 8
+    dt = ray.get(docs.to_arrow_refs())
+    dtbl = _pa.concat_tables([t for t in dt if t.num_rows])
+    dup_tabs = [_pa.table({
+        "doc_id": _pa.array(dtbl["doc_id"].to_numpy() + r * 1_000_000),
+        "text": dtbl["text"]}) for r in range(reps)]
+    dup_docs = _rd.from_arrow(_pa.concat_tables(dup_tabs)) \
+                  .repartition(num_cpus * 2).materialize()
+    n_dup = n_docs * reps
+
+    def dedup_dup_heavy():
+        return neardup_clusters(dup_docs).materialize()
+
+    timed(f"neardup_dupheavy_{n_dup}d", dedup_dup_heavy, repeats=2)
+    dh_sec = queries.pop(f"neardup_dupheavy_{n_dup}d")
+    extras["dedup_dupheavy_docs"] = n_dup
+    extras["dedup_dupheavy_docs_per_sec"] = round(n_dup / dh_sec, 1)
+
     # corpus-featurizer throughput (the per-document stages a 100 TB run
     # executes on everything): quality features + language ID in one
     # pass. sf0.1 has only 5k docs — fixed pipeline costs would swamp a

@@ -388,7 +388,11 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
     emits zero-shingle bucket collisions at jaccard 0.0."""
     if collapse_dups and threshold > 0:
         member, n_docs, n_reps = _dup_membership(docs, id_col, text_col)
-        if n_reps < n_docs:
+        # collapse pays two extra exchange rounds (rep filter +
+        # expansion); engage only when duplicates are a meaningful
+        # fraction (>=5%) — the regime it exists for. Results are
+        # identical either way (parity test).
+        if n_reps < n_docs and (n_docs - n_reps) * 20 >= n_docs:
             reps = _representative_docs(docs, member, id_col)
             rp = _minhash_lsh_pairs_direct(
                 reps, num_perm=num_perm, bands=bands, k=k,
@@ -629,7 +633,11 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
     mirrored a million times); the SQL oracle mirrors this."""
     if collapse_dups:
         member, n_docs, n_reps = _dup_membership(docs, id_col, text_col)
-        if n_reps < n_docs:
+        # collapse pays two extra exchange rounds (rep filter +
+        # expansion); engage only when duplicates are a meaningful
+        # fraction (>=5%) — the regime it exists for. Results are
+        # identical either way (parity test).
+        if n_reps < n_docs and (n_docs - n_reps) * 20 >= n_docs:
             reps = _representative_docs(docs, member, id_col)
             rp = _ngram_jaccard_pairs_direct(
                 reps, k=k, threshold=threshold, df_cap=df_cap,
@@ -804,7 +812,11 @@ def simhash_pairs(docs: rd.Dataset, *, max_hamming: int = 8,
     (simhash 0)."""
     if collapse_dups and max_hamming >= 0:
         member, n_docs, n_reps = _dup_membership(docs, id_col, text_col)
-        if n_reps < n_docs:
+        # collapse pays two extra exchange rounds (rep filter +
+        # expansion); engage only when duplicates are a meaningful
+        # fraction (>=5%) — the regime it exists for. Results are
+        # identical either way (parity test).
+        if n_reps < n_docs and (n_docs - n_reps) * 20 >= n_docs:
             reps = _representative_docs(docs, member, id_col)
             rp = _simhash_pairs_direct(reps, max_hamming=max_hamming,
                                        id_col=id_col, text_col=text_col)
