@@ -190,8 +190,11 @@ def headline(num_cpus: int) -> dict:
     reps = 8
     dt = ray.get(docs.to_arrow_refs())
     dtbl = _pa.concat_tables([t for t in dt if t.num_rows])
+    # offset by the max id, not a fixed constant — a corpus with ids
+    # >= the constant would silently collide replica ids
+    id_off = int(dtbl["doc_id"].to_numpy().max()) + 1
     dup_tabs = [_pa.table({
-        "doc_id": _pa.array(dtbl["doc_id"].to_numpy() + r * 1_000_000),
+        "doc_id": _pa.array(dtbl["doc_id"].to_numpy() + r * id_off),
         "text": dtbl["text"]}) for r in range(reps)]
     dup_docs = _rd.from_arrow(_pa.concat_tables(dup_tabs)) \
                   .repartition(num_cpus * 2).materialize()

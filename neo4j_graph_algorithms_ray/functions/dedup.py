@@ -162,13 +162,16 @@ def _dedupe_doc_strings(doc_idx: np.ndarray, strings: np.ndarray):
 
 # ---------------- exact dedup ----------------
 
-def _content_hashes(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    """(id, h, nz): md5 of the text column hashed straight off the
+def _content_hashes(batch: pa.Table, id_col: str, text_col: str,
+                    with_nz: bool = True) -> pa.Table:
+    """(id, h[, nz]): md5 of the text column hashed straight off the
     Arrow flat utf-8 buffer via offset memoryview slices — no
     Python-string materialization or re-encode per doc (2× the
     to_pylist() form; the remaining per-doc cost is the C md5 call
     itself). ``nz`` flags texts with at least one token (trimmed
-    length > 0) — the zero-shingle guard for duplicate-group pairs."""
+    length > 0) — the zero-shingle guard for duplicate-group pairs;
+    callers that don't need it (exact_dedup) skip the extra
+    trim+length pass over the text buffer."""
     txt = pc.fill_null(batch[text_col].cast(pa.string()), "").combine_chunks()
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
@@ -177,9 +180,11 @@ def _content_hashes(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     mv = memoryview(txt.buffers()[2] or b"")
     md5 = hashlib.md5
     hs = [md5(mv[offs[i]:offs[i + 1]]).hexdigest() for i in range(len(txt))]
-    nz = pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(txt)), 0)
-    return pa.table({id_col: batch[id_col], "h": pa.array(hs, pa.string()),
-                     "nz": nz})
+    cols = {id_col: batch[id_col], "h": pa.array(hs, pa.string())}
+    if with_nz:
+        cols["nz"] = pc.greater(
+            pc.utf8_length(pc.utf8_trim_whitespace(txt)), 0)
+    return pa.table(cols)
 
 
 def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
@@ -189,7 +194,7 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     exact-dedup shuffle. Content hashed to md5 before the groupby so the
     shuffle key is 32 bytes, not the document."""
     def h(batch: pa.Table) -> pa.Table:
-        return _content_hashes(batch, id_col, text_col).drop_columns(["nz"])
+        return _content_hashes(batch, id_col, text_col, with_nz=False)
 
     def combine(b: pa.Table) -> pa.Table:
         g = b.group_by("h").aggregate([(id_col, "min"), ("n", "sum")])
@@ -225,43 +230,63 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
 # (md5 groupby → one representative per distinct text), run candidate
 # generation + verification over representatives only, and expand the
 # rep-level pairs back over the duplicate groups at the end. Identical
-# texts have identical signatures/shingle sets, so the expanded result
-# is exactly the direct computation's (pinned by
-# tests/test_dedup_ann.py::test_collapse_matches_direct); the one
-# semantic shift is ngram's df hub-guard, which now counts DISTINCT
-# TEXTS per shingle (mirrored in the SQL oracle).
+# texts have identical signatures (minhash bands / simhash), so for
+# minhash and simhash the expanded result is exactly the direct
+# computation's (pinned by test_collapse_matches_direct). ngram's df
+# hub-guard is DEFINED over distinct texts (a shingle is not "hot"
+# because one page was mirrored a million times) and exact-duplicate
+# pairs are always emitted at jaccard 1.0 — so ngram engages the
+# collapse whenever any duplicate exists, and its SQL oracle mirrors
+# the collapse (rep-level computation + expansion) rather than the
+# raw-doc formulation.
 
 
-def _dup_membership(docs: rd.Dataset, id_col: str, text_col: str):
-    """(membership Dataset (id, rep, nz), n_docs, n_reps): rep = min id
-    among exact-duplicate texts. Driver merge below the small-aggregate
-    limit; groupby-min + hash join above it."""
-    from neo4j_graph_algorithms_ray.util import SMALL_AGG_DRIVER_LIMIT
+class _DupGroups:
+    """Two-phase exact-duplicate index: counting (cheap, for the
+    engage-gate) is separated from building the full id→rep membership
+    (a corpus-sized join at scale), so a disengaged gate never pays
+    the join."""
 
-    hashed = docs.map_batches(
-        lambda b: _content_hashes(b, id_col, text_col),
-        batch_format="pyarrow").materialize()
-    n_docs = hashed.count()
-    if n_docs <= SMALL_AGG_DRIVER_LIMIT:
-        import ray
-        refs = hashed.to_arrow_refs()
-        tbl = (pa.concat_tables([ray.get(r) for r in refs]) if refs
-               else pa.table({id_col: pa.array([], pa.int64()),
-                              "h": pa.array([], pa.string()),
-                              "nz": pa.array([], pa.bool_())}))
-        df = tbl.to_pandas()
-        rep = df.groupby("h")[id_col].transform("min")
-        out = pa.table({id_col: pa.array(df[id_col].to_numpy()),
-                        "rep": pa.array(rep.to_numpy(dtype=np.int64)),
-                        "nz": pa.array(df["nz"].to_numpy())})
-        return rd.from_arrow(out).materialize(), n_docs, int(df["h"].nunique())
-    from ray.data.aggregate import Min
-    rep = hashed.groupby("h").aggregate(Min(id_col, alias_name="rep")) \
-                .materialize()
-    n_reps = rep.count()
-    member = safe_join(hashed, rep, "inner", 8, on=("h",))
-    return (member.select_columns([id_col, "rep", "nz"]).materialize(),
-            n_docs, n_reps)
+    def __init__(self, docs: rd.Dataset, id_col: str, text_col: str):
+        from neo4j_graph_algorithms_ray.util import SMALL_AGG_DRIVER_LIMIT
+
+        self.id_col = id_col
+        self.hashed = docs.map_batches(
+            lambda b: _content_hashes(b, id_col, text_col),
+            batch_format="pyarrow").materialize()
+        self.n_docs = self.hashed.count()
+        self._small = self.n_docs <= SMALL_AGG_DRIVER_LIMIT
+        self._df = None
+        self._rep = None
+        if self._small:
+            import ray
+            refs = self.hashed.to_arrow_refs()
+            tbl = (pa.concat_tables([ray.get(r) for r in refs]) if refs
+                   else pa.table({id_col: pa.array([], pa.int64()),
+                                  "h": pa.array([], pa.string()),
+                                  "nz": pa.array([], pa.bool_())}))
+            self._df = tbl.to_pandas()
+            self.n_reps = int(self._df["h"].nunique())
+        else:
+            from ray.data.aggregate import Min
+            self._rep = self.hashed.groupby("h") \
+                .aggregate(Min(self.id_col, alias_name="rep")).materialize()
+            self.n_reps = self._rep.count()
+
+    def membership(self) -> rd.Dataset:
+        """(id, rep, nz) Dataset — rep = min id among exact duplicates.
+        Only called once a gate decides to collapse."""
+        if self._small:
+            df = self._df
+            rep = df.groupby("h")[self.id_col].transform("min")
+            out = pa.table({
+                self.id_col: pa.array(df[self.id_col].to_numpy()),
+                "rep": pa.array(rep.to_numpy(dtype=np.int64)),
+                "nz": pa.array(df["nz"].to_numpy())})
+            return rd.from_arrow(out).materialize()
+        member = safe_join(self.hashed, self._rep, "inner", 8, on=("h",))
+        return member.select_columns([self.id_col, "rep", "nz"]) \
+                     .materialize()
 
 
 def _representative_docs(docs: rd.Dataset, member: rd.Dataset,
@@ -288,20 +313,29 @@ def _expand_rep_pairs(rep_pairs: rd.Dataset, member: rd.Dataset, *,
     union is empty and thus never pairs in the direct computation)."""
     from neo4j_graph_algorithms_ray.util import broadcast_join
 
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64()),
+                                    measure_col: pa.array([], measure_type)}))
     mm = member.select_columns([id_col, "rep"])
-    j = broadcast_join(rep_pairs, mm, on="a", right_on="rep")
-    j = j.rename_columns({id_col: "_ma"})
-    j = broadcast_join(j, mm, on="b", right_on="rep")
-    j = j.rename_columns({id_col: "_mb"})
+    rep_pairs = rep_pairs.materialize()
+    if rep_pairs.count() == 0:
+        # no rep-level pairs (e.g. every shared shingle capped):
+        # schema-less empty datasets can't feed the joins below
+        cross = empty
+    else:
+        j = broadcast_join(rep_pairs, mm, on="a", right_on="rep")
+        j = j.rename_columns({id_col: "_ma"})
+        j = broadcast_join(j, mm, on="b", right_on="rep")
+        j = j.rename_columns({id_col: "_mb"})
 
-    def fin(b: pa.Table) -> pa.Table:
-        x = b["_ma"].to_numpy(zero_copy_only=False).astype(np.int64)
-        y = b["_mb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"a": pa.array(np.minimum(x, y)),
-                         "b": pa.array(np.maximum(x, y)),
-                         measure_col: b[measure_col].cast(measure_type)})
+        def fin(b: pa.Table) -> pa.Table:
+            x = b["_ma"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = b["_mb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"a": pa.array(np.minimum(x, y)),
+                             "b": pa.array(np.maximum(x, y)),
+                             measure_col: b[measure_col].cast(measure_type)})
 
-    cross = j.map_batches(fin, batch_format="pyarrow")
+        cross = j.map_batches(fin, batch_format="pyarrow")
     if not emit_self:
         return cross
 
@@ -318,6 +352,31 @@ def _expand_rep_pairs(rep_pairs: rd.Dataset, member: rd.Dataset, *,
                                   measure_type)),
         batch_format="pyarrow")
     return cross.union(wp)
+
+
+def _collapsed_pairs(docs: rd.Dataset, direct_fn, *, id_col: str,
+                     text_col: str, measure_col: str, self_measure,
+                     measure_type: "pa.DataType", emit_self: bool,
+                     require_nz: bool, min_dup_fraction: float):
+    """Shared collapse gate for the pair queries: build the duplicate
+    index, engage when the duplicate fraction ≥ ``min_dup_fraction``
+    (collapse pays two extra exchange rounds — rep filter + expansion),
+    else return None and let the caller run the direct path.
+    ``direct_fn(dataset)`` runs the algorithm over representatives."""
+    dg = _DupGroups(docs, id_col, text_col)
+    n_dups = dg.n_docs - dg.n_reps
+    if n_dups <= 0 or n_dups < min_dup_fraction * dg.n_docs:
+        return None
+    member = dg.membership()
+    reps = _representative_docs(docs, member, id_col)
+    rp = direct_fn(reps)
+    return _ensure_pair_schema(
+        _expand_rep_pairs(rp, member, id_col=id_col,
+                          measure_col=measure_col,
+                          self_measure=self_measure,
+                          measure_type=measure_type,
+                          emit_self=emit_self, require_nz=require_nz),
+        {"a": pa.int64(), "b": pa.int64(), measure_col: measure_type})
 
 
 # ---------------- MinHash + LSH ----------------
@@ -384,26 +443,23 @@ def minhash_lsh_pairs(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
     representative per distinct text and expands pairs back over the
     duplicate groups — identical texts share every band, so the result
     is exactly the direct computation's (identical-text pairs carry
-    jaccard 1.0). Skipped at threshold ≤ 0, where the direct path also
-    emits zero-shingle bucket collisions at jaccard 0.0."""
+    jaccard 1.0); it engages only when ≥ 5% of docs are duplicates
+    (below that the two extra exchange rounds outweigh the win;
+    results identical either way, parity-tested). Skipped entirely at
+    threshold ≤ 0, where the direct path also emits zero-shingle
+    bucket collisions at jaccard 0.0."""
     if collapse_dups and threshold > 0:
-        member, n_docs, n_reps = _dup_membership(docs, id_col, text_col)
-        # collapse pays two extra exchange rounds (rep filter +
-        # expansion); engage only when duplicates are a meaningful
-        # fraction (>=5%) — the regime it exists for. Results are
-        # identical either way (parity test).
-        if n_reps < n_docs and (n_docs - n_reps) * 20 >= n_docs:
-            reps = _representative_docs(docs, member, id_col)
-            rp = _minhash_lsh_pairs_direct(
+        out = _collapsed_pairs(
+            docs,
+            lambda reps: _minhash_lsh_pairs_direct(
                 reps, num_perm=num_perm, bands=bands, k=k,
-                threshold=threshold, id_col=id_col, text_col=text_col)
-            return _ensure_pair_schema(
-                _expand_rep_pairs(rp, member, id_col=id_col,
-                                  measure_col="jaccard", self_measure=1.0,
-                                  measure_type=pa.float64(),
-                                  emit_self=(1.0 >= threshold),
-                                  require_nz=True),
-                {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
+                threshold=threshold, id_col=id_col, text_col=text_col),
+            id_col=id_col, text_col=text_col, measure_col="jaccard",
+            self_measure=1.0, measure_type=pa.float64(),
+            emit_self=(1.0 >= threshold), require_nz=True,
+            min_dup_fraction=0.05)
+        if out is not None:
+            return out
     return _minhash_lsh_pairs_direct(docs, num_perm=num_perm, bands=bands,
                                      k=k, threshold=threshold,
                                      id_col=id_col, text_col=text_col)
@@ -576,7 +632,15 @@ def _pairwise_shingle_overlap(texts_a: np.ndarray, texts_b: np.ndarray,
     if n == 0:
         z = np.zeros(0, np.float64)
         return z, z, z
-    inv, uniq = pd.factorize(np.concatenate([texts_a, texts_b]))
+    allt = np.concatenate([texts_a, texts_b])
+    # factorize maps None/NaN to sentinel -1, which would alias a
+    # null-text doc to the LAST distinct text's shingle rows below —
+    # normalize nulls to "" (the direct pipeline's fill_null semantics)
+    nulls = pd.isna(allt)
+    if nulls.any():
+        allt = allt.copy()
+        allt[nulls] = ""
+    inv, uniq = pd.factorize(allt)
     d_idx, sh = _dedupe_doc_strings(*_shingle_arrays(uniq, k))
     codes = pd.factorize(sh)[0] if len(sh) else np.empty(0, np.int64)
     order = np.argsort(d_idx, kind="stable")
@@ -625,30 +689,30 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, k: int = 3, threshold: float = 0.5,
     groupby pair → intersection size, jaccard from per-doc shingle
     counts.
 
-    ``collapse_dups`` (default) computes over one representative per
-    distinct text and expands — the per-shingle pair explosion is
-    quadratic in duplicate multiplicity, the dominant cost on real
-    crawl corpora. Under collapse the df hub-guard counts DISTINCT
-    TEXTS per shingle (a shingle is not "hot" because one page was
-    mirrored a million times); the SQL oracle mirrors this."""
+    The query's SEMANTICS are defined over distinct texts: the df
+    hub-guard counts DISTINCT TEXTS per shingle (a shingle is not
+    "hot" because one page was mirrored a million times), and exact
+    duplicates of a non-empty text always pair at jaccard 1.0 (exact
+    copies are maximal near-dups by definition, hub-guard or not).
+    ``collapse_dups`` (default) therefore engages whenever ANY
+    duplicate exists — unlike minhash/simhash there is no 5% fraction
+    gate, because the direct path computes raw-doc df and would
+    diverge from the distinct-text contract (and the SQL oracle, which
+    mirrors the collapse) as soon as a raw df crosses the cap.
+    ``collapse_dups=False`` is the raw-doc-df formulation, kept for
+    parity testing on fixtures whose dfs stay under the cap."""
     if collapse_dups:
-        member, n_docs, n_reps = _dup_membership(docs, id_col, text_col)
-        # collapse pays two extra exchange rounds (rep filter +
-        # expansion); engage only when duplicates are a meaningful
-        # fraction (>=5%) — the regime it exists for. Results are
-        # identical either way (parity test).
-        if n_reps < n_docs and (n_docs - n_reps) * 20 >= n_docs:
-            reps = _representative_docs(docs, member, id_col)
-            rp = _ngram_jaccard_pairs_direct(
+        out = _collapsed_pairs(
+            docs,
+            lambda reps: _ngram_jaccard_pairs_direct(
                 reps, k=k, threshold=threshold, df_cap=df_cap,
-                id_col=id_col, text_col=text_col)
-            return _ensure_pair_schema(
-                _expand_rep_pairs(rp, member, id_col=id_col,
-                                  measure_col="jaccard", self_measure=1.0,
-                                  measure_type=pa.float64(),
-                                  emit_self=(1.0 >= threshold),
-                                  require_nz=True),
-                {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
+                id_col=id_col, text_col=text_col),
+            id_col=id_col, text_col=text_col, measure_col="jaccard",
+            self_measure=1.0, measure_type=pa.float64(),
+            emit_self=(1.0 >= threshold), require_nz=True,
+            min_dup_fraction=0.0)
+        if out is not None:
+            return out
     return _ngram_jaccard_pairs_direct(docs, k=k, threshold=threshold,
                                        df_cap=df_cap, id_col=id_col,
                                        text_col=text_col)
@@ -809,23 +873,19 @@ def simhash_pairs(docs: rd.Dataset, *, max_hamming: int = 8,
     distinct text and expands — identical texts have identical
     simhashes (hamming 0, always ≤ max_hamming), so the result equals
     the direct computation's, including empty-text duplicate groups
-    (simhash 0)."""
+    (simhash 0); engages only when ≥ 5% of docs are duplicates
+    (results identical either way, parity-tested)."""
     if collapse_dups and max_hamming >= 0:
-        member, n_docs, n_reps = _dup_membership(docs, id_col, text_col)
-        # collapse pays two extra exchange rounds (rep filter +
-        # expansion); engage only when duplicates are a meaningful
-        # fraction (>=5%) — the regime it exists for. Results are
-        # identical either way (parity test).
-        if n_reps < n_docs and (n_docs - n_reps) * 20 >= n_docs:
-            reps = _representative_docs(docs, member, id_col)
-            rp = _simhash_pairs_direct(reps, max_hamming=max_hamming,
-                                       id_col=id_col, text_col=text_col)
-            return _ensure_pair_schema(
-                _expand_rep_pairs(rp, member, id_col=id_col,
-                                  measure_col="hamming", self_measure=0,
-                                  measure_type=pa.int64(),
-                                  emit_self=True, require_nz=False),
-                {"a": pa.int64(), "b": pa.int64(), "hamming": pa.int64()})
+        out = _collapsed_pairs(
+            docs,
+            lambda reps: _simhash_pairs_direct(
+                reps, max_hamming=max_hamming, id_col=id_col,
+                text_col=text_col),
+            id_col=id_col, text_col=text_col, measure_col="hamming",
+            self_measure=0, measure_type=pa.int64(),
+            emit_self=True, require_nz=False, min_dup_fraction=0.05)
+        if out is not None:
+            return out
     return _simhash_pairs_direct(docs, max_hamming=max_hamming,
                                  id_col=id_col, text_col=text_col)
 

@@ -75,26 +75,49 @@ counts AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
 
 def ngram_jaccard_sql(df_cap: int = 10_000, threshold: float = 0.5) -> str:
-    """Mirrors functions/dedup.ngram_jaccard_pairs incl. the DF cap:
-    shingles in more than ``df_cap`` DISTINCT TEXTS generate no pairs
-    (the engine collapses exact duplicates before pair generation, so
-    its hub guard counts distinct texts; per-doc shingle counts stay
-    uncapped on both sides)."""
-    return f"""WITH {SHINGLE_CTES},
-mem AS MATERIALIZED (
+    """Full mirror of functions/dedup.ngram_jaccard_pairs' distinct-text
+    semantics: exact duplicates collapse to a min-id representative
+    BEFORE shingling, the df hub-guard counts distinct texts (the rep
+    corpus's raw df), rep-level pairs expand across duplicate groups,
+    and exact duplicates of non-empty texts always pair at jaccard 1.0
+    (exact copies are maximal near-dups by definition, hub-guard or
+    not)."""
+    within = (f"""
+UNION ALL
+SELECT m1.doc_id AS a, m2.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM mem m1 JOIN mem m2 ON m1.rep = m2.rep AND m1.doc_id < m2.doc_id
+JOIN reps rt ON rt.doc_id = m1.rep
+WHERE trim(rt.text) <> ''""" if threshold <= 1.0 else "")
+    return rf"""WITH mem AS MATERIALIZED (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
   FROM documents),
+reps AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT DISTINCT rep FROM mem) r ON d.doc_id = r.rep),
+toks3 AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM reps WHERE trim(text) <> ''),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+      i -> CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                ELSE tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s
+  FROM toks3),
+counts AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 shc AS MATERIALIZED (
   SELECT sh.doc_id, sh.s FROM sh
-  JOIN (SELECT s FROM sh JOIN mem USING (doc_id)
-        GROUP BY s HAVING count(DISTINCT rep) <= {df_cap}) hot USING (s)),
+  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {df_cap}) hot USING (s)),
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
   FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT a, b, round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
-FROM inter JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
-WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= {threshold}
+  GROUP BY a.doc_id, b.doc_id),
+rp AS (
+  SELECT a, b, round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+  FROM inter JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
+  WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= {threshold})
+SELECT least(ma.doc_id, mb.doc_id) AS a,
+       greatest(ma.doc_id, mb.doc_id) AS b, jaccard
+FROM rp JOIN mem ma ON ma.rep = rp.a JOIN mem mb ON mb.rep = rp.b{within}
 ORDER BY a, b"""
 
 

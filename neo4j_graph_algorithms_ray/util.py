@@ -259,6 +259,10 @@ def broadcast_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
     # the left key must be integer too: astype(int64) in the probe
     # would silently truncate floats that the hash join instead rejects
     lsch = left.schema()
+    if lsch is None:  # schema-less (fully empty) left: shuffle join
+        return safe_join(left, right, "inner", num_partitions,
+                         on=(on,), right_on=((right_on,) if right_on else None),
+                         left_suffix=left_suffix, right_suffix=right_suffix)
     ltype = dict(zip(lsch.names, lsch.types)).get(on)
     side = (prepare_broadcast(right, right_on or on, limit)
             if ltype is not None and pa.types.is_integer(ltype) else None)

@@ -297,3 +297,52 @@ def test_collapse_matches_direct():
         want = pairset(fn(docs, collapse_dups=False, **kw), measure)
         assert got == want, f"{fn.__name__}: {got} != {want}"
         assert (0, 1, 1.0 if measure == "jaccard" else 0) in got
+
+
+def test_ngram_distinct_df_semantics():
+    """The ngram df hub-guard counts DISTINCT TEXTS, and exact
+    duplicates of non-empty texts always pair at jaccard 1.0 even when
+    every shingle is capped — engine and SQL oracle must agree in the
+    cap-binding regime. Whitespace variants give distinct texts with
+    identical shingle sets (tokens are whitespace-split)."""
+    import duckdb
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.pipelines.oracles_docs import \
+        ngram_jaccard_sql
+
+    rows = [
+        {"doc_id": 0, "text": "w1 w2 w3"},     # dup group {0,1}
+        {"doc_id": 1, "text": "w1 w2 w3"},
+        {"doc_id": 2, "text": "w1  w2 w3"},    # distinct texts, same
+        {"doc_id": 3, "text": "w1 w2  w3"},    # single shingle
+        {"doc_id": 4, "text": "w1 w2 w3 "},
+    ]
+    docs = rd.from_items(rows)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+
+    for cap, n_expected in [(3, 1), (4, 10)]:
+        got = sorted((r["a"], r["b"], r["jaccard"])
+                     for r in ngram_jaccard_pairs(docs, df_cap=cap,
+                                                  threshold=0.5).take_all())
+        want = sorted(tuple(t) for t in con.execute(
+            ngram_jaccard_sql(df_cap=cap, threshold=0.5)).fetchall())
+        assert got == want, f"cap={cap}: {got} != {want}"
+        assert len(got) == n_expected
+        assert (0, 1, 1.0) in got  # exact dups pair regardless of cap
+
+
+def test_null_texts_never_pair():
+    """Null texts normalize to '' (zero shingles): two null-text docs
+    bucket-collide on all-zero signatures but must verify at jaccard 0
+    — a factorize(-1) sentinel once aliased them to the LAST distinct
+    text's shingle set, emitting a spurious 1.0 pair. Filler docs keep
+    the duplicate fraction under the collapse gate so the direct
+    verify path runs."""
+    rows = [{"doc_id": 0, "text": None}, {"doc_id": 1, "text": None}]
+    rows += [{"doc_id": 2 + i,
+              "text": f"filler document number {i} with unique words "
+                      f"alpha{i} beta{i} gamma{i}"} for i in range(58)]
+    pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.5).take_all()
+    assert all(r["a"] >= 2 and r["b"] >= 2 for r in pairs), pairs
