@@ -13,7 +13,7 @@ import itertools
 import numpy as np
 import pytest
 import ray.data as rd
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from neo4j_graph_algorithms_ray import build_graph
@@ -111,6 +111,9 @@ def test_pagerank_matches_dense_power_iteration(params):
 @settings(max_examples=8, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(graph_params)
+@example(
+    params=(4, 103, 57551, 2),
+).via('discovered failure')
 def test_delta_stepping_matches_dijkstra(params):
     import heapq
     n, m, seed, parts = params
