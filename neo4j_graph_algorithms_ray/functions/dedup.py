@@ -209,8 +209,8 @@ def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     red = hashed.map_batches(combine, batch_format="pyarrow").materialize()
     from neo4j_graph_algorithms_ray.util import SMALL_AGG_DRIVER_LIMIT
     if red.count() <= SMALL_AGG_DRIVER_LIMIT:
-        import ray
-        tbl = pa.concat_tables([ray.get(r) for r in red.to_arrow_refs()])
+        from neo4j_graph_algorithms_ray.util import collect_arrow
+        tbl = pa.concat_tables(collect_arrow(red))
         out = tbl.group_by("h").aggregate([(id_col, "min"), ("n", "sum")]) \
                  .rename_columns(["h", id_col, "dup_count"])
         return rd.from_arrow(out.select([id_col, "dup_count"]))
@@ -259,9 +259,9 @@ class _DupGroups:
         self._df = None
         self._rep = None
         if self._small:
-            import ray
-            refs = self.hashed.to_arrow_refs()
-            tbl = (pa.concat_tables([ray.get(r) for r in refs]) if refs
+            from neo4j_graph_algorithms_ray.util import collect_arrow
+            tabs = collect_arrow(self.hashed)
+            tbl = (pa.concat_tables(tabs) if tabs
                    else pa.table({id_col: pa.array([], pa.int64()),
                                   "h": pa.array([], pa.string()),
                                   "nz": pa.array([], pa.bool_())}))
@@ -1046,7 +1046,9 @@ def neardup_clusters(docs: rd.Dataset, pairs: rd.Dataset | None = None, *,
     # spin-up that a 10^6-row pair graph doesn't need).
     if npairs <= VERIFY_DRIVER_PAIR_LIMIT:
         import ray
-        pt = pa.concat_tables([ray.get(r) for r in pairs.to_arrow_refs()])
+
+        from neo4j_graph_algorithms_ray.util import collect_arrow
+        pt = pa.concat_tables(collect_arrow(pairs))
         a = pt["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = pt["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         inv, uniq = pd.factorize(np.concatenate([a, b]))

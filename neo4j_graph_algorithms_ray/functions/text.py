@@ -295,7 +295,8 @@ def tfidf_topk(docs, *, topk: int = 3, id_col: str = "doc_id",
     n_docs = docs.count()
     dft = preagg_sum(docs.map_batches(df_partial, batch_format="pyarrow"),
                      ["token"], "df").materialize()
-    vocab = pa.concat_tables([ray.get(r) for r in dft.to_arrow_refs()])
+    from neo4j_graph_algorithms_ray.util import collect_arrow
+    vocab = pa.concat_tables(collect_arrow(dft))
     idf_map = pd.Series(
         np.log(float(n_docs) / vocab["df"].to_numpy(zero_copy_only=False)),
         index=pd.Index(vocab["token"].to_pylist()))

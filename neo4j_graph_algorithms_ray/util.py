@@ -73,6 +73,25 @@ def to_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:
                           batch_format="pyarrow")
 
 
+def collect_arrow(ds: rd.Dataset) -> list[pa.Table]:
+    """ray.get a (materialized) dataset's blocks as NON-EMPTY arrow
+    tables — the safe input to a driver-side pa.concat_tables. Empty
+    pandas blocks pass through map_batches unconverted and surface as
+    0-column arrow/pandas blocks that crash concat (see
+    drop_empty_blocks)."""
+    import pandas as pd
+
+    out = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if isinstance(t, pd.DataFrame):
+            if len(t):
+                out.append(pa.Table.from_pandas(t, preserve_index=False)
+                           .replace_schema_metadata(None))
+        elif t.num_rows:
+            out.append(t)
+    return out
+
+
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Remove schema-less empty blocks (emitted by groupby/map_groups for
     empty partitions) — they crash pyarrow's acero hash join with
