@@ -718,6 +718,28 @@ def _q_repetition_ratio(sf_dir: str):
     return repetition_ratio(_docs(sf_dir), k=3)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing a 3-gram with the eval
+    subset (doc_id % 97 == 0 — deterministic stand-in benchmark set)."""
+    from neo4j_graph_algorithms_ray.functions.text import decontaminate
+    import numpy as _np
+    import pyarrow as _pa
+
+    # materialize: ev derivation + probe would otherwise re-execute
+    # the read pipeline twice
+    docs = _docs(sf_dir).materialize()
+    ev = docs.map_batches(
+        lambda b: b.filter(_pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)),
+        batch_format="pyarrow")
+    return decontaminate(docs, ev, k=3, min_overlap=1)
+
+
+def _q_pii_counts(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import pii_counts
+    return pii_counts(_docs(sf_dir))
+
+
 def _q_tfidf_topk(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import tfidf_topk
     return tfidf_topk(_docs(sf_dir), topk=3)
@@ -1197,6 +1219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hop_distances": _q_hop_distances,
         "all_pairs_weighted": _q_all_pairs_weighted,
         "betweenness_exact": _q_betweenness_exact,
+        # round-4 additions — appended past the window so they don't
+        # displace the §2 queries awaiting their first driver row
+        "decontaminate": _q_decontaminate,
+        "pii_counts": _q_pii_counts,
     }
 
 
@@ -1304,6 +1330,8 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": ow.DEGREE_HISTOGRAM_SQL,
         "doc_sample": od.doc_sample_sql(20),
         "repetition_ratio": od.repetition_ratio_sql(),
+        "decontaminate": od.DECONTAMINATE_SQL,
+        "pii_counts": od.PII_COUNTS_SQL,
         "tfidf_topk": od.tfidf_topk_sql(3),
         "stratified_sample": od.stratified_sample_sql(50),
         "inverted_index": od.inverted_index_sql(2),

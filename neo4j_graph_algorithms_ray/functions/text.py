@@ -625,3 +625,71 @@ def hash_features(docs, *, dims: int = 256, id_col: str = "doc_id",
 
     return docs.map_batches(partial, batch_format="pyarrow") \
                .sort([id_col, "feature"])
+
+
+# ---------------- decontamination / PII scan ----------------
+
+def decontaminate(docs, eval_docs, *, k: int = 3, min_overlap: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination: training docs sharing ≥ ``min_overlap``
+    distinct word-k-grams with ANY eval-set document →
+    (doc_id, overlap) — the docs a training run must drop.
+
+    100 TB shape: the EVAL side is small (benchmarks are thousands of
+    docs) — its distinct shingle set broadcasts once via ``ray.put``
+    and each training batch probes it with one Arrow hash ``is_in``
+    over its flat shingle array + a bincount; the training corpus
+    streams, nothing shuffles."""
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        _dedupe_doc_strings, _shingle_arrays)
+
+    ev = pa.concat_tables(
+        eval_docs.select_columns([text_col])
+                 .map_batches(lambda b: b.select([text_col]),
+                              batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    _, ev_sh = _shingle_arrays(ev[text_col].combine_chunks(), k)
+    ev_set = ray.put(pa.array(sorted(set(ev_sh.tolist()))))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        doc_idx, sh = _dedupe_doc_strings(
+            *_shingle_arrays(batch[text_col], k))
+        n = batch.num_rows
+        if len(sh) == 0:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "overlap": pa.array([], pa.int64())})
+        hit = pc.is_in(pa.array(sh, pa.string()), value_set=ray.get(ev_set)) \
+                .to_numpy(zero_copy_only=False)
+        ov = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
+        keep = ov >= min_overlap
+        idx = pa.array(np.nonzero(keep)[0])
+        return pa.table({id_col: batch[id_col].take(idx),
+                         "overlap": pa.array(ov[keep])})
+
+    return docs.map_batches(probe, batch_format="pyarrow")
+
+
+PII_PATTERNS = {
+    # RE2-safe (no lookaround); counts are per occurrence
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc PII-pattern occurrence counts (email / phone / ipv4) —
+    the safety-filter stage of a corpus pipeline. One vectorized RE2
+    ``count_substring_regex`` per pattern per batch; zero per-row
+    Python."""
+    def scan(batch: pa.Table) -> pa.Table:
+        txt = _text_column(batch, text_col)
+        cols = {id_col: batch[id_col]}
+        for name, pat in PII_PATTERNS.items():
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(scan, batch_format="pyarrow")

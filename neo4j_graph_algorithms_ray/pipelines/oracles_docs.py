@@ -491,3 +491,25 @@ SELECT doc_id,
        count(*) AS n
 FROM occ WHERE tok <> ''
 GROUP BY doc_id, feature ORDER BY doc_id, feature"""
+
+
+DECONTAMINATE_SQL = r"""WITH toks3 AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+      i -> CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                ELSE tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s
+  FROM toks3),
+ev AS MATERIALIZED (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS overlap
+FROM sh JOIN ev USING (s)
+GROUP BY sh.doc_id HAVING count(*) >= 1 ORDER BY doc_id"""
+
+
+PII_COUNTS_SQL = r"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4
+FROM documents ORDER BY doc_id"""

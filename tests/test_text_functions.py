@@ -209,3 +209,25 @@ def test_hash_features_brute():
             f = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 16
             want[(d, f)] = want.get((d, f), 0) + 1
     assert sorted(got) == sorted((d, f, n) for (d, f), n in want.items())
+
+
+def test_decontaminate_and_pii():
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.text import (decontaminate,
+                                                           pii_counts)
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "the quick brown fox jumps high"},
+        {"doc_id": 1, "text": "quick brown fox is a benchmark phrase"},
+        {"doc_id": 2, "text": "totally unrelated content here now"},
+        {"doc_id": 3, "text": "contact me at a.b@test.org or 555-123-4567 ok"},
+    ])
+    ev = rd.from_items([{"doc_id": 100, "text": "a quick brown fox appears"}])
+    got = {r["doc_id"]: r["overlap"]
+           for r in decontaminate(docs, ev, k=3).take_all()}
+    # shared 3-gram "quick brown fox": docs 0 and 1 hit, 2 and 3 clean
+    assert got == {0: 1, 1: 1}
+    pii = {r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ipv4"])
+           for r in pii_counts(docs).take_all()}
+    assert pii[3][0] == 1 and pii[3][1] >= 1
+    assert pii[0] == (0, 0, 0)
