@@ -1131,7 +1131,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_topk": _q_pmi_topk,
         "hash_features": _q_hash_features,
         "degree_histogram": _q_degree_histogram,
-        "doc_sample": _q_doc_sample,
+        # doc_sample rotated back: its md5-pinned sampling mechanism is the
+        # same as stratified_sample's (which stays in the window) and it has
+        # a local SQL-oracle green; the slot goes to pii_counts (new, never
+        # driver-checked).
+        "pii_counts": _q_pii_counts,
         "repetition_ratio": _q_repetition_ratio,
         "tfidf_topk": _q_tfidf_topk,
         "stratified_sample": _q_stratified_sample,
@@ -1146,7 +1150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": _q_cluster_sample,
         "media_pipeline": _q_media,
         "exact_dedup": _q_exact_dedup,
-        "algo_list": _q_algo_list,
+        # algo_list rotated back: a static registry listing pinned by pytest;
+        # the slot goes to decontaminate (new, never driver-checked).
+        "decontaminate": _q_decontaminate,
         "window_agg": _q_window_agg,
         "hopping_agg": _q_hopping_agg,
         "window_unique_users": _q_window_unique_users,
@@ -1219,10 +1225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hop_distances": _q_hop_distances,
         "all_pairs_weighted": _q_all_pairs_weighted,
         "betweenness_exact": _q_betweenness_exact,
-        # round-4 additions — appended past the window so they don't
-        # displace the §2 queries awaiting their first driver row
-        "decontaminate": _q_decontaminate,
-        "pii_counts": _q_pii_counts,
+        # rotated out of the window to make room for decontaminate /
+        # pii_counts above (both never driver-checked)
+        "algo_list": _q_algo_list,
+        "doc_sample": _q_doc_sample,
     }
 
 
