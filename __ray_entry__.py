@@ -740,6 +740,35 @@ def _q_pii_counts(sf_dir: str):
     return pii_counts(_docs(sf_dir))
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style corpus line dedup over deterministically constructed
+    multi-line docs (the sf documents are single-line): each doc becomes
+    shared-header boilerplate \\n original text [\\n empty line for
+    doc_id%5==0] \\n (promo line for doc_id%3==0, else a per-doc unique
+    tail). Boilerplate/promo/empty lines are corpus-duplicated → removed
+    from every doc; the distinct content + tail lines survive. Oracle:
+    LINE_DEDUP_SQL mirrors the construction and the semantics."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from neo4j_graph_algorithms_ray.functions.text import line_dedup
+
+    def build(b: _pa.Table) -> _pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        base = _pc.fill_null(b["text"].cast(_pa.string()), "") \
+            .to_numpy(zero_copy_only=False).astype(object)
+        tails = _np.where(ids % 3 == 0, "PROMO OFFER CLICK HERE",
+                          _np.char.add("tail-", ids.astype(str)).astype(object))
+        extra = _np.where(ids % 5 == 0, "\n", "").astype(object)
+        txt = "SHARED HEADER BOILERPLATE\n" + base + extra + "\n" + tails
+        return _pa.table({"doc_id": b["doc_id"],
+                          "text": _pa.array(txt, _pa.string())})
+
+    docs = _docs(sf_dir).map_batches(build, batch_format="pyarrow")
+    return line_dedup(docs, min_count=2)
+
+
 def _q_tfidf_topk(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import tfidf_topk
     return tfidf_topk(_docs(sf_dir), topk=3)
@@ -1174,7 +1203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scalars_flags": _q_scalars_flags,
         "graph_catalog": _q_graph_catalog,
         "betweenness_maxdepth": _q_betweenness_maxdepth,
-        # ---------------- position 51+ (multi-round green) ----------------
+        # ---------------- position 51+ (multi-round green, plus
+        # line_dedup: new this round, locally SQL-oracle green) -------
+        "line_dedup": _q_line_dedup,
         "web_pagerank": _q_web_pagerank,
         "pagerank": _q_pagerank,
         "wcc": _q_wcc,
@@ -1338,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ratio": od.repetition_ratio_sql(),
         "decontaminate": od.DECONTAMINATE_SQL,
         "pii_counts": od.PII_COUNTS_SQL,
+        "line_dedup": od.LINE_DEDUP_SQL,
         "tfidf_topk": od.tfidf_topk_sql(3),
         "stratified_sample": od.stratified_sample_sql(50),
         "inverted_index": od.inverted_index_sql(2),

@@ -693,3 +693,154 @@ def pii_counts(docs, *, id_col: str = "doc_id", text_col: str = "text"):
         return pa.table(cols)
 
     return docs.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------- corpus line-level dedup (CCNet-style) ----------------
+
+def _split_lines(txt) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Arrow-native line split of a string column → (flat_lines
+    pa.Array, doc_idx int64[], n_lines int64[]). Every doc yields ≥ 1
+    line (empty text → one '' line — same as DuckDB string_split)."""
+    parts = pc.split_pattern(txt, "\n")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return flat, doc_idx, counts
+
+
+def _line_hashes(flat: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash per line (pandas siphash — vectorized,
+    fixed key, stable across processes). Internal keys only: the
+    operator's OUTPUT is text, so a 2^-64 collision is the only failure
+    mode — the standard large-corpus dedup tradeoff."""
+    s = flat.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(s).view(np.int64)
+
+
+def line_dedup(docs, *, min_count: int = 2, id_col: str = "doc_id",
+               text_col: str = "text", bcast_limit: int | None = None,
+               num_partitions: int = 32, nbuckets: int = 64):
+    """Corpus-level line deduplication — the CCNet / RefinedWeb
+    boilerplate-removal stage: any exact line occurring ≥ ``min_count``
+    times ACROSS THE CORPUS is removed from every document. Returns
+    (id_col, text_col) with each doc's surviving lines joined by
+    ``\\n``; documents with no surviving line (pure boilerplate) are
+    dropped.
+
+    100 TB shape: pass 1 streams the corpus once — per-batch
+    (line-hash, count) partials into a map-side-combined groupby whose
+    output is bounded by the number of DISTINCT duplicated lines, not
+    corpus size. Pass 2 streams the corpus again (re-read beats pinning
+    100 TB in the object store) and rebuilds each doc batch-locally.
+    The duplicated-line set broadcasts once via ``ray.put`` (8 B/line)
+    when ≤ ``bcast_limit`` (default NGA_LINE_BCAST_LIMIT = 20M ≈
+    160 MB); above that the same semantics run shuffle-side: explode →
+    left-anti hash join on line hash → doc-bucketed vectorized
+    reassembly (one segmented binary_join per bucket, no per-doc
+    Python). Regime parity is pinned by test_line_dedup_regime_parity.
+    """
+    import os
+
+    import ray
+
+    from neo4j_graph_algorithms_ray.util import (preagg_sum, safe_join,
+                                                 to_arrow_blocks)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        flat, _, _ = _split_lines(_text_column(b, text_col))
+        if len(flat) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(_line_hashes(flat), return_counts=True)
+        return pa.table({"h": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    dup = preagg_sum(docs.map_batches(count_partial, batch_format="pyarrow"),
+                     ["h"], "n") \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b["n"], min_count)).select(["h"]),
+            batch_format="pyarrow") \
+        .materialize()
+
+    limit = (bcast_limit if bcast_limit is not None
+             else int(os.environ.get("NGA_LINE_BCAST_LIMIT", 20_000_000)))
+    if dup.count() <= limit:
+        tabs = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows]
+        hs = (np.sort(np.concatenate(
+            [t["h"].to_numpy(zero_copy_only=False) for t in tabs]))
+            if tabs else np.empty(0, np.int64))
+        ref = ray.put(hs)
+
+        def rebuild(b: pa.Table) -> pa.Table:
+            flat, doc_idx, _ = _split_lines(_text_column(b, text_col))
+            dupset = ray.get(ref)  # local plasma, zero-copy numpy
+            h = _line_hashes(flat)
+            if len(dupset) and len(h):
+                pos = np.minimum(np.searchsorted(dupset, h),
+                                 len(dupset) - 1)
+                keep = dupset[pos] != h
+            else:
+                keep = np.ones(len(h), dtype=bool)
+            nrows = b.num_rows
+            kept_per_doc = np.bincount(doc_idx[keep], minlength=nrows)
+            offsets = np.zeros(nrows + 1, dtype=np.int32)
+            np.cumsum(kept_per_doc, out=offsets[1:])
+            kept_lines = flat.filter(pa.array(keep))
+            if isinstance(kept_lines, pa.ChunkedArray):
+                kept_lines = kept_lines.combine_chunks()
+            lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           kept_lines)
+            text = pc.binary_join(lst, "\n")
+            mask = pa.array(kept_per_doc > 0)
+            return pa.table({id_col: b[id_col].filter(mask),
+                             text_col: text.filter(mask)})
+
+        return docs.map_batches(rebuild, batch_format="pyarrow")
+
+    # shuffle regime: the dup set is too large to broadcast
+    def explode(b: pa.Table) -> pa.Table:
+        flat, doc_idx, n_lines = _split_lines(_text_column(b, text_col))
+        starts = np.repeat(np.cumsum(n_lines) - n_lines, n_lines)
+        line_no = np.arange(len(doc_idx), dtype=np.int64) - starts
+        return pa.table({id_col: b[id_col].take(pa.array(doc_idx)),
+                         "line_no": pa.array(line_no),
+                         "ln": flat,
+                         "h": pa.array(_line_hashes(flat))})
+
+    lines = docs.map_batches(explode, batch_format="pyarrow")
+    dupm = dup.map_batches(
+        lambda b: b.append_column(
+            "_dup", pa.array(np.ones(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    joined = safe_join(lines, dupm, "left_outer", num_partitions, on=("h",))
+
+    def keep_unmarked(b: pa.Table) -> pd.DataFrame:
+        t = b.filter(pc.is_null(b["_dup"])).select([id_col, "line_no", "ln"])
+        df = t.to_pandas()
+        df["_bkt"] = (pd.util.hash_array(df[id_col].to_numpy())
+                      % np.uint64(nbuckets)).astype(np.int64)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: g[id_col] if id_col in g else
+                                 pd.Series(dtype=object),
+                                 text_col: pd.Series(dtype=object)})
+        g = g.sort_values([id_col, "line_no"])
+        codes, uniq = pd.factorize(g[id_col].to_numpy())  # sorted order
+        cnt = np.bincount(codes)
+        bounds = np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()),
+            pa.array(g["ln"].to_numpy(), pa.string()))
+        return pd.DataFrame({id_col: uniq,
+                             text_col: pc.binary_join(lst, "\n").to_pandas()})
+
+    out = joined.map_batches(keep_unmarked, batch_format="pyarrow") \
+                .groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    return to_arrow_blocks(out).map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow")

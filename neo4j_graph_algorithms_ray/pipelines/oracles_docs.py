@@ -513,3 +513,29 @@ PII_COUNTS_SQL = r"""SELECT doc_id,
   CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS BIGINT) AS n_phone,
   CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4
 FROM documents ORDER BY doc_id"""
+
+
+# Mirrors _q_line_dedup exactly: the same deterministic multi-line doc
+# construction (the sf documents are single-line), then CCNet line-dedup
+# semantics — a line occurring >= 2 times corpus-wide is removed from
+# every doc; docs with no surviving line drop out (GROUP BY).
+LINE_DEDUP_SQL = r"""WITH docs2 AS (
+  SELECT doc_id,
+         'SHARED HEADER BOILERPLATE' || chr(10) || coalesce(text, '')
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) ELSE '' END
+         || chr(10)
+         || CASE WHEN doc_id % 3 = 0 THEN 'PROMO OFFER CLICK HERE'
+                 ELSE 'tail-' || doc_id END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS ln,
+         unnest(range(len(string_split(text, chr(10))))) AS line_no
+  FROM docs2
+), dup AS (
+  SELECT ln FROM lines GROUP BY ln HAVING count(*) >= 2
+)
+SELECT l.doc_id, string_agg(l.ln, chr(10) ORDER BY l.line_no) AS text
+FROM lines l
+WHERE l.ln NOT IN (SELECT ln FROM dup)
+GROUP BY l.doc_id"""

@@ -231,3 +231,41 @@ def test_decontaminate_and_pii():
            for r in pii_counts(docs).take_all()}
     assert pii[3][0] == 1 and pii[3][1] >= 1
     assert pii[0] == (0, 0, 0)
+
+
+# ---------------- line_dedup (CCNet-style corpus line dedup) ----------------
+
+LINE_DOCS = [
+    {"doc_id": 1, "text": "a\nX\nb"},
+    {"doc_id": 2, "text": "c\nX\nd"},
+    {"doc_id": 3, "text": "e"},
+    {"doc_id": 4, "text": "X\nX"},   # pure boilerplate → dropped
+    {"doc_id": 5, "text": ""},       # '' line occurs twice (with doc 6)
+    {"doc_id": 6, "text": None},     # null → '' line
+]
+
+
+def _line_out(bcast_limit=None, min_count=2):
+    from neo4j_graph_algorithms_ray.functions.text import line_dedup
+    out = line_dedup(rd.from_items(LINE_DOCS), min_count=min_count,
+                     bcast_limit=bcast_limit).take_all()
+    return {r["doc_id"]: r["text"] for r in out}
+
+
+def test_line_dedup_basic():
+    # X appears 4x → removed everywhere; doc 4 (only X) is dropped;
+    # '' appears 2x (docs 5+null 6) → both dropped
+    assert _line_out() == {1: "a\nb", 2: "c\nd", 3: "e"}
+
+
+def test_line_dedup_min_count():
+    # min_count=3: the two ''s survive (docs 5/6 keep an empty text);
+    # X (4 occurrences) is still removed, so doc 4 is still dropped
+    assert _line_out(min_count=3) == {
+        1: "a\nb", 2: "c\nd", 3: "e", 5: "", 6: ""}
+
+
+def test_line_dedup_regime_parity():
+    # force the shuffle regime (bcast_limit=0) — identical output
+    assert _line_out(bcast_limit=0) == _line_out()
+    assert _line_out(bcast_limit=0, min_count=3) == _line_out(min_count=3)
