@@ -769,6 +769,40 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(docs, min_count=2)
 
 
+def _q_corpus_clean(sf_dir: str):
+    """End-to-end corpus cleaning (language+quality gate → corpus line
+    dedup → exact collapse) over the line_dedup multi-line construction
+    plus doc_id%7∈{1,2} "paired" docs whose cleaned text is identical
+    within each pair — their content/tail lines occur exactly twice,
+    below line_min_count=3, so they survive line dedup and exercise the
+    exact-collapse stage. Oracle: corpus_clean_sql mirrors everything."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from neo4j_graph_algorithms_ray.functions.text import corpus_clean
+
+    def build(b: _pa.Table) -> _pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        base = _pc.fill_null(b["text"].cast(_pa.string()), "") \
+            .to_numpy(zero_copy_only=False).astype(object)
+        tails = _np.where(ids % 3 == 0, "PROMO OFFER CLICK HERE",
+                          _np.char.add("tail-", ids.astype(str)).astype(object))
+        extra = _np.where(ids % 5 == 0, "\n", "").astype(object)
+        normal = "SHARED HEADER BOILERPLATE\n" + base + extra + "\n" + tails
+        k = (ids // 7).astype(str)
+        paired = _np.char.add(
+            _np.char.add("SHARED HEADER BOILERPLATE\nTHE PAIRED CONTENT BLOCK ", k),
+            _np.char.add("\ntail-pair-", k)).astype(object)
+        txt = _np.where(_np.isin(ids % 7, (1, 2)), paired, normal)
+        return _pa.table({"doc_id": b["doc_id"],
+                          "text": _pa.array(txt, _pa.string())})
+
+    docs = _docs(sf_dir).map_batches(build, batch_format="pyarrow")
+    return corpus_clean(docs, langs=("en",), min_tokens=8,
+                        min_stopword_ratio=0.0, line_min_count=3)
+
+
 def _q_tfidf_topk(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import tfidf_topk
     return tfidf_topk(_docs(sf_dir), topk=3)
@@ -1206,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- position 51+ (multi-round green, plus
         # line_dedup: new this round, locally SQL-oracle green) -------
         "line_dedup": _q_line_dedup,
+        "corpus_clean": _q_corpus_clean,
         "web_pagerank": _q_web_pagerank,
         "pagerank": _q_pagerank,
         "wcc": _q_wcc,
@@ -1370,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": od.DECONTAMINATE_SQL,
         "pii_counts": od.PII_COUNTS_SQL,
         "line_dedup": od.LINE_DEDUP_SQL,
+        "corpus_clean": od.corpus_clean_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),
         "stratified_sample": od.stratified_sample_sql(50),
         "inverted_index": od.inverted_index_sql(2),

@@ -844,3 +844,60 @@ def line_dedup(docs, *, min_count: int = 2, id_col: str = "doc_id",
                 .groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
     return to_arrow_blocks(out).map_batches(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow")
+
+
+def corpus_clean(docs, *, langs=("en",), min_tokens: int = 8,
+                 min_stopword_ratio: float = 0.0, line_min_count: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 bcast_limit: int | None = None):
+    """End-to-end corpus cleaning — the composed pipeline a training-data
+    run executes over every crawled document:
+
+    1. language + quality gate: per-batch LangId/QualityScore kernels,
+       keep docs with pred_lang ∈ ``langs``, n_tokens ≥ ``min_tokens``,
+       stopword_ratio ≥ ``min_stopword_ratio`` (zero shuffle);
+    2. corpus line-level dedup (:func:`line_dedup`) over the survivors
+       with ``line_min_count``;
+    3. exact-duplicate collapse: one min-id representative per distinct
+       cleaned text.
+
+    Returns the cleaned (id, text) corpus. Stage-3 shape: the winner
+    table is (hash → min id) via map-side-combined ``preagg_min`` —
+    bounded by distinct cleaned texts — then a doc-id semi-join
+    (broadcast below the cap, hash-shuffle above) keeps the winners'
+    rows, so full document text never becomes a shuffle key. The
+    cleaned corpus materializes once between stages 2 and 3 (it is the
+    pipeline product and strictly smaller than the input; line_dedup
+    already streams the raw corpus twice)."""
+    from neo4j_graph_algorithms_ray.util import broadcast_join, preagg_min
+
+    qs = QualityScore(id_col, text_col)
+    li = LangId(id_col, text_col)
+    lang_list = list(langs)
+
+    def gate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select([id_col, text_col])
+        q, lang = qs(b), li(b)
+        keep = ((q["n_tokens"].to_numpy(zero_copy_only=False) >= min_tokens)
+                & (q["stopword_ratio"].to_numpy(zero_copy_only=False)
+                   >= min_stopword_ratio)
+                & np.isin(lang["pred_lang"].to_numpy(zero_copy_only=False),
+                          lang_list))
+        return b.select([id_col, text_col]).filter(pa.array(keep))
+
+    survivors = docs.map_batches(gate, batch_format="pyarrow")
+    cleaned = line_dedup(survivors, min_count=line_min_count, id_col=id_col,
+                         text_col=text_col, bcast_limit=bcast_limit) \
+        .materialize()
+
+    def hpart(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            _text_column(b, text_col).to_numpy(zero_copy_only=False)) \
+            .view(np.int64)
+        return pa.table({"h": pa.array(h), id_col: b[id_col]})
+
+    winners = preagg_min(
+        cleaned.map_batches(hpart, batch_format="pyarrow"), ["h"], id_col) \
+        .map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
+    return broadcast_join(cleaned, winners, on=id_col)

@@ -40,21 +40,30 @@ SELECT doc_id, n_chars, len(tk) AS n_tokens,
 FROM toks ORDER BY doc_id"""
 
 
-def langid_sql() -> str:
+def _langid_fragments() -> tuple[str, str]:
+    """(per-lang hit-count select list over column ``lt``, pred_lang
+    CASE over the h_* columns) — the alphabetical first-max tie-break
+    is the WHEN order (langs sorted). Shared by langid_sql and
+    corpus_clean_sql so the two cannot drift."""
     langs = sorted(STOPWORDS)
     hits = ",\n  ".join(
         f"len(list_filter(lt, x -> x IN ({_inlist(STOPWORDS[lang])}))) AS h_{lang}"
         for lang in langs)
     g = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
     case = "\n    ".join(f"WHEN h_{lang} = {g} THEN '{lang}'" for lang in langs)
+    return hits, f"""CASE WHEN {g} = 0 THEN 'und'
+    {case}
+  END"""
+
+
+def langid_sql() -> str:
+    hits, case = _langid_fragments()
     return f"""WITH {TOKS_CTE},
 hits AS (
   SELECT doc_id, {hits}
   FROM (SELECT doc_id, list_transform(tk, x -> lower(x)) AS lt FROM toks) t)
 SELECT doc_id,
-  CASE WHEN {g} = 0 THEN 'und'
-    {case}
-  END AS pred_lang
+  {case} AS pred_lang
 FROM hits ORDER BY doc_id"""
 
 
@@ -539,3 +548,64 @@ SELECT l.doc_id, string_agg(l.ln, chr(10) ORDER BY l.line_no) AS text
 FROM lines l
 WHERE l.ln NOT IN (SELECT ln FROM dup)
 GROUP BY l.doc_id"""
+
+
+# Mirrors _q_corpus_clean's deterministic multi-line construction: the
+# line_dedup construction plus doc_id%7 IN (1,2) "paired" docs whose
+# cleaned text is identical within each pair (their content/tail lines
+# occur exactly twice — below the query's line_min_count=3 — so they
+# survive line dedup and the exact-collapse stage keeps the min id).
+MULTILINE_PAIRED_CTE = r"""docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 IN (1, 2)
+              THEN 'SHARED HEADER BOILERPLATE' || chr(10)
+                   || 'THE PAIRED CONTENT BLOCK ' || (doc_id // 7) || chr(10)
+                   || 'tail-pair-' || (doc_id // 7)
+              ELSE 'SHARED HEADER BOILERPLATE' || chr(10) || coalesce(text, '')
+                   || CASE WHEN doc_id % 5 = 0 THEN chr(10) ELSE '' END
+                   || chr(10)
+                   || CASE WHEN doc_id % 3 = 0 THEN 'PROMO OFFER CLICK HERE'
+                           ELSE 'tail-' || doc_id END
+         END AS text
+  FROM documents)"""
+
+
+def corpus_clean_sql(langs=("en",), min_tokens: int = 8,
+                     min_stop: float = 0.0, line_min_count: int = 3) -> str:
+    """Full mirror of functions/text.corpus_clean over the paired
+    multi-line construction: language+quality gate → corpus line dedup
+    → exact collapse to min-id representative."""
+    hits, case = _langid_fragments()
+    lang_in = ", ".join(f"'{lang}'" for lang in langs)
+    return f"""WITH {MULTILINE_PAIRED_CTE},
+toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM docs2),
+hits AS (
+  SELECT doc_id, text, lt, {hits}
+  FROM (SELECT doc_id, text, list_transform(tk, x -> lower(x)) AS lt
+        FROM toks) t),
+feats AS (
+  SELECT doc_id, text, len(lt) AS n_tok,
+    round(CASE WHEN len(lt) > 0
+          THEN CAST(len(list_filter(lt, x -> x IN ({_inlist(STOPWORDS['en'])}))) AS DOUBLE) / len(lt)
+          ELSE 0 END, 6) AS stop_ratio,
+    {case} AS pred_lang
+  FROM hits),
+kept AS (
+  SELECT doc_id, text FROM feats
+  WHERE n_tok >= {min_tokens} AND stop_ratio >= {min_stop}
+    AND pred_lang IN ({lang_in})),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS ln,
+         unnest(range(len(string_split(text, chr(10))))) AS line_no
+  FROM kept),
+dup AS (SELECT ln FROM lines GROUP BY ln HAVING count(*) >= {line_min_count}),
+rebuilt AS (
+  SELECT l.doc_id, string_agg(l.ln, chr(10) ORDER BY l.line_no) AS text
+  FROM lines l WHERE l.ln NOT IN (SELECT ln FROM dup)
+  GROUP BY l.doc_id)
+SELECT min(doc_id) AS doc_id, text FROM rebuilt GROUP BY text"""

@@ -338,8 +338,8 @@ def _preagg(ds: rd.Dataset, keys: list[str], val: str | list[str],
     batch is pre-aggregated with ``pa.Table.group_by`` (vectorized) so
     the shuffle moves only per-batch-distinct rows; when the partials
     are small the final merge happens on the driver (no shuffle at all).
-    ``op`` in {"sum", "max"} — both are associative+commutative, so the
-    same combine regime is exact for either. Returns keys + vals."""
+    ``op`` in {"sum", "max", "min"} — all associative+commutative, so
+    the same combine regime is exact for any. Returns keys + vals."""
     vals = [val] if isinstance(val, str) else list(val)
     aggs = [(v, op) for v in vals]
 
@@ -357,7 +357,8 @@ def _preagg(ds: rd.Dataset, keys: list[str], val: str | list[str],
             .aggregate(aggs).rename_columns(keys + vals)
         return rd.from_arrow(merged)
     out = (red.groupby(keys).sum(vals) if op == "sum"
-           else red.groupby(keys).max(vals))
+           else red.groupby(keys).max(vals) if op == "max"
+           else red.groupby(keys).min(vals))
     return out.rename_columns({f"{op}({v})": v for v in vals})
 
 
@@ -367,6 +368,10 @@ def preagg_sum(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Data
 
 def preagg_max(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Dataset:
     return _preagg(ds, keys, val, "max")
+
+
+def preagg_min(ds: rd.Dataset, keys: list[str], val: str | list[str]) -> rd.Dataset:
+    return _preagg(ds, keys, val, "min")
 
 
 def topk_per_group(ds: rd.Dataset, keys: list[str], order_col: str, k: int,

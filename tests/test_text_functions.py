@@ -269,3 +269,40 @@ def test_line_dedup_regime_parity():
     # force the shuffle regime (bcast_limit=0) — identical output
     assert _line_out(bcast_limit=0) == _line_out()
     assert _line_out(bcast_limit=0, min_count=3) == _line_out(min_count=3)
+
+
+# ---------------- corpus_clean (composed cleaning pipeline) ----------------
+
+def test_corpus_clean_three_stages():
+    from neo4j_graph_algorithms_ray.functions.text import corpus_clean
+    B = "BOILER PLATE LINE"
+    docs = rd.from_items([
+        # en docs sharing a boilerplate line (3 occurrences → removed
+        # at line_min_count=3)
+        {"doc_id": 1, "text": f"{B}\nthe cat sat on a mat and the dog ran off"},
+        {"doc_id": 2, "text": f"{B}\nthe rain in spain is wet for the most part"},
+        {"doc_id": 3, "text": f"{B}\nthe quick brown fox is in the barn for now"},
+        # exact pair after cleaning → collapse keeps min id 4
+        {"doc_id": 4, "text": "the same it is that for a paired test here"},
+        {"doc_id": 5, "text": "the same it is that for a paired test here"},
+        # german → filtered by the language gate
+        {"doc_id": 6, "text": "der hund und die katze ist nicht hier mit von zu"},
+        # too short → filtered by min_tokens
+        {"doc_id": 7, "text": "the end"},
+    ])
+    out = {r["doc_id"]: r["text"]
+           for r in corpus_clean(docs, min_tokens=8).take_all()}
+    assert out == {
+        1: "the cat sat on a mat and the dog ran off",
+        2: "the rain in spain is wet for the most part",
+        3: "the quick brown fox is in the barn for now",
+        4: "the same it is that for a paired test here",
+    }
+
+
+def test_preagg_min():
+    from neo4j_graph_algorithms_ray.util import preagg_min
+    ds = rd.from_items([{"k": 1, "v": 5}, {"k": 1, "v": 2},
+                        {"k": 2, "v": 9}, {"k": 2, "v": 11}])
+    out = {r["k"]: r["v"] for r in preagg_min(ds, ["k"], "v").take_all()}
+    assert out == {1: 2, 2: 9}
