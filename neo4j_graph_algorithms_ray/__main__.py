@@ -87,12 +87,20 @@ def main(argv: list[str] | None = None) -> None:
             print(f"{row['name']:55s} {row['impl']}")
         return
 
+    import os
+
     import ray
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(address="local", include_dashboard=False,
+        # honor RAY_ADDRESS so the same entrypoint works as a
+        # `ray job submit` driver on a running cluster (the job runner
+        # sets RAY_ADDRESS to the cluster address); default local.
+        # num_cpus only makes sense when we start the local node.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        ray.init(address=addr, include_dashboard=False,
                  logging_level="ERROR",
-                 **({"num_cpus": args.num_cpus} if args.num_cpus else {}))
+                 **({"num_cpus": args.num_cpus}
+                    if args.num_cpus and addr == "local" else {}))
     import logging
 
     import ray.data as rd
