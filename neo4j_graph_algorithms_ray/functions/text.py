@@ -59,17 +59,30 @@ def _split_tokens(txt) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     return flat, doc_idx, n_tok
 
 
+# RE2-safe BPE-ish piece pattern: letter runs | digit runs | single
+# non-alnum non-space char — the subword-ish unit count used for token
+# budgeting when no real tokenizer model ships with the engine. RE2
+# semantics are shared with DuckDB's regexp_extract_all, so the SQL
+# oracle counts the identical pieces.
+BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 class TokenCount:
-    """(id, text) → (id, n_tokens). Whitespace tokenization, one Arrow
-    split kernel per batch — no per-row Python, no regex scan."""
+    """(id, text) → (id, n_tokens, n_bpe_pieces): whitespace token
+    count (one Arrow split kernel) plus the BPE-ish subword-piece count
+    (one RE2 scan, BPE_PIECE_RE) — no per-row Python."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        _, _, n_tok = _split_tokens(_text_column(batch, self.text_col))
+        txt = _text_column(batch, self.text_col)
+        _, _, n_tok = _split_tokens(txt)
+        n_bpe = pc.cast(pc.count_substring_regex(txt, BPE_PIECE_RE),
+                        pa.int64())
         return pa.table({self.id_col: batch[self.id_col],
-                         "n_tokens": pa.array(n_tok)})
+                         "n_tokens": pa.array(n_tok),
+                         "n_bpe_pieces": n_bpe})
 
 
 def _lang_hits(flat_lower: pa.Array, doc_idx: np.ndarray, ndocs: int,

@@ -23,7 +23,10 @@ EXACT_DEDUP_SQL = """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id"""
 
 TOKEN_COUNT_SQL = f"""WITH {TOKS_CTE}
-SELECT doc_id, len(tk) AS n_tokens FROM toks ORDER BY doc_id"""
+SELECT doc_id, len(tk) AS n_tokens,
+  CAST(len(regexp_extract_all(coalesce(text, ''),
+       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_pieces
+FROM toks ORDER BY doc_id"""
 
 QUALITY_SQL = f"""WITH {TOKS_CTE}
 SELECT doc_id, n_chars, len(tk) AS n_tokens,

@@ -22,9 +22,15 @@ def _ds():
 
 
 def test_token_count():
-    out = {r["doc_id"]: r["n_tokens"]
-           for r in _ds().map_batches(TokenCount, batch_format="pyarrow", concurrency=1).take_all()}
+    rows = _ds().map_batches(TokenCount, batch_format="pyarrow",
+                             concurrency=1).take_all()
+    out = {r["doc_id"]: r["n_tokens"] for r in rows}
     assert out == {0: 8, 1: 8, 2: 3, 3: 0, 4: 3}
+    bpe = {r["doc_id"]: r["n_bpe_pieces"] for r in rows}
+    # doc 0 "The cat and the dog, in a house.": 8 letter runs + ',' + '.'
+    assert bpe[0] == 10
+    assert bpe[3] == 0
+    assert bpe[4] == 3  # spaced / out / tabs
 
 
 def test_quality_score():
