@@ -1211,12 +1211,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
         "cluster_balanced_sample": _q_cluster_sample,
-        "media_pipeline": _q_media,
+        # media_pipeline / window_agg rotated below the window: both have
+        # driver passes (r01 / r02) and neither implementation changed this
+        # round; their slots go to line_dedup / corpus_clean (new round-4
+        # operators, locally SQL-oracle green, never driver-checked).
+        "line_dedup": _q_line_dedup,
         "exact_dedup": _q_exact_dedup,
         # algo_list rotated back: a static registry listing pinned by pytest;
         # the slot goes to decontaminate (new, never driver-checked).
         "decontaminate": _q_decontaminate,
-        "window_agg": _q_window_agg,
+        "corpus_clean": _q_corpus_clean,
         "hopping_agg": _q_hopping_agg,
         "window_unique_users": _q_window_unique_users,
         "sessionize": _q_sessionize,
@@ -1237,10 +1241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scalars_flags": _q_scalars_flags,
         "graph_catalog": _q_graph_catalog,
         "betweenness_maxdepth": _q_betweenness_maxdepth,
-        # ---------------- position 51+ (multi-round green, plus
-        # line_dedup: new this round, locally SQL-oracle green) -------
-        "line_dedup": _q_line_dedup,
-        "corpus_clean": _q_corpus_clean,
+        # ---------------- position 51+ (multi-round green) -------
+        "media_pipeline": _q_media,
+        "window_agg": _q_window_agg,
         "web_pagerank": _q_web_pagerank,
         "pagerank": _q_pagerank,
         "wcc": _q_wcc,
