@@ -657,6 +657,16 @@ def _q_fingerprint(sf_dir: str):
                                      batch_size=4096)
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1) signals
+    + passes flag; thresholds chosen so the synthetic corpus SPLITS on
+    n_words and stop_hits (defaults would fail every doc)."""
+    from neo4j_graph_algorithms_ray.functions.text import GopherQuality
+    return _docs(sf_dir).map_batches(
+        GopherQuality(min_words=40, min_stop_hits=1),
+        batch_format="pyarrow", batch_size=4096)
+
+
 def _q_vocab_topk(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import vocab_topk
     return vocab_topk(_docs(sf_dir), topk=100)
@@ -1184,7 +1194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "langid": _q_langid,
-        "fingerprint": _q_fingerprint,
+        # fingerprint rotated below the window (r01 driver pass; this
+        # round's vectorization is pinned by pytest + the local gate);
+        # its slot goes to gopher_quality (new, never driver-checked).
+        "gopher_quality": _q_gopher_quality,
         "vocab_topk": _q_vocab_topk,
         "hll_registers": _q_hll_registers,
         "bloom_urls": _q_bloom_urls,
@@ -1242,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_catalog": _q_graph_catalog,
         "betweenness_maxdepth": _q_betweenness_maxdepth,
         # ---------------- position 51+ (multi-round green) -------
+        "fingerprint": _q_fingerprint,
         "media_pipeline": _q_media,
         "window_agg": _q_window_agg,
         "web_pagerank": _q_web_pagerank,
@@ -1394,6 +1408,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": od.QUALITY_SQL,
         "langid": od.langid_sql(),
         "fingerprint": od.FINGERPRINT_SQL,
+        "gopher_quality": od.gopher_quality_sql(min_words=40,
+                                                min_stop_hits=1),
         "vocab_topk": od.vocab_topk_sql(100),
         "hll_registers": od.HLL_REGISTERS_SQL,
         "bloom_urls": ow.BLOOM_URLS_SQL,

@@ -192,6 +192,102 @@ class Fingerprint:
                          "fingerprint": pa.array(fp, pa.string())})
 
 
+# The Gopher rule-based quality filter's stop-word set (Rae et al.
+# 2021, "Scaling Language Models", §A1.1): a doc must contain at least
+# ``min_stop_hits`` DISTINCT words from this list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+class GopherQuality:
+    """(id, text) → the Gopher rule-based quality signals (Rae et al.
+    2021 §A1.1) plus a combined ``passes`` flag:
+
+    - ``n_words`` in [min_words, max_words]
+    - ``mean_word_len`` in [min_mwl, max_mwl]
+    - ``symbol_ratio`` (count of '#' chars + non-overlapping '...'/'…'
+      occurrences, per word) ≤ max_symbol_ratio
+    - ``alpha_word_frac`` (words containing ≥1 ASCII letter) ≥ min_alpha
+    - ``stop_hits`` (DISTINCT GOPHER_STOPWORDS present) ≥ min_stop_hits
+    - ``bullet_line_frac`` (lines starting with -, * or •) ≤ max_bullet
+    - ``ellipsis_line_frac`` (lines ending with '...' or '…') ≤ max_ellipsis
+
+    Fully vectorized — one whitespace split + one line split per batch;
+    per-word predicates are Arrow regex/hash kernels over the flat token
+    array; distinct-stopword counts come from a doc×word pair-encode +
+    ``np.unique``. Semantics mirror ``gopher_quality_sql`` exactly
+    (non-overlapping substring counts, lines = string_split on \\n)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mwl: float = 3.0, max_mwl: float = 10.0,
+                 max_symbol_ratio: float = 0.1, min_alpha: float = 0.8,
+                 min_stop_hits: int = 2, max_bullet: float = 0.9,
+                 max_ellipsis: float = 0.3):
+        self.id_col, self.text_col = id_col, text_col
+        self.th = (min_words, max_words, min_mwl, max_mwl, max_symbol_ratio,
+                   min_alpha, min_stop_hits, max_bullet, max_ellipsis)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        (min_words, max_words, min_mwl, max_mwl, max_sym, min_alpha,
+         min_stop, max_bullet, max_ellipsis) = self.th
+        txt = _text_column(batch, self.text_col)
+        ndocs = len(txt)
+        flat, doc_idx, n_tok = _split_tokens(txt)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        tok_chars = np.bincount(doc_idx, weights=tok_len.astype(np.float64),
+                                minlength=ndocs)
+        nz = np.maximum(n_tok, 1)
+        mwl = np.where(n_tok > 0, tok_chars / nz, 0.0)
+        # symbol counts: '#' chars + non-overlapping '...' / '…'
+        sym = (pc.count_substring(txt, "#").to_numpy(zero_copy_only=False)
+               + pc.count_substring(txt, "...").to_numpy(zero_copy_only=False)
+               + pc.count_substring(txt, "…").to_numpy(zero_copy_only=False)
+               ).astype(np.int64)
+        sym_ratio = np.where(n_tok > 0, sym / nz, 0.0)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]") \
+                  .to_numpy(zero_copy_only=False)
+        alpha_cnt = np.bincount(doc_idx[alpha], minlength=ndocs)
+        alpha_frac = np.where(n_tok > 0, alpha_cnt / nz, 0.0)
+        # distinct Gopher stop words present per doc
+        low = pc.utf8_lower(flat)
+        hit = pc.is_in(low, value_set=pa.array(GOPHER_STOPWORDS)) \
+                .to_numpy(zero_copy_only=False)
+        if hit.any():
+            codes = pd.Categorical(
+                low.filter(pa.array(hit)).to_numpy(zero_copy_only=False),
+                categories=GOPHER_STOPWORDS).codes.astype(np.int64)
+            pairs = np.unique(doc_idx[hit] * len(GOPHER_STOPWORDS) + codes)
+            stop_hits = np.bincount(pairs // len(GOPHER_STOPWORDS),
+                                    minlength=ndocs).astype(np.int64)
+        else:
+            stop_hits = np.zeros(ndocs, dtype=np.int64)
+        # line-level signals
+        lines, line_idx, n_lines = _split_lines(txt)
+        bullet = pc.match_substring_regex(lines, r"^\s*[-*•]") \
+                   .to_numpy(zero_copy_only=False)
+        ellip = pc.match_substring_regex(lines, r"(\.\.\.|…)$") \
+                  .to_numpy(zero_copy_only=False)
+        lz = np.maximum(n_lines, 1)
+        bullet_frac = np.bincount(line_idx[bullet], minlength=ndocs) / lz
+        ellip_frac = np.bincount(line_idx[ellip], minlength=ndocs) / lz
+        passes = ((n_tok >= min_words) & (n_tok <= max_words)
+                  & (mwl >= min_mwl) & (mwl <= max_mwl)
+                  & (sym_ratio <= max_sym) & (alpha_frac >= min_alpha)
+                  & (stop_hits >= min_stop) & (bullet_frac <= max_bullet)
+                  & (ellip_frac <= max_ellipsis))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_words": pa.array(n_tok),
+            "mean_word_len": pa.array(round6(mwl)),
+            "symbol_ratio": pa.array(round6(sym_ratio)),
+            "alpha_word_frac": pa.array(round6(alpha_frac)),
+            "stop_hits": pa.array(stop_hits),
+            "bullet_line_frac": pa.array(round6(bullet_frac)),
+            "ellipsis_line_frac": pa.array(round6(ellip_frac)),
+            "passes": pa.array(passes),
+        })
+
+
 def vocab_topk(docs, *, topk: int = 100, id_col: str = "doc_id",
                text_col: str = "text"):
     """Corpus-wide vocabulary statistics: the ``topk`` most frequent

@@ -43,6 +43,55 @@ SELECT doc_id, n_chars, len(tk) AS n_tokens,
 FROM toks ORDER BY doc_id"""
 
 
+def gopher_quality_sql(*, min_words: int = 50, max_words: int = 100_000,
+                       min_mwl: float = 3.0, max_mwl: float = 10.0,
+                       max_symbol_ratio: float = 0.1, min_alpha: float = 0.8,
+                       min_stop_hits: int = 2, max_bullet: float = 0.9,
+                       max_ellipsis: float = 0.3) -> str:
+    """DuckDB mirror of GopherQuality (functions/text.py): same
+    tokenization CTE, non-overlapping substring counts via
+    length-of-replace, lines via string_split on chr(10) (every doc has
+    ≥1 line), thresholds compared on unrounded doubles."""
+    from neo4j_graph_algorithms_ray.functions.text import GOPHER_STOPWORDS
+    stops = _inlist(GOPHER_STOPWORDS)
+    return f"""WITH {TOKS_CTE},
+feat AS (
+  SELECT doc_id, len(tk) AS n_words,
+    CASE WHEN len(tk) > 0
+      THEN CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk)
+      ELSE 0 END AS mwl,
+    CASE WHEN len(tk) > 0
+      THEN CAST(length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) / 3
+           + (length(text) - length(replace(text, '…', ''))) AS DOUBLE) / len(tk)
+      ELSE 0 END AS sym_ratio,
+    CASE WHEN len(tk) > 0
+      THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk)
+      ELSE 0 END AS alpha_frac,
+    len(list_filter([{stops}],
+        w -> list_contains(list_transform(tk, x -> lower(x)), w))) AS stop_hits,
+    CAST(len(list_filter(string_split(text, chr(10)),
+        l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+      / len(string_split(text, chr(10))) AS bullet_frac,
+    CAST(len(list_filter(string_split(text, chr(10)),
+        l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE)
+      / len(string_split(text, chr(10))) AS ellip_frac
+  FROM toks)
+SELECT doc_id, n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(sym_ratio, 6) AS symbol_ratio,
+  round(alpha_frac, 6) AS alpha_word_frac,
+  stop_hits,
+  round(bullet_frac, 6) AS bullet_line_frac,
+  round(ellip_frac, 6) AS ellipsis_line_frac,
+  (n_words >= {min_words} AND n_words <= {max_words}
+   AND mwl >= {min_mwl} AND mwl <= {max_mwl}
+   AND sym_ratio <= {max_symbol_ratio} AND alpha_frac >= {min_alpha}
+   AND stop_hits >= {min_stop_hits} AND bullet_frac <= {max_bullet}
+   AND ellip_frac <= {max_ellipsis}) AS passes
+FROM feat ORDER BY doc_id"""
+
+
 def _langid_fragments() -> tuple[str, str]:
     """(per-lang hit-count select list over column ``lt``, pred_lang
     CASE over the h_* columns) — the alphabetical first-max tie-break

@@ -312,3 +312,59 @@ def test_preagg_min():
                         {"k": 2, "v": 9}, {"k": 2, "v": 11}])
     out = {r["k"]: r["v"] for r in preagg_min(ds, ["k"], "v").take_all()}
     assert out == {1: 2, 2: 9}
+
+
+GOPHER_DOCS = [
+    # passes every rule (≥5 words, has 'the' + 'and', mwl in range)
+    {"doc_id": 0, "text": "the cat and dog sat near that house with care"},
+    # bullet lines: 3 of 4 lines bulleted → bullet_line_frac 0.75
+    {"doc_id": 1, "text": "the list and that\n- one\n* two\n  • three"},
+    # ellipsis endings: both flavors → ellipsis_line_frac 1.0
+    {"doc_id": 2, "text": "and then...\nthe rest…"},
+    # symbol-heavy: '#' x3 + '....' counts one '...' → 4 symbols / 4 words
+    {"doc_id": 3, "text": "## tag # wow...."},
+    # no stopwords, no alpha words
+    {"doc_id": 4, "text": "123 456 789"},
+    {"doc_id": 5, "text": ""},
+]
+
+
+def test_gopher_quality_rules():
+    from neo4j_graph_algorithms_ray.functions.text import GopherQuality
+    rows = {r["doc_id"]: r for r in rd.from_items(GOPHER_DOCS).map_batches(
+        GopherQuality(min_words=5, min_stop_hits=2, min_mwl=1.0,
+                      max_bullet=0.5),
+        batch_format="pyarrow", concurrency=1).take_all()}
+    r0 = rows[0]
+    assert r0["n_words"] == 10 and r0["stop_hits"] == 4  # the,and,that,with
+    assert r0["alpha_word_frac"] == 1.0 and r0["passes"]
+    r1 = rows[1]
+    assert r1["bullet_line_frac"] == 0.75 and not r1["passes"]
+    r2 = rows[2]
+    assert r2["ellipsis_line_frac"] == 1.0 and not r2["passes"]
+    r3 = rows[3]
+    assert r3["symbol_ratio"] == 1.0 and not r3["passes"]
+    r4 = rows[4]
+    assert r4["alpha_word_frac"] == 0.0 and r4["stop_hits"] == 0
+    r5 = rows[5]
+    assert r5["n_words"] == 0 and not r5["passes"]
+    assert r5["bullet_line_frac"] == 0.0  # empty text = one '' line
+
+
+def test_gopher_quality_duckdb_parity():
+    import duckdb
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.functions.text import GopherQuality
+    from neo4j_graph_algorithms_ray.pipelines.oracles_docs import (
+        gopher_quality_sql)
+    docs = pd.DataFrame(GOPHER_DOCS)
+    got = rd.from_pandas(docs).map_batches(
+        GopherQuality(), batch_format="pyarrow", concurrency=1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(gopher_quality_sql()).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
