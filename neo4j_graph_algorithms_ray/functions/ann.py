@@ -350,3 +350,55 @@ def cluster_balanced_sample(emb: rd.Dataset, per_cluster: int = 10, *,
         lambda g: g.sort_values(["sim", id_col], ascending=[False, True])
                    .head(per_cluster),
         batch_format="pandas")
+
+
+def semantic_dedup(emb: rd.Dataset, *, ncells: int = 16,
+                   threshold: float = 0.95, sample: int = 65536,
+                   iters: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   group_cap: int = 100_000) -> rd.Dataset:
+    """SemDeDup-style embedding-space dedup (Abbas et al. 2023):
+    spherical k-means buckets the corpus, cosine pairs ≥ ``threshold``
+    are generated ONLY within a bucket, and the pair graph's transitive
+    closure elects one representative (min id) per duplicate group →
+    ``(id, rep_id, keep)`` for every vector; ``keep`` rows ARE the
+    deduplicated corpus.
+
+    Scale shape: centroids train on a driver-bounded hash sample and
+    broadcast once (``ray.put``); assignment is one matmul per batch
+    (no shuffle); the quadratic cosine compare is confined to a k-means
+    cell (``group_cap`` raises loudly on an oversized cell — re-bucket
+    with more cells, same contract as embedding_neardup_pairs); the
+    closure runs over the sparse PAIR graph (neardup_clusters), never
+    the corpus.
+    """
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        embedding_neardup_pairs, neardup_clusters)
+    import pyarrow.compute as pc
+
+    if ncells <= 1:
+        # single cell = exact all-pairs semantics; skip centroid training
+        def assign(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "cluster", pa.array(np.zeros(batch.num_rows, np.int64)))
+    else:
+        cents = ivf_train_centroids(emb, ncells, sample=sample, iters=iters,
+                                    id_col=id_col, vec_col=vec_col)
+        cref = ray.put(cents)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("cluster", pa.array([], pa.int64()))
+            c = ray.get(cref)
+            a = (_normalize(_vec_matrix(batch[vec_col])) @ c.T).argmax(axis=1)
+            return batch.append_column("cluster", pa.array(a.astype(np.int64)))
+
+    tagged = emb.map_batches(assign, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs(tagged, threshold=threshold,
+                                    id_col=id_col, vec_col=vec_col,
+                                    block_col="cluster", group_cap=group_cap)
+    reps = neardup_clusters(emb.select_columns([id_col]), pairs,
+                            id_col=id_col)
+    return reps.map_batches(
+        lambda b: b.append_column("keep", pc.equal(b[id_col], b["rep_id"])),
+        batch_format="pyarrow")

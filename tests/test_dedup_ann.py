@@ -346,3 +346,59 @@ def test_null_texts_never_pair():
                       f"alpha{i} beta{i} gamma{i}"} for i in range(58)]
     pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.5).take_all()
     assert all(r["a"] >= 2 and r["b"] >= 2 for r in pairs), pairs
+
+
+def _semantic_brute(vecs: np.ndarray, threshold: float) -> dict[int, int]:
+    """Brute-force SemDeDup oracle: all-pairs cosine >= threshold,
+    transitive closure, rep = min member id."""
+    n = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    sims = n @ n.T
+    parent = list(range(len(vecs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if sims[i, j] >= threshold:
+                ri, rj = find(i), find(j)
+                parent[max(ri, rj)] = min(ri, rj)
+    return {i: find(i) for i in range(len(vecs))}
+
+
+def test_semantic_dedup_matches_brute_force_single_cell():
+    from neo4j_graph_algorithms_ray.functions.ann import semantic_dedup
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1.0, (12, 8))
+    # three near-dup groups: 0≈12≈13, 5≈14, others singletons
+    vecs = np.vstack([base, base[0] + 0.001, base[0] - 0.001,
+                      base[5] * 1.01])
+    ds = rd.from_items([{"vec_id": i, "embedding": v.tolist()}
+                        for i, v in enumerate(vecs)])
+    want = _semantic_brute(vecs, 0.999)
+    rows = semantic_dedup(ds, ncells=1, threshold=0.999).take_all()
+    got = {r["vec_id"]: r["rep_id"] for r in rows}
+    assert got == want
+    keep = {r["vec_id"] for r in rows if r["keep"]}
+    assert keep == {i for i, r in want.items() if r == i}
+
+
+def test_semantic_dedup_bucketed_keeps_blob_dups():
+    from neo4j_graph_algorithms_ray.functions.ann import semantic_dedup
+    rng = np.random.default_rng(9)
+    a = rng.normal(0, 0.05, (30, 8)) + np.eye(8)[0]
+    b = rng.normal(0, 0.05, (30, 8)) + np.eye(8)[3]
+    # duplicate 3 vectors of each blob (perturbation ≪ blob spread)
+    vecs = np.vstack([a, b, a[:3] + 1e-4, b[:3] + 1e-4])
+    ds = rd.from_items([{"vec_id": i, "embedding": v.tolist()}
+                        for i, v in enumerate(vecs)])
+    rows = semantic_dedup(ds, ncells=2, threshold=0.9999).take_all()
+    got = {r["vec_id"]: r["rep_id"] for r in rows}
+    # each dup maps to its original; originals map to themselves
+    for k in range(3):
+        assert got[60 + k] == k
+        assert got[63 + k] == 30 + k
+    assert sum(1 for r in rows if not r["keep"]) == 6
