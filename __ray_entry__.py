@@ -818,6 +818,14 @@ def _q_tfidf_topk(sf_dir: str):
     return tfidf_topk(_docs(sf_dir), topk=3)
 
 
+BM25_TERMS = ("spark", "merge", "window")
+
+
+def _q_bm25_topk(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import bm25_topk
+    return bm25_topk(_docs(sf_dir), BM25_TERMS, topk=25)
+
+
 def _q_stratified_sample(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import stratified_sample
     from neo4j_graph_algorithms_ray.util import read_parquet_clean
@@ -1305,6 +1313,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "scalars_flags": _q_scalars_flags,
         "graph_catalog": _q_graph_catalog,
         "betweenness_maxdepth": _q_betweenness_maxdepth,
+        # --- below here: outside the r04 window; rotate into the
+        # window next round (never driver-verified yet) ---
+        "bm25_topk": _q_bm25_topk,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1482,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": od.LINE_DEDUP_SQL,
         "corpus_clean": od.corpus_clean_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),
+        "bm25_topk": od.bm25_topk_sql(BM25_TERMS, 25),
         "stratified_sample": od.stratified_sample_sql(50),
         "inverted_index": od.inverted_index_sql(2),
         "doc_length_histogram": od.doc_length_histogram_sql(100),

@@ -435,6 +435,103 @@ def tfidf_topk(docs, *, topk: int = 3, id_col: str = "doc_id",
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def bm25_topk(docs, terms, *, topk: int = 10, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """BM25 lexical retrieval: score every document against a fixed
+    bag of query ``terms`` and return the ``topk`` highest-scoring
+    docs → (doc_id, score). Lucene-flavoured BM25:
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+
+    with N = corpus size, dl = doc token count, avgdl the mean dl over
+    non-empty docs. The lexical counterpart to the embedding ANN
+    retrieval in functions/ann.py.
+
+    Scale shape: ONE stats scan emits per-batch partials — df per
+    query term (≤|terms| rows), token totals, non-empty doc counts —
+    combined map-side then reduced to a handful of rows; the driver
+    holds only |terms| idf values, broadcast to the scoring scan.
+    Pass 2 computes per-doc scores batch-locally (a doc never spans
+    batches) and keeps a per-batch top-k partial, so the final sort
+    sees ≤ topk·nblocks rows. No shuffle touches the corpus.
+    """
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    terms = sorted(set(terms))
+    term_idx = pd.Index(np.array(terms, dtype=object))
+    STATS = "\x00stats"  # never a token: tokens are \S+ runs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(batch[text_col])
+        rows_tok = np.array(terms + [STATS], dtype=object)
+        df = np.zeros(len(terms) + 1, np.int64)
+        ntoks = np.zeros(len(terms) + 1, np.int64)
+        ndocs = np.zeros(len(terms) + 1, np.int64)
+        if len(toks):
+            j = term_idx.get_indexer(toks)
+            hit = j >= 0
+            # distinct (doc, term) pairs -> df contribution
+            pair = np.unique(doc_idx[hit] * len(terms) + j[hit])
+            df[: len(terms)] = np.bincount(pair % len(terms),
+                                           minlength=len(terms))
+            ntoks[-1] = len(toks)
+            ndocs[-1] = len(np.unique(doc_idx))
+        return pa.table({"token": pa.array(rows_tok, pa.string()),
+                         "df": df, "ntoks": ntoks, "ndocs": ndocs})
+
+    n_total = docs.count()
+    agg = preagg_sum(
+        docs.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["token"], ["df", "ntoks", "ndocs"])
+    stats = pa.concat_tables(collect_arrow(agg)).to_pandas() \
+              .set_index("token")
+    n_nonempty = int(stats.loc[STATS, "ndocs"]) if STATS in stats.index else 0
+    avgdl = (float(stats.loc[STATS, "ntoks"]) / n_nonempty
+             if n_nonempty else 1.0)
+    dfv = stats.reindex(terms)["df"].fillna(0).to_numpy(np.float64)
+    idf = np.log(1.0 + (n_total - dfv + 0.5) / (dfv + 0.5))
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(idf_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        doc_idx, toks = _token_arrays(batch[text_col])
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if not len(toks):
+            return empty
+        dl = np.bincount(doc_idx, minlength=len(ids)).astype(np.float64)
+        j = term_idx.get_indexer(toks)
+        hit = j >= 0
+        if not hit.any():
+            return empty
+        key = doc_idx[hit] * len(terms) + j[hit]
+        ukey, tf = np.unique(key, return_counts=True)
+        d = ukey // len(terms)
+        t = ukey % len(terms)
+        tf = tf.astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl[d] / avgdl)
+        contrib = w[t] * tf * (k1 + 1.0) / (tf + norm)
+        sc = np.bincount(d, weights=contrib, minlength=len(ids))
+        keep = sc > 0
+        out = pd.DataFrame({id_col: ids[keep], "score": round6(sc[keep])})
+        out = out.sort_values(["score", id_col],
+                              ascending=[False, True]).head(topk)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    ranked = docs.select_columns([id_col, text_col]) \
+                 .map_batches(score, batch_format="pyarrow")
+    return ranked.sort(["score", id_col], descending=[True, False]) \
+                 .limit(topk)
+
+
 def stratified_sample(docs, *, key_col: str = "lang", per_group: int = 50,
                       id_col: str = "doc_id"):
     """Deterministic per-group cap: within each ``key_col`` group keep

@@ -434,6 +434,34 @@ SELECT doc_id, token, tfidf FROM rk WHERE rn <= {topk}
 ORDER BY doc_id, tfidf DESC, token"""
 
 
+def bm25_topk_sql(terms, topk: int = 25, k1: float = 1.2,
+                  b: float = 0.75) -> str:
+    """Mirror of functions/text.bm25_topk: Lucene-style idf
+    ln(1+(N-df+0.5)/(df+0.5)), N = all docs, avgdl over non-empty
+    docs, rank (round6(score) DESC, doc_id ASC)."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS MATERIALIZED (SELECT doc_id, unnest(tk) AS token FROM tl),
+dl AS (SELECT doc_id, count(*) AS dl FROM occ GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM occ
+       WHERE token IN ({tlist}) GROUP BY doc_id, token),
+dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM occ
+        WHERE token IN ({tlist}) GROUP BY token),
+sc AS (SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / st.avgdl))) AS s
+       FROM tf JOIN dfq ON dfq.token = tf.token
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {topk}"""
+
+
 def stratified_sample_sql(per_group: int = 50) -> str:
     """Mirror of functions/text.stratified_sample over lang groups."""
     return f"""WITH h AS (

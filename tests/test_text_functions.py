@@ -368,3 +368,38 @@ def test_gopher_quality_duckdb_parity():
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False)
+
+
+def test_bm25_topk_hand_case():
+    import math
+
+    from neo4j_graph_algorithms_ray.functions.text import bm25_topk
+    docs = [
+        {"doc_id": 0, "text": "spark spark spark merge"},   # heavy spark
+        {"doc_id": 1, "text": "merge sort join"},
+        {"doc_id": 2, "text": "window window"},
+        {"doc_id": 3, "text": "nothing relevant here at all"},
+        {"doc_id": 4, "text": ""},
+    ]
+    got = bm25_topk(rd.from_items(docs), ("spark", "merge", "window"),
+                    topk=10).to_pandas()
+    # doc 3 and the empty doc 4 score 0 -> excluded
+    assert set(got["doc_id"]) == {0, 1, 2}
+    # hand-check doc 2: dl=2, tf(window)=2, df(window)=1, N=5,
+    # avgdl over non-empty docs = (4+3+2+5)/4 = 3.5
+    k1, b = 1.2, 0.75
+    idf_w = math.log(1 + (5 - 1 + 0.5) / (1 + 0.5))
+    norm = k1 * (1 - b + b * 2 / 3.5)
+    want = idf_w * 2 * (k1 + 1) / (2 + norm)
+    s2 = float(got.set_index("doc_id").loc[2, "score"])
+    assert abs(s2 - want) < 1e-6
+    # ranking is (score desc, doc_id asc)
+    assert list(got["score"]) == sorted(got["score"], reverse=True)
+
+
+def test_bm25_topk_no_hits():
+    from neo4j_graph_algorithms_ray.functions.text import bm25_topk
+    docs = [{"doc_id": 0, "text": "alpha beta"}]
+    got = bm25_topk(rd.from_items(docs), ("zzznotpresent",), topk=5) \
+        .to_pandas()
+    assert len(got) == 0
