@@ -826,6 +826,11 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), BM25_TERMS, topk=25)
 
 
+def _q_span_dedup(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import span_dedup
+    return span_dedup(_docs(sf_dir), k=5, min_count=2)
+
+
 def _q_stratified_sample(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import stratified_sample
     from neo4j_graph_algorithms_ray.util import read_parquet_clean
@@ -1316,6 +1321,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         # --- below here: outside the r04 window; rotate into the
         # window next round (never driver-verified yet) ---
         "bm25_topk": _q_bm25_topk,
+        "span_dedup": _q_span_dedup,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1494,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": od.corpus_clean_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),
         "bm25_topk": od.bm25_topk_sql(BM25_TERMS, 25),
+        "span_dedup": od.span_dedup_sql(5, 2),
         "stratified_sample": od.stratified_sample_sql(50),
         "inverted_index": od.inverted_index_sql(2),
         "doc_length_histogram": od.doc_length_histogram_sql(100),

@@ -1052,6 +1052,146 @@ def line_dedup(docs, *, min_count: int = 2, id_col: str = "doc_id",
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow")
 
 
+def _raw_token_arrays(txt) -> tuple[np.ndarray, object, np.ndarray]:
+    """Case-preserving whitespace tokenize → (doc_idx int64[], flat
+    token pa.Array, tokens_per_doc int64[]). Empty/whitespace-only
+    docs contribute zero tokens."""
+    t = pc.utf8_trim_whitespace(pc.fill_null(txt.cast(pa.string()), ""))
+    parts = pc.utf8_split_whitespace(t)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    # trimmed-empty doc → [''] from split; drop the phantom token
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        drop_doc = doc_idx[~keep]
+        counts = counts - np.bincount(drop_doc, minlength=len(counts))
+        doc_idx = doc_idx[keep]
+        flat = flat.filter(pa.array(keep))
+    return doc_idx, flat, counts
+
+
+_SPAN_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _window_hashes(flat, doc_idx: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """u64 hash of every in-doc k-token window → (window_hashes,
+    global start indices into flat). Polynomial combine of per-token
+    siphashes (wraparound u64): equal windows always collide, unequal
+    ones at ~2^-64 — the standard large-corpus dedup tradeoff."""
+    n = len(doc_idx)
+    if n < k:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    t64 = pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
+    m = n - k + 1
+    w = np.zeros(m, np.uint64)
+    c = np.uint64(1)
+    for j in range(k):
+        w += t64[j:j + m] * c
+        c = c * _SPAN_C
+    valid = doc_idx[:m] == doc_idx[k - 1:]
+    return w[valid], np.flatnonzero(valid).astype(np.int64)
+
+
+def span_dedup(docs, *, k: int = 5, min_count: int = 2,
+               id_col: str = "doc_id", text_col: str = "text",
+               bcast_limit: int | None = None):
+    """Duplicate-span removal — the exact-substring dedup stage of
+    *Deduplicating Training Data Makes Language Models Better* (Lee et
+    al. 2022) at k-token-window granularity: every k-gram occurring
+    ≥ ``min_count`` times across the corpus marks its k token
+    positions; marked tokens are removed from every doc. Returns
+    (id_col, text_col, n_dropped) with surviving tokens joined by a
+    single space; every input doc keeps its row (possibly with ''
+    text). Case-sensitive, whitespace-normalizing.
+
+    100 TB shape: pass 1 streams the corpus once emitting per-batch
+    (window-hash, count) partials into a map-side-combined groupby —
+    output bounded by distinct DUPLICATED windows, not corpus size.
+    The dup set broadcasts once via ``ray.put`` (8 B/window, default
+    cap NGA_SPAN_BCAST_LIMIT = 20M ≈ 160 MB); pass 2 re-streams the
+    corpus and rewrites each doc batch-locally (sliding-window cover
+    via a diff/cumsum mask, segmented binary_join rebuild — no per-doc
+    Python). Above the cap it raises loudly with the partitioned
+    escape hatch (shard the corpus by doc hash and run per shard with
+    a shared pass-1 count) rather than silently shipping a multi-GB
+    set to every worker.
+    """
+    import os
+
+    import ray
+
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        doc_idx, flat, _ = _raw_token_arrays(b[text_col])
+        w, _ = _window_hashes(flat, doc_idx, k)
+        if len(w) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(w, return_counts=True)
+        return pa.table({"h": pa.array(uniq.view(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    dup = preagg_sum(docs.select_columns([text_col]).map_batches(
+        count_partial, batch_format="pyarrow"), ["h"], "n") \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b["n"], min_count)).select(["h"]),
+            batch_format="pyarrow") \
+        .materialize()
+
+    limit = (bcast_limit if bcast_limit is not None
+             else int(os.environ.get("NGA_SPAN_BCAST_LIMIT", 20_000_000)))
+    n_dup = dup.count()
+    if n_dup > limit:
+        raise RuntimeError(
+            f"span_dedup: {n_dup} distinct duplicated {k}-gram windows "
+            f"exceed the broadcast cap {limit} (~{8 * limit >> 20} MB). "
+            "Shard the corpus by doc-id hash and run span_dedup per "
+            "shard against the shared pass-1 counts, or raise "
+            "NGA_SPAN_BCAST_LIMIT if workers have the heap.")
+    tabs = [t for t in collect_arrow(dup) if t.num_rows]
+    hs = (np.sort(np.concatenate(
+        [t["h"].to_numpy(zero_copy_only=False) for t in tabs]).view(np.uint64))
+        if tabs else np.empty(0, np.uint64))
+    ref = ray.put(hs)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        doc_idx, flat, counts = _raw_token_arrays(b[text_col])
+        dupset = ray.get(ref)  # local plasma, zero-copy numpy
+        w, starts = _window_hashes(flat, doc_idx, k)
+        covered = np.zeros(len(doc_idx), dtype=bool)
+        if len(w) and len(dupset):
+            pos = np.minimum(np.searchsorted(dupset, w), len(dupset) - 1)
+            s = starts[dupset[pos] == w]
+            delta = np.zeros(len(doc_idx) + 1, np.int64)
+            np.add.at(delta, s, 1)
+            np.add.at(delta, s + k, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+        keep = ~covered
+        nrows = b.num_rows
+        kept_per_doc = (np.bincount(doc_idx[keep], minlength=nrows)
+                        if len(doc_idx) else np.zeros(nrows, np.int64))
+        offsets = np.zeros(nrows + 1, dtype=np.int32)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        kept_toks = flat.filter(pa.array(keep)) if len(doc_idx) else flat
+        if isinstance(kept_toks, pa.ChunkedArray):
+            kept_toks = kept_toks.combine_chunks()
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       kept_toks)
+        return pa.table({
+            id_col: b[id_col],
+            text_col: pc.binary_join(lst, " "),
+            "n_dropped": pa.array(counts - kept_per_doc, pa.int64())})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        rewrite, batch_format="pyarrow")
+
+
 def corpus_clean(docs, *, langs=("en",), min_tokens: int = 8,
                  min_stopword_ratio: float = 0.0, line_min_count: int = 3,
                  id_col: str = "doc_id", text_col: str = "text",

@@ -462,6 +462,37 @@ SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {topk}"""
 
 
+def span_dedup_sql(k: int = 5, min_count: int = 2) -> str:
+    """Mirror of functions/text.span_dedup: case-sensitive whitespace
+    tokens, k-gram windows occurring >= min_count corpus-wide mark
+    their positions, marked tokens removed, survivors joined by ' '."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+win AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range(1, len(tk) - {k} + 2)) AS i,
+         unnest(list_transform(range(1, len(tk) - {k} + 2),
+                i -> array_to_string(tk[i:i+{k}-1], ' '))) AS s
+  FROM tl WHERE len(tk) >= {k}),
+dup AS (SELECT s FROM win GROUP BY s HAVING count(*) >= {min_count}),
+cover AS (SELECT DISTINCT w.doc_id, w.i + j.j AS pos
+          FROM win w JOIN dup USING (s)
+          CROSS JOIN unnest(range(0, {k})) AS j(j)),
+toks AS (SELECT doc_id, unnest(tk) AS tok,
+                unnest(range(1, len(tk) + 1)) AS pos FROM tl),
+kept AS (SELECT t.doc_id, t.tok, t.pos FROM toks t
+         ANTI JOIN cover c ON c.doc_id = t.doc_id AND c.pos = t.pos),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+               count(*) AS n_kept FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text,
+       coalesce(tl.n, 0) - coalesce(r.n_kept, 0) AS n_dropped
+FROM documents d
+LEFT JOIN (SELECT doc_id, len(tk) AS n FROM tl) tl ON tl.doc_id = d.doc_id
+LEFT JOIN reb r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 def stratified_sample_sql(per_group: int = 50) -> str:
     """Mirror of functions/text.stratified_sample over lang groups."""
     return f"""WITH h AS (

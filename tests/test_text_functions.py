@@ -403,3 +403,71 @@ def test_bm25_topk_no_hits():
     got = bm25_topk(rd.from_items(docs), ("zzznotpresent",), topk=5) \
         .to_pandas()
     assert len(got) == 0
+
+
+def test_span_dedup_hand_case():
+    from neo4j_graph_algorithms_ray.functions.text import span_dedup
+    # "a b c" (k=3) appears in docs 0 and 1 -> covered in both.
+    # doc 0's windows: [a b c][b c d][c d e]; only "a b c" dups, so
+    # positions 0..2 drop, leaving "d e".
+    docs = [
+        {"doc_id": 0, "text": "a b c d e"},
+        {"doc_id": 1, "text": "x a b c y"},
+        {"doc_id": 2, "text": "unique tokens only here"},
+        {"doc_id": 3, "text": ""},
+    ]
+    got = span_dedup(rd.from_items(docs), k=3, min_count=2) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "text"] == "d e" and got.loc[0, "n_dropped"] == 3
+    assert got.loc[1, "text"] == "x y" and got.loc[1, "n_dropped"] == 3
+    assert got.loc[2, "text"] == "unique tokens only here"
+    assert got.loc[3, "text"] == "" and got.loc[3, "n_dropped"] == 0
+
+
+def test_span_dedup_overlapping_covers_merge():
+    from neo4j_graph_algorithms_ray.functions.text import span_dedup
+    # doc 0 repeats "p q p q p q": windows "p q p","q p q" each occur
+    # twice WITHIN the doc -> whole doc covered.
+    docs = [
+        {"doc_id": 0, "text": "p q p q p q"},
+        {"doc_id": 1, "text": "solo words stay put"},
+    ]
+    got = span_dedup(rd.from_items(docs), k=3, min_count=2) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "text"] == "" and got.loc[0, "n_dropped"] == 6
+    assert got.loc[1, "n_dropped"] == 0
+
+
+def test_span_dedup_cap_raises_loudly():
+    import pytest
+
+    from neo4j_graph_algorithms_ray.functions.text import span_dedup
+    docs = [{"doc_id": i, "text": "same five token span here"}
+            for i in range(4)]
+    with pytest.raises(RuntimeError, match="broadcast cap"):
+        span_dedup(rd.from_items(docs), k=5, min_count=2,
+                   bcast_limit=0).to_pandas()
+
+
+def test_span_dedup_duckdb_parity():
+    import duckdb
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.functions.text import span_dedup
+    from neo4j_graph_algorithms_ray.pipelines.oracles_docs import (
+        span_dedup_sql)
+    docs = pd.DataFrame([
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "a quick brown fox jumps today"},
+        {"doc_id": 2, "text": "  spaced   quick brown fox jumps  "},
+        {"doc_id": 3, "text": "Case Quick Brown differs"},
+        {"doc_id": 4, "text": ""},
+    ])
+    got = span_dedup(rd.from_pandas(docs), k=4, min_count=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(span_dedup_sql(4, 2)).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
