@@ -1006,6 +1006,17 @@ def _q_web_hits(sf_dir: str):
     return _round6(ds, "authority")
 
 
+def _q_anf(sf_dir: str):
+    """Approximate neighborhood function of the web link graph
+    (Palmer et al. KDD'02) — rows-only driver check: the FM sketch
+    estimates are approximate, so no exact SQL mirror exists; the
+    statistical oracle is tests/test_anf.py (vs exact MSBFS counts)."""
+    from neo4j_graph_algorithms_ray.algorithms import anf
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    return anf(g, k_hashes=32, seed=1).dataset
+
+
 def _q_web_kcore(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.kcore import k_core
     from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_und_graph
@@ -1322,6 +1333,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         # window next round (never driver-verified yet) ---
         "bm25_topk": _q_bm25_topk,
         "span_dedup": _q_span_dedup,
+        "anf": _q_anf,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,

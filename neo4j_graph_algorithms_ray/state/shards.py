@@ -57,11 +57,22 @@ _COMBINE_OF_OP = {
     "pr_push": "sum", "pr_push_w": "sum", "sum_state": "sum",
     "in_degree_count": "sum", "min_state": "min", "min_state_delta": "min",
     "relax": "min", "max_state_masked": "max", "bits": "or",
-    "brandes_fwd": "sum2d", "brandes_bwd": "sum2d",
+    "brandes_fwd": "sum2d", "brandes_bwd": "sum2d", "bits_wave": "or2d",
 }
 
 _COMBINE_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum,
-                  "or": np.bitwise_or, "sum2d": np.add}
+                  "or": np.bitwise_or, "sum2d": np.add,
+                  "or2d": np.bitwise_or}
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wraparound mul) —
+    the per-(vid, hash-fn) PRNG for ANF sketch init."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
 
 def _combine_member(kind, member_lists):
@@ -71,7 +82,7 @@ def _combine_member(kind, member_lists):
     if not nz:
         return [(np.empty(0, np.int64), np.empty(0))]
     locs = np.concatenate([m[0] for m in nz])
-    axis0 = kind == "sum2d"
+    axis0 = kind in ("sum2d", "or2d")
     vals = np.concatenate([m[1] for m in nz], axis=0)
     order = np.argsort(locs, kind="stable")
     locs_s = locs[order]
@@ -235,6 +246,35 @@ class ShardActor:
         st[np.asarray(vids, dtype=np.int64) - self.lo,
            np.asarray(cols, dtype=np.int64)] = values
         return True
+
+    def anf_init(self, k: int, seed: int):
+        """Init ANF Flajolet-Martin sketches (Palmer et al., KDD'02):
+        ``anf_seen``/``anf_frontier`` = (n_local, k) uint64, one
+        geometric bit per (node, hash fn) — bit position = trailing
+        zeros of splitmix64(vid, fn)."""
+        vids = np.arange(self.lo, self.hi, dtype=np.uint64)
+        seen = np.zeros((self.n_local, k), dtype=np.uint64)
+        for f in range(k):
+            h = _splitmix64(vids
+                            + np.uint64(seed + f) * np.uint64(0x9E3779B97F4A7C15))
+            low = h & (~h + np.uint64(1))          # isolate lowest set bit
+            tz = np.minimum(popcount64(low - np.uint64(1)), 63)
+            seen[:, f] = np.uint64(1) << tz.astype(np.uint64)
+        self.state["anf_seen"] = seen
+        self.state["anf_frontier"] = seen.copy()
+        return True
+
+    def anf_estimate(self) -> float:
+        """FM estimate partial: Σ_local 2^(mean_f R_f) / 0.77351 with
+        R_f = position of the lowest ZERO bit of the seen mask."""
+        seen = self.state["anf_seen"]
+        if seen.size == 0:
+            return 0.0
+        flat = np.ascontiguousarray(seen).ravel()
+        y = ~flat & (flat + np.uint64(1))           # lowest zero bit
+        r = popcount64(y - np.uint64(1)).astype(np.float64)  # y==0 → 64
+        big_r = r.reshape(seen.shape).mean(axis=1)
+        return float(np.exp2(big_r).sum() / 0.77351)
 
     def fold_sum_cols(self, src: str, dst: str, zero_cells=None):
         """1-D ``dst`` += 2-D ``src``.sum(axis=1), first zeroing the
@@ -624,6 +664,23 @@ class ShardActor:
                 return [((gd[cuts[j]:cuts[j + 1]] - self.bounds[j]).astype(self.idx_dtype),
                          gl[cuts[j]:cuts[j + 1]],
                          sums[cuts[j]:cuts[j + 1]]) for j in range(self.P)]
+            if op == "bits_wave":
+                # ANF superstep: OR of the (n_local, K) frontier sketch
+                # columns per unique destination — the K-hash-function
+                # generalization of "bits"; delta-only (newly-set bits)
+                # like MSBFS, which preserves OR-closure semantics.
+                fr = self.state["anf_frontier"]
+                kcols = fr.shape[1]
+                if not fr.any():
+                    return [(np.empty(0, dtype=self.idx_dtype),
+                             np.empty((0, kcols), np.uint64))
+                            for _ in range(self.P)]
+                vals = np.take(fr, self.src_in_dst_order, axis=0)
+                ors = np.bitwise_or.reduceat(vals, self.seg_starts, axis=0)
+                keep = ors.any(axis=1)
+                idx = np.nonzero(keep)[0]
+                self.metrics["edges_scattered"] += self.m
+                return self._route(idx, ors[keep])
             if op == "bits":
                 fr = self.state["frontier"]
                 if not fr.any():
@@ -871,6 +928,18 @@ class ShardActor:
                 elif kw.get("emit_hops"):
                     out["hops"] = (np.empty(0, np.int64), np.empty(0, np.int64))
                 return out
+            if op == "bits_wave_update":
+                seen = self.state["anf_seen"]
+                inc = np.zeros_like(seen)
+                for m_ in msgs:
+                    if len(m_[0]) == 0:
+                        continue
+                    np.bitwise_or.at(inc, m_[0].astype(np.int64),
+                                     m_[1].astype(np.uint64))
+                new = inc & ~seen
+                seen |= new
+                self.state["anf_frontier"] = new
+                return {"new_visits": int(np.count_nonzero(new))}
             if op == "relax_update":
                 st = self.state["dist"]
                 cand = np.full(self.n_local, np.inf)
@@ -1048,6 +1117,12 @@ class ShardEngine:
 
     def state_sum(self, name: str) -> float:
         return sum(ray.get([a.state_sum.remote(name) for a in self.actors]))
+
+    def anf_init(self, k: int, seed: int):
+        ray.get([a.anf_init.remote(k, seed) for a in self.actors])
+
+    def anf_estimate(self) -> float:
+        return sum(ray.get([a.anf_estimate.remote() for a in self.actors]))
 
     def state_min_above(self, name: str, lo: float) -> float:
         return min(ray.get([a.state_min_above.remote(name, lo)

@@ -32,7 +32,7 @@ def _edges(seed=7, n=400, m=2500):
 
 def _results(tag, edges):
     from neo4j_graph_algorithms_ray.algorithms import (
-        betweenness_bsp, closeness, label_propagation, pagerank,
+        anf, betweenness_bsp, closeness, label_propagation, pagerank,
         sssp_delta_stepping, wcc)
     g = build_graph(rd.from_arrow(edges), name=f"tlx_{tag}")
     gu = build_graph(rd.from_arrow(edges.select(["src", "dst"])),
@@ -54,6 +54,9 @@ def _results(tag, edges):
         "btw": betweenness_bsp(g, sources=list(range(16)), num_partitions=8,
                                wave=8)
         .dataset.to_pandas().sort_values("node").reset_index(drop=True),
+        # or2d combiner (ANF bits_wave sketches)
+        "anf": anf(g, k_hashes=16, seed=2, num_partitions=8)
+        .dataset.to_pandas().sort_values("hop").reset_index(drop=True),
     }
     return out
 
