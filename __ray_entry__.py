@@ -831,6 +831,11 @@ def _q_span_dedup(sf_dir: str):
     return span_dedup(_docs(sf_dir), k=5, min_count=2)
 
 
+def _q_bigram_xent(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import bigram_xent
+    return bigram_xent(_docs(sf_dir), min_count=2)
+
+
 def _q_stratified_sample(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import stratified_sample
     from neo4j_graph_algorithms_ray.util import read_parquet_clean
@@ -1334,6 +1339,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "span_dedup": _q_span_dedup,
         "anf": _q_anf,
+        "bigram_xent": _q_bigram_xent,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1513,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": od.tfidf_topk_sql(3),
         "bm25_topk": od.bm25_topk_sql(BM25_TERMS, 25),
         "span_dedup": od.span_dedup_sql(5, 2),
+        "bigram_xent": od.bigram_xent_sql(2),
         "stratified_sample": od.stratified_sample_sql(50),
         "inverted_index": od.inverted_index_sql(2),
         "doc_length_histogram": od.doc_length_histogram_sql(100),

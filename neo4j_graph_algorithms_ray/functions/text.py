@@ -797,6 +797,120 @@ def pmi_topk(docs, *, topk: int = 50, min_count: int = 5,
                  .limit(topk)
 
 
+def bigram_xent(docs, *, min_count: int = 2, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Per-doc bigram-LM cross-entropy — the CCNet / Wenzek et al. 2020
+    perplexity-filter signal, self-trained: an add-one-smoothed bigram
+    LM with ``<unk>`` folding (vocab = tokens with count ≥
+    ``min_count``) is fit on the corpus itself, then every doc scores
+
+        xent(d) = -(1/(T-1)) Σ_{i≥2} log2 P(t_i | t_{i-1}),
+        P(y|x)  = (C(x,y) + 1) / (C(x) + V)
+
+    over lowered whitespace tokens (0 for docs with < 2 tokens).
+    High xent ≈ incoherent/boilerplate text. → (doc_id, xent).
+
+    Scale shape: pass 1 unigram counts and pass 2 unk-folded bigram
+    counts are map-side-combined aggregates (bounded by distinct
+    [folded] grams, not corpus size) broadcast once via ``ray.put``
+    (the tfidf DF-table pattern); pass 3 scores each doc batch-locally
+    with sorted-key searchsorted lookups — no shuffle touches the
+    corpus. For open-domain 100 TB text, floor the vocab harder
+    (min_count ≥ 100) so the folded bigram table stays worker-heap
+    sized; in production CCNet ships a fixed pretrained LM instead,
+    which this operator accepts implicitly (pass any dataset as the
+    training corpus by composing two calls).
+    """
+    import pyarrow as pa
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        _, toks = _token_arrays(b[text_col])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n": np.bincount(codes, minlength=len(uniq))
+                                .astype(np.int64)})
+
+    uni = preagg_sum(docs.select_columns([text_col]).map_batches(
+        uni_partial, batch_format="pyarrow"), ["token"], "n")
+    utabs = [t for t in collect_arrow(uni) if t.num_rows]
+    utab = (pa.concat_tables(utabs) if utabs
+            else pa.table({"token": pa.array([], pa.string()),
+                           "n": pa.array([], pa.int64())}))
+    n_arr = utab["n"].to_numpy(zero_copy_only=False)
+    keep = n_arr >= min_count
+    vocab = pd.Index(np.asarray(utab["token"].to_pylist(), dtype=object)[keep])
+    vtot = len(vocab) + 1  # +1: <unk>
+    uni_cnt = np.concatenate([n_arr[keep].astype(np.float64),
+                              [float(n_arr[~keep].sum())]])  # unk mass last
+    vocab_ref = ray.put(vocab)
+    uni_ref = ray.put(uni_cnt)
+
+    def _codes(toks) -> np.ndarray:
+        voc = ray.get(vocab_ref)
+        c = voc.get_indexer(toks)
+        c[c < 0] = len(voc)  # fold OOV to <unk>
+        return c.astype(np.int64)
+
+    def big_partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b[text_col])
+        if len(toks) < 2:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        c = _codes(toks)
+        same = doc_idx[:-1] == doc_idx[1:]
+        key = c[:-1][same] * vtot + c[1:][same]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk), "n": cnt.astype(np.int64)})
+
+    big = preagg_sum(docs.select_columns([text_col]).map_batches(
+        big_partial, batch_format="pyarrow"), ["k"], "n")
+    btabs = [t for t in collect_arrow(big) if t.num_rows]
+    if btabs:
+        bt = pa.concat_tables(btabs)
+        bkeys = bt["k"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bkeys)
+        bkeys = bkeys[order]
+        bcnt = bt["n"].to_numpy(zero_copy_only=False)[order].astype(np.float64)
+    else:
+        bkeys = np.empty(0, np.int64)
+        bcnt = np.empty(0, np.float64)
+    bkeys_ref, bcnt_ref = ray.put(bkeys), ray.put(bcnt)
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        doc_idx, toks = _token_arrays(b[text_col])
+        xent = np.zeros(b.num_rows, np.float64)
+        if len(toks) >= 2:
+            uc = ray.get(uni_ref)
+            bk, bc = ray.get(bkeys_ref), ray.get(bcnt_ref)
+            c = _codes(toks)
+            same = doc_idx[:-1] == doc_idx[1:]
+            prev, cur, d = c[:-1][same], c[1:][same], doc_idx[:-1][same]
+            key = prev * vtot + cur
+            cxy = np.zeros(len(key), np.float64)
+            if len(bk):
+                pos = np.minimum(np.searchsorted(bk, key), len(bk) - 1)
+                hit = bk[pos] == key
+                cxy[hit] = bc[pos[hit]]
+            logp = np.log2((cxy + 1.0) / (uc[prev] + vtot))
+            tot = np.bincount(d, weights=-logp, minlength=b.num_rows)
+            npair = np.bincount(d, minlength=b.num_rows)
+            nz = npair > 0
+            xent[nz] = tot[nz] / npair[nz]
+        return pa.table({id_col: b[id_col],
+                         "xent": pa.array(round6(xent))})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+
+
 def hash_features(docs, *, dims: int = 256, id_col: str = "doc_id",
                   text_col: str = "text"):
     """Hashing-trick featurizer (Weinberger et al. 2009): each doc's

@@ -462,6 +462,39 @@ SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY score DESC, doc_id LIMIT {topk}"""
 
 
+def bigram_xent_sql(min_count: int = 2) -> str:
+    """Mirror of functions/text.bigram_xent: self-trained add-one
+    bigram LM with <unk> folding (vocab floor min_count), per-doc
+    xent = -(1/(T-1)) Σ log2((C(x,y)+1)/(C(x)+V)), 0 if < 2 tokens."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS MATERIALIZED (
+  SELECT doc_id, unnest(tk) AS token,
+         unnest(range(1, len(tk) + 1)) AS pos FROM tl),
+uni0 AS (SELECT token, count(*) AS n FROM occ GROUP BY token),
+voc AS (SELECT token FROM uni0 WHERE n >= {min_count}),
+vv AS (SELECT count(*) + 1 AS vtot FROM voc),
+m AS MATERIALIZED (
+  SELECT o.doc_id, o.pos,
+         CASE WHEN v.token IS NULL THEN chr(1) ELSE o.token END AS tok
+  FROM occ o LEFT JOIN voc v ON v.token = o.token),
+uni AS (SELECT tok, count(*) AS n FROM m GROUP BY tok),
+big AS (SELECT a.tok AS x, b.tok AS y, count(*) AS n
+        FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.tok, b.tok),
+pairs AS (SELECT a.doc_id, a.tok AS x, b.tok AS y
+          FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+sc AS (SELECT p.doc_id,
+              -sum(log2((big.n + 1.0) / (uni.n + vv.vtot))) / count(*) AS xe
+       FROM pairs p JOIN big ON big.x = p.x AND big.y = p.y
+       JOIN uni ON uni.tok = p.x CROSS JOIN vv
+       GROUP BY p.doc_id)
+SELECT d.doc_id, round(coalesce(sc.xe, 0), 6) AS xent
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 def span_dedup_sql(k: int = 5, min_count: int = 2) -> str:
     """Mirror of functions/text.span_dedup: case-sensitive whitespace
     tokens, k-gram windows occurring >= min_count corpus-wide mark

@@ -471,3 +471,41 @@ def test_span_dedup_duckdb_parity():
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False)
+
+
+def test_bigram_xent_hand_case():
+    import math
+
+    import pytest
+
+    from neo4j_graph_algorithms_ray.functions.text import bigram_xent
+    # corpus: "a b" x2 and "a c". vocab (min_count=2): {a, b}; c -> unk.
+    # V = 3. counts on folded stream: C(a)=3, C(b)=2, C(u)=1;
+    # C(a,b)=2, C(a,u)=1.
+    docs = [
+        {"doc_id": 0, "text": "a b"},
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "a c"},
+        {"doc_id": 3, "text": "single"},
+        {"doc_id": 4, "text": ""},
+    ]
+    got = bigram_xent(rd.from_items(docs), min_count=2) \
+        .to_pandas().set_index("doc_id").sort_index()
+    x_ab = -math.log2((2 + 1) / (3 + 3))      # P(b|a) = 3/6
+    x_au = -math.log2((1 + 1) / (3 + 3))      # P(unk|a) = 2/6
+    assert float(got.loc[0, "xent"]) == pytest.approx(x_ab, abs=1e-6)
+    assert float(got.loc[1, "xent"]) == pytest.approx(x_ab, abs=1e-6)
+    assert float(got.loc[2, "xent"]) == pytest.approx(x_au, abs=1e-6)
+    assert float(got.loc[3, "xent"]) == 0.0   # < 2 tokens
+    assert float(got.loc[4, "xent"]) == 0.0
+
+
+def test_bigram_xent_ranks_gibberish_higher():
+    from neo4j_graph_algorithms_ray.functions.text import bigram_xent
+    common = [{"doc_id": i, "text": "the quick brown fox jumps"}
+              for i in range(8)]
+    docs = common + [{"doc_id": 100, "text": "fox the jumps quick brown"}]
+    got = bigram_xent(rd.from_items(docs), min_count=2) \
+        .to_pandas().set_index("doc_id")
+    # scrambled word order = unseen bigrams = higher cross-entropy
+    assert float(got.loc[100, "xent"]) > float(got.loc[0, "xent"])
