@@ -1022,6 +1022,17 @@ def _q_anf(sf_dir: str):
     return anf(g, k_hashes=32, seed=1).dataset
 
 
+def _q_web_ktruss(sf_dir: str):
+    """4-truss of the undirected web link graph — rows-only driver
+    check: the peel is an iterative fixpoint with no faithful SQL
+    expression; the oracle is tests/test_ktruss.py (brute-force peel
+    parity on random graphs)."""
+    from neo4j_graph_algorithms_ray.algorithms.ktruss import k_truss
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_und_graph
+    g = get_web_und_graph(sf_dir)
+    return k_truss(g, 4, node_cols=("url_u", "url_v")).dataset
+
+
 def _q_web_kcore(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.kcore import k_core
     from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_und_graph
@@ -1340,6 +1351,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "span_dedup": _q_span_dedup,
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
+        "web_ktruss": _q_web_ktruss,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,

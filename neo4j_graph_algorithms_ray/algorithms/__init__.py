@@ -19,3 +19,4 @@ from neo4j_graph_algorithms_ray.algorithms.betweenness import (  # noqa: F401
 from neo4j_graph_algorithms_ray.algorithms.mst import (  # noqa: F401
     getting_started, msf_boruvka, mst_prim)
 from neo4j_graph_algorithms_ray.algorithms.anf import anf  # noqa: F401
+from neo4j_graph_algorithms_ray.algorithms.ktruss import k_truss  # noqa: F401
