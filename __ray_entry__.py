@@ -1047,6 +1047,13 @@ def _q_random_walks(sf_dir: str):
     return random_walks(g, length=4, start_mod=7)
 
 
+def _q_node2vec_walks(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.walks import node2vec_walks
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    return node2vec_walks(g, length=4, start_mod=7, p=1, q=2)
+
+
 def _q_reciprocity(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.reciprocity import edge_reciprocity
     from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
@@ -1352,6 +1359,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
         "web_ktruss": _q_web_ktruss,
+        "node2vec_walks": _q_node2vec_walks,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1434,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "web_hits": ow.web_hits_sql(PR_ITERS),
         "web_kcore": ow.web_kcore_sql(3, 40),
         "random_walks": ow.random_walks_sql(4, 7),
+        "node2vec_walks": ow.node2vec_walks_sql(4, 7, 1, 2),
         "cocitation": ow.cocitation_sql(20, 50),
         "reciprocity": ow.RECIPROCITY_SQL,
         "anchor_texts": ow.ANCHOR_TEXTS_SQL,

@@ -303,6 +303,49 @@ def random_walks_sql(length: int = 4, start_mod: int = 7) -> str:
             + "\nORDER BY start, step")
 
 
+def node2vec_walks_sql(length: int = 4, start_mod: int = 7,
+                       p: int = 1, q: int = 2) -> str:
+    """node2vec-biased walk mirror (algorithms/walks.node2vec_walks):
+    step 0 is the uniform ranked pick; later steps weight candidates
+    (q = return, p·q = common neighbor, p = explore — the 1/p:1:1/q
+    bias scaled to integers) in dst order and take the first whose
+    cumulative weight exceeds md5-60bit(start||'|'||t) mod Σw."""
+    h = lambda expr: f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            """ranked AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM wedges)""",
+            f"""w0 AS (SELECT node AS start, node AS cur,
+  CAST(NULL AS VARCHAR) AS prev FROM wnodes
+  WHERE {h('node')} % {start_mod} = 0)""",
+            f"""w1 AS MATERIALIZED (
+  SELECT w.start, r.dst AS cur, w.cur AS prev
+  FROM w0 w JOIN ranked r ON r.src = w.cur
+   AND r.rnk = {h("w.start || '|0'")} % r.deg)"""]
+    for t in range(1, length):
+        ctes.append(f"""w{t+1} AS MATERIALIZED (
+  SELECT start, cand AS cur, cur AS prev FROM (
+    SELECT start, cand, cur, wt,
+           SUM(wt) OVER (PARTITION BY start ORDER BY cand) AS cw,
+           SUM(wt) OVER (PARTITION BY start) AS tot
+    FROM (
+      SELECT w.start AS start, r.dst AS cand, w.cur AS cur,
+             CASE WHEN r.dst = w.prev THEN {q}
+                  WHEN pe.src IS NOT NULL THEN {p * q}
+                  ELSE {p} END AS wt
+      FROM w{t} w JOIN ranked r ON r.src = w.cur
+      LEFT JOIN wedges pe ON pe.src = w.prev AND pe.dst = r.dst))
+  WHERE cw > {h(f"start || '|{t}'")} % tot
+    AND cw - wt <= {h(f"start || '|{t}'")} % tot)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT start, {t} AS step, cur AS node FROM w{t}"
+        for t in range(length + 1))
+    return ("WITH " + ",\n".join(ctes) + "\n" + sel
+            + "\nORDER BY start, step")
+
+
 def cocitation_sql(cap: int = 20, topk: int = 50) -> str:
     """Co-citation mirror (algorithms/cocitation.py): pairs of targets
     sharing a source whose outdeg is in [2, cap]; top-k by count with

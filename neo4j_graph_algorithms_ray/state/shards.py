@@ -453,6 +453,44 @@ class ShardActor:
             nxt[has] = self._walk_nbr[self._walk_off[loc[has]] + r]
         return nxt
 
+    def walk_neighbors(self, vids: np.ndarray):
+        """Per owned vid, its full vid-sorted out-neighbor list →
+        (flat neighbor vids, count per input). The node2vec candidate
+        gather: per-walker cost is the walker's out-degree, so a hub
+        frontier ships its adjacency — cap walk sampling rates on
+        hub-heavy graphs accordingly."""
+        self._ensure_ranked_adj()
+        loc = np.asarray(vids, dtype=np.int64) - self.lo
+        cnt = self.deg[loc].astype(np.int64)
+        total = int(cnt.sum())
+        if total == 0:
+            return np.empty(0, np.int64), cnt
+        starts = self._walk_off[loc]
+        flat_idx = (np.repeat(starts, cnt)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return self._walk_nbr[flat_idx], cnt
+
+    def edge_mask(self, srcs: np.ndarray, dsts: np.ndarray) -> np.ndarray:
+        """Edge-existence probe for owned ``srcs`` → bool per (src,
+        dst) query, via a cached sorted (src·n + dst) key array (the
+        triangles okeys idiom, int64-safe to ~3e9 vertices)."""
+        if not hasattr(self, "_edge_keys"):
+            n = np.int64(self.bounds[-1])
+            # the shard's edge arrays are DST-sorted (scatter-segment
+            # layout): the source of edge i is src_in_dst_order[i]
+            dsts_all = self._dsts().astype(np.int64)
+            srcs_all = self.src_in_dst_order.astype(np.int64) + self.lo
+            self._edge_keys = np.sort(srcs_all * n + dsts_all)
+            self._edge_n = n
+        keys = (np.asarray(srcs, dtype=np.int64) * self._edge_n
+                + np.asarray(dsts, dtype=np.int64))
+        if not len(self._edge_keys):
+            return np.zeros(len(keys), dtype=bool)
+        pos = np.minimum(np.searchsorted(self._edge_keys, keys),
+                         len(self._edge_keys) - 1)
+        return self._edge_keys[pos] == keys
+
     # ---- pointer jumping (label shortcut: state[v] := state[state[v]]) ----
     def pj_requests(self, name: str):
         """Phase 1: unique label-pointers this shard holds, split by
@@ -1088,6 +1126,68 @@ class ShardEngine:
                     v[cuts[j]:cuts[j + 1]], h[cuts[j]:cuts[j + 1]]))
                 slots.append(j)
         out = np.empty(len(vids), dtype=np.int64)
+        for j, res in zip(slots, ray.get(refs)):
+            out[cuts[j]:cuts[j + 1]] = res
+        return out[inv]
+
+    def _route_by_owner(self, vids: np.ndarray):
+        """Owner-routing scaffold shared by the walk gathers: returns
+        (order, inv, cuts, per-shard slices of the sort order)."""
+        part = np.searchsorted(self.bounds, vids, side="right") - 1
+        order = np.argsort(part, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        cuts = np.searchsorted(part[order], np.arange(self.P + 1))
+        return order, inv, cuts
+
+    def walk_neighbors(self, vids: np.ndarray):
+        """Per input vid (any owner), its vid-sorted out-neighbor list
+        → (flat neighbors concatenated in INPUT order, counts per
+        input)."""
+        vids = np.asarray(vids, dtype=np.int64)
+        order, inv, cuts = self._route_by_owner(vids)
+        v = vids[order]
+        refs, slots = [], []
+        for j in range(self.P):
+            if cuts[j + 1] > cuts[j]:
+                refs.append(self.actors[j].walk_neighbors.remote(
+                    v[cuts[j]:cuts[j + 1]]))
+                slots.append(j)
+        flat_s = [np.empty(0, np.int64)] * self.P
+        cnt_sorted = np.zeros(len(vids), dtype=np.int64)
+        for j, (fl, ct) in zip(slots, ray.get(refs)):
+            flat_s[j] = fl
+            cnt_sorted[cuts[j]:cuts[j + 1]] = ct
+        # reassemble flats in input order: per sorted-position segment
+        # boundaries, then permute segments by inv
+        seg_starts = np.concatenate([[0], np.cumsum(cnt_sorted)])
+        flat_sorted = (np.concatenate(flat_s)
+                       if any(len(f) for f in flat_s)
+                       else np.empty(0, np.int64))
+        counts = cnt_sorted[inv]
+        if len(flat_sorted) == 0:
+            return flat_sorted, counts
+        take_start = seg_starts[:-1][inv]
+        take_cnt = cnt_sorted[inv]
+        total = int(take_cnt.sum())
+        idx = (np.repeat(take_start, take_cnt)
+               + np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(take_cnt) - take_cnt, take_cnt))
+        return flat_sorted[idx], counts
+
+    def edge_mask(self, srcs: np.ndarray, dsts: np.ndarray) -> np.ndarray:
+        """Edge-existence probe routed to the shards owning ``srcs``."""
+        srcs = np.asarray(srcs, dtype=np.int64)
+        dsts = np.asarray(dsts, dtype=np.int64)
+        order, inv, cuts = self._route_by_owner(srcs)
+        s, d = srcs[order], dsts[order]
+        refs, slots = [], []
+        for j in range(self.P):
+            if cuts[j + 1] > cuts[j]:
+                refs.append(self.actors[j].edge_mask.remote(
+                    s[cuts[j]:cuts[j + 1]], d[cuts[j]:cuts[j + 1]]))
+                slots.append(j)
+        out = np.zeros(len(srcs), dtype=bool)
         for j, res in zip(slots, ray.get(refs)):
             out[cuts[j]:cuts[j + 1]] = res
         return out[inv]
