@@ -243,6 +243,25 @@ def headline(num_cpus: int) -> dict:
     extras["featurize_docs"] = n_big
     extras["featurize_docs_per_sec"] = round(n_big / feat_sec, 1)
 
+    # duplicate-span removal + bigram-LM scoring throughput (round-4
+    # corpus operators; same replicated corpus, throughput lines only)
+    from neo4j_graph_algorithms_ray.functions.text import (bigram_xent,
+                                                           span_dedup)
+
+    def span_pass():
+        return span_dedup(big_docs, k=5, min_count=2).count()
+
+    timed(f"span_dedup_{n_big}d", span_pass, repeats=2)
+    sp_sec = queries.pop(f"span_dedup_{n_big}d")
+    extras["span_dedup_docs_per_sec"] = round(n_big / sp_sec, 1)
+
+    def xent_pass():
+        return bigram_xent(big_docs, min_count=2).count()
+
+    timed(f"bigram_xent_{n_big}d", xent_pass, repeats=2)
+    bx_sec = queries.pop(f"bigram_xent_{n_big}d")
+    extras["bigram_xent_docs_per_sec"] = round(n_big / bx_sec, 1)
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",

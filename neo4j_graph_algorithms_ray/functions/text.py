@@ -1204,9 +1204,10 @@ def _window_hashes(flat, doc_idx: np.ndarray, k: int) -> tuple[np.ndarray, np.nd
     m = n - k + 1
     w = np.zeros(m, np.uint64)
     c = np.uint64(1)
-    for j in range(k):
-        w += t64[j:j + m] * c
-        c = c * _SPAN_C
+    with np.errstate(over="ignore"):  # u64 wraparound is the hash
+        for j in range(k):
+            w += t64[j:j + m] * c
+            c = c * _SPAN_C
     valid = doc_idx[:m] == doc_idx[k - 1:]
     return w[valid], np.flatnonzero(valid).astype(np.int64)
 
