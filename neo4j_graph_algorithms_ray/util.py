@@ -332,6 +332,26 @@ def distinct_pairs(ds: rd.Dataset, c1: str, c2: str,
 SMALL_AGG_DRIVER_LIMIT = 5_000_000
 
 
+def _hierarchical_combine(red: rd.Dataset, partial) -> rd.Dataset:
+    """Extra map-side combine rounds before a groupby shuffle: when
+    per-batch partials overlap heavily (every batch sees the same hot
+    keys — token/window/line counts do), coalescing 8 blocks at a time
+    and re-combining shrinks e.g. 64×240k overlapping rows → 8×240k →
+    driver-mergeable, never paying the sort-based groupby. Keys mostly
+    unique? A round barely shrinks (<2×) and we stop, having touched
+    only partial rows — never the corpus."""
+    while red.count() > SMALL_AGG_DRIVER_LIMIT:
+        nblocks = red.num_blocks()
+        if nblocks <= 8:
+            break
+        prev = red.count()
+        red = red.repartition(max(1, nblocks // 8)) \
+                 .map_batches(partial, batch_format="pyarrow").materialize()
+        if red.count() * 2 > prev:
+            break
+    return red
+
+
 def _preagg(ds: rd.Dataset, keys: list[str], val: str | list[str],
             op: str) -> rd.Dataset:
     """groupby(keys).<op>(val(s)) with an Arrow map-side combine: each
@@ -348,6 +368,7 @@ def _preagg(ds: rd.Dataset, keys: list[str], val: str | list[str],
         return g.rename_columns(keys + vals)
 
     red = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    red = _hierarchical_combine(red, partial)
     if red.count() <= SMALL_AGG_DRIVER_LIMIT:
         batches = list(red.iter_batches(batch_format="pyarrow",
                                         batch_size=1 << 20))
@@ -415,6 +436,7 @@ def predistinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
         return b.group_by(keys).aggregate([])
 
     red = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    red = _hierarchical_combine(red, partial)
     if red.count() <= SMALL_AGG_DRIVER_LIMIT:
         batches = list(red.iter_batches(batch_format="pyarrow",
                                         batch_size=1 << 20))
