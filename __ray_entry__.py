@@ -857,6 +857,14 @@ def _q_doc_length_histogram(sf_dir: str):
     return column_histogram(docs, "n_chars", width=100)
 
 
+def _q_nb_quality(sf_dir: str):
+    """Self-distilled NB quality classifier (GPT-3 §A / CCNet recipe):
+    rule-label → train multinomial NB on the corpus → score log-odds.
+    Thresholds match gopher_quality's so the synthetic corpus splits."""
+    from neo4j_graph_algorithms_ray.functions.text import nb_quality_score
+    return nb_quality_score(_docs(sf_dir), min_words=40, min_stop_hits=1)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import ngram_jaccard_pairs
     return _empty_safe(ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5))
@@ -1355,6 +1363,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         # --- below here: outside the r04 window; rotate into the
         # window next round (never driver-verified yet) ---
         "bm25_topk": _q_bm25_topk,
+        "nb_quality": _q_nb_quality,
         "span_dedup": _q_span_dedup,
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
@@ -1539,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": od.corpus_clean_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),
         "bm25_topk": od.bm25_topk_sql(BM25_TERMS, 25),
+        "nb_quality": od.nb_quality_sql(min_words=40, min_stop_hits=1),
         "span_dedup": od.span_dedup_sql(5, 2),
         "bigram_xent": od.bigram_xent_sql(2),
         "stratified_sample": od.stratified_sample_sql(50),

@@ -1362,3 +1362,117 @@ def corpus_clean(docs, *, langs=("en",), min_tokens: int = 8,
         cleaned.map_batches(hpart, batch_format="pyarrow"), ["h"], id_col) \
         .map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
     return broadcast_join(cleaned, winners, on=id_col)
+
+
+def nb_quality_score(docs, *, min_words: int = 40, min_stop_hits: int = 1,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Self-distilled quality classifier — the GPT-3 / CCNet recipe
+    (Brown et al. 2020 §A; Wenzek et al. 2020): label each doc with a
+    cheap rule (here: n_words ≥ ``min_words`` AND distinct Gopher
+    stopwords present ≥ ``min_stop_hits``), train a multinomial Naive
+    Bayes over lowered whitespace tokens on those labels, then score
+    every doc with the smoothed log-odds
+
+        log_odds(d) = log2((D⁺+1)/(D⁻+1))
+                      + Σ_t [log2((C(t,+)+1)/(N⁺+V)) −
+                             log2((C(t,−)+1)/(N⁻+V))]
+
+    (occurrences with multiplicity, Laplace-smoothed, V = corpus
+    vocabulary size). → (doc_id, label, log_odds, pred) with pred =
+    log_odds > 0. The learned score generalizes beyond the rule — the
+    standard quality-filter signal for pretraining-corpus selection.
+
+    Scale shape: pass 1 emits per-batch (token, cls) count partials —
+    map-side combined (``preagg_sum``), bounded by 2 × vocab, never by
+    corpus size — plus a two-row class-prior aggregate; the weight
+    table ships once via ``ray.put`` (the tfidf DF-table pattern);
+    pass 2 scores each batch locally with an index lookup + weighted
+    bincount. No shuffle touches the corpus. For open-domain 100 TB
+    text, floor the vocab (min_df) before weighting so the broadcast
+    stays worker-heap sized.
+    """
+    import pyarrow as pa
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def _labels(b: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_idx, toks, label bool[]) for one batch."""
+        doc_idx, toks = _token_arrays(b[text_col])
+        ndocs = b.num_rows
+        n_tok = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+        hit = pc.is_in(pa.array(toks, pa.string()),
+                       value_set=pa.array(GOPHER_STOPWORDS)) \
+                .to_numpy(zero_copy_only=False)
+        if hit.any():
+            codes = pd.Categorical(
+                toks[hit], categories=GOPHER_STOPWORDS).codes.astype(np.int64)
+            pairs = np.unique(doc_idx[hit] * len(GOPHER_STOPWORDS) + codes)
+            stop_hits = np.bincount(pairs // len(GOPHER_STOPWORDS),
+                                    minlength=ndocs).astype(np.int64)
+        else:
+            stop_hits = np.zeros(ndocs, dtype=np.int64)
+        label = (n_tok >= min_words) & (stop_hits >= min_stop_hits)
+        return doc_idx, toks, label
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks, label = _labels(b)
+        npos = int(label.sum())
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([chr(1)], pa.string()),
+                             "c1": pa.array([0], pa.int64()),
+                             "c0": pa.array([0], pa.int64()),
+                             "d1": pa.array([npos], pa.int64()),
+                             "d0": pa.array([b.num_rows - npos], pa.int64())})
+        tok_pos = label[doc_idx]
+        codes, uniq = pd.factorize(toks)
+        c1 = np.bincount(codes[tok_pos], minlength=len(uniq)).astype(np.int64)
+        c0 = np.bincount(codes[~tok_pos], minlength=len(uniq)).astype(np.int64)
+        # class doc-count partials ride on the first token row (chr(1)
+        # sorts before any real token and is never produced by a
+        # whitespace split, so it can't collide with a vocab entry)
+        return pa.table({
+            "token": pa.array(np.concatenate([[chr(1)], uniq]), pa.string()),
+            "c1": pa.array(np.concatenate([[0], c1])),
+            "c0": pa.array(np.concatenate([[0], c0])),
+            "d1": pa.array(np.concatenate([[npos], np.zeros(len(uniq), np.int64)])),
+            "d0": pa.array(np.concatenate([[b.num_rows - npos],
+                                           np.zeros(len(uniq), np.int64)]))})
+
+    agg = preagg_sum(docs.select_columns([text_col]).map_batches(
+        count_partial, batch_format="pyarrow"),
+        ["token"], ["c1", "c0", "d1", "d0"])
+    tabs = [t for t in collect_arrow(agg) if t.num_rows]
+    tab = pa.concat_tables(tabs) if tabs else pa.table(
+        {"token": pa.array([], pa.string()), "c1": pa.array([], pa.int64()),
+         "c0": pa.array([], pa.int64()), "d1": pa.array([], pa.int64()),
+         "d0": pa.array([], pa.int64())})
+    toks_all = np.asarray(tab["token"].to_pylist(), dtype=object)
+    is_meta = toks_all == chr(1)
+    d1 = float(tab["d1"].to_numpy(zero_copy_only=False).sum())
+    d0 = float(tab["d0"].to_numpy(zero_copy_only=False).sum())
+    vocab = pd.Index(toks_all[~is_meta])
+    c1 = tab["c1"].to_numpy(zero_copy_only=False)[~is_meta].astype(np.float64)
+    c0 = tab["c0"].to_numpy(zero_copy_only=False)[~is_meta].astype(np.float64)
+    v = float(len(vocab))
+    n1, n0 = c1.sum(), c0.sum()
+    w = np.log2((c1 + 1.0) / (n1 + v)) - np.log2((c0 + 1.0) / (n0 + v))
+    prior = float(np.log2((d1 + 1.0) / (d0 + 1.0)))
+    vocab_ref, w_ref = ray.put(vocab), ray.put(w)
+
+    def score(b: pa.Table) -> pa.Table:
+        doc_idx, toks, label = _labels(b)
+        s = np.full(b.num_rows, prior, np.float64)
+        if len(toks):
+            voc, wt = ray.get(vocab_ref), ray.get(w_ref)
+            idx = voc.get_indexer(toks)  # trained on this corpus → no OOV
+            ok = idx >= 0
+            s += np.bincount(doc_idx[ok], weights=wt[idx[ok]],
+                             minlength=b.num_rows)
+        return pa.table({id_col: b[id_col], "label": pa.array(label),
+                         "log_odds": pa.array(round6(s)),
+                         "pred": pa.array(s > 0)})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -753,3 +753,41 @@ rebuilt AS (
   FROM lines l WHERE l.ln NOT IN (SELECT ln FROM dup)
   GROUP BY l.doc_id)
 SELECT min(doc_id) AS doc_id, text FROM rebuilt GROUP BY text"""
+
+
+def nb_quality_sql(min_words: int = 40, min_stop_hits: int = 1) -> str:
+    """Mirror of functions/text.nb_quality_score: rule labels
+    (n_words / distinct-Gopher-stopword floor), multinomial NB token
+    counts with Laplace smoothing over lowered whitespace tokens
+    (multiplicity kept), smoothed prior log-odds, pred = log_odds > 0."""
+    from neo4j_graph_algorithms_ray.functions.text import GOPHER_STOPWORDS
+    stops = _inlist(GOPHER_STOPWORDS)
+    return rf"""WITH lt AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+  FROM documents),
+lab AS MATERIALIZED (
+  SELECT doc_id, tk,
+         (len(tk) >= {min_words} AND
+          len(list_filter([{stops}], w -> list_contains(tk, w)))
+            >= {min_stop_hits}) AS label
+  FROM lt),
+occ AS MATERIALIZED (SELECT doc_id, label, unnest(tk) AS token FROM lab),
+cnt AS (SELECT token,
+               sum(CASE WHEN label THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN label THEN 0 ELSE 1 END) AS c0
+        FROM occ GROUP BY token),
+tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cnt),
+pri AS (SELECT log2((sum(CASE WHEN label THEN 1 ELSE 0 END) + 1.0)
+              / (sum(CASE WHEN label THEN 0 ELSE 1 END) + 1.0)) AS p
+        FROM lab),
+w AS (SELECT token, log2((c1 + 1.0) / (n1 + v))
+                  - log2((c0 + 1.0) / (n0 + v)) AS w
+      FROM cnt CROSS JOIN tot),
+sc AS (SELECT o.doc_id, sum(w.w) AS s
+       FROM occ o JOIN w USING (token) GROUP BY o.doc_id)
+SELECT l.doc_id, l.label,
+       round(pri.p + coalesce(sc.s, 0), 6) AS log_odds,
+       (pri.p + coalesce(sc.s, 0)) > 0 AS pred
+FROM lab l CROSS JOIN pri LEFT JOIN sc ON sc.doc_id = l.doc_id
+ORDER BY l.doc_id"""

@@ -509,3 +509,52 @@ def test_bigram_xent_ranks_gibberish_higher():
         .to_pandas().set_index("doc_id")
     # scrambled word order = unseen bigrams = higher cross-entropy
     assert float(got.loc[100, "xent"]) > float(got.loc[0, "xent"])
+
+
+NB_DOCS = [
+    # label-positive: >= 6 words and contains a Gopher stopword
+    {"doc_id": 0, "text": "the quick brown fox jumps over lazy dogs"},
+    {"doc_id": 1, "text": "the market rallied and closed higher today again"},
+    # label-negative: short / stopword-free
+    {"doc_id": 2, "text": "buy cheap pills"},
+    {"doc_id": 3, "text": "zzz qqq"},
+    {"doc_id": 4, "text": ""},
+    # short but shares 'the' + positive-class words: score should pull up
+    {"doc_id": 5, "text": "the fox"},
+]
+
+
+def test_nb_quality_hand_case():
+    import math
+
+    from neo4j_graph_algorithms_ray.functions.text import nb_quality_score
+    rows = {r["doc_id"]: r for r in nb_quality_score(
+        rd.from_items(NB_DOCS), min_words=6, min_stop_hits=1).take_all()}
+    assert [rows[i]["label"] for i in range(6)] == \
+        [True, True, False, False, False, False]
+    # docs 0/1 trained the positive class → strongly positive log-odds
+    assert rows[0]["pred"] and rows[1]["pred"]
+    assert rows[2]["log_odds"] < 0 and rows[3]["log_odds"] < 0
+    # empty doc scores exactly the smoothed prior: log2((2+1)/(4+1))
+    assert rows[4]["log_odds"] == round(math.log2(3 / 5), 6)
+    # doc 5 is itself a negative training doc, but sharing the/fox with
+    # the positive class keeps it far above the pure-spam doc 2
+    assert rows[5]["log_odds"] > rows[2]["log_odds"] + 3
+
+
+def test_nb_quality_duckdb_parity():
+    import duckdb
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.functions.text import nb_quality_score
+    from neo4j_graph_algorithms_ray.pipelines.oracles_docs import nb_quality_sql
+    docs = pd.DataFrame(NB_DOCS)
+    got = nb_quality_score(rd.from_pandas(docs), min_words=6,
+                           min_stop_hits=1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(nb_quality_sql(min_words=6, min_stop_hits=1)).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
