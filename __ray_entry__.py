@@ -946,6 +946,33 @@ def _q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(_emb(sf_dir), vecs, ids, k=10, ncells=16, nprobe=16)
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact cosine k-NN graph over the embeddings table — the
+    vector→graph bridge (feed to build_graph + any graph algorithm)."""
+    from neo4j_graph_algorithms_ray.functions.ann import knn_graph
+    return knn_graph(_emb(sf_dir), k=5)
+
+
+def _q_embedding_clusters(sf_dir: str):
+    """Composed pipeline: exact knn graph (k=3, cosine ≥ 0.2) →
+    undirected CSR → BSP WCC → (vec_id, component=min reachable id).
+    Embedding-space clustering expressed as graph connectivity — the
+    two halves of the engine in one query."""
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
+    from neo4j_graph_algorithms_ray.functions.ann import knn_graph
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    edges = knn_graph(_emb(sf_dir), k=3, threshold=0.2) \
+        .select_columns(["src", "dst"])
+    verts = _emb(sf_dir).select_columns(["vec_id"]) \
+        .rename_columns({"vec_id": "node"})
+    g = build_graph(edges, undirected=True, dedup=True, extra_vertices=verts,
+                    name=f"knn3-{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    res = wcc(g)
+    out = translate_vid_columns(g, res.dataset, ["component"])
+    return out.rename_columns({"node": "vec_id"}).sort("vec_id")
+
+
 def _q_kmeans_clusters(sf_dir: str):
     # no SQL oracle: iterative k-means training is not SQL-expressible
     # (rows-only check; determinism + blob-separation pinned in pytest)
@@ -1364,6 +1391,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         # window next round (never driver-verified yet) ---
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
+        "knn_graph": _q_knn_graph,
+        "embedding_clusters": _q_embedding_clusters,
         "span_dedup": _q_span_dedup,
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
@@ -1549,6 +1578,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": od.tfidf_topk_sql(3),
         "bm25_topk": od.bm25_topk_sql(BM25_TERMS, 25),
         "nb_quality": od.nb_quality_sql(min_words=40, min_stop_hits=1),
+        "knn_graph": od.knn_graph_sql(5),
+        "embedding_clusters": od.embedding_clusters_sql(3, 0.2),
         "span_dedup": od.span_dedup_sql(5, 2),
         "bigram_xent": od.bigram_xent_sql(2),
         "stratified_sample": od.stratified_sample_sql(50),

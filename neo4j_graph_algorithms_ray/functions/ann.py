@@ -402,3 +402,115 @@ def semantic_dedup(emb: rd.Dataset, *, ncells: int = 16,
     return reps.map_batches(
         lambda b: b.append_column("keep", pc.equal(b[id_col], b["rep_id"])),
         batch_format="pyarrow")
+
+
+def knn_graph(emb: rd.Dataset, k: int = 10, *, ncells: int | None = None,
+              threshold: float | None = None, id_col: str = "vec_id",
+              vec_col: str = "embedding", bcast_cap: int = 65536,
+              group_cap: int = 100_000, seed: int = 42) -> rd.Dataset:
+    """k-nearest-neighbor GRAPH over the embedding column: one edge
+    (src, dst, cosine) per vector to each of its k most-similar other
+    vectors (ties by dst asc; optional cosine ``threshold`` floor).
+    The bridge from the vector half of the engine to the graph half —
+    feed the result to ``build_graph`` and any graph algorithm
+    (WCC = embedding clusters, PageRank = centrality in semantic
+    space, label propagation = semi-supervised tagging).
+
+    Two regimes, one contract:
+
+    - ``ncells=None`` (exact): the id-sorted corpus matrix broadcasts
+      once via ``ray.put`` and every batch does one matmul against it.
+      Loudly capped at ``bcast_cap`` vectors — the exact path's cost
+      is corpus-in-worker-heap, which stops being true at web scale.
+    - ``ncells=N`` (IVF, the scale path): spherical-k-means cells train
+      on a driver-bounded hash sample (``ivf_train_centroids``),
+      vectors assign to their nearest cell per batch (one matmul, no
+      shuffle), and neighbors are searched within the cell —
+      ``group_cap`` raises on an oversized cell (re-bucket with more
+      cells), the embedding_neardup_pairs contract. Approximate near
+      cell boundaries; recall vs exact is pinned in pytest.
+    """
+    from neo4j_graph_algorithms_ray.util import collect_arrow
+
+    def _topk_rows(ids_q: np.ndarray, sims: np.ndarray,
+                   ids_c: np.ndarray) -> pa.Table:
+        """Per-row top-k of a (B, N) sims matrix, self excluded,
+        dst-asc tie-break via stable argsort over the id-sorted axis."""
+        pos = np.searchsorted(ids_c, ids_q)
+        pos = np.clip(pos, 0, len(ids_c) - 1)
+        self_row = ids_c[pos] == ids_q
+        sims[np.nonzero(self_row)[0], pos[self_row]] = -np.inf
+        kk = min(k, sims.shape[1] - 1) if sims.shape[1] > 1 else 0
+        if kk <= 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        cos = np.take_along_axis(sims, order, axis=1)
+        keep = np.isfinite(cos)
+        if threshold is not None:
+            keep &= cos >= threshold
+        src = np.repeat(ids_q, kk).reshape(-1, kk)
+        return pa.table({"src": pa.array(src[keep].astype(np.int64)),
+                         "dst": pa.array(ids_c[order][keep].astype(np.int64)),
+                         "cosine": pa.array(round6(cos[keep]))})
+
+    if ncells is None:
+        n = emb.count()
+        if n > bcast_cap:
+            raise ValueError(
+                f"knn_graph exact path: {n} vectors > bcast_cap="
+                f"{bcast_cap}; pass ncells= for the IVF regime")
+        tabs = [t for t in collect_arrow(
+            emb.select_columns([id_col, vec_col])) if t.num_rows]
+        if not tabs:
+            return rd.from_arrow(pa.table(
+                {"src": pa.array([], pa.int64()),
+                 "dst": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}))
+        tab = pa.concat_tables(tabs)
+        ids_c = tab[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_c, kind="stable")
+        ids_c = ids_c[order]
+        mat = _normalize(_vec_matrix(tab[vec_col]))[order]
+        corpus_ref = ray.put((ids_c, mat))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            cids, cmat = ray.get(corpus_ref)
+            ids_q = batch[id_col].to_numpy(zero_copy_only=False)
+            sims = _normalize(_vec_matrix(batch[vec_col])) @ cmat.T
+            return _topk_rows(ids_q, sims, cids)
+
+        # batch × corpus sims matrix: 512 × bcast_cap × 8B ≤ 256 MB
+        return emb.map_batches(partial, batch_format="pyarrow",
+                               batch_size=512)
+
+    cents = _normalize(ivf_train_centroids(
+        emb, ncells, id_col=id_col, vec_col=vec_col, seed=seed))
+    c_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_cell",
+                                       pa.array([], pa.int64()))
+        cell = np.argmax(_normalize(_vec_matrix(batch[vec_col]))
+                         @ ray.get(c_ref).T, axis=1).astype(np.int64)
+        return batch.append_column("_cell", pa.array(cell))
+
+    def pergroup(g: pd.DataFrame) -> pa.Table:
+        if len(g) > group_cap:
+            raise ValueError(
+                f"knn_graph: cell {g['_cell'].iloc[0]} has {len(g)} "
+                f"vectors > group_cap={group_cap}; raise ncells")
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        return _topk_rows(ids, m @ m.T, ids)
+
+    return emb.select_columns([id_col, vec_col]) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .groupby("_cell").map_groups(pergroup, batch_format="pandas")

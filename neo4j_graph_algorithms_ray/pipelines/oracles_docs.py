@@ -791,3 +791,42 @@ SELECT l.doc_id, l.label,
        (pri.p + coalesce(sc.s, 0)) > 0 AS pred
 FROM lab l CROSS JOIN pri LEFT JOIN sc ON sc.doc_id = l.doc_id
 ORDER BY l.doc_id"""
+
+
+def knn_graph_sql(k: int = 5) -> str:
+    """Mirror of functions/ann.knn_graph exact regime: per-vector
+    cosine top-k over the corpus (self excluded), ties by dst asc."""
+    return f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT src, dst, round(c, 6) AS cosine FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(a.v, b.v) AS c,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                     b.vec_id ASC) AS rn
+  FROM e a CROSS JOIN e b WHERE b.vec_id <> a.vec_id) t
+WHERE rn <= {k} ORDER BY src, dst"""
+
+
+def embedding_clusters_sql(k: int = 3, threshold: float = 0.2) -> str:
+    """Mirror of the composed embedding_clusters query: undirected WCC
+    over the thresholded exact knn graph — (vec_id, component) with
+    component = min vec_id reachable."""
+    return f"""WITH RECURSIVE e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           list_cosine_similarity(a.v, b.v) AS c,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                       b.vec_id ASC) AS rn
+    FROM e a CROSS JOIN e b WHERE b.vec_id <> a.vec_id) t
+  WHERE rn <= {k} AND c >= {threshold}),
+und AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)
+SELECT id AS vec_id, min(r) AS component FROM reach
+GROUP BY id ORDER BY vec_id"""

@@ -402,3 +402,66 @@ def test_semantic_dedup_bucketed_keeps_blob_dups():
         assert got[60 + k] == k
         assert got[63 + k] == 30 + k
     assert sum(1 for r in rows if not r["keep"]) == 6
+
+
+def _knn_brute(v: np.ndarray, k: int) -> set[tuple[int, int]]:
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    np.fill_diagonal(sims, -np.inf)
+    out = set()
+    for i in range(len(v)):
+        order = np.lexsort((np.arange(len(v)), -sims[i]))[:k]
+        out |= {(i, int(j)) for j in order}
+    return out
+
+
+def test_knn_graph_exact_matches_brute_force():
+    from neo4j_graph_algorithms_ray.functions.ann import knn_graph
+    ds, v = _emb_ds()
+    rows = knn_graph(ds, k=4).take_all()
+    got = {(r["src"], r["dst"]) for r in rows}
+    assert got == _knn_brute(v, 4)
+    # per-src exactly k edges, no self loops
+    from collections import Counter
+    c = Counter(r["src"] for r in rows)
+    assert set(c.values()) == {4}
+    assert all(r["src"] != r["dst"] for r in rows)
+
+
+def test_knn_graph_threshold_floor():
+    from neo4j_graph_algorithms_ray.functions.ann import knn_graph
+    ds, v = _emb_ds()
+    rows = knn_graph(ds, k=4, threshold=0.9).take_all()
+    # only the planted near-dup pair survives a 0.9 cosine floor
+    assert {(r["src"], r["dst"]) for r in rows} == {(0, 1), (1, 0)}
+    assert all(r["cosine"] >= 0.9 for r in rows)
+
+
+def test_knn_graph_ivf_recall_and_cap():
+    import pytest
+
+    from neo4j_graph_algorithms_ray.functions.ann import knn_graph
+    # two tight blobs: within-blob neighbors dominate, cells align with
+    # blobs, so IVF recall vs exact is ~1 at k << blob size
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 0.05, (40, 8)) + np.eye(8)[0]
+    b = rng.normal(0, 0.05, (40, 8)) + np.eye(8)[3]
+    v = np.vstack([a, b])
+    ds = rd.from_items([{"vec_id": i, "embedding": x.tolist()}
+                        for i, x in enumerate(v)])
+    exact = _knn_brute(v, 3)
+    got = {(r["src"], r["dst"])
+           for r in knn_graph(ds, k=3, ncells=2).take_all()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95
+    with pytest.raises(ValueError, match="group_cap"):
+        knn_graph(ds, k=3, ncells=2, group_cap=10).take_all()
+
+
+def test_knn_graph_exact_bcast_cap_fails_loudly():
+    import pytest
+
+    from neo4j_graph_algorithms_ray.functions.ann import knn_graph
+    ds, _ = _emb_ds()
+    with pytest.raises(ValueError, match="bcast_cap"):
+        knn_graph(ds, k=2, bcast_cap=10)
