@@ -857,6 +857,19 @@ def _q_doc_length_histogram(sf_dir: str):
     return column_histogram(docs, "n_chars", width=100)
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Fixed-token training-window chunking with overlap (stride 112)."""
+    from neo4j_graph_algorithms_ray.functions.text import chunk_documents
+    return chunk_documents(_docs(sf_dir), chunk_tokens=128, overlap=16)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style concat-and-split packing layout via distributed
+    prefix sum (per-block subtotals → driver offsets → in-place stamp)."""
+    from neo4j_graph_algorithms_ray.functions.text import pack_sequences
+    return pack_sequences(_docs(sf_dir), seq_tokens=1024)
+
+
 def _q_nb_quality(sf_dir: str):
     """Self-distilled NB quality classifier (GPT-3 §A / CCNet recipe):
     rule-label → train multinomial NB on the corpus → score log-odds.
@@ -1393,6 +1406,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
         "embedding_clusters": _q_embedding_clusters,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
         "span_dedup": _q_span_dedup,
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
@@ -1580,6 +1595,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality": od.nb_quality_sql(min_words=40, min_stop_hits=1),
         "knn_graph": od.knn_graph_sql(5),
         "embedding_clusters": od.embedding_clusters_sql(3, 0.2),
+        "chunk_documents": od.chunk_documents_sql(128, 16),
+        "pack_sequences": od.pack_sequences_sql(1024),
         "span_dedup": od.span_dedup_sql(5, 2),
         "bigram_xent": od.bigram_xent_sql(2),
         "stratified_sample": od.stratified_sample_sql(50),

@@ -1476,3 +1476,121 @@ def nb_quality_score(docs, *, min_words: int = 40, min_stop_hits: int = 1,
 
     return docs.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def chunk_documents(docs, *, chunk_tokens: int = 128, overlap: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split every document into fixed-size token windows — the
+    training-example prep stage: chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens) with stride = chunk_tokens −
+    overlap; the last window keeps the tail (shorter is fine); empty
+    docs emit no chunks. → (doc_id, chunk_id, text, n_tokens) with
+    chunk text = ' '-joined tokens.
+
+    Scale shape: entirely per-batch (a doc never spans batches) and
+    fully vectorized — one whitespace split, one gather of the flat
+    token array into a ListArray, one Arrow ``binary_join``. Zero
+    exchange at any corpus size.
+    """
+    import pyarrow as pa
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def explode(b: pa.Table) -> pa.Table:
+        txt = _text_column(b, text_col)
+        flat, doc_idx, n_tok = _split_tokens(txt)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        # real flat positions per doc: empty docs leave one '' entry in
+        # flat (counts=1, n_tok=0), so cumsum(n_tok) would misalign —
+        # doc_idx carries the true layout
+        doc_tok_start = np.searchsorted(doc_idx, np.arange(len(n_tok)))
+        k = np.where(n_tok > 0,
+                     np.maximum(1, -(-(n_tok - overlap) // stride)),
+                     0).astype(np.int64)
+        total = int(k.sum())
+        if total == 0:
+            return pa.table({id_col: b[id_col].slice(0, 0),
+                             "chunk_id": pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        chunk_doc = np.repeat(np.arange(len(n_tok)), k)
+        k_start = np.concatenate([[0], np.cumsum(k)[:-1]])
+        chunk_id = np.arange(total) - k_start[chunk_doc]
+        s = chunk_id * stride
+        length = np.minimum(chunk_tokens, n_tok[chunk_doc] - s)
+        # gather flat-token indices for every chunk in one shot
+        off = np.concatenate([[0], np.cumsum(length)]).astype(np.int64)
+        gidx = (np.repeat(doc_tok_start[chunk_doc] + s, length)
+                + np.arange(off[-1]) - np.repeat(off[:-1], length))
+        lists = pa.ListArray.from_arrays(pa.array(off),
+                                         flat.take(pa.array(gidx)))
+        text = pc.binary_join(lists, " ")
+        return pa.table({id_col: b[id_col].take(pa.array(chunk_doc)),
+                         "chunk_id": pa.array(chunk_id),
+                         text_col: text,
+                         "n_tokens": pa.array(length.astype(np.int64))})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def pack_sequences(docs, *, seq_tokens: int = 1024,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Concat-and-split sequence packing (the GPT-pretraining layout):
+    documents concatenate in ascending ``id_col`` order and the token
+    stream splits into fixed ``seq_tokens`` windows; each doc reports
+    its global token offset and the first/last sequence it lands in.
+    → (doc_id, n_tokens, tok_start, seq_first, seq_last).
+
+    Scale shape: a distributed prefix sum — per-block token subtotals
+    (one tiny int per block) travel to the driver, cumulative block
+    offsets stamp each block in place (the ``zip_with_index`` pattern:
+    blocks never leave the object store). The only exchange is the
+    ``sort`` that defines concat order — at web scale feed an
+    id-sorted/partitioned corpus and the sort is a no-op.
+    """
+    import pyarrow as pa
+    import ray
+
+    def count(b: pa.Table) -> pa.Table:
+        txt = _text_column(b, text_col)
+        _, _, n_tok = _split_tokens(txt)
+        return pa.table({id_col: b[id_col], "n_tokens": pa.array(n_tok)})
+
+    counts = docs.select_columns([id_col, text_col]) \
+        .map_batches(count, batch_format="pyarrow") \
+        .sort(id_col).materialize()
+    refs = counts.to_arrow_refs()
+
+    @ray.remote
+    def _subtotal(tbl) -> int:
+        if "n_tokens" not in getattr(tbl, "column_names", tbl.columns):
+            return 0  # empty 0-column block from the sort
+        return int(pc.sum(tbl["n_tokens"]).as_py() or 0)
+
+    @ray.remote
+    def _stamp(tbl, offset: int) -> pa.Table:
+        empty_cols = "n_tokens" not in getattr(tbl, "column_names",
+                                               tbl.columns)
+        if empty_cols or len(tbl) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({id_col: z, "n_tokens": z, "tok_start": z,
+                             "seq_first": z, "seq_last": z})
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        n = tbl["n_tokens"].to_numpy(zero_copy_only=False)
+        start = offset + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        seq_first = start // seq_tokens
+        seq_last = (start + np.maximum(n - 1, 0)) // seq_tokens
+        return pa.table({id_col: tbl[id_col], "n_tokens": tbl["n_tokens"],
+                         "tok_start": pa.array(start),
+                         "seq_first": pa.array(seq_first),
+                         "seq_last": pa.array(seq_last)})
+
+    subtotals = ray.get([_subtotal.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(subtotals)[:-1]]).astype(np.int64)
+    import ray.data as rd
+    return rd.from_arrow_refs(
+        [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)])

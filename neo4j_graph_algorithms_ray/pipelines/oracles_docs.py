@@ -830,3 +830,45 @@ reach(id, r) AS (
   SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)
 SELECT id AS vec_id, min(r) AS component FROM reach
 GROUP BY id ORDER BY vec_id"""
+
+
+def chunk_documents_sql(chunk_tokens: int = 128, overlap: int = 0) -> str:
+    """Mirror of functions/text.chunk_documents: whitespace tokens of
+    the trimmed text, windows at stride = chunk_tokens - overlap, tail
+    kept, empty docs emit nothing."""
+    stride = chunk_tokens - overlap
+    return rf"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+ch AS (
+  SELECT doc_id, tk,
+         unnest(range(0, greatest(1,
+           (len(tk) - {overlap} + {stride} - 1) // {stride}))) AS chunk_id
+  FROM tl)
+SELECT doc_id, chunk_id,
+       array_to_string(tk[chunk_id * {stride} + 1
+                          : chunk_id * {stride} + {chunk_tokens}],
+                       ' ') AS text,
+       least({chunk_tokens}, len(tk) - chunk_id * {stride}) AS n_tokens
+FROM ch ORDER BY doc_id, chunk_id"""
+
+
+def pack_sequences_sql(seq_tokens: int = 1024) -> str:
+    """Mirror of functions/text.pack_sequences: global token prefix sum
+    in ascending doc_id order, sequence ids by integer division."""
+    return rf"""WITH tl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM tl)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(tok_start // {seq_tokens} AS BIGINT) AS seq_first,
+       CAST((tok_start + greatest(n_tokens - 1, 0)) // {seq_tokens}
+            AS BIGINT) AS seq_last
+FROM cum ORDER BY doc_id"""

@@ -558,3 +558,79 @@ def test_nb_quality_duckdb_parity():
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False)
+
+
+def test_chunk_documents_windows():
+    from neo4j_graph_algorithms_ray.functions.text import chunk_documents
+    docs = [
+        {"doc_id": 0, "text": "a b c d e"},
+        {"doc_id": 1, "text": "x"},
+        {"doc_id": 2, "text": ""},          # no chunks
+        {"doc_id": 3, "text": "p q r s t u"},
+    ]
+    rows = chunk_documents(rd.from_items(docs), chunk_tokens=3,
+                           overlap=1).take_all()
+    got = {(r["doc_id"], r["chunk_id"]): (r["text"], r["n_tokens"])
+           for r in rows}
+    assert got == {
+        (0, 0): ("a b c", 3), (0, 1): ("c d e", 3),
+        (1, 0): ("x", 1),
+        (3, 0): ("p q r", 3), (3, 1): ("r s t", 3), (3, 2): ("t u", 2),
+    }
+
+
+def test_chunk_documents_duckdb_parity():
+    import duckdb
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.functions.text import chunk_documents
+    from neo4j_graph_algorithms_ray.pipelines.oracles_docs import (
+        chunk_documents_sql)
+    docs = pd.DataFrame([
+        {"doc_id": i, "text": " ".join(f"w{j}" for j in range(i * 3))}
+        for i in range(8)])
+    got = chunk_documents(rd.from_pandas(docs), chunk_tokens=5, overlap=2) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(chunk_documents_sql(5, 2)).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
+
+
+def test_pack_sequences_prefix_sum():
+    from neo4j_graph_algorithms_ray.functions.text import pack_sequences
+    docs = [
+        {"doc_id": 0, "text": "a b c"},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "x y"},
+        {"doc_id": 3, "text": "p q r s t"},
+    ]
+    rows = {r["doc_id"]: r for r in pack_sequences(
+        rd.from_items(docs), seq_tokens=4).take_all()}
+    assert [(rows[i]["tok_start"], rows[i]["seq_first"], rows[i]["seq_last"])
+            for i in range(4)] == [(0, 0, 0), (3, 0, 0), (3, 0, 1), (5, 1, 2)]
+
+
+def test_pack_sequences_many_blocks_matches_sql():
+    import duckdb
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.functions.text import pack_sequences
+    from neo4j_graph_algorithms_ray.pipelines.oracles_docs import (
+        pack_sequences_sql)
+    docs = pd.DataFrame([
+        {"doc_id": i, "text": " ".join("t" * ((i * 7) % 13))}
+        for i in range(200)])
+    # force multiple blocks so cross-block offsets are exercised
+    ds = rd.from_pandas(docs).repartition(8)
+    got = pack_sequences(ds, seq_tokens=16).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(pack_sequences_sql(16)).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
