@@ -857,6 +857,12 @@ def _q_doc_length_histogram(sf_dir: str):
     return column_histogram(docs, "n_chars", width=100)
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher within-doc repetition signals (dup lines, top bigram)."""
+    from neo4j_graph_algorithms_ray.functions.text import gopher_repetition
+    return gopher_repetition(_docs(sf_dir))
+
+
 def _q_chunk_documents(sf_dir: str):
     """Fixed-token training-window chunking with overlap (stride 112)."""
     from neo4j_graph_algorithms_ray.functions.text import chunk_documents
@@ -1408,6 +1414,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": _q_embedding_clusters,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
+        "gopher_repetition": _q_gopher_repetition,
         "span_dedup": _q_span_dedup,
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
@@ -1597,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": od.embedding_clusters_sql(3, 0.2),
         "chunk_documents": od.chunk_documents_sql(128, 16),
         "pack_sequences": od.pack_sequences_sql(1024),
+        "gopher_repetition": od.GOPHER_REPETITION_SQL,
         "span_dedup": od.span_dedup_sql(5, 2),
         "bigram_xent": od.bigram_xent_sql(2),
         "stratified_sample": od.stratified_sample_sql(50),

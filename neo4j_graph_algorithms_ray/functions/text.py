@@ -1594,3 +1594,92 @@ def pack_sequences(docs, *, seq_tokens: int = 1024,
     import ray.data as rd
     return rd.from_arrow_refs(
         [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
+def gopher_repetition(docs, *, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """The Gopher WITHIN-document repetition signals (Rae et al. 2021
+    §A1.1, the half GopherQuality doesn't cover — duplicate content
+    inside one doc rather than rule thresholds):
+
+    - ``dup_line_frac``: lines repeating an earlier identical line,
+      over total lines;
+    - ``dup_line_char_frac``: characters in those repeat occurrences,
+      over total line characters;
+    - ``top_bigram`` / ``top_bigram_char_frac``: the most frequent
+      lowered word 2-gram (ties: higher count, then lexicographically
+      smallest) and the characters its occurrences cover over total
+      token characters (uncapped — overlapping occurrences can exceed
+      1, same as the SQL mirror).
+
+    Scale shape: entirely per-batch (a doc never spans batches) —
+    line/bigram counting is factorize + bincount over encoded
+    (doc, key) pairs; only the tiny per-doc tie-break candidate set
+    touches pandas. Zero exchange at any corpus size.
+    """
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        txt = _text_column(b, text_col)
+        ndocs = b.num_rows
+        # ---- duplicate lines ----
+        lines, line_doc, n_lines = _split_lines(txt)
+        lens = pc.utf8_length(lines).to_numpy(zero_copy_only=False) \
+                 .astype(np.int64)
+        codes, _ = pd.factorize(np.asarray(lines, dtype=object))
+        key = line_doc * (codes.max() + 1 if len(codes) else 1) + codes
+        uniq, first_pos, cnt = np.unique(key, return_index=True,
+                                         return_counts=True)
+        tot_chars = np.bincount(line_doc, weights=lens, minlength=ndocs)
+        uniq_doc = line_doc[first_pos]
+        uniq_len = lens[first_pos]
+        n_distinct = np.bincount(uniq_doc, minlength=ndocs)
+        dup_chars = np.bincount(uniq_doc, weights=uniq_len * (cnt - 1),
+                                minlength=ndocs)
+        nl = np.maximum(n_lines, 1)
+        dup_line_frac = (n_lines - n_distinct) / nl
+        dup_line_char_frac = np.where(tot_chars > 0,
+                                      dup_chars / np.maximum(tot_chars, 1),
+                                      0.0)
+        # ---- top word bigram ----
+        doc_idx, toks = _token_arrays(txt)
+        top_bigram = np.full(ndocs, "", dtype=object)
+        top_frac = np.zeros(ndocs, np.float64)
+        if len(toks) >= 2:
+            tcodes, tuniq = pd.factorize(toks)
+            tok_lens = np.char.str_len(tuniq.astype(str))
+            tok_chars = np.bincount(doc_idx, weights=tok_lens[tcodes],
+                                    minlength=ndocs)
+            same = doc_idx[:-1] == doc_idx[1:]
+            if same.any():
+                v = len(tuniq)
+                d = doc_idx[:-1][same]
+                k1, k2 = tcodes[:-1][same], tcodes[1:][same]
+                bkey = (d * v + k1) * v + k2
+                ub, bcnt = np.unique(bkey, return_counts=True)
+                ud, r = ub // (v * v), ub % (v * v)
+                uw1, uw2 = r // v, r % v
+                # per-doc max count, then smallest (w1, w2) among ties
+                cand = pd.DataFrame({
+                    "doc": ud, "c": bcnt,
+                    "w1": tuniq[uw1].astype(str), "w2": tuniq[uw2].astype(str)})
+                mx = cand.groupby("doc")["c"].transform("max")
+                cand = cand[cand["c"] == mx].sort_values(
+                    ["doc", "w1", "w2"]).drop_duplicates("doc")
+                di = cand["doc"].to_numpy()
+                chars = (cand["w1"].str.len() + cand["w2"].str.len() + 0) \
+                    .to_numpy() * cand["c"].to_numpy()
+                top_bigram[di] = (cand["w1"] + " " + cand["w2"]).to_numpy()
+                top_frac[di] = chars / np.maximum(tok_chars[di], 1)
+        return pa.table({
+            id_col: b[id_col],
+            "dup_line_frac": pa.array(round6(dup_line_frac)),
+            "dup_line_char_frac": pa.array(round6(dup_line_char_frac)),
+            "top_bigram": pa.array(top_bigram, pa.string()),
+            "top_bigram_char_frac": pa.array(round6(top_frac)),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow")

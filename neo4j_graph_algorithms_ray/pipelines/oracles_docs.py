@@ -872,3 +872,46 @@ SELECT doc_id, n_tokens, tok_start,
        CAST((tok_start + greatest(n_tokens - 1, 0)) // {seq_tokens}
             AS BIGINT) AS seq_last
 FROM cum ORDER BY doc_id"""
+
+
+GOPHER_REPETITION_SQL = r"""WITH ln AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents),
+g AS (SELECT doc_id, line, count(*) AS c, length(line) AS l
+      FROM ln GROUP BY doc_id, line),
+la AS (SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS n_dup,
+              sum(l * c) AS tot, sum(l * (c - 1)) AS dup
+       FROM g GROUP BY doc_id),
+tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(
+           trim(lower(text), ' ' || chr(9) || chr(10) || chr(13)
+                || chr(11) || chr(12)), '\s+') AS tk
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)
+             || chr(11) || chr(12)) <> ''),
+tc AS (SELECT doc_id,
+              list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+                AS tok_chars
+       FROM tl),
+pairs AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+                 unnest(tk[2:len(tk)]) AS w2
+          FROM tl WHERE len(tk) >= 2),
+bg AS (SELECT doc_id, w1, w2, count(*) AS c FROM pairs GROUP BY ALL),
+top AS (SELECT doc_id, w1, w2, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, w1, w2) AS rn
+        FROM bg),
+tb AS (SELECT t.doc_id, w1 || ' ' || w2 AS top_bigram,
+              CAST(c * (length(w1) + length(w2)) AS DOUBLE)
+                / greatest(tc.tok_chars, 1) AS frac
+       FROM top t JOIN tc ON tc.doc_id = t.doc_id WHERE rn = 1)
+SELECT d.doc_id,
+  round(CAST(la.n_dup AS DOUBLE) / greatest(la.n_lines, 1), 6)
+    AS dup_line_frac,
+  round(CASE WHEN la.tot > 0 THEN CAST(la.dup AS DOUBLE) / la.tot
+             ELSE 0 END, 6) AS dup_line_char_frac,
+  coalesce(tb.top_bigram, '') AS top_bigram,
+  round(coalesce(tb.frac, 0), 6) AS top_bigram_char_frac
+FROM documents d LEFT JOIN la ON la.doc_id = d.doc_id
+LEFT JOIN tb ON tb.doc_id = d.doc_id
+ORDER BY d.doc_id"""

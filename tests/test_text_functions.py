@@ -634,3 +634,53 @@ def test_pack_sequences_many_blocks_matches_sql():
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False)
+
+
+def test_gopher_repetition_signals():
+    from neo4j_graph_algorithms_ray.functions.text import gopher_repetition
+    docs = [
+        {"doc_id": 0, "text": "hello\nworld\nhello\nhello"},   # dup lines
+        {"doc_id": 1, "text": "new york new york city"},        # hot bigram
+        {"doc_id": 2, "text": "all unique lines\nhere now"},
+        {"doc_id": 3, "text": ""},
+    ]
+    rows = {r["doc_id"]: r for r in gopher_repetition(
+        rd.from_items(docs)).take_all()}
+    r0 = rows[0]
+    # 4 lines, 2 repeats of 'hello'; chars: 5*3 + 5 = 20 total, 10 dup
+    assert r0["dup_line_frac"] == 0.5
+    assert r0["dup_line_char_frac"] == 0.5
+    r1 = rows[1]
+    # 'new york' x2: chars 2*(3+4)=14 over token chars 3+4+3+4+4=18
+    assert r1["top_bigram"] == "new york"
+    assert r1["top_bigram_char_frac"] == round(14 / 18, 6)
+    assert rows[2]["dup_line_frac"] == 0.0
+    # 5 bigrams all count 1 → lexicographically smallest wins
+    assert rows[2]["top_bigram"] == "all unique"
+    r3 = rows[3]
+    assert (r3["dup_line_frac"], r3["top_bigram"],
+            r3["top_bigram_char_frac"]) == (0.0, "", 0.0)
+
+
+def test_gopher_repetition_duckdb_parity():
+    import duckdb
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.functions.text import gopher_repetition
+    from neo4j_graph_algorithms_ray.pipelines.oracles_docs import (
+        GOPHER_REPETITION_SQL)
+    rng = __import__("numpy").random.default_rng(5)
+    words = ["aa", "bb", "cc", "the", "of"]
+    docs = pd.DataFrame([
+        {"doc_id": i,
+         "text": "\n".join(" ".join(rng.choice(words, rng.integers(0, 6)))
+                           for _ in range(rng.integers(1, 5)))}
+        for i in range(40)])
+    got = gopher_repetition(rd.from_pandas(docs)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(GOPHER_REPETITION_SQL).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
