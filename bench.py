@@ -262,6 +262,26 @@ def headline(num_cpus: int) -> dict:
     bx_sec = queries.pop(f"bigram_xent_{n_big}d")
     extras["bigram_xent_docs_per_sec"] = round(n_big / bx_sec, 1)
 
+    # round-4 session-3 corpus operators (throughput lines only)
+    from neo4j_graph_algorithms_ray.functions.text import (chunk_documents,
+                                                           nb_quality_score)
+
+    def nb_pass():
+        return nb_quality_score(big_docs, min_words=40,
+                                min_stop_hits=1).count()
+
+    timed(f"nb_quality_{n_big}d", nb_pass, repeats=2)
+    nb_sec = queries.pop(f"nb_quality_{n_big}d")
+    extras["nb_quality_docs_per_sec"] = round(n_big / nb_sec, 1)
+
+    def chunk_pass():
+        return chunk_documents(big_docs, chunk_tokens=128,
+                               overlap=16).count()
+
+    timed(f"chunk_docs_{n_big}d", chunk_pass, repeats=2)
+    ck_sec = queries.pop(f"chunk_docs_{n_big}d")
+    extras["chunk_docs_per_sec"] = round(n_big / ck_sec, 1)
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",
