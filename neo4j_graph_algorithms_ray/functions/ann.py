@@ -110,12 +110,12 @@ def ivf_train_centroids(emb: rd.Dataset, ncells: int = 64, *,
     n = emb.count()
     stride = max(1, n // max(1, sample))
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy()
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         keep = (pd.util.hash_array(np.asarray(ids)) % np.uint64(stride)) == 0
-        return batch[keep]
+        return batch.filter(pa.array(keep))
 
-    rows = emb.map_batches(pick, batch_format="pandas").take_all()
+    rows = emb.map_batches(pick, batch_format="pyarrow").take_all()
     if not rows:
         rows = emb.limit(max(ncells, 1)).take_all()
     m = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
