@@ -857,6 +857,16 @@ def _q_doc_length_histogram(sf_dir: str):
     return column_histogram(docs, "n_chars", width=100)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted-priority sample ∝ n_chars (the
+    quality/length-weighted subsampling primitive)."""
+    from neo4j_graph_algorithms_ray.functions.text import weighted_sample
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, k=50, weight_col="n_chars")
+
+
 def _q_gopher_repetition(sf_dir: str):
     """Gopher within-doc repetition signals (dup lines, top bigram)."""
     from neo4j_graph_algorithms_ray.functions.text import gopher_repetition
@@ -1415,6 +1425,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "gopher_repetition": _q_gopher_repetition,
+        "weighted_sample": _q_weighted_sample,
         "span_dedup": _q_span_dedup,
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
@@ -1605,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": od.chunk_documents_sql(128, 16),
         "pack_sequences": od.pack_sequences_sql(1024),
         "gopher_repetition": od.GOPHER_REPETITION_SQL,
+        "weighted_sample": od.weighted_sample_sql(50),
         "span_dedup": od.span_dedup_sql(5, 2),
         "bigram_xent": od.bigram_xent_sql(2),
         "stratified_sample": od.stratified_sample_sql(50),

@@ -1683,3 +1683,38 @@ def gopher_repetition(docs, *, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow")
+
+
+def weighted_sample(ds, k: int = 100, *, weight_col: str,
+                    id_col: str = "doc_id"):
+    """Deterministic weighted-priority sampling: keep the ``k`` rows
+    with the smallest priority = u / w, where u is the md5-derived
+    integer of the row id and w = ``weight_col`` (rows with w ≤ 0 are
+    excluded). Inclusion probability grows with weight; the same rows
+    are selected on every run, any cluster size, any partitioning —
+    the "subsample the corpus ∝ quality score / token count" primitive.
+
+    The priority is ONE correctly-rounded float64 division of exact
+    integers, so engine and SQL mirror agree bit-for-bit (no
+    transcendental drift). Scale shape: per-batch partial top-k (k
+    rows per block cross the cluster), then a tiny final sort+limit.
+    """
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h, _ = _md5_u64(ids.astype(str).astype(object), 15)
+        ok = w > 0
+        pri = np.full(len(ids), np.inf)
+        pri[ok] = h[ok].astype(np.float64) / w[ok]
+        order = np.lexsort((ids, pri))[:k]
+        order = order[np.isfinite(pri[order])]
+        sel = pa.array(np.sort(order))
+        out = b.select([id_col, weight_col]).take(sel)
+        return out.append_column("priority", pa.array(round6(pri[np.sort(order)])))
+
+    return ds.map_batches(part, batch_format="pyarrow") \
+        .sort(["priority", id_col]).limit(k)

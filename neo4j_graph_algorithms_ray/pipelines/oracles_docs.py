@@ -915,3 +915,16 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN la ON la.doc_id = d.doc_id
 LEFT JOIN tb ON tb.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def weighted_sample_sql(k: int = 100) -> str:
+    """Mirror of functions/text.weighted_sample with weight = n_chars:
+    priority = float64(md5-int of doc_id, 15 hex digits) / n_chars —
+    one correctly-rounded division, so engine and SQL agree bit-for-bit."""
+    return f"""WITH pri AS (
+  SELECT doc_id, n_chars,
+         round(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS DOUBLE) / n_chars, 6) AS priority
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, priority FROM pri
+ORDER BY priority, doc_id LIMIT {k}"""

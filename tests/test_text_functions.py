@@ -684,3 +684,35 @@ def test_gopher_repetition_duckdb_parity():
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False)
+
+
+def test_weighted_sample_deterministic_and_weighted():
+    import hashlib
+
+    from neo4j_graph_algorithms_ray.functions.text import weighted_sample
+    items = [{"doc_id": i, "w": (10_000 if i % 10 == 0 else 1)}
+             for i in range(500)]
+    ds = rd.from_items(items)
+    rows = weighted_sample(ds, k=40, weight_col="w").take_all()
+    got = [r["doc_id"] for r in rows]
+    # brute-force the same priorities
+    def pri(i, w):
+        u = float(int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16))
+        return u / w
+    want = sorted(items, key=lambda d: (pri(d["doc_id"], d["w"]),
+                                        d["doc_id"]))[:40]
+    assert got == [d["doc_id"] for d in want]
+    # heavy-weight rows dominate: all 50 weight-10000 rows beat almost
+    # every weight-1 row in expectation
+    heavy = sum(1 for i in got if i % 10 == 0)
+    assert heavy >= 30
+    # determinism across runs + partitionings
+    rows2 = weighted_sample(ds.repartition(7), k=40,
+                            weight_col="w").take_all()
+    assert [r["doc_id"] for r in rows2] == got
+    # zero/negative weights never selected
+    ds3 = rd.from_items([{"doc_id": i, "w": (0 if i < 490 else 1)}
+                         for i in range(500)])
+    sel = {r["doc_id"] for r in
+           weighted_sample(ds3, k=40, weight_col="w").take_all()}
+    assert sel == set(range(490, 500))
