@@ -1104,6 +1104,18 @@ def _q_web_kcore(sf_dir: str):
     return k_core(g, 3, node_col="url").dataset
 
 
+def _q_web_kcore_decomposition(sf_dir: str):
+    """Full core decomposition of the undirected web link graph —
+    rows-only driver check: the level-synchronous peel is an iterative
+    fixpoint with no faithful SQL expression; the oracle is
+    tests/test_wcc_lpa.py::test_kcore_decomposition_matches_brute_force
+    (min-degree-peel parity on random graphs)."""
+    from neo4j_graph_algorithms_ray.algorithms.kcore import kcore_decomposition
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_und_graph
+    g = get_web_und_graph(sf_dir)
+    return kcore_decomposition(g, node_col="url").dataset
+
+
 def _q_random_walks(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.walks import random_walks
     from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
@@ -1430,6 +1442,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
         "web_ktruss": _q_web_ktruss,
+        "web_kcore_decomposition": _q_web_kcore_decomposition,
         "node2vec_walks": _q_node2vec_walks,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,

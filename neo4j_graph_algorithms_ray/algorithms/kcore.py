@@ -65,3 +65,66 @@ def k_core(
         stats={"computeSec": elapsed, "k": k, "nodes": g.num_vertices,
                "edges": g.num_edges, "in_core": int(prev)},
     )
+
+
+def kcore_decomposition(
+    g: GraphTables,
+    *,
+    num_partitions: Optional[int] = None,
+    max_rounds: int = 10_000,
+    keep_vid: bool = False,
+    node_col: str = "node",
+) -> IterativeResult:
+    """Full core decomposition: (node, core) with core = the largest k
+    such that the node survives in the k-core (isolated nodes → 0).
+    The graded well-linkedness signal (spam rings and doorway pages
+    concentrate in low cores; navigational cores sit high).
+
+    Level-synchronous peel on the BSP engine: for k = 1, 2, … peel the
+    current survivor set to the k-core fixpoint (each round one
+    scatter of the live flag — receivers count live neighbors), then
+    credit every survivor one core level. Supersteps total
+    Σ_k rounds_k; state exchanged per round is one float per touched
+    vertex, hub-proof via the engine's pre-aggregated exchange. Stops
+    when the survivor set empties (k reached degeneracy + 1).
+    """
+    eng = get_engine(g, num_partitions)
+    eng.init_state("active", "const", 1.0)
+    eng.init_state("core", "const", 0.0)
+    total_rounds, converged = 0, False
+    t0 = time.perf_counter()
+    prev = eng.state_sum("active")
+    k = 1
+    while total_rounds < max_rounds:
+        # peel the survivor set down to the k-core fixpoint
+        while total_rounds < max_rounds:
+            eng.step("sum_state", "set_sum_update",
+                     scatter_kw={"name": "active"},
+                     update_kw={"name": "kc_deg"})
+            eng.apply_state("kc_keep", "ge", "kc_deg", float(k))
+            eng.apply_state("active", "mul", "active", "kc_keep")
+            total_rounds += 1
+            cur = eng.state_sum("active")
+            if cur == prev:
+                break
+            prev = cur
+        if prev == 0:
+            converged = True
+            break
+        eng.apply_state("core", "add", "core", "active")
+        k += 1
+    elapsed = time.perf_counter() - t0
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ds = eng.state_dataset(["core"])
+    ds = ds.map_batches(
+        lambda b: b.set_column(b.column_names.index("core"), "core",
+                               pc.cast(pc.round(b["core"]), pa.int64())),
+        batch_format="pyarrow")
+    ds = attach_node_ids(g, ds, out_col=node_col, keep_vid=keep_vid)
+    return IterativeResult(
+        dataset=ds, iterations=total_rounds, converged=converged, metrics=[],
+        stats={"computeSec": elapsed, "degeneracy": k - 1,
+               "nodes": g.num_vertices, "edges": g.num_edges},
+    )

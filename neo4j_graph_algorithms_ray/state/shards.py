@@ -359,6 +359,10 @@ class ShardActor:
             a, lo, hi = operands
             av = val(a)
             res = (av >= lo) & (av < hi)
+        elif op == "add":                 # out = a + b elementwise
+            a, b = operands
+            res = np.asarray(val(a), dtype=np.float64) \
+                + np.asarray(val(b), dtype=np.float64)
         elif op == "and_pos":             # out = (a > 0) & (b > 0)
             a, b = operands
             res = (np.asarray(val(a)) > 0) & (np.asarray(val(b)) > 0)

@@ -156,3 +156,50 @@ def test_weighted_lpa_matches_replay():
             if dv % 2 == parity:
                 lab[dv] = lb
     assert got == {v: lab[vid[v]] for v in nodes}
+
+
+def _brute_core_numbers(edges, nodes):
+    """Reference peel: repeatedly remove min-degree vertices."""
+    adj = {v: set() for v in nodes}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    core = {v: 0 for v in nodes}
+    k = 1
+    live = set(nodes)
+    while live:
+        changed = True
+        while changed:
+            drop = {v for v in live if len(adj[v] & live) < k}
+            live -= drop
+            changed = bool(drop)
+        for v in live:
+            core[v] = k
+        k += 1
+    return core
+
+
+def test_kcore_decomposition_matches_brute_force():
+    import numpy as np
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.kcore import kcore_decomposition
+    from neo4j_graph_algorithms_ray.graph import build_graph
+
+    rng = np.random.default_rng(9)
+    nodes = list(range(30))
+    edges = {tuple(sorted(rng.choice(30, 2, replace=False)))
+             for _ in range(70)}
+    edges = sorted(edges)
+    g = build_graph(rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+                    undirected=True, dedup=True,
+                    extra_vertices=rd.from_items(
+                        [{"node": v} for v in nodes]),
+                    name="kcore_decomp_test")
+    res = kcore_decomposition(g, num_partitions=3)
+    got = {r["node"]: r["core"] for r in res.dataset.take_all()}
+    want = _brute_core_numbers(edges, nodes)
+    assert got == want
+    assert res.converged
+    assert res.stats["degeneracy"] == max(want.values())
