@@ -1075,6 +1075,34 @@ def _q_web_hits(sf_dir: str):
     return _round6(ds, "authority")
 
 
+def _q_web_spam_mass(sf_dir: str):
+    """TrustRank spam mass (Gyöngyi et al. VLDB'04): the PageRank
+    fraction NOT reachable from trusted seeds — spam_mass =
+    (pr − trust_ppr)/pr. Composes the BSP PageRank twice (plain +
+    seed-personalized) and joins; the link-spam demotion signal."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    from neo4j_graph_algorithms_ray.sources.pages import url_of
+    from neo4j_graph_algorithms_ray.util import broadcast_join
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+    tr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url",
+                  source_nodes=[url_of(0), url_of(1)]).dataset         .rename_columns({"score": "trust"})
+    j = broadcast_join(pr, tr, on="url")
+
+    def mass(b: pa.Table) -> pa.Table:
+        r = b["score"].to_numpy(zero_copy_only=False)
+        t = b["trust"].to_numpy(zero_copy_only=False)
+        return pa.table({"url": b["url"],
+                         "spam_mass": pa.array(round6((r - t) / r))})
+
+    return j.map_batches(mass, batch_format="pyarrow").sort("url")
+
+
 def _q_anf(sf_dir: str):
     """Approximate neighborhood function of the web link graph
     (Palmer et al. KDD'02) — rows-only driver check: the FM sketch
@@ -1443,6 +1471,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "bigram_xent": _q_bigram_xent,
         "web_ktruss": _q_web_ktruss,
         "web_kcore_decomposition": _q_web_kcore_decomposition,
+        "web_spam_mass": _q_web_spam_mass,
         "node2vec_walks": _q_node2vec_walks,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
@@ -1523,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank_topk": ow.web_pagerank_sql(PR_ITERS, topk=TOPK),
         "web_wcc_sizes": ow.web_wcc_sql(30, "sizes"),
         "web_ppr": ow.web_ppr_sql(PR_ITERS),
+        "web_spam_mass": ow.web_spam_mass_sql(PR_ITERS),
         "web_hits": ow.web_hits_sql(PR_ITERS),
         "web_kcore": ow.web_kcore_sql(3, 40),
         "random_walks": ow.random_walks_sql(4, 7),

@@ -557,3 +557,38 @@ FROM fin"""
 SELECT round(total, 6) AS weight_sum, cnt AS edge_count,
        (SELECT count(*) FROM hn) - cnt AS components
 FROM fin"""
+
+
+def web_spam_mass_sql(iters: int = 20, seed_docs=(0, 1)) -> str:
+    """Spam-mass mirror (Gyöngyi et al. 2004): unroll plain PageRank
+    r{k} AND trust-seeded personalized PageRank p{k} in one CTE chain,
+    spam_mass = (r − p) / r (r ≥ 0.15 > 0 always)."""
+    seeds = ", ".join(_url(str(d)) for d in seed_docs)
+    seed_case = f"CASE WHEN n.node IN ({seeds}) THEN 0.15 ELSE 0 END"
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+            "FROM wedges GROUP BY src)",
+            "r0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM wnodes)",
+            f"""p0 AS (SELECT node,
+  CAST(CASE WHEN node IN ({seeds}) THEN 0.15 ELSE 0 END AS DOUBLE) AS r
+  FROM wnodes)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN r{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT n.node, {seed_case} + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN p{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT r.node AS url, round((r.r - p.r) / r.r, 6) AS spam_mass
+FROM r{iters} r JOIN p{iters} p ON p.node = r.node
+ORDER BY url""")
