@@ -857,6 +857,12 @@ def _q_doc_length_histogram(sf_dir: str):
     return column_histogram(docs, "n_chars", width=100)
 
 
+def _q_mixture_weights(sf_dir: str):
+    """α=0.5 exponent-smoothed language mixing weights (XLM-R rule)."""
+    from neo4j_graph_algorithms_ray.functions.text import mixture_weights
+    return mixture_weights(_docs_full(sf_dir), group_col="lang")
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted-priority sample ∝ n_chars (the
     quality/length-weighted subsampling primitive)."""
@@ -1466,6 +1472,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "gopher_repetition": _q_gopher_repetition,
         "weighted_sample": _q_weighted_sample,
+        "mixture_weights": _q_mixture_weights,
         "span_dedup": _q_span_dedup,
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
@@ -1660,6 +1667,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": od.pack_sequences_sql(1024),
         "gopher_repetition": od.GOPHER_REPETITION_SQL,
         "weighted_sample": od.weighted_sample_sql(50),
+        "mixture_weights": od.MIXTURE_WEIGHTS_SQL,
         "span_dedup": od.span_dedup_sql(5, 2),
         "bigram_xent": od.bigram_xent_sql(2),
         "stratified_sample": od.stratified_sample_sql(50),

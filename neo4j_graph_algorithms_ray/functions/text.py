@@ -1718,3 +1718,42 @@ def weighted_sample(ds, k: int = 100, *, weight_col: str,
 
     return ds.map_batches(part, batch_format="pyarrow") \
         .sort(["priority", id_col]).limit(k)
+
+
+def mixture_weights(ds, *, group_col: str = "lang", id_col: str = "doc_id"):
+    """Exponent-smoothed sampling weights per corpus slice (the
+    multilingual-pretraining mixing rule, α = 0.5): weight(g) =
+    √n_g / Σ_h √n_h — upweights tail languages/domains relative to
+    proportional sampling. → (group, n_docs, weight). α is pinned at
+    0.5 because IEEE sqrt is correctly rounded, so the engine and the
+    SQL mirror agree bit-for-bit (pow(x, α) is not).
+
+    Scale shape: one map-side-combined count aggregate (bounded by
+    #groups); the normalization runs on the driver over the tiny
+    group table.
+    """
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({group_col: b[group_col],
+                         "n_docs": pa.array(np.ones(b.num_rows, np.int64))})
+
+    agg = preagg_sum(ds.select_columns([group_col]).map_batches(
+        ones, batch_format="pyarrow"), [group_col], "n_docs")
+    tabs = [t for t in collect_arrow(agg) if t.num_rows]
+    tab = pa.concat_tables(tabs) if tabs else pa.table(
+        {group_col: pa.array([], pa.string()),
+         "n_docs": pa.array([], pa.int64())})
+    n = tab["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    g = np.asarray(tab[group_col].to_pylist(), dtype=object)
+    order = np.argsort(g)
+    n, g = n[order], g[order]
+    s = np.sqrt(n)
+    w = round6(s / s.sum()) if len(s) else s
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        group_col: pa.array(g, pa.string()),
+        "n_docs": pa.array(n.astype(np.int64)),
+        "weight": pa.array(w)}))

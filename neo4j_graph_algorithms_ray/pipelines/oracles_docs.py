@@ -928,3 +928,11 @@ def weighted_sample_sql(k: int = 100) -> str:
   FROM documents WHERE n_chars > 0)
 SELECT doc_id, n_chars, priority FROM pri
 ORDER BY priority, doc_id LIMIT {k}"""
+
+
+MIXTURE_WEIGHTS_SQL = """WITH c AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS tot FROM c)
+SELECT lang, n_docs,
+       round(sqrt(CAST(n_docs AS DOUBLE)) / t.tot, 6) AS weight
+FROM c CROSS JOIN t ORDER BY lang"""
