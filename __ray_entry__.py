@@ -911,6 +911,16 @@ def _q_minhash_pairs(sf_dir: str):
                                          threshold=0.5))
 
 
+def _q_ngram_containment(sf_dir: str):
+    """Directional containment near-dup pairs (quote/superset
+    detection, Broder 1997). threshold=0.5 so the synthetic corpus
+    emits both full near-dups and asymmetric subset hits."""
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        ngram_containment_pairs)
+    return _empty_safe(ngram_containment_pairs(_docs(sf_dir), k=3,
+                                               threshold=0.5))
+
+
 def _q_neardup_clusters(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import neardup_clusters
     return neardup_clusters(_docs(sf_dir), num_perm=8, bands=4, threshold=0.5)
@@ -1473,6 +1483,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "weighted_sample": _q_weighted_sample,
         "mixture_weights": _q_mixture_weights,
+        "ngram_containment_pairs": _q_ngram_containment,
         "span_dedup": _q_span_dedup,
         "anf": _q_anf,
         "bigram_xent": _q_bigram_xent,
@@ -1668,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": od.GOPHER_REPETITION_SQL,
         "weighted_sample": od.weighted_sample_sql(50),
         "mixture_weights": od.MIXTURE_WEIGHTS_SQL,
+        "ngram_containment_pairs": od.ngram_containment_sql(threshold=0.5),
         "span_dedup": od.span_dedup_sql(5, 2),
         "bigram_xent": od.bigram_xent_sql(2),
         "stratified_sample": od.stratified_sample_sql(50),

@@ -1095,3 +1095,120 @@ def neardup_clusters(docs: rd.Dataset, pairs: rd.Dataset | None = None, *,
         return pa.table({id_col: b[id_col], "rep_id": pc.cast(rep, pa.int64())})
 
     return to_arrow_blocks(out).map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(docs: rd.Dataset, *, k: int = 3,
+                            threshold: float = 0.8,
+                            df_cap: int = NGRAM_DF_CAP,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> rd.Dataset:
+    """DIRECTIONAL near-dup pairs by word-k-gram containment:
+    (src, dst, containment) with containment = |sh(src) ∩ sh(dst)| /
+    |sh(src)| ≥ threshold, both directions emitted. Containment
+    catches what Jaccard structurally misses — a short doc quoted or
+    embedded inside a longer one scores ~1 from the short side while
+    the pair's Jaccard stays low. The quote/superset detection
+    primitive of fuzzy dedup (Broder 1997's "containment").
+
+    Raw-doc formulation (no exact-duplicate collapse; mirror the SQL
+    when composing). Same scale skeleton as ngram_jaccard_pairs:
+    distinct-shingle explode, df-cap hub guard, per-shingle pair
+    explode bucketed by shingle hash, map-side-combined intersection
+    counts, driver escape below SMALL_AGG_DRIVER_LIMIT.
+    """
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import (SMALL_AGG_DRIVER_LIMIT,
+                                                 drop_empty_blocks, safe_join)
+    from neo4j_graph_algorithms_ray.util import preagg_sum as _psum
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        di, sh = _dedupe_doc_strings(
+            *_shingle_arrays(batch[text_col].to_numpy(), k))
+        ids = batch[id_col].to_numpy()
+        return pd.DataFrame({id_col: ids[di], "sh": sh})
+
+    sh = drop_empty_blocks(to_arrow_blocks(
+        docs.map_batches(explode, batch_format="pandas")))
+    counts = _psum(sh.map_batches(
+        lambda b: b.group_by(id_col).aggregate([("sh", "count")])
+                   .rename_columns([id_col, "n_sh"]),
+        batch_format="pyarrow"), [id_col], "n_sh")
+
+    def pair_explode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", id_col])
+        kk = g["k"].to_numpy()
+        d = g[id_col].to_numpy(dtype=np.int64)
+        if not len(kk):
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        newseg = np.empty(len(kk), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = kk[1:] != kk[:-1]
+        a, b = _segmented_pairs(d, np.nonzero(newseg)[0], df_cap)
+        return pd.DataFrame({"a": a, "b": b})
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"k": batch["sh"].to_numpy(), id_col: batch[id_col]})
+        out["bucket"] = (pd.util.hash_array(out["k"].to_numpy(dtype=object))
+                         % 128).astype(np.int64)
+        return out
+
+    keyed = drop_empty_blocks(to_arrow_blocks(
+        sh.map_batches(add_bucket, batch_format="pandas")))
+    empty = {"src": pa.int64(), "dst": pa.int64(),
+             "containment": pa.float64()}
+
+    def both_dirs(g: pd.DataFrame, cs: pd.Series) -> pd.DataFrame:
+        inter = g["inter"].to_numpy()
+        a, b = g["a"].to_numpy(), g["b"].to_numpy()
+        na = cs.reindex(a).to_numpy()
+        nb = cs.reindex(b).to_numpy()
+        out = pd.DataFrame({
+            "src": np.concatenate([a, b]),
+            "dst": np.concatenate([b, a]),
+            "containment": round6(np.concatenate([inter / na, inter / nb]))})
+        return out[out["containment"] >= threshold]
+
+    if keyed.count() <= SMALL_AGG_DRIVER_LIMIT:
+        import ray
+        tabs = [t for t in (ray.get(r) for r in keyed.to_arrow_refs())
+                if t.num_rows]
+        frame = (pa.concat_tables(tabs).to_pandas()
+                 if tabs else pd.DataFrame({"k": [], id_col: []}))
+        pdf = pair_explode(frame)
+        if not len(pdf):
+            return _ensure_pair_schema(
+                rd.from_arrow(pa.table({c: pa.array([], t)
+                                        for c, t in empty.items()})), empty)
+        g = pdf.groupby(["a", "b"]).size().reset_index(name="inter")
+        cdf = counts.to_pandas()
+        cs = pd.Series(cdf["n_sh"].to_numpy(), index=cdf[id_col].to_numpy())
+        out = both_dirs(g, cs)
+        return _ensure_pair_schema(
+            rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
+                          .replace_schema_metadata(None)), empty)
+
+    pairs = to_arrow_blocks(keyed.groupby("bucket")
+                            .map_groups(pair_explode, batch_format="pandas"))
+    inter = _psum(pairs.map_batches(
+        lambda b: b.append_column("one", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow"), ["a", "b"], "one") \
+        .rename_columns({"one": "inter"})
+    j1 = safe_join(inter, counts, "inner", 4, on=("a",), right_on=(id_col,))
+    j1 = j1.rename_columns({"n_sh": "na"}).select_columns(["a", "b", "inter", "na"])
+    j2 = safe_join(j1, counts, "inner", 4, on=("b",), right_on=(id_col,))
+    j2 = j2.rename_columns({"n_sh": "nb"})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        inter = batch["inter"].to_numpy()
+        a, b = batch["a"].to_numpy(), batch["b"].to_numpy()
+        out = pd.DataFrame({
+            "src": np.concatenate([a, b]),
+            "dst": np.concatenate([b, a]),
+            "containment": round6(np.concatenate(
+                [inter / batch["na"].to_numpy(),
+                 inter / batch["nb"].to_numpy()]))})
+        return out[out["containment"] >= threshold]
+
+    return _ensure_pair_schema(j2.map_batches(finish, batch_format="pandas"),
+                               empty)

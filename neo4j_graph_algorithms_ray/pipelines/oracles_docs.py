@@ -936,3 +936,28 @@ t AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS tot FROM c)
 SELECT lang, n_docs,
        round(sqrt(CAST(n_docs AS DOUBLE)) / t.tot, 6) AS weight
 FROM c CROSS JOIN t ORDER BY lang"""
+
+
+def ngram_containment_sql(df_cap: int = 10_000, threshold: float = 0.8) -> str:
+    """Mirror of functions/dedup.ngram_containment_pairs (raw-doc
+    formulation): directional containment = |sh(src) ∩ sh(dst)| /
+    |sh(src)| over distinct word-3-shingles, df-capped."""
+    return f"""WITH {SHINGLE_CTES},
+shc AS MATERIALIZED (
+  SELECT sh.doc_id, sh.s FROM sh
+  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {df_cap}) h
+  USING (s)),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+dirs AS (
+  SELECT a AS src, b AS dst,
+         round(CAST(i AS DOUBLE) / ca.n, 6) AS containment
+  FROM inter JOIN counts ca ON ca.doc_id = a
+  UNION ALL
+  SELECT b AS src, a AS dst,
+         round(CAST(i AS DOUBLE) / cb.n, 6) AS containment
+  FROM inter JOIN counts cb ON cb.doc_id = b)
+SELECT src, dst, containment FROM dirs
+WHERE containment >= {threshold} ORDER BY src, dst"""

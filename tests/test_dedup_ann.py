@@ -465,3 +465,39 @@ def test_knn_graph_exact_bcast_cap_fails_loudly():
     ds, _ = _emb_ds()
     with pytest.raises(ValueError, match="bcast_cap"):
         knn_graph(ds, k=2, bcast_cap=10)
+
+
+def test_ngram_containment_asymmetry():
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        ngram_containment_pairs)
+    sub = "alpha beta gamma delta epsilon"
+    docs = rd.from_items([
+        {"doc_id": 0, "text": sub},                               # subset
+        {"doc_id": 1, "text": sub + " zeta eta theta iota kappa"},  # superset
+        {"doc_id": 2, "text": "totally different words here now"},
+    ])
+    rows = {(r["src"], r["dst"]): r["containment"]
+            for r in ngram_containment_pairs(docs, k=3,
+                                             threshold=0.2).take_all()}
+    # doc 0 is fully contained in doc 1 → containment(0→1) = 1.0
+    assert rows[(0, 1)] == 1.0
+    # reverse direction is weak: 3 of 8 shingles shared
+    assert rows[(1, 0)] == round(3 / 8, 6)
+    assert (0, 2) not in rows and (2, 0) not in rows
+
+
+def test_ngram_containment_shuffle_regime_matches(monkeypatch):
+    import neo4j_graph_algorithms_ray.functions.dedup as dd
+    import neo4j_graph_algorithms_ray.util as util
+    docs = rd.from_items([
+        {"doc_id": i,
+         "text": " ".join(f"w{(i * 5 + j) % 23}" for j in range(12))}
+        for i in range(30)])
+    small = {(r["src"], r["dst"]): r["containment"]
+             for r in dd.ngram_containment_pairs(docs,
+                                                 threshold=0.1).take_all()}
+    monkeypatch.setattr(util, "SMALL_AGG_DRIVER_LIMIT", 0)
+    big = {(r["src"], r["dst"]): r["containment"]
+           for r in dd.ngram_containment_pairs(docs,
+                                               threshold=0.1).take_all()}
+    assert small == big and len(small) > 0
