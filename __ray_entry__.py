@@ -1091,6 +1091,33 @@ def _q_web_hits(sf_dir: str):
     return _round6(ds, "authority")
 
 
+def _q_web_eigenvector(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.eigenvector import eigenvector
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    res = eigenvector(g, max_iterations=PR_ITERS, node_col="url")
+    return _round6(res.dataset, "score")
+
+
+def _q_web_salsa(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.salsa import salsa
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    res = salsa(g, max_iterations=PR_ITERS, node_col="url")
+    ds = _round6(res.dataset, "hub")
+    return _round6(ds, "authority")
+
+
+def _q_link_prediction(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.linkpred import \
+        link_prediction_topk
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    res = link_prediction_topk(g, cap=20, topk=50,
+                               col_a="url_a", col_b="url_b")
+    return res.dataset
+
+
 def _q_web_spam_mass(sf_dir: str):
     """TrustRank spam mass (Gyöngyi et al. VLDB'04): the PageRank
     fraction NOT reachable from trusted seeds — spam_mass =
@@ -1491,6 +1518,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_kcore_decomposition": _q_web_kcore_decomposition,
         "web_spam_mass": _q_web_spam_mass,
         "node2vec_walks": _q_node2vec_walks,
+        "web_eigenvector": _q_web_eigenvector,
+        "web_salsa": _q_web_salsa,
+        "link_prediction": _q_link_prediction,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1572,6 +1602,9 @@ def oracle_sql() -> dict[str, str]:
         "web_ppr": ow.web_ppr_sql(PR_ITERS),
         "web_spam_mass": ow.web_spam_mass_sql(PR_ITERS),
         "web_hits": ow.web_hits_sql(PR_ITERS),
+        "web_eigenvector": ow.web_eigenvector_sql(PR_ITERS),
+        "web_salsa": ow.web_salsa_sql(PR_ITERS),
+        "link_prediction": ow.link_prediction_sql(20, 50),
         "web_kcore": ow.web_kcore_sql(3, 40),
         "random_walks": ow.random_walks_sql(4, 7),
         "node2vec_walks": ow.node2vec_walks_sql(4, 7, 1, 2),

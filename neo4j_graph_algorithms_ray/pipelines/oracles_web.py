@@ -592,3 +592,109 @@ def web_spam_mass_sql(iters: int = 20, seed_docs=(0, 1)) -> str:
 SELECT r.node AS url, round((r.r - p.r) / r.r, 6) AS spam_mass
 FROM r{iters} r JOIN p{iters} p ON p.node = r.node
 ORDER BY url""")
+
+
+def web_eigenvector_sql(iters: int = 20) -> str:
+    """Eigenvector-centrality mirror (algorithms/eigenvector.py): power
+    iteration x' = Σ_in x, L2-normalized per round; fixed ``iters``
+    rounds from x0 = 1, round6 output."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "x0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS x FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""xr{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(p.x), 0) AS x
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN x{k-1} p ON p.node = e.src
+  GROUP BY n.node)""")
+        ctes.append(f"xn{k} AS (SELECT CASE WHEN sqrt(sum(x*x)) = 0 THEN 1 "
+                    f"ELSE sqrt(sum(x*x)) END AS s FROM xr{k})")
+        ctes.append(f"x{k} AS MATERIALIZED (SELECT node, "
+                    f"x / (SELECT s FROM xn{k}) AS x FROM xr{k})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS url, round(x, 6) AS score FROM x{iters} "
+              "ORDER BY url")
+
+
+def web_salsa_sql(iters: int = 20) -> str:
+    """SALSA mirror (algorithms/salsa.py): per round, the authority
+    chain's two half-steps (back: t(i) = Σ_{{i→j}} a(j)/indeg(j);
+    forward: a'(j) = Σ_{{i→j}} t(i)/outdeg(i)) then L1 normalization,
+    and symmetrically for the hub chain. Fixed ``iters`` rounds from
+    a0 = h0 = 1, round6 output. Edge endpoints always have the degree
+    being divided by (a dst has indeg >= 1, a src outdeg >= 1), so the
+    divisions are total — matching the engine's div0."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wout AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+            "AS deg FROM wedges GROUP BY src)",
+            "wind AS MATERIALIZED (SELECT dst, CAST(count(*) AS DOUBLE) "
+            "AS ind FROM wedges GROUP BY dst)",
+            "a0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS a FROM wnodes)",
+            "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""t{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(p.a / wi.ind), 0) AS t
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.src = n.node
+  LEFT JOIN a{k-1} p ON p.node = e.dst
+  LEFT JOIN wind wi ON wi.dst = e.dst
+  GROUP BY n.node)""")
+        ctes.append(f"""ar{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(t.t / wo.deg), 0) AS a
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN t{k} t ON t.node = e.src
+  LEFT JOIN wout wo ON wo.src = e.src
+  GROUP BY n.node)""")
+        ctes.append(f"an{k} AS (SELECT CASE WHEN sum(a) = 0 THEN 1 "
+                    f"ELSE sum(a) END AS s FROM ar{k})")
+        ctes.append(f"a{k} AS MATERIALIZED (SELECT node, "
+                    f"a / (SELECT s FROM an{k}) AS a FROM ar{k})")
+        ctes.append(f"""u{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(p.h / wo.deg), 0) AS u
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN h{k-1} p ON p.node = e.src
+  LEFT JOIN wout wo ON wo.src = e.src
+  GROUP BY n.node)""")
+        ctes.append(f"""hr{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(u.u / wi.ind), 0) AS h
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.src = n.node
+  LEFT JOIN u{k} u ON u.node = e.dst
+  LEFT JOIN wind wi ON wi.dst = e.dst
+  GROUP BY n.node)""")
+        ctes.append(f"hn{k} AS (SELECT CASE WHEN sum(h) = 0 THEN 1 "
+                    f"ELSE sum(h) END AS s FROM hr{k})")
+        ctes.append(f"h{k} AS MATERIALIZED (SELECT node, "
+                    f"h / (SELECT s FROM hn{k}) AS h FROM hr{k})")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT h.node AS url, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node ORDER BY url""")
+
+
+def link_prediction_sql(cap: int = 20, topk: int = 50) -> str:
+    """Link-prediction mirror (algorithms/linkpred.py): candidate pairs
+    share an in-linking source with outdeg in [2, cap]; scores rounded
+    to 1e-6 BEFORE the top-k sort (so float summation order can't flip
+    near-ties), (url_a, url_b) tie-break."""
+    return f"""WITH {WEB_BASE},
+{WEB_EDGES},
+wout AS MATERIALIZED (SELECT src, count(*) AS deg FROM wedges GROUP BY src),
+wind AS MATERIALIZED (SELECT dst, count(*) AS ind FROM wedges GROUP BY dst),
+pairs AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b, count(*) AS n,
+         sum(1.0 / ln(wo.deg)) AS w
+  FROM wedges e1
+  JOIN wedges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+  JOIN wout wo ON wo.src = e1.src
+  WHERE wo.deg BETWEEN 2 AND {cap}
+  GROUP BY e1.dst, e2.dst)
+SELECT p.a AS url_a, p.b AS url_b, p.n AS n_common,
+       round(p.w, 6) AS adamic_adar,
+       round(CAST(p.n AS DOUBLE) / (ia.ind + ib.ind - p.n), 6) AS jaccard,
+       ia.ind * ib.ind AS pref_attachment
+FROM pairs p
+JOIN wind ia ON ia.dst = p.a
+JOIN wind ib ON ib.dst = p.b
+ORDER BY adamic_adar DESC, url_a, url_b LIMIT {topk}"""

@@ -410,8 +410,16 @@ class ShardActor:
         Vectorized per distinct degree value: vertices of one degree d
         form a (k, d) adjacency matrix (one gather), and np.triu_indices
         expands all pairs at once — no per-vertex Python loop."""
+        t = self.copair_scores(cap)
+        return t.select(["a", "b", "n"])
+
+    def copair_scores(self, cap: int) -> pa.Table:
+        """copair_counts plus the Adamic-Adar partial: each shared
+        source z of out-degree d contributes 1/ln(d) to its pairs'
+        ``w`` (link-prediction score numerator; eligibility 2<=d<=cap
+        keeps ln(d) > 0 and enforces the same web-scale hub cap)."""
         self._ensure_ranked_adj()
-        pas, pbs = [], []
+        pas, pbs, pws = [], [], []
         elig = (self.deg >= 2) & (self.deg <= cap)
         for d in np.unique(self.deg[elig]):
             vs = np.nonzero(self.deg == d)[0]
@@ -420,22 +428,26 @@ class ShardActor:
             ii, jj = np.triu_indices(int(d), 1)
             pas.append(mat[:, ii].ravel())
             pbs.append(mat[:, jj].ravel())
+            pws.append(np.full(len(vs) * len(ii), 1.0 / np.log(float(d))))
         if not pas:
             e = np.empty(0, np.int64)
             return pa.table({"a": pa.array(e), "b": pa.array(e),
-                             "n": pa.array(e)})
+                             "n": pa.array(e),
+                             "w": pa.array(np.empty(0, np.float64))})
         a = np.concatenate(pas)
         b = np.concatenate(pbs)
+        w = np.concatenate(pws)
         # neighbor lists are vid-sorted, so ii<jj already gives a<b
         order = np.lexsort((b, a))
-        a, b = a[order], b[order]
+        a, b, w = a[order], b[order], w[order]
         newseg = np.empty(len(a), dtype=bool)
         newseg[0] = True
         newseg[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         starts = np.nonzero(newseg)[0]
         n = np.diff(np.append(starts, len(a))).astype(np.int64)
+        ws = np.add.reduceat(w, starts)
         return pa.table({"a": pa.array(a[starts]), "b": pa.array(b[starts]),
-                         "n": pa.array(n)})
+                         "n": pa.array(n), "w": pa.array(ws)})
 
     def walk_next(self, vids: np.ndarray, hashes: np.ndarray) -> np.ndarray:
         """Ranked-neighbor gather for deterministic random walks: for
