@@ -1118,6 +1118,47 @@ def _q_link_prediction(sf_dir: str):
     return res.dataset
 
 
+def _q_web_opic(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.opic import opic
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    res = opic(g, max_iterations=PR_ITERS, node_col="url")
+    return _round6(res.dataset, "score")
+
+
+def _q_web_pagerank_dangling(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.opic import pagerank_dangling
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    res = pagerank_dangling(g, 0.85, max_iterations=PR_ITERS, node_col="url")
+    return _round6(res.dataset, "score")
+
+
+def _q_web_pagerank_resumed(sf_dir: str):
+    """Kill-and-resume parity against the straight-run oracle: run the
+    first half of the iterations with a checkpoint, then a second call
+    restores the rank/delta vectors from the manifest (per-partition
+    lineage, state/checkpoint.py) and finishes — the result must
+    value-hash-match the same 20-iteration SQL unroll as
+    ``web_pagerank``, proving resume-from-checkpoint is exact."""
+    import hashlib
+    import shutil
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    ck = f"/tmp/nga_ray/ckpt_q/web_pr_{tag}"
+    shutil.rmtree(ck, ignore_errors=True)
+    half = PR_ITERS // 2
+    pagerank(g, 0.85, max_iterations=half, node_col="url",
+             checkpoint_dir=ck, checkpoint_every=half)
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url",
+                   checkpoint_dir=ck, resume=True)
+    assert res.iterations == PR_ITERS - half, "resume did not restore"
+    return _round6(res.dataset, "score")
+
+
 def _q_web_spam_mass(sf_dir: str):
     """TrustRank spam mass (Gyöngyi et al. VLDB'04): the PageRank
     fraction NOT reachable from trusted seeds — spam_mass =
@@ -1521,6 +1562,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_eigenvector": _q_web_eigenvector,
         "web_salsa": _q_web_salsa,
         "link_prediction": _q_link_prediction,
+        "web_opic": _q_web_opic,
+        "web_pagerank_dangling": _q_web_pagerank_dangling,
+        "web_pagerank_resumed": _q_web_pagerank_resumed,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1605,6 +1649,11 @@ def oracle_sql() -> dict[str, str]:
         "web_eigenvector": ow.web_eigenvector_sql(PR_ITERS),
         "web_salsa": ow.web_salsa_sql(PR_ITERS),
         "link_prediction": ow.link_prediction_sql(20, 50),
+        "web_opic": ow.web_opic_sql(PR_ITERS),
+        "web_pagerank_dangling": ow.web_pagerank_dangling_sql(PR_ITERS),
+        # resume parity: same oracle as the straight run — that's the
+        # point (checkpoint+restore must be value-identical)
+        "web_pagerank_resumed": ow.web_pagerank_sql(PR_ITERS),
         "web_kcore": ow.web_kcore_sql(3, 40),
         "random_walks": ow.random_walks_sql(4, 7),
         "node2vec_walks": ow.node2vec_walks_sql(4, 7, 1, 2),

@@ -698,3 +698,64 @@ FROM pairs p
 JOIN wind ia ON ia.dst = p.a
 JOIN wind ib ON ib.dst = p.b
 ORDER BY adamic_adar DESC, url_a, url_b LIMIT {topk}"""
+
+
+def web_opic_sql(iters: int = 20) -> str:
+    """OPIC mirror (algorithms/opic.py): per round, bank cash into
+    history, push cash/outdeg along out-edges, redistribute dangling
+    cash uniformly; score = (history + cash)/(iters + 1), round6."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "nw AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM wnodes)",
+            "wout AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+            "AS deg FROM wedges GROUP BY src)",
+            "c0 AS (SELECT node, 1.0 / (SELECT n FROM nw) AS c FROM wnodes)",
+            "h0 AS (SELECT node, CAST(0.0 AS DOUBLE) AS h FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""d{k} AS (
+  SELECT coalesce(sum(c.c), 0) AS d
+  FROM c{k-1} c LEFT JOIN wout wo ON wo.src = c.node
+  WHERE wo.src IS NULL)""")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+  SELECT h.node, h.h + c.c AS h
+  FROM h{k-1} h JOIN c{k-1} c ON c.node = h.node)""")
+        ctes.append(f"""c{k} AS MATERIALIZED (
+  SELECT n.node,
+         coalesce(sum(p.c / wo.deg), 0)
+           + (SELECT d FROM d{k}) / (SELECT n FROM nw) AS c
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN c{k-1} p ON p.node = e.src
+  LEFT JOIN wout wo ON wo.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT h.node AS url, round((h.h + c.c) / {iters + 1}, 6) AS score
+FROM h{iters} h JOIN c{iters} c ON c.node = h.node ORDER BY url""")
+
+
+def web_pagerank_dangling_sql(iters: int = 20, damping: float = 0.85) -> str:
+    """Normalized dangling-mass PageRank mirror (algorithms/opic.py
+    pagerank_dangling): pr' = (1-d)/n + d*(Σ_in pr/outdeg + D/n) with
+    D = dangling pr mass; scores sum to 1; round6."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "nw AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM wnodes)",
+            "wout AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+            "AS deg FROM wedges GROUP BY src)",
+            "r0 AS (SELECT node, 1.0 / (SELECT n FROM nw) AS r FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""dm{k} AS (
+  SELECT coalesce(sum(r.r), 0) AS d
+  FROM r{k-1} r LEFT JOIN wout wo ON wo.src = r.node
+  WHERE wo.src IS NULL)""")
+        ctes.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node,
+         (1 - {damping}) / (SELECT n FROM nw)
+           + {damping} * (coalesce(sum(p.r / wo.deg), 0))
+           + {damping} * (SELECT d FROM dm{k}) / (SELECT n FROM nw) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN r{k-1} p ON p.node = e.src
+  LEFT JOIN wout wo ON wo.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS url, round(r, 6) AS score FROM r{iters} "
+              "ORDER BY url")
