@@ -91,6 +91,23 @@ def _q_labelprop(sf_dir: str):
     return translate_vid_columns(g, res.dataset, ["label"])
 
 
+def _q_community_conductance(sf_dir: str):
+    """Cluster-quality report for the LPA partition: per community,
+    internal/cut edge counts and conductance (community_metrics.py)."""
+    from neo4j_graph_algorithms_ray.algorithms import label_propagation
+    from neo4j_graph_algorithms_ray.algorithms.common import \
+        translate_vid_columns
+    from neo4j_graph_algorithms_ray.algorithms.community_metrics import \
+        community_conductance
+    from neo4j_graph_algorithms_ray.pipelines.tpch import (
+        get_graph, purchase_edge_ds)
+    g = get_graph(sf_dir, "purchase")
+    res = label_propagation(g, max_iterations=LPA_SWEEPS, mode="semi")
+    labels = translate_vid_columns(g, res.dataset, ["label"])
+    return community_conductance(purchase_edge_ds(sf_dir), labels,
+                                 src_col="src", dst_col="dst")
+
+
 def _q_labelprop_weighted(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import label_propagation
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -1565,6 +1582,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_opic": _q_web_opic,
         "web_pagerank_dangling": _q_web_pagerank_dangling,
         "web_pagerank_resumed": _q_web_pagerank_resumed,
+        "community_conductance": _q_community_conductance,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1674,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc": o.wcc_sql(WCC_SQL_ITERS, "components"),
         "wcc_sizes": o.wcc_sql(WCC_SQL_ITERS, "sizes"),
         "labelprop": o.lpa_sql(LPA_SWEEPS),
+        "community_conductance": o.lpa_conductance_sql(LPA_SWEEPS),
         "labelprop_weighted": o.lpa_weighted_sql(LPA_SWEEPS),
         "triangle_count_global": o.TRIANGLE_GLOBAL_SQL,
         "triangle_count_per_node": o.TRIANGLE_PER_NODE_SQL,

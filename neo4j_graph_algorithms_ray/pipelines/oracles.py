@@ -89,7 +89,9 @@ def wcc_sql(iters: int = 25, final: str = "components") -> str:
                    "GROUP BY c ORDER BY component")
 
 
-def lpa_sql(sweeps: int = 6) -> str:
+def _lpa_label_ctes(sweeps: int) -> list:
+    """Shared LPA unroll ending in ``lab(node, label)`` — used by
+    lpa_sql and lpa_conductance_sql."""
     ctes = [G1_EDGES, G1_NODES,
             "vn AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) - 1 AS vid FROM nodes)",
             "ev AS MATERIALIZED (SELECT s.vid AS sv, t.vid AS tv FROM edges e "
@@ -108,10 +110,45 @@ def lpa_sql(sweeps: int = 6) -> str:
   SELECT n.vid,
          CASE WHEN n.vid % 2 = {parity} AND b.best IS NOT NULL THEN b.best ELSE p.lab END AS lab
   FROM vn n JOIN l{k-1} p ON p.vid = n.vid LEFT JOIN b{k} b ON b.vid = n.vid)""")
-    return ("WITH " + ",\n".join(ctes) + f"""
-SELECT n.node AS node, ln.node AS label
-FROM vn n JOIN l{sweeps} l ON l.vid = n.vid JOIN vn ln ON ln.vid = l.lab
-ORDER BY n.node""")
+    ctes.append(f"""lab AS MATERIALIZED (
+  SELECT n.node, ln.node AS label
+  FROM vn n JOIN l{sweeps} l ON l.vid = n.vid JOIN vn ln ON ln.vid = l.lab)""")
+    return ctes
+
+
+def lpa_sql(sweeps: int = 6) -> str:
+    return ("WITH " + ",\n".join(_lpa_label_ctes(sweeps))
+            + "\nSELECT node, label FROM lab ORDER BY node")
+
+
+def lpa_conductance_sql(sweeps: int = 6) -> str:
+    """Community-quality mirror (algorithms/community_metrics.py):
+    per LPA community, internal / cut edge counts (a cut edge credits
+    both sides) and conductance = cut/(2*internal + cut), round6."""
+    ctes = _lpa_label_ctes(sweeps)
+    ctes.append("""el AS MATERIALIZED (
+  SELECT ls.label AS cs, ld.label AS cd
+  FROM edges e JOIN lab ls ON ls.node = e.src
+  JOIN lab ld ON ld.node = e.dst)""")
+    ctes.append("""contrib AS (
+  SELECT cs AS community,
+         CASE WHEN cs = cd THEN 1 ELSE 0 END AS i,
+         CASE WHEN cs != cd THEN 1 ELSE 0 END AS c
+  FROM el
+  UNION ALL
+  SELECT cd, 0, 1 FROM el WHERE cs != cd)""")
+    ctes.append("""agg AS (
+  SELECT community, CAST(sum(i) AS BIGINT) AS internal_edges,
+         CAST(sum(c) AS BIGINT) AS cut_edges
+  FROM contrib GROUP BY community)""")
+    ctes.append("""sizes AS (
+  SELECT label AS community, count(*) AS n_nodes FROM lab GROUP BY label)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT s.community, s.n_nodes, a.internal_edges, a.cut_edges,
+       round(CAST(a.cut_edges AS DOUBLE)
+             / (2 * a.internal_edges + a.cut_edges), 6) AS conductance
+FROM sizes s JOIN agg a ON a.community = s.community
+ORDER BY s.community""")
 
 
 def louvain_sql(sweeps: int = 6) -> str:
