@@ -656,6 +656,12 @@ def _q_token_count(sf_dir: str):
                                      batch_size=4096)
 
 
+def _q_char_entropy(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import CharEntropy
+    return _docs(sf_dir).map_batches(CharEntropy(), batch_format="pyarrow",
+                                     batch_size=4096)
+
+
 def _q_quality(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import QualityScore
     return _docs(sf_dir).map_batches(QualityScore(), batch_format="pyarrow",
@@ -1583,6 +1589,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_pagerank_dangling": _q_web_pagerank_dangling,
         "web_pagerank_resumed": _q_web_pagerank_resumed,
         "community_conductance": _q_community_conductance,
+        "char_entropy": _q_char_entropy,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1751,6 +1758,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": od.EXACT_DEDUP_SQL,
         "token_count": od.TOKEN_COUNT_SQL,
         "quality_score": od.QUALITY_SQL,
+        "char_entropy": od.CHAR_ENTROPY_SQL,
         "langid": od.langid_sql(),
         "fingerprint": od.FINGERPRINT_SQL,
         "gopher_quality": od.gopher_quality_sql(min_words=40,

@@ -192,6 +192,56 @@ class Fingerprint:
                          "fingerprint": pa.array(fp, pa.string())})
 
 
+class CharEntropy:
+    """(id, text) → (id, char_entropy, alpha_ratio): Shannon entropy
+    over the document's characters (bits) and the alphabetic-character
+    fraction — the classic gibberish / binary-junk screens a crawl
+    filter runs on every document.
+
+    Vectorized: the batch's string column decodes once (whole-buffer
+    utf-8 → utf-32 codepoint array, two C passes, unicode-correct), a
+    repeat-expanded doc index keys one ``np.unique`` over packed
+    (doc, codepoint) pairs, and per-doc entropy reduces with
+    ``np.add.reduceat`` via H = log2(n) − Σ c·log2(c) / n (the same
+    expression tree as the SQL mirror). The alpha count is a single
+    RE2 char-class scan. Zero per-row Python."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = _text_column(batch, self.text_col)
+        ndocs = len(txt)
+        n = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+              .astype(np.int64)
+        arr = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        # whole-buffer decode: concatenated utf8 payload → codepoints
+        off = arr.buffers()[1]
+        lo = np.frombuffer(off, np.int32)[arr.offset]
+        hi = np.frombuffer(off, np.int32)[arr.offset + len(arr)]
+        payload = arr.buffers()[2].to_pybytes()[lo:hi] if hi > lo else b""
+        cp = np.frombuffer(payload.decode("utf-8", "surrogatepass")
+                           .encode("utf-32-le"), np.uint32) \
+               .astype(np.int64)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n)
+        key, cnt = np.unique((doc_idx << 21) | cp, return_counts=True)
+        doc_of = key >> 21
+        contrib = cnt * np.log2(cnt)
+        s = np.zeros(ndocs)
+        if len(doc_of):
+            starts = np.nonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])[0]
+            s[doc_of[starts]] = np.add.reduceat(contrib, starts)
+        ent = np.where(n > 0, np.log2(np.maximum(n, 1)) - s / np.maximum(n, 1),
+                       0.0)
+        alpha = pc.count_substring_regex(txt, "[A-Za-z]") \
+                  .to_numpy(zero_copy_only=False).astype(np.float64)
+        aratio = np.divide(alpha, n, out=np.zeros(ndocs), where=n != 0)
+        return pa.table({self.id_col: batch[self.id_col],
+                         "char_entropy": pa.array(round6(ent)),
+                         "alpha_ratio": pa.array(round6(aratio))})
+
+
 # The Gopher rule-based quality filter's stop-word set (Rae et al.
 # 2021, "Scaling Language Models", §A1.1): a doc must contain at least
 # ``min_stop_hits`` DISTINCT words from this list.

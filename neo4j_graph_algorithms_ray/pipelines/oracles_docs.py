@@ -961,3 +961,22 @@ dirs AS (
   FROM inter JOIN counts cb ON cb.doc_id = b)
 SELECT src, dst, containment FROM dirs
 WHERE containment >= {threshold} ORDER BY src, dst"""
+
+
+CHAR_ENTROPY_SQL = """WITH ch AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cnt AS MATERIALIZED (
+  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+  FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id),
+ent AS (
+  SELECT cnt.doc_id,
+         log2(any_value(tot.t)) - sum(cnt.n * log2(cnt.n)) / any_value(tot.t)
+           AS h
+  FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id GROUP BY cnt.doc_id)
+SELECT d.doc_id, round(coalesce(e.h, 0), 6) AS char_entropy,
+       round(CASE WHEN length(d.text) = 0 OR d.text IS NULL THEN 0
+             ELSE CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+                  AS DOUBLE) / length(d.text) END, 6) AS alpha_ratio
+FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
+ORDER BY d.doc_id"""

@@ -716,3 +716,29 @@ def test_weighted_sample_deterministic_and_weighted():
     sel = {r["doc_id"] for r in
            weighted_sample(ds3, k=40, weight_col="w").take_all()}
     assert sel == set(range(490, 500))
+
+
+def test_char_entropy_brute_force():
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.text import CharEntropy
+    docs = ["aab", "", "abcd", "aaaa", "héllo ✓ wörld", "x" * 1000 + "y"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))),
+                                 "text": docs}))
+    got = {r["doc_id"]: r
+           for r in ds.map_batches(CharEntropy(), batch_format="pyarrow",
+                                   batch_size=3).take_all()}
+    for i, t in enumerate(docs):
+        n = len(t)
+        if n == 0:
+            want_h, want_a = 0.0, 0.0
+        else:
+            c = Counter(t)
+            want_h = -sum(v / n * math.log2(v / n) for v in c.values())
+            want_a = sum(ch.isascii() and ch.isalpha() for ch in t) / n
+        assert abs(got[i]["char_entropy"] - want_h) < 1e-6, (i, t)
+        assert abs(got[i]["alpha_ratio"] - want_a) < 1e-6, (i, t)
