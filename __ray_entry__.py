@@ -662,6 +662,22 @@ def _q_char_entropy(sf_dir: str):
                                      batch_size=4096)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights vs a deterministic curated slice
+    (doc_id % 10 == 0 stands in for the target corpus)."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.text import dsir_weights
+    docs = _docs(sf_dir)
+
+    def tgt(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 == 0))
+
+    target = docs.map_batches(tgt, batch_format="pyarrow")
+    return dsir_weights(docs, target, buckets=1024)
+
+
 def _q_quality(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import QualityScore
     return _docs(sf_dir).map_batches(QualityScore(), batch_format="pyarrow",
@@ -1079,6 +1095,13 @@ def _q_web_degrees(sf_dir: str):
     ds = get_engine(g, None).degrees_dataset() \
         .rename_columns({"degree": "out_degree"})
     return attach_node_ids(g, ds, out_col="url")
+
+
+def _q_web_powerlaw(sf_dir: str):
+    from neo4j_graph_algorithms_ray.algorithms.community_metrics import \
+        powerlaw_alpha
+    return powerlaw_alpha(_q_web_degrees(sf_dir),
+                          degree_col="out_degree", dmin=2)
 
 
 def _q_web_pagerank(sf_dir: str):
@@ -1590,6 +1613,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_pagerank_resumed": _q_web_pagerank_resumed,
         "community_conductance": _q_community_conductance,
         "char_entropy": _q_char_entropy,
+        "dsir_weights": _q_dsir_weights,
+        "web_powerlaw": _q_web_powerlaw,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1759,6 +1784,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": od.TOKEN_COUNT_SQL,
         "quality_score": od.QUALITY_SQL,
         "char_entropy": od.CHAR_ENTROPY_SQL,
+        "dsir_weights": od.dsir_sql(1024, 10),
+        "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "langid": od.langid_sql(),
         "fingerprint": od.FINGERPRINT_SQL,
         "gopher_quality": od.gopher_quality_sql(min_words=40,

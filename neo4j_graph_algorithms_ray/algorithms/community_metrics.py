@@ -92,4 +92,36 @@ def community_conductance(
     return out.map_batches(finish, batch_format="pyarrow").sort("community")
 
 
-__all__ = ["community_conductance"]
+def powerlaw_alpha(degrees: rd.Dataset, *, degree_col: str = "out_degree",
+                   dmin: int = 2) -> rd.Dataset:
+    """Power-law exponent MLE for a degree column (Clauset, Shalizi &
+    Newman 2009, discrete approximation):
+
+        α = 1 + n · [ Σ_{d_i ≥ dmin} ln(d_i / (dmin − ½)) ]⁻¹
+
+    — the standard scale-free-ness summary of a web link graph.
+    Returns one row (alpha, n_tail). Scale shape: per-batch scalar
+    partials (a log-sum and a count), one driver-side add — the degree
+    table streams, nothing shuffles."""
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import collect_arrow
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b[degree_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = d[d >= dmin]
+        return pa.table({"s": pa.array([float(np.log(d / (dmin - 0.5)).sum())]),
+                         "n": pa.array([len(d)], pa.int64())})
+
+    s = n = 0.0
+    for t in collect_arrow(degrees.map_batches(partial,
+                                               batch_format="pyarrow")):
+        if t.num_rows:
+            s += t["s"].to_numpy(zero_copy_only=False).sum()
+            n += int(t["n"].to_numpy(zero_copy_only=False).sum())
+    alpha = 1.0 + n / s if s > 0 else 0.0
+    return rd.from_arrow(pa.table({
+        "alpha": pa.array(round6(np.array([alpha]))),
+        "n_tail": pa.array([int(n)], pa.int64())}))
+
+
+__all__ = ["community_conductance", "powerlaw_alpha"]

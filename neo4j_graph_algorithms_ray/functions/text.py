@@ -1807,3 +1807,88 @@ def mixture_weights(ds, *, group_col: str = "lang", id_col: str = "doc_id"):
         group_col: pa.array(g, pa.string()),
         "n_docs": pa.array(n.astype(np.int64)),
         "weight": pa.array(w)}))
+
+
+def _uni_bi_grams(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Unigrams + adjacent bigrams (lowered whitespace tokens; bigrams
+    only within a doc, no short-doc fallback) → (doc_index_per_gram,
+    gram object array). The DSIR hashed-gram feature stream."""
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    doc_idx, toks = _token_arrays(texts)
+    if len(toks) == 0:
+        return doc_idx, toks
+    same = np.nonzero(doc_idx[1:] == doc_idx[:-1])[0]
+    big = toks[same] + " "
+    big = big + toks[same + 1]
+    return (np.concatenate([doc_idx, doc_idx[same]]),
+            np.concatenate([toks, big]))
+
+
+def dsir_weights(docs, target, *, buckets: int = 1024,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed n-gram features
+    are,
+
+        log_w(d) = Σ_{g ∈ grams(d)} log2 p̂_target(b(g)) − log2 p̂_raw(b(g))
+
+    with b(g) = md5-60bit(gram) mod ``buckets`` and add-one-smoothed
+    bucket categoricals p̂(b) = (c(b)+1)/(total+buckets). Grams are
+    unigrams + adjacent bigrams of lowered whitespace tokens. High
+    log_w docs resemble the curated ``target`` slice → sample ∝ exp.
+    Returns (id, log_weight round6).
+
+    Scale shape: both corpora reduce to a fixed ``buckets``-sized count
+    vector (map-side bincount partials + one tiny combine — the sketch
+    discipline); the log-ratio table broadcasts once via ``ray.put``
+    and scoring is batch-local (md5 per distinct gram + one weighted
+    bincount) — no shuffle touches the corpus.
+    """
+    import pyarrow as pa
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        _, grams = _uni_bi_grams(b[text_col])
+        if len(grams) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        h, inv = _md5_u64(grams, 15)
+        bkt = (h % np.uint64(buckets)).astype(np.int64)[inv]
+        u, n = np.unique(bkt, return_counts=True)
+        return pa.table({"bucket": pa.array(u),
+                         "n": pa.array(n.astype(np.int64))})
+
+    def bucket_counts(ds) -> np.ndarray:
+        agg = preagg_sum(ds.select_columns([text_col]).map_batches(
+            bucket_partial, batch_format="pyarrow"), ["bucket"], "n")
+        vec = np.zeros(buckets, np.float64)
+        for t in collect_arrow(agg):
+            if t.num_rows:
+                vec[t["bucket"].to_numpy(zero_copy_only=False)] += \
+                    t["n"].to_numpy(zero_copy_only=False)
+        return vec
+
+    cr = bucket_counts(docs)
+    ct = bucket_counts(target)
+    lr = (np.log2((ct + 1.0) / (ct.sum() + buckets))
+          - np.log2((cr + 1.0) / (cr.sum() + buckets)))
+    lr_ref = ray.put(lr)
+
+    def score(b: pa.Table) -> pa.Table:
+        table = ray.get(lr_ref)
+        doc_idx, grams = _uni_bi_grams(b[text_col])
+        if len(grams):
+            h, inv = _md5_u64(grams, 15)
+            bkt = (h % np.uint64(buckets)).astype(np.int64)[inv]
+            w = np.bincount(doc_idx, weights=table[bkt],
+                            minlength=b.num_rows)
+        else:
+            w = np.zeros(b.num_rows)
+        return pa.table({id_col: b[id_col],
+                         "log_weight": pa.array(round6(w))})
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=4096)

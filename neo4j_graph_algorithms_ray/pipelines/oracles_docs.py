@@ -980,3 +980,40 @@ SELECT d.doc_id, round(coalesce(e.h, 0), 6) AS char_entropy,
                   AS DOUBLE) / length(d.text) END, 6) AS alpha_ratio
 FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def dsir_sql(buckets: int = 1024, target_mod: int = 10) -> str:
+    """DSIR mirror (functions/text.dsir_weights): hashed unigram+bigram
+    buckets (md5-60bit mod ``buckets``), add-one-smoothed target/raw
+    categoricals, per-doc summed log2 ratio; target slice = doc_id %
+    ``target_mod`` = 0."""
+    h = f"CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {buckets}"
+    return rf"""WITH tl AS MATERIALIZED (
+  SELECT doc_id,
+         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS tk
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+grams AS MATERIALIZED (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(tk) AS g FROM tl
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)),
+                                 i -> tk[i] || ' ' || tk[i+1])) AS g
+    FROM tl WHERE len(tk) >= 2) x),
+gb AS MATERIALIZED (SELECT doc_id, {h} AS b FROM grams),
+rc AS (SELECT b, count(*) AS n FROM gb GROUP BY b),
+tc AS (SELECT b, count(*) AS n FROM gb
+       WHERE doc_id % {target_mod} = 0 GROUP BY b),
+tot AS (SELECT
+  (SELECT CAST(count(*) AS DOUBLE) FROM gb) AS r,
+  (SELECT CAST(count(*) AS DOUBLE) FROM gb
+   WHERE doc_id % {target_mod} = 0) AS t),
+lr AS MATERIALIZED (SELECT rc.b,
+       log2((coalesce(tc.n, 0) + 1.0) / ((SELECT t FROM tot) + {buckets}))
+     - log2((rc.n + 1.0) / ((SELECT r FROM tot) + {buckets})) AS w
+  FROM rc LEFT JOIN tc ON tc.b = rc.b),
+sc AS (SELECT gb.doc_id, sum(lr.w) AS lw
+       FROM gb JOIN lr ON lr.b = gb.b GROUP BY gb.doc_id)
+SELECT d.doc_id, round(coalesce(sc.lw, 0), 6) AS log_weight
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id"""

@@ -759,3 +759,11 @@ def web_pagerank_dangling_sql(iters: int = 20, damping: float = 0.85) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS url, round(r, 6) AS score FROM r{iters} "
               "ORDER BY url")
+
+
+WEB_POWERLAW_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+wdeg AS (SELECT src, count(*) AS dg FROM wedges GROUP BY src),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(ln(dg / 1.5)) AS s
+      FROM wdeg WHERE dg >= 2)
+SELECT round(1 + n / s, 6) AS alpha, CAST(n AS BIGINT) AS n_tail FROM t"""
