@@ -1097,6 +1097,25 @@ def _q_web_degrees(sf_dir: str):
     return attach_node_ids(g, ds, out_col="url")
 
 
+def _q_host_triangles(sf_dir: str):
+    """Per-host triangle count + clustering coefficient over the
+    undirected host graph — the domain-level community-density signal
+    (link farms show as dense host triangles)."""
+    from neo4j_graph_algorithms_ray.algorithms import triangle_count
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+    name = f"hostgraph_und:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        edges = host_edge_ds(sf_dir).filter(expr="src_host != dst_host")
+        g = build_graph(edges, src_col="src_host", dst_col="dst_host",
+                        undirected=True, name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    per_node, _, _ = triangle_count(g)
+    return per_node.rename_columns({"node": "host"})
+
+
 def _q_web_powerlaw(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.community_metrics import \
         powerlaw_alpha
@@ -1615,6 +1634,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "dsir_weights": _q_dsir_weights,
         "web_powerlaw": _q_web_powerlaw,
+        "host_triangles": _q_host_triangles,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1786,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": od.CHAR_ENTROPY_SQL,
         "dsir_weights": od.dsir_sql(1024, 10),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
+        "host_triangles": ow.HOST_TRIANGLES_SQL,
         "langid": od.langid_sql(),
         "fingerprint": od.FINGERPRINT_SQL,
         "gopher_quality": od.gopher_quality_sql(min_words=40,

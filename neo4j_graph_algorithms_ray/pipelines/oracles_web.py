@@ -767,3 +767,33 @@ wdeg AS (SELECT src, count(*) AS dg FROM wedges GROUP BY src),
 t AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(ln(dg / 1.5)) AS s
       FROM wdeg WHERE dg >= 2)
 SELECT round(1 + n / s, 6) AS alpha, CAST(n AS BIGINT) AS n_tail FROM t"""
+
+
+HOST_TRIANGLES_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+hp AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS sh,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dh
+  FROM wedges),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(sh, dh) AS u, greatest(sh, dh) AS v
+  FROM hp WHERE sh != dh),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+hnodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+hdeg AS (SELECT node, count(*) AS d FROM
+         (SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+         GROUP BY node),
+cnt AS (SELECT node, count(*) AS t FROM
+        (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) x GROUP BY node)
+SELECT n.node AS host, coalesce(cnt.t, 0) AS triangles,
+       round(CASE WHEN hdeg.d > 1
+             THEN 2.0 * coalesce(cnt.t, 0) / (hdeg.d * (hdeg.d - 1.0))
+             ELSE 0 END, 6) AS coefficient
+FROM hnodes n JOIN hdeg ON hdeg.node = n.node
+LEFT JOIN cnt ON cnt.node = n.node
+ORDER BY host"""
