@@ -52,14 +52,9 @@ def wcc(
     in-component vid, so the fixpoint (and the min-vid canonical id)
     is unchanged; 0 disables."""
     eng = get_engine(g, num_partitions)
-    # pointer_jump is a direct P² request/answer exchange (two rounds of
-    # P² refs, shards.py pointer_jump) with no two-level variant — past
-    # the grouped-exchange threshold that is exactly the ref explosion
-    # the two-level topology exists to avoid, so disable the shortcut
-    # there (hash-min alone stays correct, just O(diameter) rounds).
-    from neo4j_graph_algorithms_ray.state.shards import ShardEngine
-    if jump_every and eng.P >= ShardEngine._two_level_threshold():
-        jump_every = 0
+    # pointer_jump follows the same exchange regimes as step(): direct
+    # P² refs below NGA_TWO_LEVEL_P, √P union aggregators + broadcast
+    # answers above it — safe to keep the shortcut on at any P.
     config = {"P": eng.P}
 
     start_iter = 0

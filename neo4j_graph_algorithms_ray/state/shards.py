@@ -109,6 +109,19 @@ def _aggregate_group(nmembers: int, combine, *packs):
     return tuple(outs) if nmembers > 1 else outs[0]
 
 
+@ray.remote
+def _pj_union_group(nmembers: int, *packs):
+    """Tier-2 node for the pointer-jump exchange: ``packs`` = one
+    grouped pack per sender, each a tuple of per-member sorted-unique
+    label-vid request arrays. Emits one deduped union per member so the
+    owner answers each requested label once, not once per requester."""
+    outs = tuple(
+        np.unique(np.concatenate([np.asarray(p[m], np.int64)
+                                  for p in packs]))
+        for m in range(nmembers))
+    return outs if nmembers > 1 else outs[0]
+
+
 # num_cpus=0: shard actors are resident state holders that compute only
 # during BSP supersteps. Reserving whole CPUs would (a) deadlock when
 # P > cluster CPUs (actors are long-lived, the pool must fully
@@ -516,6 +529,35 @@ class ShardActor:
         self._pj_uniq = uq
         cuts = np.searchsorted(uq, self.bounds)
         return tuple(uq[cuts[j]:cuts[j + 1]] for j in range(self.P))
+
+    def pj_requests_grouped(self, name: str, group_bounds):
+        """Two-level tier 1 for pointer jumping: pack the per-owner
+        request arrays into one object per aggregator group
+        (num_returns = #groups instead of P)."""
+        out = self.pj_requests(name)
+        return tuple(tuple(out[a:b])
+                     for a, b in zip(group_bounds[:-1], group_bounds[1:]))
+
+    def pj_answer_union(self, name: str, req):
+        """Phase 2 (owner side, two-level): answer the deduped union of
+        every requester's pointers as one (vids, labels) pair — it is
+        broadcast back and each requester slices out what it asked for."""
+        req = np.asarray(req, dtype=np.int64)
+        return req, self.state[name][req - self.lo]
+
+    def pj_apply_union(self, name: str, *pairs) -> int:
+        """Phase 3 (two-level): rebuild this shard's aligned answer
+        vector from the P broadcast (vids, labels) unions, then relabel
+        exactly as pj_apply."""
+        uq = self._pj_uniq
+        cuts = np.searchsorted(uq, self.bounds)
+        parts = []
+        for j, (vids, vals) in enumerate(pairs):
+            mine = uq[cuts[j]:cuts[j + 1]]
+            parts.append(np.asarray(vals)[
+                np.searchsorted(np.asarray(vids), mine)]
+                if len(mine) else np.empty(0, np.int64))
+        return self.pj_apply(name, *parts)
 
     def pj_answer(self, name: str, *reqs):
         """Phase 2 (owner side): answer each requester's pointer list
@@ -1248,12 +1290,39 @@ class ShardEngine:
         """One shortcut round: state[v] := state[state[v]] everywhere —
         a distributed gather (request → owner answer → apply), cutting
         min-label fixpoints from O(diameter) to O(log d) supersteps on
-        chain-heavy graphs. Returns the number of relabeled vertices."""
+        chain-heavy graphs. Returns the number of relabeled vertices.
+
+        Exchange topology mirrors step(): direct P² request/answer refs
+        below NGA_TWO_LEVEL_P; above it, requests route through ⌈√P⌉
+        union aggregators (P·√P + P refs) and the per-owner answers are
+        broadcast (P refs, each fetched once per node)."""
         P = self.P
         if P == 1:
             reqs = ray.get(self.actors[0].pj_requests.remote(name))
             ans = ray.get(self.actors[0].pj_answer.remote(name, reqs[0]))
             return ray.get(self.actors[0].pj_apply.remote(name, ans[0]))
+        if P >= self._two_level_threshold():
+            G = int(np.ceil(np.sqrt(P)))
+            size = (P + G - 1) // G
+            gb = [min(g * size, P) for g in range(G + 1)]
+            packs = [a.pj_requests_grouped.options(num_returns=G)
+                     .remote(name, gb) for a in self.actors]
+            owner_req: list = [None] * P
+            for g in range(G):
+                nm = gb[g + 1] - gb[g]
+                if nm <= 0:
+                    continue
+                out = _pj_union_group.options(num_returns=nm).remote(
+                    nm, *[packs[i][g] for i in range(P)])
+                if nm == 1:
+                    owner_req[gb[g]] = out
+                else:
+                    for m in range(nm):
+                        owner_req[gb[g] + m] = out[m]
+            ans = [self.actors[j].pj_answer_union.remote(name, owner_req[j])
+                   for j in range(P)]
+            return sum(ray.get([a.pj_apply_union.remote(name, *ans)
+                                for a in self.actors]))
         req = [a.pj_requests.options(num_returns=P).remote(name)
                for a in self.actors]
         ans = [self.actors[j].pj_answer.options(num_returns=P)

@@ -71,6 +71,28 @@ def _restore_threshold():
         os.environ["NGA_TWO_LEVEL_P"] = prev
 
 
+def test_two_level_pointer_jump_matches_direct(_restore_threshold):
+    """Chain graph forces pointer jumps to fire; the √P-union + broadcast
+    pj exchange must relabel identically to the direct P² exchange."""
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    n = 300
+    edges = pa.table({"src": np.arange(n - 1, dtype=np.int64),
+                      "dst": np.arange(1, n, dtype=np.int64)})
+    os.environ["NGA_TWO_LEVEL_P"] = "1000"   # direct pj
+    g1 = build_graph(rd.from_arrow(edges), undirected=True, name="pjchain_d")
+    direct = wcc(g1, num_partitions=8, jump_every=2)
+    os.environ["NGA_TWO_LEVEL_P"] = "2"      # two-level pj at P=8
+    g2 = build_graph(rd.from_arrow(edges), undirected=True, name="pjchain_t")
+    twolvl = wcc(g2, num_partitions=8, jump_every=2)
+    assert direct.stats["pointer_jumps"] >= 1
+    assert twolvl.stats["pointer_jumps"] >= 1
+    a = direct.dataset.to_pandas().sort_values("node").reset_index(drop=True)
+    b = twolvl.dataset.to_pandas().sort_values("node").reset_index(drop=True)
+    assert np.array_equal(a["component"].to_numpy(),
+                          b["component"].to_numpy())
+    assert (a["component"] == a["component"].iloc[0]).all()
+
+
 def test_two_level_matches_direct(_restore_threshold):
     edges = _edges()
     os.environ["NGA_TWO_LEVEL_P"] = "1000"   # force direct
