@@ -1116,6 +1116,16 @@ def _q_host_triangles(sf_dir: str):
     return per_node.rename_columns({"node": "host"})
 
 
+def _q_web_bowtie(sf_dir: str):
+    """Broder et al. bow-tie macro-structure of the page graph: every
+    url classified CORE/IN/OUT/TENDRIL/DISCONNECTED relative to the
+    giant SCC — the classic crawl-scale link-graph shape report."""
+    from neo4j_graph_algorithms_ray.algorithms import bowtie
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    return bowtie(g, node_col="url").dataset
+
+
 def _q_web_powerlaw(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.community_metrics import \
         powerlaw_alpha
@@ -1635,6 +1645,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "web_powerlaw": _q_web_powerlaw,
         "host_triangles": _q_host_triangles,
+        "web_bowtie": _q_web_bowtie,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1807,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": od.dsir_sql(1024, 10),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
+        "web_bowtie": ow.WEB_BOWTIE_SQL,
         "langid": od.langid_sql(),
         "fingerprint": od.FINGERPRINT_SQL,
         "gopher_quality": od.gopher_quality_sql(min_words=40,

@@ -12,6 +12,7 @@ from neo4j_graph_algorithms_ray.algorithms.msbfs import (  # noqa: F401
     closeness, eccentricity, harmonic, msbfs_hop_counts)
 from neo4j_graph_algorithms_ray.algorithms.sssp import (  # noqa: F401
     all_shortest_paths_weighted, shortest_path_dijkstra, sssp_delta_stepping)
+from neo4j_graph_algorithms_ray.algorithms.bowtie import bowtie  # noqa: F401
 from neo4j_graph_algorithms_ray.algorithms.scc import scc  # noqa: F401
 from neo4j_graph_algorithms_ray.algorithms.louvain import louvain  # noqa: F401
 from neo4j_graph_algorithms_ray.algorithms.betweenness import (  # noqa: F401

@@ -797,3 +797,50 @@ SELECT n.node AS host, coalesce(cnt.t, 0) AS triangles,
 FROM hnodes n JOIN hdeg ON hdeg.node = n.node
 LEFT JOIN cnt ON cnt.node = n.node
 ORDER BY host"""
+
+
+# Bow-tie decomposition (Broder et al. WWW 2000): SCC membership via a
+# full reachability closure (fine at oracle scale), then IN/OUT from
+# the closure and TENDRIL vs DISCONNECTED from undirected reachability
+# off the core. Mirrors algorithms/bowtie.py's category precedence.
+WEB_BOWTIE_SQL = f"""WITH RECURSIVE {WEB_BASE},
+{WEB_EDGES},
+bnodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM wedges
+                             UNION ALL SELECT dst FROM wedges) t),
+reach(s, d) AS (
+  SELECT src, dst FROM wedges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN wedges e ON e.src = r.d),
+mut AS MATERIALIZED (
+  SELECT r1.s AS v, r1.d AS u FROM reach r1
+  JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s),
+sccid AS MATERIALIZED (
+  SELECT n.node AS v,
+         greatest(n.node, coalesce(max(m.u), n.node)) AS comp
+  FROM bnodes n LEFT JOIN mut m ON m.v = n.node
+  GROUP BY n.node),
+giant AS (SELECT comp FROM sccid GROUP BY comp
+          ORDER BY count(*) DESC, comp ASC LIMIT 1),
+core AS MATERIALIZED (
+  SELECT v FROM sccid WHERE comp = (SELECT comp FROM giant)),
+outset AS MATERIALIZED (
+  SELECT DISTINCT r.d AS v FROM reach r
+  WHERE r.s IN (SELECT v FROM core)),
+inset AS MATERIALIZED (
+  SELECT DISTINCT r.s AS v FROM reach r
+  WHERE r.d IN (SELECT v FROM core)),
+uedges AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM wedges
+                             UNION ALL SELECT dst, src FROM wedges) t),
+weak(v) AS (
+  SELECT v FROM core
+  UNION
+  SELECT e.b FROM weak w JOIN uedges e ON e.a = w.v)
+SELECT n.node AS url,
+  CASE WHEN n.node IN (SELECT v FROM core) THEN 'CORE'
+       WHEN n.node IN (SELECT v FROM inset) THEN 'IN'
+       WHEN n.node IN (SELECT v FROM outset) THEN 'OUT'
+       WHEN n.node IN (SELECT v FROM weak) THEN 'TENDRIL'
+       ELSE 'DISCONNECTED' END AS category
+FROM bnodes n ORDER BY url"""
