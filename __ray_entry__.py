@@ -662,6 +662,24 @@ def _q_char_entropy(sf_dir: str):
                                      batch_size=4096)
 
 
+def _q_lexical_diversity(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import lexical_diversity
+    return lexical_diversity(_docs(sf_dir))
+
+
+def _q_sentence_stats(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import sentence_stats
+    return sentence_stats(_docs(sf_dir))
+
+
+def _q_slice_kl(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import slice_kl
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang", "text"])
+    return slice_kl(docs, group_col="lang")
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights vs a deterministic curated slice
     (doc_id % 10 == 0 stands in for the target corpus)."""
@@ -1646,6 +1664,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_powerlaw": _q_web_powerlaw,
         "host_triangles": _q_host_triangles,
         "web_bowtie": _q_web_bowtie,
+        "lexical_diversity": _q_lexical_diversity,
+        "sentence_stats": _q_sentence_stats,
+        "slice_kl": _q_slice_kl,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1816,6 +1837,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": od.QUALITY_SQL,
         "char_entropy": od.CHAR_ENTROPY_SQL,
         "dsir_weights": od.dsir_sql(1024, 10),
+        "lexical_diversity": od.LEXICAL_DIVERSITY_SQL,
+        "sentence_stats": od.SENTENCE_STATS_SQL,
+        "slice_kl": od.SLICE_KL_SQL,
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -1892,3 +1892,170 @@ def dsir_weights(docs, target, *, buckets: int = 1024,
                          "log_weight": pa.array(round6(w))})
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+def lexical_diversity(docs, *, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Per-doc lexical-diversity features → (doc_id, n_tokens, ttr,
+    hapax_ratio): type-token ratio (distinct lowered tokens / tokens)
+    and hapax ratio (tokens occurring exactly once in the doc /
+    tokens); 0.0 for empty docs. Standard corpus-quality screens —
+    machine-generated / keyword-stuffed text sits at the extremes.
+
+    Scale shape: entirely batch-local (one Arrow split + one factorize
+    + bincounts per batch, no shuffle, no per-row Python)."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        doc_idx, toks = _token_arrays(b[text_col])
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        if len(toks):
+            codes, uniq = pd.factorize(toks)
+            key = doc_idx * len(uniq) + codes
+            uk, kc = np.unique(key, return_counts=True)
+            ud = (uk // len(uniq)).astype(np.int64)
+            n_dist = np.bincount(ud, minlength=n)
+            n_hapax = np.bincount(ud[kc == 1], minlength=n)
+        else:
+            n_dist = n_hapax = np.zeros(n, np.int64)
+        denom = np.maximum(n_tok, 1).astype(np.float64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(n_tok),
+            "ttr": pa.array(round6(np.where(n_tok > 0, n_dist / denom, 0.0))),
+            "hapax_ratio": pa.array(
+                round6(np.where(n_tok > 0, n_hapax / denom, 0.0)))})
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+# What ends a sentence for sentence_stats — kept RE2-simple so the SQL
+# oracle's regexp_split_to_array uses the identical pattern.
+SENT_SPLIT_RE = r"[.!?]+"
+_WS_CHARS = " \t\n\r"
+
+
+def sentence_stats(docs, *, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Per-doc sentence segmentation stats → (doc_id, n_sentences,
+    mean_sentence_chars): split on runs of ``[.!?]``, trim ASCII
+    whitespace, drop empty pieces; mean length in chars of the
+    surviving sentences (0.0 when none). The shape of readability /
+    fragment screens used in corpus filtering.
+
+    Scale shape: batch-local (one RE2 split kernel + one trim + length
+    bincounts; no shuffle, no per-row Python)."""
+    import pyarrow as pa
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        txt = _text_column(b, text_col)
+        parts = pc.split_pattern_regex(txt, SENT_SPLIT_RE)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        trimmed = pc.utf8_trim(flat, _WS_CHARS)
+        ln = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False)
+        keep = ln > 0
+        n_sent = np.bincount(doc_idx[keep], minlength=n).astype(np.int64)
+        chars = np.bincount(doc_idx[keep], weights=ln[keep].astype(np.float64),
+                            minlength=n)
+        mean = np.where(n_sent > 0, chars / np.maximum(n_sent, 1), 0.0)
+        return pa.table({id_col: b[id_col],
+                         "n_sentences": pa.array(n_sent),
+                         "mean_sentence_chars": pa.array(round6(mean))})
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+def slice_kl(docs, *, group_col: str = "lang", text_col: str = "text"):
+    """Per-slice token-distribution divergence → (``group_col``, kl_div,
+    n_tokens): KL(P_slice ‖ P_corpus) over lowered whitespace tokens,
+    natural log. The slice-drift signal used to monitor mixture skew
+    when assembling multi-source / multi-lingual training corpora
+    (each slice's support ⊆ corpus support, so KL is always finite).
+
+    Scale shape: one streaming pass emits per-batch (slice, token, n)
+    partials into a map-side-combined groupby — the shuffle carries
+    distinct (slice, token) pairs, not corpus tokens. Corpus token
+    totals derive from those pairs (second tiny aggregate); only the
+    per-slice scalar sums land on the driver."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b[text_col])
+        grp = np.asarray(b[group_col].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        if len(toks) == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        key = pd.DataFrame({group_col: grp[doc_idx], "token": toks})
+        cnt = key.groupby([group_col, "token"], sort=False).size()
+        idx = cnt.index.to_frame(index=False)
+        return pa.table({group_col: pa.array(idx[group_col], pa.string()),
+                         "token": pa.array(idx["token"], pa.string()),
+                         "n": pa.array(cnt.to_numpy().astype(np.int64))})
+
+    pairs = preagg_sum(docs.select_columns([group_col, text_col]).map_batches(
+        pair_partial, batch_format="pyarrow"), [group_col, "token"], "n") \
+        .materialize()
+
+    # corpus token totals (vocab-sized) broadcast once; slice totals tiny
+    tok_tot = preagg_sum(pairs, ["token"], "n")
+    ttabs = [t for t in collect_arrow(tok_tot) if t.num_rows]
+    tot = pa.concat_tables(ttabs) if ttabs else pa.table(
+        {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    q_map = pd.Series(tot["n"].to_numpy(zero_copy_only=False).astype(np.float64),
+                      index=pd.Index(tot["token"].to_pylist()))
+    big_n = float(q_map.sum()) or 1.0
+    import ray
+    q_ref = ray.put(q_map / big_n)
+
+    grp_tot = preagg_sum(pairs, [group_col], "n")
+    gtabs = [t for t in collect_arrow(grp_tot) if t.num_rows]
+    gt = pa.concat_tables(gtabs) if gtabs else pa.table(
+        {group_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    nl_map = {g: float(v) for g, v in zip(gt[group_col].to_pylist(),
+                                          gt["n"].to_pylist())}
+    nl_ref = ray.put(nl_map)
+
+    def contrib(b: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        nl = ray.get(nl_ref)
+        grp = np.asarray(b[group_col].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nls = np.array([nl[g] for g in grp], np.float64)
+        p = n / nls
+        qv = q.reindex(pd.Index(b["token"].to_pylist())).to_numpy()
+        term = p * np.log(p / qv)
+        return pa.table({group_col: b[group_col], "term": pa.array(term),
+                         "nl": pa.array(nls.astype(np.int64))})
+
+    agg = preagg_sum(pairs.map_batches(contrib, batch_format="pyarrow"),
+                     [group_col], ["term", "nl"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        # nl summed one copy per pair row; recover the slice total from
+        # the broadcast map instead (exact, no double count)
+        nl = ray.get(nl_ref)
+        grp = b[group_col].to_pylist()
+        return pa.table({
+            group_col: b[group_col],
+            "kl_div": pa.array(round6(
+                b["term"].to_numpy(zero_copy_only=False))),
+            "n_tokens": pa.array(np.array([int(nl[g]) for g in grp],
+                                          np.int64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

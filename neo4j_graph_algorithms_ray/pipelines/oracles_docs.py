@@ -1017,3 +1017,54 @@ sc AS (SELECT gb.doc_id, sum(lr.w) AS lw
 SELECT d.doc_id, round(coalesce(sc.lw, 0), 6) AS log_weight
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+LEXICAL_DIVERSITY_SQL = """WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT doc_id, unnest(tk) AS tok FROM tl),
+grp AS (SELECT doc_id, tok, count(*) AS c FROM occ WHERE tok <> ''
+        GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               count(*) FILTER (c = 1) AS n_hapax
+        FROM grp GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       round(coalesce(a.n_distinct / CAST(a.n_tokens AS DOUBLE), 0), 6)
+         AS ttr,
+       round(coalesce(a.n_hapax / CAST(a.n_tokens AS DOUBLE), 0), 6)
+         AS hapax_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+
+
+SENTENCE_STATS_SQL = """WITH pieces AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '[.!?]+')) AS s
+  FROM documents),
+tr AS (SELECT doc_id,
+              length(trim(s, ' ' || chr(9) || chr(10) || chr(13))) AS ln
+       FROM pieces),
+agg AS (SELECT doc_id, count(*) AS n_sentences,
+               avg(CAST(ln AS DOUBLE)) AS mean_chars
+        FROM tr WHERE ln > 0 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_sentences, 0) AS n_sentences,
+       round(coalesce(a.mean_chars, 0), 6) AS mean_sentence_chars
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+
+
+SLICE_KL_SQL = """WITH tl AS MATERIALIZED (
+  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT lang, unnest(tk) AS tok FROM tl),
+lt AS (SELECT lang, tok, count(*) AS n FROM occ WHERE tok <> ''
+       GROUP BY lang, tok),
+l AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS nl FROM lt GROUP BY lang),
+t AS (SELECT tok, CAST(sum(n) AS DOUBLE) AS nt FROM lt GROUP BY tok),
+nn AS (SELECT CAST(sum(n) AS DOUBLE) AS big_n FROM lt)
+SELECT lt.lang,
+       round(sum((lt.n / l.nl) * ln((lt.n / l.nl) / (t.nt / nn.big_n))), 6)
+         AS kl_div,
+       CAST(l.nl AS BIGINT) AS n_tokens
+FROM lt JOIN l USING (lang) JOIN t ON t.tok = lt.tok, nn
+GROUP BY lt.lang, l.nl ORDER BY lt.lang"""

@@ -1,0 +1,67 @@
+"""lexical_diversity / sentence_stats / slice_kl — semantics pinned
+against hand-computed references on tiny corpora."""
+
+import math
+
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.functions.text import (
+    lexical_diversity, sentence_stats, slice_kl)
+
+DOCS = [
+    {"doc_id": 0, "lang": "en", "text": "the cat the cat sat"},
+    {"doc_id": 1, "lang": "en", "text": "dog dog dog"},
+    {"doc_id": 2, "lang": "de", "text": "the hund"},
+    {"doc_id": 3, "lang": "en", "text": ""},
+]
+
+
+def _ds():
+    return rd.from_items(DOCS)
+
+
+def test_lexical_diversity():
+    rows = {r["doc_id"]: r for r in lexical_diversity(_ds()).take_all()}
+    # doc 0: 5 tokens {the:2, cat:2, sat:1} -> 3 distinct, 1 hapax
+    assert rows[0]["n_tokens"] == 5
+    assert rows[0]["ttr"] == pytest.approx(3 / 5)
+    assert rows[0]["hapax_ratio"] == pytest.approx(1 / 5)
+    # doc 1: one type repeated -> ttr 1/3, no hapax
+    assert rows[1]["ttr"] == pytest.approx(1 / 3)
+    assert rows[1]["hapax_ratio"] == 0.0
+    # empty doc -> zeros
+    assert rows[3]["n_tokens"] == 0 and rows[3]["ttr"] == 0.0
+
+
+def test_sentence_stats():
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "One two. Three!  Four? "},
+        {"doc_id": 1, "text": "no terminator here"},
+        {"doc_id": 2, "text": "..."},
+        {"doc_id": 3, "text": ""},
+    ])
+    rows = {r["doc_id"]: r for r in sentence_stats(docs).take_all()}
+    # "One two" (7) / "Three" (5) / "Four" (4)
+    assert rows[0]["n_sentences"] == 3
+    assert rows[0]["mean_sentence_chars"] == pytest.approx((7 + 5 + 4) / 3)
+    assert rows[1]["n_sentences"] == 1
+    assert rows[2]["n_sentences"] == 0
+    assert rows[2]["mean_sentence_chars"] == 0.0
+    assert rows[3]["n_sentences"] == 0
+
+
+def test_slice_kl():
+    rows = {r["lang"]: r for r in slice_kl(_ds()).take_all()}
+    # corpus: the:3 cat:2 sat:1 dog:3 hund:1 (N=10)
+    # en slice (8): the:2 cat:2 sat:1 dog:3
+    def term(n, nl, nt, big_n):
+        p, q = n / nl, nt / big_n
+        return p * math.log(p / q)
+    kl_en = (term(2, 8, 3, 10) + term(2, 8, 2, 10)
+             + term(1, 8, 1, 10) + term(3, 8, 3, 10))
+    kl_de = term(1, 2, 3, 10) + term(1, 2, 1, 10)
+    assert rows["en"]["n_tokens"] == 8
+    assert rows["en"]["kl_div"] == pytest.approx(kl_en, abs=2e-6)
+    assert rows["de"]["n_tokens"] == 2
+    assert rows["de"]["kl_div"] == pytest.approx(kl_de, abs=2e-6)
