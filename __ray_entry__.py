@@ -680,6 +680,11 @@ def _q_slice_kl(sf_dir: str):
     return slice_kl(docs, group_col="lang")
 
 
+def _q_dup_ngram_frac(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import dup_ngram_frac
+    return dup_ngram_frac(_docs(sf_dir), k=5, min_docs=2)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights vs a deterministic curated slice
     (doc_id % 10 == 0 stands in for the target corpus)."""
@@ -1667,6 +1672,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": _q_lexical_diversity,
         "sentence_stats": _q_sentence_stats,
         "slice_kl": _q_slice_kl,
+        "dup_ngram_frac": _q_dup_ngram_frac,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1840,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": od.LEXICAL_DIVERSITY_SQL,
         "sentence_stats": od.SENTENCE_STATS_SQL,
         "slice_kl": od.SLICE_KL_SQL,
+        "dup_ngram_frac": od.dup_ngram_frac_sql(5, 2),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

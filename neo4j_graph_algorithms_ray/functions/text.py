@@ -2059,3 +2059,94 @@ def slice_kl(docs, *, group_col: str = "lang", text_col: str = "text"):
                                           np.int64))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_ngram_frac(docs, *, k: int = 5, min_docs: int = 2,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   bcast_limit: int | None = None):
+    """Cross-document duplicate-k-gram fraction → (doc_id,
+    n_grams_distinct, dup_gram_frac): for each doc, the share of its
+    DISTINCT k-token windows that also occur in ≥ ``min_docs`` distinct
+    documents corpus-wide. The RefinedWeb/FineWeb-style signal that
+    separates boilerplate-laden pages (nav bars, license blocks,
+    syndicated text) from original content — complements the
+    within-doc repetition_ratio.
+
+    100 TB shape (same two-pass contract as span_dedup): pass 1
+    streams the corpus once emitting per-batch DISTINCT (window-hash,
+    1) rows — each doc lives in exactly one batch, so summing the
+    per-batch distincts in a map-side-combined groupby yields exact
+    distinct-DOC counts per window. Windows in ≥ min_docs docs
+    broadcast once via ``ray.put`` (8 B each, NGA_SPAN_BCAST_LIMIT
+    cap, loud raise above it); pass 2 re-streams and scores each batch
+    locally via sorted-array membership. Hash granularity: u64
+    polynomial window hashes (``_window_hashes``) — distinct windows
+    collide at ~2^-64, the standard corpus-dedup tradeoff."""
+    import os
+
+    import ray
+
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def _doc_distinct(b: pa.Table):
+        """(per-row doc index, distinct window hashes, inverse doc idx
+        per distinct hash) for one batch."""
+        doc_idx, flat, _ = _raw_token_arrays(b[text_col])
+        w, starts = _window_hashes(flat, doc_idx, k)
+        if len(w) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.uint64))
+        wd = doc_idx[starts]
+        key = np.stack([wd.astype(np.uint64), w], axis=1)
+        uniq = np.unique(key, axis=0)
+        return uniq[:, 0].astype(np.int64), uniq[:, 1]
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        _, wh = _doc_distinct(b)
+        if len(wh) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(wh, return_counts=True)
+        return pa.table({"h": pa.array(uniq.view(np.int64)),
+                         "nd": pa.array(cnt.astype(np.int64))})
+
+    dup = preagg_sum(
+        docs.select_columns([text_col]).map_batches(
+            count_partial, batch_format="pyarrow"), ["h"], "nd") \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b["nd"], min_docs)).select(["h"]),
+            batch_format="pyarrow").materialize()
+
+    limit = (bcast_limit if bcast_limit is not None
+             else int(os.environ.get("NGA_SPAN_BCAST_LIMIT", 20_000_000)))
+    n_dup = dup.count()
+    if n_dup > limit:
+        raise RuntimeError(
+            f"dup_ngram_frac: {n_dup} cross-doc duplicated {k}-gram "
+            f"windows exceed the broadcast cap {limit}. Shard the "
+            "corpus by doc-id hash and score per shard against the "
+            "shared pass-1 counts, or raise NGA_SPAN_BCAST_LIMIT.")
+    tabs = [t for t in collect_arrow(dup) if t.num_rows]
+    hs = (np.sort(np.concatenate(
+        [t["h"].to_numpy(zero_copy_only=False) for t in tabs]).view(np.uint64))
+        if tabs else np.empty(0, np.uint64))
+    ref = ray.put(hs)
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        dd, wh = _doc_distinct(b)
+        dupset = ray.get(ref)
+        n_dist = np.bincount(dd, minlength=n).astype(np.int64)
+        if len(wh) and len(dupset):
+            pos = np.minimum(np.searchsorted(dupset, wh), len(dupset) - 1)
+            isdup = dupset[pos] == wh
+            n_dupg = np.bincount(dd[isdup], minlength=n)
+        else:
+            n_dupg = np.zeros(n, np.int64)
+        frac = np.where(n_dist > 0,
+                        n_dupg / np.maximum(n_dist, 1).astype(np.float64), 0.0)
+        return pa.table({id_col: b[id_col],
+                         "n_grams_distinct": pa.array(n_dist),
+                         "dup_gram_frac": pa.array(round6(frac))})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -1068,3 +1068,24 @@ SELECT lt.lang,
        CAST(l.nl AS BIGINT) AS n_tokens
 FROM lt JOIN l USING (lang) JOIN t ON t.tok = lt.tok, nn
 GROUP BY lt.lang, l.nl ORDER BY lt.lang"""
+
+
+def dup_ngram_frac_sql(k: int = 5, min_docs: int = 2) -> str:
+    """Mirror of functions/text.dup_ngram_frac: case-sensitive
+    whitespace k-grams, per-doc distinct, dup = in >= min_docs docs."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+g AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - {k} + 2),
+                i -> array_to_string(tk[i:i+{k}-1], ' '))) AS gram
+      FROM tl WHERE len(tk) >= {k}),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+cnt AS (SELECT gram, count(*) AS nd FROM dg GROUP BY gram),
+per AS (SELECT dg.doc_id, count(*) AS n_distinct,
+               count(*) FILTER (cnt.nd >= {min_docs}) AS n_dup
+        FROM dg JOIN cnt USING (gram) GROUP BY dg.doc_id)
+SELECT d.doc_id, coalesce(per.n_distinct, 0) AS n_grams_distinct,
+       round(coalesce(per.n_dup / CAST(per.n_distinct AS DOUBLE), 0), 6)
+         AS dup_gram_frac
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""

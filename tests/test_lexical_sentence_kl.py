@@ -65,3 +65,35 @@ def test_slice_kl():
     assert rows["en"]["kl_div"] == pytest.approx(kl_en, abs=2e-6)
     assert rows["de"]["n_tokens"] == 2
     assert rows["de"]["kl_div"] == pytest.approx(kl_de, abs=2e-6)
+
+
+def test_dup_ngram_frac():
+    from neo4j_graph_algorithms_ray.functions.text import dup_ngram_frac
+    docs = rd.from_items([
+        # docs 0 and 1 share the window "a b c" exactly once each
+        {"doc_id": 0, "text": "a b c x y"},
+        {"doc_id": 1, "text": "q a b c r"},
+        {"doc_id": 2, "text": "unrelated words entirely here now"},
+        {"doc_id": 3, "text": "short"},
+    ])
+    rows = {r["doc_id"]: r for r in
+            dup_ngram_frac(docs, k=3, min_docs=2).take_all()}
+    # doc 0 windows: "a b c","b c x","c x y" -> 3 distinct, 1 dup
+    assert rows[0]["n_grams_distinct"] == 3
+    assert rows[0]["dup_gram_frac"] == pytest.approx(1 / 3)
+    assert rows[1]["dup_gram_frac"] == pytest.approx(1 / 3)
+    assert rows[2]["dup_gram_frac"] == 0.0
+    # too short for a 3-gram
+    assert rows[3]["n_grams_distinct"] == 0 and rows[3]["dup_gram_frac"] == 0.0
+
+
+def test_dup_ngram_frac_within_doc_repeat_not_dup():
+    from neo4j_graph_algorithms_ray.functions.text import dup_ngram_frac
+    # the same window repeated WITHIN one doc is not a cross-doc dup
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "a b c a b c"},
+        {"doc_id": 1, "text": "totally different text here"},
+    ])
+    rows = {r["doc_id"]: r for r in
+            dup_ngram_frac(docs, k=3, min_docs=2).take_all()}
+    assert rows[0]["dup_gram_frac"] == 0.0
