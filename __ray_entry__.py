@@ -685,6 +685,11 @@ def _q_dup_ngram_frac(sf_dir: str):
     return dup_ngram_frac(_docs(sf_dir), k=5, min_docs=2)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import winnow_fingerprints
+    return winnow_fingerprints(_docs(sf_dir), k=8, w=4)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights vs a deterministic curated slice
     (doc_id % 10 == 0 stands in for the target corpus)."""
@@ -1673,6 +1678,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": _q_sentence_stats,
         "slice_kl": _q_slice_kl,
         "dup_ngram_frac": _q_dup_ngram_frac,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1847,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_stats": od.SENTENCE_STATS_SQL,
         "slice_kl": od.SLICE_KL_SQL,
         "dup_ngram_frac": od.dup_ngram_frac_sql(5, 2),
+        "winnow_fingerprints": od.winnow_sql(8, 4),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

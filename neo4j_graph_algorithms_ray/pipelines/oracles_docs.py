@@ -1089,3 +1089,30 @@ SELECT d.doc_id, coalesce(per.n_distinct, 0) AS n_grams_distinct,
        round(coalesce(per.n_dup / CAST(per.n_distinct AS DOUBLE), 0), 6)
          AS dup_gram_frac
 FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
+
+
+def winnow_sql(k: int = 8, w: int = 4) -> str:
+    """Mirror of functions/text.winnow_fingerprints: base-256 k-byte
+    gram hash, per-doc window-of-w minimum, rightmost tie-break,
+    distinct selections."""
+    terms = " + ".join(
+        f"ascii(substr(text, i + {j + 1}, 1)) * CAST({256 ** j} AS BIGINT)"
+        for j in range(k))
+    return f"""WITH pos AS MATERIALIZED (
+  SELECT doc_id, text, unnest(range(0, length(text) - {k} + 1)) AS i
+  FROM documents WHERE length(text) >= {k}),
+g AS MATERIALIZED (
+  SELECT doc_id, i, {terms} AS h FROM pos),
+wn AS (SELECT doc_id, i, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wcnt
+       FROM g),
+sel AS (SELECT wn.doc_id, max(g2.i) AS pos, wn.wmin AS fp
+        FROM wn JOIN g g2 ON g2.doc_id = wn.doc_id
+                         AND g2.i BETWEEN wn.i AND wn.i + {w - 1}
+                         AND g2.h = wn.wmin
+        WHERE wn.wcnt = {w}
+        GROUP BY wn.doc_id, wn.i, wn.wmin)
+SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos"""

@@ -97,3 +97,38 @@ def test_dup_ngram_frac_within_doc_repeat_not_dup():
     rows = {r["doc_id"]: r for r in
             dup_ngram_frac(docs, k=3, min_docs=2).take_all()}
     assert rows[0]["dup_gram_frac"] == 0.0
+
+
+def test_winnow_fingerprints_guarantee():
+    from neo4j_graph_algorithms_ray.functions.text import winnow_fingerprints
+    # two docs sharing a long substring must share >= 1 fingerprint
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "AAA " + shared + " BBB"},
+        {"doc_id": 1, "text": "xyz123 " + shared + " qqq"},
+        {"doc_id": 2, "text": "completely different content 98765"},
+    ])
+    rows = winnow_fingerprints(docs, k=8, w=4).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[0] & by_doc[1] & by_doc[2])
+
+
+def test_winnow_fingerprints_reference():
+    from neo4j_graph_algorithms_ray.functions.text import winnow_fingerprints
+    text = "abcdefghijkl"
+    k, w = 8, 4
+    rows = winnow_fingerprints(
+        rd.from_items([{"doc_id": 0, "text": text}]), k=k, w=w).take_all()
+    # plain-python winnowing reference
+    grams = [sum(ord(text[i + j]) * 256 ** j for j in range(k))
+             for i in range(len(text) - k + 1)]
+    expect = set()
+    for s in range(len(grams) - w + 1):
+        win = grams[s:s + w]
+        mn = min(win)
+        pos = s + max(i for i, v in enumerate(win) if v == mn)
+        expect.add((pos, mn))
+    assert {(r["pos"], r["fp"]) for r in rows} == expect
