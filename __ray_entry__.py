@@ -1125,6 +1125,35 @@ def _q_web_degrees(sf_dir: str):
     return attach_node_ids(g, ds, out_col="url")
 
 
+def _q_heavy_hitter_hosts(sf_dir: str):
+    """Exact top-20 hosts by inbound page links via the two-pass
+    Misra-Gries heavy-hitter pattern (sketch candidates + exact
+    recount) — the frequent-items primitive for key spaces too large
+    to groupby raw."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.sketches import heavy_hitters
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (HOST_RE,
+                                                               web_edge_ds)
+
+    def to_host(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["dst_url"], HOST_RE), "host")
+        return pa.table({"host": h})
+
+    hosts = web_edge_ds(sf_dir).map_batches(to_host, batch_format="pyarrow")
+    return heavy_hitters(hosts, "host", k=20, cap=512)
+
+
+def _q_two_hop_size(sf_dir: str):
+    """Distinct ≤2-hop out-neighborhood size per host (friends-of-
+    friends / crawl-frontier signal) via a broadcast edge self-join."""
+    from neo4j_graph_algorithms_ray.algorithms.neighborhood import \
+        two_hop_size
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    return two_hop_size(get_host_graph(sf_dir), node_col="host")
+
+
 def _q_host_triangles(sf_dir: str):
     """Per-host triangle count + clustering coefficient over the
     undirected host graph — the domain-level community-density signal
@@ -1679,6 +1708,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "slice_kl": _q_slice_kl,
         "dup_ngram_frac": _q_dup_ngram_frac,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "heavy_hitter_hosts": _q_heavy_hitter_hosts,
+        "two_hop_size": _q_two_hop_size,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1854,6 +1885,8 @@ def oracle_sql() -> dict[str, str]:
         "slice_kl": od.SLICE_KL_SQL,
         "dup_ngram_frac": od.dup_ngram_frac_sql(5, 2),
         "winnow_fingerprints": od.winnow_sql(8, 4),
+        "heavy_hitter_hosts": ow.heavy_hitter_hosts_sql(20),
+        "two_hop_size": ow.TWO_HOP_SIZE_SQL,
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -89,3 +89,41 @@ def degree_assortativity(g: GraphTables, *,
 
 
 __all__ = ["neighbor_degree_mean", "degree_assortativity"]
+
+
+def two_hop_size(g: GraphTables, *, num_partitions: Optional[int] = None,
+                 node_col: str = "node") -> rd.Dataset:
+    """Per node: |{u ≠ v reachable from v in ≤ 2 directed hops}| →
+    (``node_col``, n_reach2). The friends-of-friends / crawl-frontier
+    size signal — a cheap structural feature that separates hub-adjacent
+    pages from periphery without running a full BFS.
+
+    Scale shape: one self-join of the dense-id edge table
+    (``util.broadcast_join`` — the second-hop side broadcasts once via
+    ``ray.put`` below the 5M-row limit, hash-shuffles above), a
+    map-side-distinct union with the 1-hop edges, and a combined
+    groupby-count. Hub caveat (documented, not hidden): a vertex whose
+    out-neighbors total D₂ second-hop edges expands to D₂ join rows —
+    the same quadratic blowup every 2-hop query has; cap or sample
+    upstream when D₂ per vertex is unbounded."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.util import (broadcast_join,
+                                                 preagg_sum, predistinct)
+
+    e = g.edges.select_columns(["src", "dst"])
+    hop2 = broadcast_join(e, e, on="dst", right_on="src") \
+        .select_columns(["src", "dst_b"]) \
+        .rename_columns({"dst_b": "d"})
+    hop1 = e.rename_columns({"dst": "d"})
+    both = predistinct(hop1.union(hop2), ["src", "d"]) \
+        .filter(expr="src != d")
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": b["src"],
+                         "n_reach2": pa.array(np.ones(b.num_rows, np.int64))})
+
+    agg = preagg_sum(both.map_batches(ones, batch_format="pyarrow"),
+                     ["vid"], "n_reach2")
+    return attach_node_ids(g, agg, out_col=node_col)

@@ -206,3 +206,87 @@ def cms_estimate(cms: rd.Dataset, tokens) -> dict[str, int]:
 __all__ = ["hll_registers", "hll_estimate", "HLL_M",
            "bloom_bits", "bloom_probe", "BLOOM_BITS", "BLOOM_K",
            "cms_table", "cms_estimate", "CMS_D", "CMS_W"]
+
+
+def heavy_hitters(ds, key_col: str, *, k: int = 20, cap: int = 512):
+    """Exact top-``k`` keys by count via the two-pass Misra-Gries
+    pattern → (``key_col``, n) ordered (n desc, key asc), k rows.
+
+    The streaming-frequent-items shape a 100 TB pipeline uses instead
+    of a raw groupby over billions of distinct keys:
+
+    pass 1 — per-batch Misra-Gries compression: keep at most ``cap``
+      (key, counter) pairs per batch by subtracting the (d−cap)-th
+      smallest count from every counter and dropping non-positives
+      (the batched MG decrement); per-batch decrement totals ride a
+      sentinel row. Summing MG counters across batches (map-side
+      combined groupby) is the standard mergeable-summaries bound:
+      merged_counter ≤ true_count ≤ merged_counter + total_decrements.
+    candidate cut — every key whose upper bound reaches the k-th
+      largest lower bound survives; the guarantee is EXACTNESS of the
+      final top-k, not of the sketch counts.
+    pass 2 — exact recount of candidates only (broadcast membership
+      filter + map-side-combined groupby), then the true top-k.
+
+    With ``cap`` ≥ per-batch distinct keys the sketch never decrements
+    and pass 1 is already exact; the knob matters only when the key
+    space explodes."""
+    import pyarrow.compute as pc
+    import ray
+
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    SENT = "\x00__mg_decrements__"
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        arr = b[key_col]
+        tab = pa.table({"k": arr}).group_by("k").aggregate([("k", "count")])
+        keys = tab["k"]
+        cnt = tab["k_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dec = 0
+        if len(cnt) > cap:
+            t = np.partition(cnt, len(cnt) - cap - 1)[len(cnt) - cap - 1]
+            cnt = cnt - t
+            keep = cnt > 0
+            keys, cnt, dec = keys.filter(pa.array(keep)), cnt[keep], int(t)
+        out_k = pa.concat_arrays(
+            [keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+             else keys, pa.array([SENT], pa.string())])
+        return pa.table({key_col: out_k,
+                         "n": pa.array(np.append(cnt, dec))})
+
+    merged = preagg_sum(ds.select_columns([key_col]).map_batches(
+        mg_partial, batch_format="pyarrow"), [key_col], "n").materialize()
+    tabs = [t for t in collect_arrow(merged) if t.num_rows]
+    mt = pa.concat_tables(tabs)
+    kk = np.asarray(mt[key_col].to_pylist(), dtype=object)
+    nn = mt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sent = kk == SENT
+    err = int(nn[sent].sum()) if sent.any() else 0
+    kk, nn = kk[~sent], nn[~sent]
+    if len(kk) == 0:
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.string()),
+                                       "n": pa.array([], pa.int64())}))
+    kth = (np.partition(nn, len(nn) - k)[len(nn) - k]
+           if len(nn) >= k else 0)
+    cand = frozenset(kk[nn + err >= kth])
+    cand_ref = ray.put(cand)
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        mask = pc.is_in(b[key_col],
+                        value_set=pa.array(sorted(cs), pa.string()))
+        sub = b.filter(mask)
+        tab = pa.table({key_col: sub[key_col]}).group_by(key_col) \
+            .aggregate([(key_col, "count")])
+        return pa.table({key_col: tab[key_col],
+                         "n": tab[f"{key_col}_count"].cast(pa.int64())})
+
+    exact = preagg_sum(ds.select_columns([key_col]).map_batches(
+        exact_partial, batch_format="pyarrow"), [key_col], "n")
+    etabs = [t for t in collect_arrow(exact) if t.num_rows]
+    et = pa.concat_tables(etabs) if etabs else pa.table(
+        {key_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    order = pc.sort_indices(et, sort_keys=[("n", "descending"),
+                                           (key_col, "ascending")])
+    return rd.from_arrow(et.take(order[:k]))

@@ -844,3 +844,31 @@ SELECT n.node AS url,
        WHEN n.node IN (SELECT v FROM weak) THEN 'TENDRIL'
        ELSE 'DISCONNECTED' END AS category
 FROM bnodes n ORDER BY url"""
+
+
+def heavy_hitter_hosts_sql(k: int = 20) -> str:
+    """Mirror of functions/sketches.heavy_hitters over inbound host
+    link counts (page-level distinct links into each host)."""
+    return f"""WITH {WEB_BASE},
+{WEB_EDGES},
+hh AS (SELECT regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS host
+       FROM wedges),
+c AS (SELECT host, count(*) AS n FROM hh GROUP BY host)
+SELECT host, n FROM c ORDER BY n DESC, host LIMIT {k}"""
+
+
+TWO_HOP_SIZE_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1)),
+two AS (
+  SELECT src, dst AS d FROM hedges
+  UNION
+  SELECT e1.src, e2.dst AS d FROM hedges e1
+  JOIN hedges e2 ON e1.dst = e2.src)
+SELECT src AS host, count(*) AS n_reach2
+FROM two WHERE d != src GROUP BY src ORDER BY host"""

@@ -1,0 +1,51 @@
+"""Two-pass Misra-Gries heavy hitters + two-hop neighborhood size."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.functions.sketches import heavy_hitters
+
+
+def _stream(counts: dict[str, int], block_size: int = 37) -> rd.Dataset:
+    # interleave keys deterministically so every block mixes keys
+    keys = []
+    for rep in range(max(counts.values())):
+        for k, n in sorted(counts.items()):
+            if rep < n:
+                keys.append(k)
+    tab = pa.table({"host": pa.array(keys, pa.string())})
+    return rd.from_arrow(tab).repartition(max(1, len(keys) // block_size))
+
+
+def test_heavy_hitters_exact_topk_with_decrements():
+    counts = {f"k{i:02d}": 5 + i for i in range(40)}
+    counts["big0"], counts["big1"], counts["big2"] = 500, 400, 300
+    ds = _stream(counts)
+    # cap far below per-batch distinct (43) -> MG decrement path runs
+    rows = heavy_hitters(ds, "host", k=3, cap=8).take_all()
+    assert [(r["host"], r["n"]) for r in rows] == [
+        ("big0", 500), ("big1", 400), ("big2", 300)]
+
+
+def test_heavy_hitters_tie_break_and_small_keyspace():
+    ds = rd.from_items([{"host": h} for h in
+                        ["b", "a", "b", "a", "c", "c", "d"]])
+    rows = heavy_hitters(ds, "host", k=3, cap=512).take_all()
+    # counts a=2 b=2 c=2 d=1; ties break host-ascending
+    assert [(r["host"], r["n"]) for r in rows] == [
+        ("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_two_hop_size_chain_and_diamond():
+    from neo4j_graph_algorithms_ray.algorithms.neighborhood import \
+        two_hop_size
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    # 0->1->2->3, 0->2  (2-hop from 0: {1,2,3}; from 1: {2,3}; from 2: {3})
+    edges = rd.from_items([
+        {"src": 0, "dst": 1}, {"src": 1, "dst": 2},
+        {"src": 2, "dst": 3}, {"src": 0, "dst": 2}])
+    g = build_graph(edges, name="twohop_t")
+    rows = {r["node"]: r["n_reach2"]
+            for r in two_hop_size(g).take_all()}
+    assert rows == {0: 3, 1: 2, 2: 1}
