@@ -1125,6 +1125,16 @@ def _q_web_degrees(sf_dir: str):
     return attach_node_ids(g, ds, out_col="url")
 
 
+def _q_effective_diameter(sf_dir: str):
+    """Distance-distribution summary (effective diameter at the 90th
+    pair percentile) over the coarsened host graph — exact MSBFS
+    regime; ANF is the sketch path at page scale."""
+    from neo4j_graph_algorithms_ray.algorithms.msbfs import \
+        effective_diameter
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    return effective_diameter(get_host_graph(sf_dir), percentile=0.9)
+
+
 def _q_heavy_hitter_hosts(sf_dir: str):
     """Exact top-20 hosts by inbound page links via the two-pass
     Misra-Gries heavy-hitter pattern (sketch candidates + exact
@@ -1710,6 +1720,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
         "two_hop_size": _q_two_hop_size,
+        "effective_diameter": _q_effective_diameter,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1887,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": od.winnow_sql(8, 4),
         "heavy_hitter_hosts": ow.heavy_hitter_hosts_sql(20),
         "two_hop_size": ow.TWO_HOP_SIZE_SQL,
+        "effective_diameter": ow.effective_diameter_sql(0.9),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

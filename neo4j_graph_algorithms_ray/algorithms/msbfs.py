@@ -203,3 +203,57 @@ def eccentricity(
                            metrics=[metrics],
                            stats={"computeSec": elapsed, "sources": len(src),
                                   "max_eccentricity": int(ecc.max()) if len(ecc) else 0})
+
+
+def effective_diameter(g: GraphTables, *, percentile: float = 0.9,
+                       sources: Optional[Sequence[int]] = None,
+                       num_partitions: Optional[int] = None) -> rd.Dataset:
+    """Distance-distribution summary over the (sampled) all-pairs BFS →
+    ONE row (n_reachable_pairs, mean_distance, effective_diameter,
+    diameter): effective diameter = smallest hop count d such that
+    ≥ ``percentile`` of reachable ordered pairs are within d (the
+    standard web-graph statistic from Broder et al. / Leskovec et al.).
+
+    Scale shape: rides the MSBFS waves (``sources=None`` = exact, the
+    small-graph / coarsened-host-graph regime; pass a vid sample for
+    the estimation regime — ANF (`algorithms/anf.py`) is the sketch
+    path when even sampled BFS is too wide). The per-pair hop rows
+    never land anywhere: a map-side-combined groupby reduces them to a
+    ≤ diameter-row histogram; only that histogram reaches the driver.
+    """
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    hops = msbfs_hop_counts(g, sources=sources,
+                            num_partitions=num_partitions)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        d = b["distance"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = preagg_sum(hops.map_batches(hist_partial, batch_format="pyarrow"),
+                      ["d"], "n")
+    tabs = [t for t in collect_arrow(hist) if t.num_rows]
+    if not tabs:
+        return rd.from_arrow(pa.table({
+            "n_reachable_pairs": pa.array([0], pa.int64()),
+            "mean_distance": pa.array([0.0]),
+            "effective_diameter": pa.array([0], pa.int64()),
+            "diameter": pa.array([0], pa.int64())}))
+    ht = pa.concat_tables(tabs)
+    order = pc.sort_indices(ht, sort_keys=[("d", "ascending")])
+    ht = ht.take(order)
+    d = ht["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = ht["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(n.sum())
+    cum = np.cumsum(n)
+    eff = int(d[np.searchsorted(cum, percentile * total)])
+    mean = round(float((d * n).sum()) / total, 6)
+    return rd.from_arrow(pa.table({
+        "n_reachable_pairs": pa.array([total], pa.int64()),
+        "mean_distance": pa.array([mean]),
+        "effective_diameter": pa.array([eff], pa.int64()),
+        "diameter": pa.array([int(d[-1])], pa.int64())}))

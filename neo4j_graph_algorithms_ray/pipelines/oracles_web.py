@@ -872,3 +872,36 @@ two AS (
   JOIN hedges e2 ON e1.dst = e2.src)
 SELECT src AS host, count(*) AS n_reach2
 FROM two WHERE d != src GROUP BY src ORDER BY host"""
+
+
+def effective_diameter_sql(percentile: float = 0.9,
+                           max_depth: int = 64) -> str:
+    """Mirror of algorithms/msbfs.effective_diameter over the host
+    graph: recursive-CTE all-pairs shortest hop counts (depth-bounded;
+    exact while the true diameter < max_depth), then the percentile
+    cut over the cumulative pair histogram."""
+    return f"""WITH RECURSIVE {WEB_BASE},
+{WEB_EDGES},
+hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1)),
+r(s, t, d) AS (
+  SELECT src, dst, 1 FROM hedges
+  UNION
+  SELECT r.s, e.dst, r.d + 1 FROM r JOIN hedges e ON e.src = r.t
+  WHERE r.d < {max_depth}),
+sp AS MATERIALIZED (
+  SELECT s, t, min(d) AS d FROM r WHERE s != t GROUP BY s, t),
+h AS (SELECT d, count(*) AS n FROM sp GROUP BY d),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS np,
+               CAST(sum(d * n) AS DOUBLE) AS sd FROM h),
+c AS (SELECT d, sum(n) OVER (ORDER BY d) AS cum FROM h)
+SELECT tot.np AS n_reachable_pairs,
+       round(tot.sd / tot.np, 6) AS mean_distance,
+       CAST((SELECT min(d) FROM c WHERE cum >= {percentile} * tot.np)
+            AS BIGINT) AS effective_diameter,
+       CAST((SELECT max(d) FROM h) AS BIGINT) AS diameter
+FROM tot"""

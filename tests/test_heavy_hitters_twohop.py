@@ -49,3 +49,18 @@ def test_two_hop_size_chain_and_diamond():
     rows = {r["node"]: r["n_reach2"]
             for r in two_hop_size(g).take_all()}
     assert rows == {0: 3, 1: 2, 2: 1}
+
+
+def test_effective_diameter_path_graph():
+    from neo4j_graph_algorithms_ray.algorithms.msbfs import \
+        effective_diameter
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    # directed path 0->1->2->3->4: pairs at d=1:4, d=2:3, d=3:2, d=4:1
+    edges = rd.from_items([{"src": i, "dst": i + 1} for i in range(4)])
+    g = build_graph(edges, name="effdiam_t")
+    row = effective_diameter(g, percentile=0.9).take_all()[0]
+    assert row["n_reachable_pairs"] == 10
+    assert row["diameter"] == 4
+    # cum: 4,7,9,10 -> 0.9*10=9 reached at d=3
+    assert row["effective_diameter"] == 3
+    assert abs(row["mean_distance"] - 2.0) < 1e-9
