@@ -1125,6 +1125,46 @@ def _q_web_degrees(sf_dir: str):
     return attach_node_ids(g, ds, out_col="url")
 
 
+def _q_url_canonical(sf_dir: str):
+    """URL canonicalization parity: decorate every page url with a
+    deterministic pid%4 mess (tracking params / fragment+tracker /
+    uppercased host + default port / trailing slash), then run
+    functions/urls.normalize_urls — the oracle derives the expected
+    canonical form analytically from the same case split."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.urls import normalize_urls
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+
+    def mk(b: pa.Table) -> pa.Table:
+        u = b["url"].cast(pa.string())
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        pid = pc.cast(pc.struct_field(
+            pc.extract_regex(u, r"page/(?P<pid>[0-9]+)$"), "pid"), pa.int64())
+        pid_s = pc.cast(pid, pa.string())
+        case = pc.bit_wise_and(pid, 3)
+        head = pc.struct_field(
+            pc.extract_regex(u, r"(?P<h>^[a-z]+://[^/?#]*)"), "h")
+        rest = pc.replace_substring_regex(
+            u, pattern=r"^[a-z]+://[^/?#]*", replacement="",
+            max_replacements=1)
+        j = pc.binary_join_element_wise
+        c0 = j(u, "?utm_source=feed&ref=rss", "")
+        c1 = j(u, "?id=", pid_s, "&fbclid=abc123#sec2", "")
+        c2 = j(pc.utf8_upper(head), ":80", rest, "")
+        c3 = j(u, "/", "")
+        messy = pc.if_else(pc.equal(case, 0), c0,
+                pc.if_else(pc.equal(case, 1), c1,
+                pc.if_else(pc.equal(case, 2), c2, c3)))
+        return pa.table({"url": u, "url_messy": messy,
+                         "url_canon": normalize_urls(messy)})
+
+    return read_pages(sf_dir, columns=["url"]).map_batches(
+        mk, batch_format="pyarrow")
+
+
 def _q_effective_diameter(sf_dir: str):
     """Distance-distribution summary (effective diameter at the 90th
     pair percentile) over the coarsened host graph — exact MSBFS
@@ -1721,6 +1761,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
         "two_hop_size": _q_two_hop_size,
         "effective_diameter": _q_effective_diameter,
+        "url_canonical": _q_url_canonical,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1899,6 +1940,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_hosts": ow.heavy_hitter_hosts_sql(20),
         "two_hop_size": ow.TWO_HOP_SIZE_SQL,
         "effective_diameter": ow.effective_diameter_sql(0.9),
+        "url_canonical": ow.URL_CANONICAL_SQL,
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -905,3 +905,20 @@ SELECT tot.np AS n_reachable_pairs,
             AS BIGINT) AS effective_diameter,
        CAST((SELECT max(d) FROM h) AS BIGINT) AS diameter
 FROM tot"""
+
+
+URL_CANONICAL_SQL = """WITH p AS (
+  SELECT doc_id AS pid,
+         'http://site-' || (doc_id % 20) || '.test/page/' || doc_id AS url
+  FROM documents)
+SELECT url,
+       CASE pid % 4
+         WHEN 0 THEN url || '?utm_source=feed&ref=rss'
+         WHEN 1 THEN url || '?id=' || pid || '&fbclid=abc123#sec2'
+         WHEN 2 THEN upper('http://site-' || (pid % 20) || '.test')
+                     || ':80/page/' || pid
+         ELSE url || '/'
+       END AS url_messy,
+       CASE WHEN pid % 4 = 1 THEN url || '?id=' || pid ELSE url END
+         AS url_canon
+FROM p ORDER BY url"""
