@@ -1125,6 +1125,22 @@ def _q_web_degrees(sf_dir: str):
     return attach_node_ids(g, ds, out_col="url")
 
 
+def _q_corpus_token_budget(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import corpus_token_budget
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["source", "text"])
+    return corpus_token_budget(docs, group_col="source")
+
+
+def _q_lang_length_percentiles(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import grouped_percentiles
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["lang", "n_chars"])
+    return grouped_percentiles(docs, "n_chars", "lang")
+
+
 def _q_url_canonical(sf_dir: str):
     """URL canonicalization parity: decorate every page url with a
     deterministic pid%4 mess (tracking params / fragment+tracker /
@@ -1762,6 +1778,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "two_hop_size": _q_two_hop_size,
         "effective_diameter": _q_effective_diameter,
         "url_canonical": _q_url_canonical,
+        "corpus_token_budget": _q_corpus_token_budget,
+        "lang_length_percentiles": _q_lang_length_percentiles,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1941,6 +1959,8 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_size": ow.TWO_HOP_SIZE_SQL,
         "effective_diameter": ow.effective_diameter_sql(0.9),
         "url_canonical": ow.URL_CANONICAL_SQL,
+        "corpus_token_budget": od.TOKEN_BUDGET_SQL,
+        "lang_length_percentiles": od.lang_length_percentiles_sql(),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

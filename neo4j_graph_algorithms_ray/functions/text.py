@@ -2229,3 +2229,99 @@ def winnow_fingerprints(docs, *, k: int = 8, w: int = 4,
 
     return docs.select_columns([id_col, text_col]).map_batches(
         fp, batch_format="pyarrow", batch_size=4096)
+
+
+def corpus_token_budget(docs, *, group_col: str = "source",
+                        text_col: str = "text"):
+    """Per-slice corpus accounting → (``group_col``, n_docs, n_tokens,
+    token_share): document and whitespace-token totals per slice plus
+    each slice's share of the corpus token budget — the bookkeeping
+    table behind training-mixture planning ("how many tokens do we
+    actually have per source?").
+
+    Scale shape: one streaming pass emitting per-batch (slice, n_docs,
+    n_tokens) partials into a map-side-combined groupby; the result is
+    |slices| rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = _text_column(b, text_col)
+        _, _, n_tok = _split_tokens(txt)
+        grp = np.asarray(b[group_col].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        codes, uniq = pd.factorize(grp)
+        return pa.table({
+            group_col: pa.array(uniq, pa.string()),
+            "n_docs": pa.array(np.bincount(codes, minlength=len(uniq))
+                               .astype(np.int64)),
+            "n_tokens": pa.array(np.bincount(codes, weights=n_tok,
+                                             minlength=len(uniq))
+                                 .astype(np.int64))})
+
+    agg = preagg_sum(docs.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"), [group_col], ["n_docs", "n_tokens"])
+    tabs = [t for t in collect_arrow(agg) if t.num_rows]
+    if not tabs:
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "token_share": pa.array([], pa.float64())}))
+    t = pa.concat_tables(tabs)
+    tok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+    share = round6(tok / max(tok.sum(), 1.0))
+    return rd.from_arrow(t.append_column("token_share", pa.array(share)))
+
+
+def grouped_percentiles(ds, col: str, group_col: str,
+                        pcts=(25, 50, 75, 90, 99)):
+    """Exact per-group percentiles of an integer column →
+    (``group_col``, pct, value) — the per-slice spread report (e.g.
+    doc-length distribution per language). Same no-sort shape as
+    column_percentiles: per-(group, value) histogram partials with a
+    map-side combine; only the merged histogram (≤ |groups|·|distinct
+    values| rows) reaches the driver for the cumulative walk."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.asarray(b[group_col].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        df = pd.DataFrame({"g": grp, "v": v})
+        cnt = df.groupby(["g", "v"], sort=False).size()
+        idx = cnt.index.to_frame(index=False)
+        return pa.table({group_col: pa.array(idx["g"], pa.string()),
+                         "v": pa.array(idx["v"].to_numpy(), pa.int64()),
+                         "n": pa.array(cnt.to_numpy().astype(np.int64))})
+
+    hist = preagg_sum(ds.select_columns([group_col, col]).map_batches(
+        partial, batch_format="pyarrow"), [group_col, "v"], "n")
+    tabs = [t for t in collect_arrow(hist) if t.num_rows]
+    if not tabs:
+        return rd.from_arrow(pa.table({group_col: pa.array([], pa.string()),
+                                       "pct": pa.array([], pa.int64()),
+                                       "value": pa.array([], pa.int64())}))
+    t = pa.concat_tables(tabs).to_pandas()
+    out_g, out_p, out_v = [], [], []
+    for g, sub in t.groupby(group_col, sort=True):
+        sub = sub.sort_values("v")
+        v = sub["v"].to_numpy()
+        cum = np.cumsum(sub["n"].to_numpy())
+        total = int(cum[-1])
+        for p in pcts:
+            thr = math.ceil(total * p / 100)
+            idx = int(np.searchsorted(cum, thr))
+            out_g.append(g)
+            out_p.append(int(p))
+            out_v.append(int(v[min(idx, len(v) - 1)]))
+    return rd.from_arrow(pa.table({group_col: pa.array(out_g, pa.string()),
+                                   "pct": pa.array(out_p, pa.int64()),
+                                   "value": pa.array(out_v, pa.int64())}))

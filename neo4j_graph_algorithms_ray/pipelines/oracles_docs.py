@@ -1116,3 +1116,31 @@ sel AS (SELECT wn.doc_id, max(g2.i) AS pos, wn.wmin AS fp
         WHERE wn.wcnt = {w}
         GROUP BY wn.doc_id, wn.i, wn.wmin)
 SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos"""
+
+
+TOKEN_BUDGET_SQL = """WITH tl AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+  FROM documents),
+agg AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens FROM tl GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS s FROM agg)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / greatest(tot.s, 1), 6) AS token_share
+FROM agg, tot ORDER BY source"""
+
+
+def lang_length_percentiles_sql(pcts=(25, 50, 75, 90, 99)) -> str:
+    """Mirror of functions/text.grouped_percentiles on (lang, n_chars)."""
+    plist = ", ".join(str(p) for p in pcts)
+    return f"""WITH h AS (
+  SELECT lang, n_chars AS v, count(*) AS n FROM documents
+  GROUP BY lang, n_chars),
+c AS (SELECT lang, v, sum(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS total FROM h),
+ps AS (SELECT unnest([{plist}]) AS pct)
+SELECT c.lang, CAST(ps.pct AS BIGINT) AS pct,
+       CAST(min(c.v) AS BIGINT) AS value
+FROM ps JOIN c ON c.cum >= ceil(c.total * ps.pct / 100.0)
+GROUP BY c.lang, ps.pct ORDER BY c.lang, pct"""
