@@ -1239,6 +1239,24 @@ def _q_host_triangles(sf_dir: str):
     return per_node.rename_columns({"node": "host"})
 
 
+def _q_mis_hosts(sf_dir: str):
+    """Luby maximal independent set over the undirected host graph
+    (independent crawl-seed selection) — deterministic md5-priority
+    rounds, mirrored exactly by the unrolled SQL oracle."""
+    from neo4j_graph_algorithms_ray.algorithms.mis import mis_luby
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+    name = f"hostgraph_und:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        edges = host_edge_ds(sf_dir).filter(expr="src_host != dst_host")
+        g = build_graph(edges, src_col="src_host", dst_col="dst_host",
+                        undirected=True, name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    return mis_luby(g, rounds=8, node_col="host")
+
+
 def _q_web_bowtie(sf_dir: str):
     """Broder et al. bow-tie macro-structure of the page graph: every
     url classified CORE/IN/OUT/TENDRIL/DISCONNECTED relative to the
@@ -1780,6 +1798,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "url_canonical": _q_url_canonical,
         "corpus_token_budget": _q_corpus_token_budget,
         "lang_length_percentiles": _q_lang_length_percentiles,
+        "mis_hosts": _q_mis_hosts,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1961,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": ow.URL_CANONICAL_SQL,
         "corpus_token_budget": od.TOKEN_BUDGET_SQL,
         "lang_length_percentiles": od.lang_length_percentiles_sql(),
+        "mis_hosts": ow.mis_luby_sql(8),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

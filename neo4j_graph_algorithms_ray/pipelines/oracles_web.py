@@ -922,3 +922,45 @@ SELECT url,
        CASE WHEN pid % 4 = 1 THEN url || '?id=' || pid ELSE url END
          AS url_canon
 FROM p ORDER BY url"""
+
+
+def mis_luby_sql(rounds: int = 8) -> str:
+    """Mirror of algorithms/mis.mis_luby over the undirected host
+    graph: identical md5(node ∥ '#r') priorities, rounds unrolled."""
+    ctes = [WEB_BASE, WEB_EDGES,
+            """hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1))""",
+            "hund AS MATERIALIZED (SELECT src AS a, dst AS b FROM hedges "
+            "UNION SELECT dst, src FROM hedges)",
+            "act0 AS (SELECT DISTINCT a AS node FROM hund)"]
+    for r in range(rounds):
+        ctes += [
+            f"pr{r} AS MATERIALIZED (SELECT node, CAST(('0x' || "
+            f"substr(md5(node || '#{r}'), 1, 15)) AS BIGINT) AS p "
+            f"FROM act{r})",
+            f"nm{r} AS (SELECT e.a AS node, min(p2.p) AS mp FROM hund e "
+            f"JOIN pr{r} p1 ON p1.node = e.a "
+            f"JOIN pr{r} p2 ON p2.node = e.b GROUP BY e.a)",
+            f"win{r} AS MATERIALIZED (SELECT p.node FROM pr{r} p "
+            f"LEFT JOIN nm{r} m ON m.node = p.node "
+            f"WHERE m.mp IS NULL OR p.p < m.mp)",
+            f"rem{r} AS MATERIALIZED (SELECT DISTINCT e.b AS node "
+            f"FROM hund e JOIN win{r} w ON w.node = e.a "
+            f"JOIN pr{r} p2 ON p2.node = e.b)",
+            f"act{r + 1} AS MATERIALIZED (SELECT node FROM act{r} "
+            f"EXCEPT SELECT node FROM win{r} "
+            f"EXCEPT SELECT node FROM rem{r})",
+        ]
+    wins = " UNION ALL ".join(
+        f"SELECT node, 'in_mis' AS status FROM win{r}" for r in range(rounds))
+    rems = " UNION ALL ".join(
+        f"SELECT node, 'removed' AS status FROM rem{r}" for r in range(rounds))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node AS host, status FROM ({wins}
+UNION ALL {rems}
+UNION ALL SELECT node, 'active' AS status FROM act{rounds}) t
+ORDER BY host""")
