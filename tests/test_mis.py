@@ -38,3 +38,20 @@ def test_mis_luby_path_graph():
     mis = _check_mis(rows, edges)
     # a maximal independent set on P10 has between 4 and 5 vertices
     assert 4 <= len(mis) <= 5
+
+
+def test_mis_luby_regime_parity(monkeypatch):
+    # distributed rounds and the driver-escape numpy loop must agree
+    import ray.data as rd2
+    edges = [(f"h{i}", f"h{(i * 7 + 3) % 23}") for i in range(40)]
+    edges = [(u, v) for u, v in edges if u != v]
+    ds = rd2.from_items([{"src": u, "dst": v} for u, v in edges])
+    g = build_graph(ds, src_col="src", dst_col="dst", undirected=True,
+                    name="mis_parity")
+    monkeypatch.setenv("NGA_MIS_DRIVER_LIMIT", "200000")
+    local = sorted((r["node"], r["status"])
+                   for r in mis_luby(g, rounds=8).take_all())
+    monkeypatch.setenv("NGA_MIS_DRIVER_LIMIT", "0")
+    dist = sorted((r["node"], r["status"])
+                  for r in mis_luby(g, rounds=8).take_all())
+    assert local == dist
