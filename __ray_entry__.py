@@ -1239,6 +1239,25 @@ def _q_host_triangles(sf_dir: str):
     return per_node.rename_columns({"node": "host"})
 
 
+def _q_host_distinct_outlinks(sf_dir: str):
+    """Per-host distinct-outlink-target estimate via a per-group HLL —
+    the sketched COUNT(DISTINCT) GROUP BY of crawl budgeting."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.sketches import \
+        grouped_hll_distinct
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (HOST_RE,
+                                                               web_edge_ds)
+
+    def to_host(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["src_url"], HOST_RE), "host")
+        return pa.table({"host": h, "dst_url": b["dst_url"]})
+
+    hh = web_edge_ds(sf_dir).map_batches(to_host, batch_format="pyarrow")
+    return grouped_hll_distinct(hh, "host", "dst_url")
+
+
 def _q_mis_hosts(sf_dir: str):
     """Luby maximal independent set over the undirected host graph
     (independent crawl-seed selection) — deterministic md5-priority
@@ -1799,6 +1818,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "corpus_token_budget": _q_corpus_token_budget,
         "lang_length_percentiles": _q_lang_length_percentiles,
         "mis_hosts": _q_mis_hosts,
+        "host_distinct_outlinks": _q_host_distinct_outlinks,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -1981,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_budget": od.TOKEN_BUDGET_SQL,
         "lang_length_percentiles": od.lang_length_percentiles_sql(),
         "mis_hosts": ow.mis_luby_sql(8),
+        "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

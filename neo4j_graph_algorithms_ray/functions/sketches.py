@@ -290,3 +290,82 @@ def heavy_hitters(ds, key_col: str, *, k: int = 20, cap: int = 512):
     order = pc.sort_indices(et, sort_keys=[("n", "descending"),
                                            (key_col, "ascending")])
     return rd.from_arrow(et.take(order[:k]))
+
+
+def grouped_hll_distinct(ds, group_col: str, value_col: str):
+    """Per-group HLL distinct-count estimate → (``group_col``,
+    hit_registers, n_distinct_est): the COUNT(DISTINCT …) GROUP BY a
+    100 TB pipeline replaces with a fixed-size sketch per group (e.g.
+    distinct outlink targets per host for crawl budgeting).
+
+    Scale shape: per-batch distinct (group, value) hashes fold into
+    (group, register, rho) partials; the shuffle carries ≤ 256 rows per
+    (group, batch) regardless of value cardinality (``preagg_max``
+    merge, OR/max-idempotent like the global HLL); the estimate
+    finalize is batch-local over ≤ 256-row groups. Same md5-60bit /
+    float64-log2 register convention as ``hll_registers`` so a DuckDB
+    oracle reproduces every register — and the estimate — exactly."""
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    from neo4j_graph_algorithms_ray.util import preagg_max, preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "register": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        import pandas as pd
+        g = np.asarray(b[group_col].to_pylist(), dtype=object)
+        v = np.asarray(b[value_col].to_pylist(), dtype=object)
+        vals, inv = _md5_u64(v, 15)
+        hv = vals[inv]
+        reg = (hv % np.uint64(HLL_M)).astype(np.int64)
+        rest = (hv // np.uint64(HLL_M)).astype(np.uint64)
+        rho = np.full(len(hv), HLL_REST_BITS + 1, dtype=np.int64)
+        nz = rest > 0
+        rho[nz] = HLL_REST_BITS - np.floor(
+            np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        df = pd.DataFrame({"g": g, "r": reg, "rho": rho})
+        mx = df.groupby(["g", "r"], sort=False)["rho"].max()
+        idx = mx.index.to_frame(index=False)
+        return pa.table({group_col: pa.array(idx["g"], pa.string()),
+                         "register": pa.array(idx["r"].to_numpy(), pa.int64()),
+                         "rho": pa.array(mx.to_numpy().astype(np.int64))})
+
+    regs = preagg_max(ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"), [group_col, "register"], "rho")
+
+    def fold(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = np.asarray(b[group_col].to_pylist(), dtype=object)
+        rho = b["rho"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({"g": g, "p": np.power(2.0, -rho),
+                           "one": np.ones(len(g), np.int64)})
+        agg = df.groupby("g", sort=False).sum()
+        return pa.table({group_col: pa.array(agg.index.to_numpy(), pa.string()),
+                         "s": pa.array(agg["p"].to_numpy()),
+                         "hits": pa.array(agg["one"].to_numpy()
+                                          .astype(np.int64))})
+
+    # register rows per group ≤ 256, so the fold partials merge exactly
+    folded = preagg_sum(regs.map_batches(fold, batch_format="pyarrow"),
+                        [group_col], ["s", "hits"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        m = float(HLL_M)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        hits = b["hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zeros = HLL_M - hits
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / (s + zeros)  # unseen registers: 2^-0 = 1
+        sm = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            corr = m * np.log(m / np.maximum(zeros, 1))
+        est = np.where(sm, corr, est)
+        est = np.copysign(np.floor(np.abs(est) * 1e6 + 0.5), est) / 1e6
+        return pa.table({group_col: b[group_col],
+                         "hit_registers": pa.array(hits),
+                         "n_distinct_est": pa.array(est)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")

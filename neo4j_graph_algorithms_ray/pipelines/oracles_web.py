@@ -964,3 +964,29 @@ SELECT node AS host, status FROM ({wins}
 UNION ALL {rems}
 UNION ALL SELECT node, 'active' AS status FROM act{rounds}) t
 ORDER BY host""")
+
+
+HOST_DISTINCT_OUTLINKS_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+hh AS (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS host, dst
+       FROM wedges),
+h AS (SELECT host,
+             CAST(('0x' || substr(md5(dst), 1, 15)) AS BIGINT) AS hv
+      FROM hh),
+r AS (SELECT host, hv % 256 AS reg,
+             CASE WHEN hv // 256 = 0 THEN 53
+                  ELSE 52 - CAST(floor(log2(hv // 256)) AS BIGINT) END AS rho
+      FROM h),
+mr AS (SELECT host, reg, max(rho) AS mrho FROM r GROUP BY host, reg),
+agg AS (SELECT host, count(*) AS hits,
+               sum(pow(2.0, -mrho)) AS s FROM mr GROUP BY host),
+e AS (SELECT host, hits,
+             (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+               / (s + (256 - hits)) AS raw,
+             256 - hits AS zeros
+      FROM agg)
+SELECT host, CAST(hits AS BIGINT) AS hit_registers,
+       round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6)
+         AS n_distinct_est
+FROM e ORDER BY host"""

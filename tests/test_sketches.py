@@ -82,3 +82,38 @@ def test_cms_overestimates_and_exact_for_heavy_hitters():
     # vocab 300 << D*W cells: collisions rare, most estimates exact
     exact = sum(1 for t, c in true.items() if est[t] == c)
     assert exact / len(true) > 0.9
+
+
+def test_grouped_hll_distinct_accuracy():
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.sketches import \
+        grouped_hll_distinct
+    rows = []
+    for i in range(1000):
+        rows.append({"g": "big", "v": f"item-{i % 700}"})
+    for i in range(30):
+        rows.append({"g": "small", "v": f"s-{i % 10}"})
+    out = {r["g"]: r for r in
+           grouped_hll_distinct(rd.from_items(rows).repartition(4),
+                                "g", "v").take_all()}
+    # HLL with m=256 has ~6.5% relative error; allow 3 sigma
+    assert abs(out["big"]["n_distinct_est"] - 700) / 700 < 0.2
+    # small-range correction regime: near-exact for 10 distinct
+    assert abs(out["small"]["n_distinct_est"] - 10) < 2
+    assert out["small"]["hit_registers"] <= 10
+
+
+def test_grouped_hll_partition_invariance():
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.sketches import \
+        grouped_hll_distinct
+    rows = [{"g": f"g{i % 3}", "v": f"val-{i}"} for i in range(300)]
+    a = sorted((r["g"], r["n_distinct_est"]) for r in
+               grouped_hll_distinct(rd.from_items(rows).repartition(1),
+                                    "g", "v").take_all())
+    b = sorted((r["g"], r["n_distinct_est"]) for r in
+               grouped_hll_distinct(rd.from_items(rows).repartition(7),
+                                    "g", "v").take_all())
+    assert a == b
