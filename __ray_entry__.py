@@ -1394,6 +1394,30 @@ def _q_web_pagerank_resumed(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_wcc_resumed(sf_dir: str):
+    """Kill-and-resume parity for WCC (the north rule's
+    components-from-checkpoint clause): two supersteps with a
+    checkpoint, then a second call restores the component vector from
+    the per-partition manifest and runs to the fixpoint — must
+    value-hash-match the straight-run SQL unroll used by ``wcc``."""
+    import hashlib
+    import shutil
+
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    from neo4j_graph_algorithms_ray.algorithms.common import \
+        translate_vid_columns
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase_und")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    ck = f"/tmp/nga_ray/ckpt_q/wcc_{tag}"
+    shutil.rmtree(ck, ignore_errors=True)
+    wcc(g, max_iterations=2, checkpoint_dir=ck, checkpoint_every=2,
+        jump_every=0)
+    res = wcc(g, checkpoint_dir=ck, resume=True)
+    assert res.stats.get("nodes") == g.num_vertices
+    return translate_vid_columns(g, res.dataset, ["component"])
+
+
 def _q_web_spam_mass(sf_dir: str):
     """TrustRank spam mass (Gyöngyi et al. VLDB'04): the PageRank
     fraction NOT reachable from trusted seeds — spam_mass =
@@ -1800,6 +1824,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_opic": _q_web_opic,
         "web_pagerank_dangling": _q_web_pagerank_dangling,
         "web_pagerank_resumed": _q_web_pagerank_resumed,
+        "wcc_resumed": _q_wcc_resumed,
         "community_conductance": _q_community_conductance,
         "char_entropy": _q_char_entropy,
         "dsir_weights": _q_dsir_weights,
@@ -1908,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         # resume parity: same oracle as the straight run — that's the
         # point (checkpoint+restore must be value-identical)
         "web_pagerank_resumed": ow.web_pagerank_sql(PR_ITERS),
+        "wcc_resumed": o.wcc_sql(WCC_SQL_ITERS, "components"),
         "web_kcore": ow.web_kcore_sql(3, 40),
         "random_walks": ow.random_walks_sql(4, 7),
         "node2vec_walks": ow.node2vec_walks_sql(4, 7, 1, 2),
