@@ -1125,6 +1125,11 @@ def _q_web_degrees(sf_dir: str):
     return attach_node_ids(g, ds, out_col="url")
 
 
+def _q_filter_report(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.text import filter_report
+    return filter_report(_docs(sf_dir))
+
+
 def _q_corpus_token_budget(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import corpus_token_budget
     from neo4j_graph_algorithms_ray.util import read_parquet_clean
@@ -1844,6 +1849,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "lang_length_percentiles": _q_lang_length_percentiles,
         "mis_hosts": _q_mis_hosts,
         "host_distinct_outlinks": _q_host_distinct_outlinks,
+        "filter_report": _q_filter_report,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2028,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_length_percentiles": od.lang_length_percentiles_sql(),
         "mis_hosts": ow.mis_luby_sql(8),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
+        "filter_report": od.filter_report_sql(),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -2325,3 +2325,53 @@ def grouped_percentiles(ds, col: str, group_col: str,
     return rd.from_arrow(pa.table({group_col: pa.array(out_g, pa.string()),
                                    "pct": pa.array(out_p, pa.int64()),
                                    "value": pa.array(out_v, pa.int64())}))
+
+
+def filter_report(docs, *, min_tokens: int = 8, lang: str = "en",
+                  min_stopword_ratio: float = 0.03,
+                  max_rep_ratio: float = 0.3,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Composed corpus-filter decision report → (doc_id, keep, reason):
+    every document gets the FIRST failing rule (priority order
+    too_short → non_english → low_stopword → repetitive) or 'keep' —
+    the audit-trail form of a filtering pipeline, kept alongside the
+    destructive corpus_clean so a curation run can quantify and review
+    what each rule removes before dropping anything.
+
+    Scale shape: one batch-local pass composing the existing
+    QualityScore / LangId / shingle kernels (no shuffle, no per-row
+    Python); thresholds compare the same round6 values the SQL oracle
+    rounds to, so the decision boundary is bit-reproducible."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _shingle_arrays
+
+    qs = QualityScore(id_col, text_col)
+    li = LangId(id_col, text_col)
+
+    def report(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        q, lg = qs(b), li(b)
+        n_tok = q["n_tokens"].to_numpy(zero_copy_only=False)
+        stop = q["stopword_ratio"].to_numpy(zero_copy_only=False)
+        pred = np.asarray(lg["pred_lang"].to_pylist(), dtype=object)
+        doc_idx, sh = _shingle_arrays(b[text_col], 3)
+        total = np.bincount(doc_idx, minlength=n).astype(np.float64)
+        if len(sh):
+            d = pd.DataFrame({"d": doc_idx, "s": sh}).drop_duplicates()
+            dist = np.bincount(d["d"].to_numpy(), minlength=n)
+        else:
+            dist = np.zeros(n)
+        rep = round6(np.where(total > 0, 1.0 - dist / np.maximum(total, 1),
+                              0.0))
+        reason = np.full(n, "keep", dtype=object)
+        reason[rep > max_rep_ratio] = "repetitive"
+        reason[stop < min_stopword_ratio] = "low_stopword"
+        reason[pred != lang] = "non_english"
+        reason[n_tok < min_tokens] = "too_short"
+        keep = (reason == "keep").astype(np.int64)
+        return pa.table({id_col: b[id_col],
+                         "keep": pa.array(keep),
+                         "reason": pa.array(reason, pa.string())})
+
+    return docs.map_batches(report, batch_format="pyarrow", batch_size=4096)

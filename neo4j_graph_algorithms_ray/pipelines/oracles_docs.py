@@ -1144,3 +1144,47 @@ SELECT c.lang, CAST(ps.pct AS BIGINT) AS pct,
        CAST(min(c.v) AS BIGINT) AS value
 FROM ps JOIN c ON c.cum >= ceil(c.total * ps.pct / 100.0)
 GROUP BY c.lang, ps.pct ORDER BY c.lang, pct"""
+
+
+def filter_report_sql(min_tokens: int = 8, lang: str = "en",
+                      min_stopword_ratio: float = 0.03,
+                      max_rep_ratio: float = 0.3) -> str:
+    """Mirror of functions/text.filter_report: same round6 values,
+    same first-failing-rule priority."""
+    hits, case = _langid_fragments()
+    return f"""WITH {TOKS_CTE},
+hits AS (
+  SELECT doc_id, {hits}
+  FROM (SELECT doc_id, list_transform(tk, x -> lower(x)) AS lt FROM toks) t),
+pl AS (SELECT doc_id, {case} AS pred_lang FROM hits),
+q AS (SELECT doc_id, len(tk) AS n_tokens,
+        round(CASE WHEN len(tk) > 0
+          THEN CAST(len(list_filter(list_transform(tk, x -> lower(x)),
+                        x -> x IN ({_inlist(STOPWORDS['en'])}))) AS DOUBLE)
+               / len(tk)
+          ELSE 0 END, 6) AS stop_ratio
+      FROM toks),
+tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+shd AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+      i -> CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                ELSE tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] END)) AS s
+  FROM tl),
+st AS (SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
+       FROM shd GROUP BY doc_id),
+rr AS (SELECT d.doc_id,
+         round(coalesce(1.0 - CAST(st.dist AS DOUBLE) / st.total, 0), 6)
+           AS rep_ratio
+       FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id),
+dec AS (SELECT q.doc_id,
+          CASE WHEN q.n_tokens < {min_tokens} THEN 'too_short'
+               WHEN pl.pred_lang != '{lang}' THEN 'non_english'
+               WHEN q.stop_ratio < {min_stopword_ratio} THEN 'low_stopword'
+               WHEN rr.rep_ratio > {max_rep_ratio} THEN 'repetitive'
+               ELSE 'keep' END AS reason
+        FROM q JOIN pl USING (doc_id) JOIN rr ON rr.doc_id = q.doc_id)
+SELECT doc_id, CAST(reason = 'keep' AS BIGINT) AS keep, reason
+FROM dec ORDER BY doc_id"""

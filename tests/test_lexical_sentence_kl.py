@@ -132,3 +132,21 @@ def test_winnow_fingerprints_reference():
         pos = s + max(i for i, v in enumerate(win) if v == mn)
         expect.add((pos, mn))
     assert {(r["pos"], r["fp"]) for r in rows} == expect
+
+
+def test_filter_report_all_branches():
+    from neo4j_graph_algorithms_ray.functions.text import filter_report
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "short"},                            # too_short
+        {"doc_id": 1, "text": "der hund und die katze ist nicht hier gut"},
+        {"doc_id": 2, "text": "the " + " ".join(f"w{i}x" for i in range(39))},
+        {"doc_id": 3, "text": ("the cat sat " * 10).strip()},      # repetitive
+        {"doc_id": 4, "text": "the quick brown fox jumps over the lazy "
+                              "dog and then the cat sat on a warm mat"},
+    ])
+    rows = {r["doc_id"]: r for r in filter_report(docs).take_all()}
+    assert rows[0]["reason"] == "too_short" and rows[0]["keep"] == 0
+    assert rows[1]["reason"] == "non_english"
+    assert rows[2]["reason"] == "low_stopword"
+    assert rows[3]["reason"] == "repetitive"
+    assert rows[4]["reason"] == "keep" and rows[4]["keep"] == 1
