@@ -1615,6 +1615,16 @@ def _q_host_pagerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_host_articlerank(sf_dir: str):
+    """Hub-dampened ArticleRank over the host graph (divisor =
+    outdeg + avg outdeg) — the spam-resistant ranking variant."""
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import articlerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    g = get_host_graph(sf_dir)
+    res = articlerank(g, 0.85, max_iterations=PR_ITERS, node_col="host")
+    return _round6(res.dataset, "score")
+
+
 def _q_neighbor_degree_mean(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.neighborhood import (
         neighbor_degree_mean)
@@ -1850,6 +1860,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "mis_hosts": _q_mis_hosts,
         "host_distinct_outlinks": _q_host_distinct_outlinks,
         "filter_report": _q_filter_report,
+        "host_articlerank": _q_host_articlerank,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2035,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_hosts": ow.mis_luby_sql(8),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
+        "host_articlerank": ow.host_articlerank_sql(PR_ITERS),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

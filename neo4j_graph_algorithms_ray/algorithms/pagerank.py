@@ -147,3 +147,56 @@ def _seed_vids(g: GraphTables, source_nodes: list):
         raise ValueError(f"{len(distinct) - len(m)} source node(s) "
                          "not present in the graph")
     return np.array([m[s] for s in distinct], dtype=np.int64)
+
+
+def articlerank(
+    g: GraphTables,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    *,
+    num_partitions: Optional[int] = None,
+    keep_vid: bool = False,
+    node_col: str = "node",
+) -> IterativeResult:
+    """ArticleRank — the hub-dampened PageRank variant (Li et al. 2009;
+    shipped by later Neo4j GDS releases, beyond this reference):
+
+        AR(v) = (1−d) + d · Σ_{u→v} AR(u) / (outdeg(u) + avg_outdeg)
+
+    The +avg_outdeg term shrinks the per-link endorsement of prolific
+    linkers, so mass concentrates less on pages hub farms point at —
+    a standard spam-resistant ranking tweak on web graphs.
+
+    Engine shape: full-recompute synchronous iteration — one shard-local
+    ``div0`` by the precomputed (deg + avg) vector, one ``sum_state``
+    scatter (same exchange as eigenvector/HITS), two shard-local
+    ``scale``/``add`` finalizes. Fixed-k iterations for oracle parity.
+    """
+    eng = get_engine(g, num_partitions)
+    avg = g.num_edges / max(g.num_vertices, 1)
+    eng.init_state("rank", "const", 1.0 - damping)
+    eng.apply_state("deg_f", "degree")
+    eng.apply_state("denom", "add", "deg_f", float(avg))
+
+    t0 = time.perf_counter()
+    for _ in range(max_iterations):
+        eng.apply_state("push", "div0", "rank", "denom")
+        eng.step("sum_state", "set_sum_update",
+                 scatter_kw={"name": "push"},
+                 update_kw={"name": "acc"})
+        eng.apply_state("acc_d", "scale", "acc", damping)
+        eng.apply_state("rank", "add", "acc_d", 1.0 - damping)
+    elapsed = time.perf_counter() - t0
+    metrics = [eng.drain_metrics()]
+
+    ds = eng.state_dataset(["rank"]).rename_columns({"rank": "score"})
+    ds = attach_node_ids(g, ds, out_col=node_col, keep_vid=keep_vid)
+    edges_scattered = sum(m.get("edges_scattered", 0)
+                          for im in metrics for m in im)
+    return IterativeResult(
+        dataset=ds, iterations=max_iterations, converged=False,
+        metrics=metrics,
+        stats={"computeSec": elapsed, "nodes": g.num_vertices,
+               "edges": g.num_edges, "avg_outdeg": avg,
+               "edgesScattered": edges_scattered},
+    )

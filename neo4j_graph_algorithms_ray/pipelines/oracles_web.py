@@ -990,3 +990,35 @@ SELECT host, CAST(hits AS BIGINT) AS hit_registers,
                   THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6)
          AS n_distinct_est
 FROM e ORDER BY host"""
+
+
+def host_articlerank_sql(iters: int = 20) -> str:
+    """Mirror of algorithms/pagerank.articlerank over the host graph:
+    divisor = outdeg + avg_outdeg (edges/nodes of the host graph)."""
+    ctes = [WEB_BASE, WEB_EDGES,
+            """hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1))""",
+            "hnodes AS MATERIALIZED (SELECT src AS node FROM hedges "
+            "UNION SELECT dst FROM hedges)",
+            "avgd AS (SELECT CAST((SELECT count(*) FROM hedges) AS DOUBLE) "
+            "/ (SELECT count(*) FROM hnodes) AS a)",
+            "hdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+            "FROM hedges GROUP BY src)",
+            "a0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM hnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""a{k} AS MATERIALIZED (
+  SELECT n.node,
+         0.15 + 0.85 * coalesce(sum(p.r / (dg.dg + (SELECT a FROM avgd))), 0)
+           AS r
+  FROM hnodes n
+  LEFT JOIN hedges e ON e.dst = n.node
+  LEFT JOIN a{k-1} p ON p.node = e.src
+  LEFT JOIN hdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS host, round(r, 6) AS score FROM a{iters} "
+              "ORDER BY host")

@@ -172,3 +172,41 @@ def test_hits_vs_numpy():
         assert abs(got[v][1] - a[v]) < 1e-9
     # node 2 is the authority (3 in-links); nodes 3 the top hub
     assert max(range(n), key=lambda v: got[v][1]) == 2
+
+
+def test_articlerank_uniform_cycle():
+    import math
+
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import articlerank
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    # 3-cycle: deg=1 everywhere, avg=1 -> AR = 0.15 + 0.85*AR/2
+    g = build_graph(rd.from_items(
+        [{"src": 0, "dst": 1}, {"src": 1, "dst": 2}, {"src": 2, "dst": 0}]),
+        name="ar_cycle")
+    res = articlerank(g, 0.85, max_iterations=60)
+    fix = 0.15 / (1 - 0.85 / 2)
+    for r in res.dataset.take_all():
+        assert math.isclose(r["score"], fix, rel_tol=1e-9)
+
+
+def test_articlerank_dampens_hubs():
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import (articlerank,
+                                                                pagerank)
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    # hub 0 links to 1..5; node 6 links only to 1
+    edges = [{"src": 0, "dst": i} for i in range(1, 6)] \
+        + [{"src": 6, "dst": 1}]
+    g = build_graph(rd.from_items(edges), name="ar_hub")
+    pr = {r["node"]: r["score"] for r in
+          pagerank(g, 0.85, max_iterations=20).dataset.take_all()}
+    ar = {r["node"]: r["score"] for r in
+          articlerank(g, 0.85, max_iterations=20).dataset.take_all()}
+    # node 1's extra endorsement comes from LOW-out-degree node 6;
+    # ArticleRank's +avg divisor shrinks low-degree endorsements
+    # relatively more (1 -> 1+avg vs 5 -> 5+avg), so node 1's lead
+    # over node 2 must NARROW vs plain PageRank
+    assert (ar[1] - ar[2]) / ar[2] < (pr[1] - pr[2]) / pr[2]
