@@ -1463,10 +1463,12 @@ def _q_anf(sf_dir: str):
 
 
 def _q_web_ktruss(sf_dir: str):
-    """4-truss of the undirected web link graph — rows-only driver
-    check: the peel is an iterative fixpoint with no faithful SQL
-    expression; the oracle is tests/test_ktruss.py (brute-force peel
-    parity on random graphs)."""
+    """4-truss of the undirected web link graph. SQL-oracled: the
+    support-peel unrolls to a fixpoint (drop edges in < k−2 triangles
+    per round; stable from ≤10 rounds at both test scales, margin 14)
+    — extra rounds are no-ops, so the unroll equals the engine's peel
+    exactly. Brute-force peel parity additionally pinned by
+    tests/test_ktruss.py."""
     from neo4j_graph_algorithms_ray.algorithms.ktruss import k_truss
     from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_und_graph
     g = get_web_und_graph(sf_dir)
@@ -1481,11 +1483,13 @@ def _q_web_kcore(sf_dir: str):
 
 
 def _q_web_kcore_decomposition(sf_dir: str):
-    """Full core decomposition of the undirected web link graph —
-    rows-only driver check: the level-synchronous peel is an iterative
-    fixpoint with no faithful SQL expression; the oracle is
-    tests/test_wcc_lpa.py::test_kcore_decomposition_matches_brute_force
-    (min-degree-peel parity on random graphs)."""
+    """Full core decomposition of the undirected web link graph.
+    SQL-oracled via the iterated-h-index fixpoint (Lü et al. PNAS
+    2016): h-index rounds converge monotonically to the exact
+    coreness, so the unrolled SQL equals the engine's level-
+    synchronous peel; convergence margin pinned at 32 rounds
+    (stable from ≤24 at both test scales). Peel parity additionally
+    pinned by tests/test_wcc_lpa.py brute-force comparison."""
     from neo4j_graph_algorithms_ray.algorithms.kcore import kcore_decomposition
     from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_und_graph
     g = get_web_und_graph(sf_dir)
@@ -1952,6 +1956,8 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank_resumed": ow.web_pagerank_sql(PR_ITERS),
         "wcc_resumed": o.wcc_sql(WCC_SQL_ITERS, "components"),
         "web_kcore": ow.web_kcore_sql(3, 40),
+        "web_kcore_decomposition": ow.web_kcore_decomposition_sql(32),
+        "web_ktruss": ow.web_ktruss_sql(4, 14),
         "random_walks": ow.random_walks_sql(4, 7),
         "node2vec_walks": ow.node2vec_walks_sql(4, 7, 1, 2),
         "cocitation": ow.cocitation_sql(20, 50),

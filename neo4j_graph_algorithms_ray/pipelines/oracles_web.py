@@ -1022,3 +1022,54 @@ def host_articlerank_sql(iters: int = 20) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS host, round(r, 6) AS score FROM a{iters} "
               "ORDER BY host")
+
+
+def web_kcore_decomposition_sql(rounds: int = 64) -> str:
+    """Mirror of algorithms/kcore.kcore_decomposition over the deduped
+    undirected web graph, via the iterated-h-index fixpoint (Lü et al.
+    PNAS 2016): c_0 = degree, c_{t+1}(v) = H({c_t(u) : u ∼ v})
+    converges monotonically to the exact coreness, so with enough
+    unrolled rounds the integer core numbers equal the engine's
+    peel exactly. h-index per node = max(min(rank, value)) over
+    neighbors' values ranked descending."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            """wund AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM wedges
+  UNION SELECT dst, src FROM wedges)""",
+            """h0 AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(d.dg, 0) AS BIGINT) AS c
+  FROM wnodes n LEFT JOIN (SELECT a, count(*) AS dg FROM wund GROUP BY a) d
+  ON d.a = n.node)"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""h{t} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(max(least(x.rn, x.c)), 0) AS BIGINT) AS c
+  FROM wnodes n LEFT JOIN (
+    SELECT e.a AS node, p.c,
+           row_number() OVER (PARTITION BY e.a ORDER BY p.c DESC) AS rn
+    FROM wund e JOIN h{t - 1} p ON p.node = e.b) x ON x.node = n.node
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS url, c AS core FROM h{rounds} ORDER BY url")
+
+
+def web_ktruss_sql(k: int = 4, rounds: int = 16) -> str:
+    """Mirror of algorithms/ktruss.k_truss over the deduped undirected
+    web graph: per round drop edges in < k−2 triangles, unrolled to a
+    fixpoint (extra rounds are no-ops once stable). Canonical u < v
+    pairs — dense-id order equals url order."""
+    sup = k - 2
+    ctes = [WEB_BASE, WEB_EDGES,
+            """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM wedges WHERE src != dst)"""]
+    for t in range(rounds):
+        ctes.append(f"""w{t} AS (SELECT u AS a, v AS b FROM e{t}
+  UNION ALL SELECT v, u FROM e{t})""")
+        ctes.append(f"""e{t + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{t} e
+  JOIN w{t} x ON x.a = e.u
+  JOIN w{t} y ON y.a = e.v AND y.b = x.b
+  GROUP BY e.u, e.v HAVING count(*) >= {sup})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT u AS url_u, v AS url_v FROM e{rounds} "
+              "ORDER BY url_u, url_v")
