@@ -1263,6 +1263,60 @@ def _q_host_distinct_outlinks(sf_dir: str):
     return grouped_hll_distinct(hh, "host", "dst_url")
 
 
+def _q_embedding_dim_stats(sf_dir: str):
+    from neo4j_graph_algorithms_ray.functions.ann import embedding_dim_stats
+    return embedding_dim_stats(_emb(sf_dir))
+
+
+def _q_web_graph_summary(sf_dir: str):
+    """One-row link-graph report card: nodes, edges, density, max
+    out/in degree, reciprocal-edge fraction — the shape sanity check a
+    crawl run prints before anything expensive. Composed from
+    map-side-combined degree partials, distributed max aggregates, and
+    one self-join for reciprocity; only scalars reach the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.util import (join_partitions,
+                                                 preagg_sum, predistinct,
+                                                 safe_join)
+
+    e = web_edge_ds(sf_dir).materialize()
+    n_edges = e.count()
+
+    def ones(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b[col],
+                             "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return f
+
+    out_deg = preagg_sum(e.map_batches(ones("src_url"),
+                                       batch_format="pyarrow"), ["node"], "n")
+    in_deg = preagg_sum(e.map_batches(ones("dst_url"),
+                                      batch_format="pyarrow"), ["node"], "n")
+    max_out = int(out_deg.max("n") or 0)
+    max_in = int(in_deg.max("n") or 0)
+    n_nodes = predistinct(
+        e.select_columns(["src_url"]).rename_columns({"src_url": "node"})
+        .union(e.select_columns(["dst_url"])
+               .rename_columns({"dst_url": "node"})), ["node"]).count()
+    rev = e.rename_columns({"src_url": "dst_url", "dst_url": "src_url"})
+    n_recip = safe_join(e, rev, "inner", join_partitions(8),
+                        on=("src_url", "dst_url")).count()
+    def _r6(x: float) -> float:  # half-away-from-zero, DuckDB round()
+        import math
+        return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
+    density = _r6(n_edges / max(n_nodes * (n_nodes - 1), 1))
+    recip = _r6(n_recip / max(n_edges, 1))
+    return pd.DataFrame({
+        "n_nodes": [n_nodes], "n_edges": [n_edges],
+        "density": [density], "max_out_degree": [max_out],
+        "max_in_degree": [max_in], "reciprocity": [recip]})
+
+
 def _q_mis_hosts(sf_dir: str):
     """Luby maximal independent set over the undirected host graph
     (independent crawl-seed selection) — deterministic md5-priority
@@ -1865,6 +1919,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "host_distinct_outlinks": _q_host_distinct_outlinks,
         "filter_report": _q_filter_report,
         "host_articlerank": _q_host_articlerank,
+        "web_graph_summary": _q_web_graph_summary,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2053,6 +2109,8 @@ def oracle_sql() -> dict[str, str]:
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),
+        "web_graph_summary": ow.WEB_GRAPH_SUMMARY_SQL,
+        "embedding_dim_stats": od.EMBEDDING_DIM_STATS_SQL,
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

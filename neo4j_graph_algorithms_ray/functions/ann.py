@@ -514,3 +514,56 @@ def knn_graph(emb: rd.Dataset, k: int = 10, *, ncells: int | None = None,
     return emb.select_columns([id_col, vec_col]) \
         .map_batches(assign, batch_format="pyarrow") \
         .groupby("_cell").map_groups(pergroup, batch_format="pandas")
+
+
+def embedding_dim_stats(emb, *, vec_col: str = "embedding"):
+    """Per-dimension mean / population-std over an embedding column →
+    (dim, mean, std), dim 1-based — the drift/hygiene report run before
+    trusting a vector corpus (dead dims, scale skew, normalization
+    checks).
+
+    Scale shape: per-batch fixed-size (D × [sum, sumsq, n]) partials
+    (one reshape + two vectorized reductions per batch) into a
+    map-side-combined groupby; only the D-row moment table reaches the
+    finalize. Zero-copy Arrow list flatten, float64 accumulation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        x = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.num_rows
+        if n == 0 or len(x) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "ss": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        d = len(x) // n
+        m = x.reshape(n, d)
+        return pa.table({"dim": pa.array(np.arange(1, d + 1)),
+                         "s": pa.array(m.sum(axis=0)),
+                         "ss": pa.array((m * m).sum(axis=0)),
+                         "n": pa.array(np.full(d, n, np.int64))})
+
+    agg = preagg_sum(emb.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow"), ["dim"], ["s", "ss", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        ss = b["ss"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        r6 = lambda v: np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6
+        return pa.table({"dim": b["dim"],
+                         "mean": pa.array(r6(mean)),
+                         "std": pa.array(r6(np.sqrt(var)))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1188,3 +1188,15 @@ dec AS (SELECT q.doc_id,
         FROM q JOIN pl USING (doc_id) JOIN rr ON rr.doc_id = q.doc_id)
 SELECT doc_id, CAST(reason = 'keep' AS BIGINT) AS keep, reason
 FROM dec ORDER BY doc_id"""
+
+
+EMBEDDING_DIM_STATS_SQL = """WITH dims AS (
+  SELECT unnest(generate_series(1, len((SELECT embedding FROM embeddings
+                                        LIMIT 1)))) AS dim),
+v AS (SELECT d.dim, CAST(e.embedding[d.dim] AS DOUBLE) AS x
+      FROM embeddings e, dims d)
+SELECT dim,
+       round(sum(x) / count(*), 6) AS mean,
+       round(sqrt(greatest(sum(x * x) / count(*)
+                           - pow(sum(x) / count(*), 2), 0)), 6) AS std
+FROM v GROUP BY dim ORDER BY dim"""

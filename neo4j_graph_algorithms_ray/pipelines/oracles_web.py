@@ -1073,3 +1073,20 @@ def web_ktruss_sql(k: int = 4, rounds: int = 16) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT u AS url_u, v AS url_v FROM e{rounds} "
               "ORDER BY url_u, url_v")
+
+
+WEB_GRAPH_SUMMARY_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{WEB_NODES},
+od AS (SELECT max(c) AS m FROM (SELECT count(*) AS c FROM wedges GROUP BY src)),
+idg AS (SELECT max(c) AS m FROM (SELECT count(*) AS c FROM wedges GROUP BY dst)),
+nn2 AS (SELECT count(*) AS n FROM wnodes),
+ne AS (SELECT count(*) AS n FROM wedges),
+rc AS (SELECT count(*) AS n FROM wedges a
+       JOIN wedges b ON b.src = a.dst AND b.dst = a.src)
+SELECT nn2.n AS n_nodes, ne.n AS n_edges,
+       round(ne.n / greatest(CAST(nn2.n AS DOUBLE) * (nn2.n - 1), 1), 6)
+         AS density,
+       od.m AS max_out_degree, idg.m AS max_in_degree,
+       round(rc.n / greatest(CAST(ne.n AS DOUBLE), 1), 6) AS reciprocity
+FROM nn2, ne, od, idg, rc"""
