@@ -1683,6 +1683,17 @@ def _q_host_articlerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_host_katz(sf_dir: str):
+    """Katz centrality over the host graph (attenuated path counts,
+    no degree normalization) — the third of the engine's one-scatter
+    centralities alongside eigenvector and ArticleRank."""
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import katz
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    g = get_host_graph(sf_dir)
+    res = katz(g, 0.05, 1.0, max_iterations=PR_ITERS, node_col="host")
+    return _round6(res.dataset, "score")
+
+
 def _q_neighbor_degree_mean(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.neighborhood import (
         neighbor_degree_mean)
@@ -1921,6 +1932,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "host_articlerank": _q_host_articlerank,
         "web_graph_summary": _q_web_graph_summary,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "host_katz": _q_host_katz,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2111,6 +2123,7 @@ def oracle_sql() -> dict[str, str]:
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),
         "web_graph_summary": ow.WEB_GRAPH_SUMMARY_SQL,
         "embedding_dim_stats": od.EMBEDDING_DIM_STATS_SQL,
+        "host_katz": ow.host_katz_sql(0.05, 1.0, PR_ITERS),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

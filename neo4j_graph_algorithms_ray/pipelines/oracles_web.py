@@ -1090,3 +1090,28 @@ SELECT nn2.n AS n_nodes, ne.n AS n_edges,
        od.m AS max_out_degree, idg.m AS max_in_degree,
        round(rc.n / greatest(CAST(ne.n AS DOUBLE), 1), 6) AS reciprocity
 FROM nn2, ne, od, idg, rc"""
+
+
+def host_katz_sql(alpha: float = 0.05, beta: float = 1.0,
+                  iters: int = 20) -> str:
+    """Mirror of algorithms/pagerank.katz over the host graph."""
+    ctes = [WEB_BASE, WEB_EDGES,
+            """hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1))""",
+            "hnodes AS MATERIALIZED (SELECT src AS node FROM hedges "
+            "UNION SELECT dst FROM hedges)",
+            f"x0 AS (SELECT node, CAST({beta} AS DOUBLE) AS r FROM hnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""x{k} AS MATERIALIZED (
+  SELECT n.node, {beta} + {alpha} * coalesce(sum(p.r), 0) AS r
+  FROM hnodes n
+  LEFT JOIN hedges e ON e.dst = n.node
+  LEFT JOIN x{k-1} p ON p.node = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS host, round(r, 6) AS score FROM x{iters} "
+              "ORDER BY host")

@@ -64,3 +64,16 @@ def test_effective_diameter_path_graph():
     # cum: 4,7,9,10 -> 0.9*10=9 reached at d=3
     assert row["effective_diameter"] == 3
     assert abs(row["mean_distance"] - 2.0) < 1e-9
+
+
+def test_embedding_dim_stats_reference():
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.functions.ann import embedding_dim_stats
+    vecs = [[1.0, 2.0, 3.0], [3.0, 2.0, 1.0], [2.0, 2.0, 2.0]]
+    ds = rd.from_items([{"embedding": v} for v in vecs])
+    rows = {r["dim"]: r for r in embedding_dim_stats(ds).take_all()}
+    m = np.array(vecs)
+    for d in (1, 2, 3):
+        assert abs(rows[d]["mean"] - m[:, d - 1].mean()) < 1e-6
+        assert abs(rows[d]["std"] - m[:, d - 1].std()) < 1e-6

@@ -210,3 +210,34 @@ def test_articlerank_dampens_hubs():
     # relatively more (1 -> 1+avg vs 5 -> 5+avg), so node 1's lead
     # over node 2 must NARROW vs plain PageRank
     assert (ar[1] - ar[2]) / ar[2] < (pr[1] - pr[2]) / pr[2]
+
+
+def test_katz_cycle_closed_form():
+    import math
+
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import katz
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    # on a cycle every node has exactly one in-neighbor:
+    # x_{t+1} = 1 + a x_t -> fixpoint 1/(1-a)
+    g = build_graph(rd.from_items(
+        [{"src": 0, "dst": 1}, {"src": 1, "dst": 2}, {"src": 2, "dst": 0}]),
+        name="katz_cycle")
+    res = katz(g, alpha=0.2, beta=1.0, max_iterations=80)
+    for r in res.dataset.take_all():
+        assert math.isclose(r["score"], 1 / (1 - 0.2), rel_tol=1e-9)
+
+
+def test_katz_no_degree_normalization():
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import katz
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    # hub 0 -> {1,2}: both targets receive the hub's FULL attenuated
+    # score (no /outdeg split), so x1 == x2 == beta + alpha*beta
+    g = build_graph(rd.from_items(
+        [{"src": 0, "dst": 1}, {"src": 0, "dst": 2}]), name="katz_hub")
+    xs = {r["node"]: r["score"]
+          for r in katz(g, 0.5, 1.0, max_iterations=5).dataset.take_all()}
+    assert xs[1] == xs[2] == 1.5
