@@ -282,6 +282,26 @@ def headline(num_cpus: int) -> dict:
     ck_sec = queries.pop(f"chunk_docs_{n_big}d")
     extras["chunk_docs_per_sec"] = round(n_big / ck_sec, 1)
 
+    # round-4 session-5 corpus operators (throughput lines only):
+    # winnowing fingerprints (byte-level, every doc) and cross-doc
+    # duplicate-n-gram scoring (two corpus passes + broadcast dup set)
+    from neo4j_graph_algorithms_ray.functions.text import (dup_ngram_frac,
+                                                           winnow_fingerprints)
+
+    def winnow_pass():
+        return winnow_fingerprints(big_docs, k=8, w=4).count()
+
+    timed(f"winnow_{n_big}d", winnow_pass, repeats=2)
+    wn_sec = queries.pop(f"winnow_{n_big}d")
+    extras["winnow_docs_per_sec"] = round(n_big / wn_sec, 1)
+
+    def dupgram_pass():
+        return dup_ngram_frac(big_docs, k=5, min_docs=2).count()
+
+    timed(f"dup_ngram_{n_big}d", dupgram_pass, repeats=2)
+    dg_sec = queries.pop(f"dup_ngram_{n_big}d")
+    extras["dup_ngram_docs_per_sec"] = round(n_big / dg_sec, 1)
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",
