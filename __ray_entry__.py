@@ -108,6 +108,52 @@ def _q_community_conductance(sf_dir: str):
                                  src_col="src", dst_col="dst")
 
 
+def _q_modularity_score(sf_dir: str):
+    """Directed Newman modularity report for the LPA partition
+    (community_metrics.modularity): per community internal/out/in
+    edge counts and the modularity contribution — the partition-
+    quality number a community pipeline prints next to conductance."""
+    from neo4j_graph_algorithms_ray.algorithms import label_propagation
+    from neo4j_graph_algorithms_ray.algorithms.common import \
+        translate_vid_columns
+    from neo4j_graph_algorithms_ray.algorithms.community_metrics import \
+        modularity
+    from neo4j_graph_algorithms_ray.pipelines.tpch import (
+        get_graph, purchase_edge_ds)
+    g = get_graph(sf_dir, "purchase")
+    res = label_propagation(g, max_iterations=LPA_SWEEPS, mode="semi")
+    labels = translate_vid_columns(g, res.dataset, ["label"])
+    return modularity(purchase_edge_ds(sf_dir), labels,
+                      src_col="src", dst_col="dst")
+
+
+def _q_labelprop_seeded(sf_dir: str):
+    """Seeded label propagation — the reference's ``partition`` seed
+    property (LabelPropagation420Test.java:37-60 seeds, doc/
+    label-propagation.adoc): every node starts from a supplied class
+    label (here node % 97, a 97-class semi-supervised seeding) and the
+    same semi-synchronous min-tie kernel propagates them. Labels stay
+    in seed-class space, so the result is (node, class) — the
+    propagate-labels-from-seeds workflow of semi-supervised node
+    classification."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import label_propagation
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+
+    def seed(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(n), "label": pa.array(n % 97)})
+
+    seeds = g.vertices.select_columns(["node"]).map_batches(
+        seed, batch_format="pyarrow")
+    res = label_propagation(g, max_iterations=LPA_SWEEPS, mode="semi",
+                            seed_dataset=seeds)
+    return res.dataset
+
+
 def _q_labelprop_weighted(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import label_propagation
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -125,6 +171,61 @@ def _q_triangle_global(sf_dir: str):
     g = get_graph(sf_dir, "copart")
     _, stats, _ = triangle_count(g)
     return pd.DataFrame({"triangle_count": [stats["triangleCount"]]})
+
+
+def _q_global_transitivity(sf_dir: str):
+    """Global transitivity (one-row graph summary): 3·triangles /
+    wedges with wedges = Σ_v d_v(d_v−1)/2 over the undirected
+    co-purchase simple graph — the whole-graph companion of the
+    per-node clustering coefficient."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import triangle_count
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.tpch import (copart_edge_ds,
+                                                           get_graph)
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+    g = get_graph(sf_dir, "copart")
+    _, stats, _ = triangle_count(g)
+    tri = int(stats["triangleCount"])
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        one = pa.array(np.ones(b.num_rows, np.int64))
+        return pa.concat_tables([pa.table({"node": b["src"], "d": one}),
+                                 pa.table({"node": b["dst"], "d": one})])
+
+    deg = preagg_sum(
+        copart_edge_ds(sf_dir).map_batches(endpoints,
+                                           batch_format="pyarrow"),
+        ["node"], "d")
+
+    def wedge_partial(b: pa.Table) -> pa.Table:
+        d = b["d"].to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    wedges = 0
+    for t in collect_arrow(deg.map_batches(wedge_partial,
+                                           batch_format="pyarrow")):
+        if t.num_rows:
+            wedges += int(t["w"].to_numpy(zero_copy_only=False).sum())
+    trans = round6(np.array([3.0 * tri / wedges if wedges > 0 else 0.0]))
+    return pd.DataFrame({"triangles": pd.array([tri], dtype="int64"),
+                         "wedges": pd.array([wedges], dtype="int64"),
+                         "transitivity": trans})
+
+
+def _q_rich_club(sf_dir: str):
+    """Rich-club coefficient profile of the page link graph — do the
+    high-degree pages preferentially link to each other? φ(k) for
+    k ∈ {2,4,8,16,32} over the symmetrized simple graph."""
+    from neo4j_graph_algorithms_ray.algorithms.community_metrics import \
+        rich_club
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    return rich_club(web_edge_ds(sf_dir), src_col="src_url",
+                     dst_col="dst_url")
 
 
 def _q_triangle_per_node(sf_dir: str):
@@ -1933,6 +2034,10 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_graph_summary": _q_web_graph_summary,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "host_katz": _q_host_katz,
+        "modularity_score": _q_modularity_score,
+        "labelprop_seeded": _q_labelprop_seeded,
+        "rich_club": _q_rich_club,
+        "global_transitivity": _q_global_transitivity,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2046,6 +2151,10 @@ def oracle_sql() -> dict[str, str]:
         "wcc_sizes": o.wcc_sql(WCC_SQL_ITERS, "sizes"),
         "labelprop": o.lpa_sql(LPA_SWEEPS),
         "community_conductance": o.lpa_conductance_sql(LPA_SWEEPS),
+        "modularity_score": o.lpa_modularity_sql(LPA_SWEEPS),
+        "labelprop_seeded": o.lpa_seeded_sql(LPA_SWEEPS),
+        "rich_club": ow.RICH_CLUB_SQL,
+        "global_transitivity": o.GLOBAL_TRANSITIVITY_SQL,
         "labelprop_weighted": o.lpa_weighted_sql(LPA_SWEEPS),
         "triangle_count_global": o.TRIANGLE_GLOBAL_SQL,
         "triangle_count_per_node": o.TRIANGLE_PER_NODE_SQL,

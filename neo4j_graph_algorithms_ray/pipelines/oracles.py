@@ -151,6 +151,79 @@ FROM sizes s JOIN agg a ON a.community = s.community
 ORDER BY s.community""")
 
 
+def lpa_modularity_sql(sweeps: int = 6) -> str:
+    """Directed-modularity mirror (algorithms/community_metrics.py
+    ``modularity``): per LPA community, internal / out / in edge
+    counts and contribution = internal/m − out·in/m², round6."""
+    ctes = _lpa_label_ctes(sweeps)
+    ctes.append("""el AS MATERIALIZED (
+  SELECT ls.label AS cs, ld.label AS cd
+  FROM edges e JOIN lab ls ON ls.node = e.src
+  JOIN lab ld ON ld.node = e.dst)""")
+    ctes.append("mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM el)")
+    ctes.append("""contrib AS (
+  SELECT cs AS community, CASE WHEN cs = cd THEN 1 ELSE 0 END AS i,
+         1 AS o, 0 AS ii FROM el
+  UNION ALL
+  SELECT cd, 0, 0, 1 FROM el)""")
+    ctes.append("""agg AS (
+  SELECT community, CAST(sum(i) AS BIGINT) AS internal_edges,
+         CAST(sum(o) AS BIGINT) AS out_edges,
+         CAST(sum(ii) AS BIGINT) AS in_edges
+  FROM contrib GROUP BY community)""")
+    ctes.append("""sizes AS (
+  SELECT label AS community, count(*) AS n_nodes FROM lab GROUP BY label)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT s.community, s.n_nodes, a.internal_edges, a.out_edges, a.in_edges,
+       round(a.internal_edges / (SELECT m FROM mm)
+             - (CAST(a.out_edges AS DOUBLE) * a.in_edges)
+               / ((SELECT m FROM mm) * (SELECT m FROM mm)), 6) AS contribution
+FROM sizes s JOIN agg a ON a.community = s.community
+ORDER BY s.community""")
+
+
+def lpa_seeded_sql(sweeps: int = 6, mod: int = 97) -> str:
+    """Seeded-LPA mirror: identical unroll to :func:`lpa_sql` except
+    l0 starts from the seed class ``node % mod`` instead of the vid,
+    and labels stay in seed-class space (no vid→node mapping)."""
+    ctes = [G1_EDGES, G1_NODES,
+            "vn AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) - 1 AS vid FROM nodes)",
+            "ev AS MATERIALIZED (SELECT s.vid AS sv, t.vid AS tv FROM edges e "
+            "JOIN vn s ON s.node = e.src JOIN vn t ON t.node = e.dst)",
+            f"l0 AS (SELECT vid, node % {mod} AS lab FROM vn)"]
+    for k in range(1, sweeps + 1):
+        parity = (k - 1) % 2
+        ctes.append(f"""v{k} AS MATERIALIZED (
+  SELECT e.tv AS vid, p.lab AS lab, count(*) AS c
+  FROM ev e JOIN l{k-1} p ON p.vid = e.sv GROUP BY e.tv, p.lab)""")
+        ctes.append(f"""b{k} AS MATERIALIZED (
+  SELECT vid, lab AS best FROM (
+    SELECT vid, lab, row_number() OVER (PARTITION BY vid ORDER BY c DESC, lab ASC) AS rn
+    FROM v{k}) t WHERE rn = 1)""")
+        ctes.append(f"""l{k} AS MATERIALIZED (
+  SELECT n.vid,
+         CASE WHEN n.vid % 2 = {parity} AND b.best IS NOT NULL THEN b.best ELSE p.lab END AS lab
+  FROM vn n JOIN l{k-1} p ON p.vid = n.vid LEFT JOIN b{k} b ON b.vid = n.vid)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT n.node, l.lab AS label
+FROM vn n JOIN l{sweeps} l ON l.vid = n.vid
+ORDER BY n.node""")
+
+
+GLOBAL_TRANSITIVITY_SQL = f"""WITH {CO_EDGES},
+tri AS (SELECT count(*) AS t FROM co e1
+        JOIN co e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN co e3 ON e3.u = e1.v AND e3.v = e2.v),
+deg AS (SELECT node, count(*) AS d FROM
+        (SELECT u AS node FROM co UNION ALL SELECT v AS node FROM co) x
+        GROUP BY node),
+w AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS wedges FROM deg)
+SELECT tri.t AS triangles, w.wedges,
+       round(CASE WHEN w.wedges > 0 THEN 3.0 * tri.t / w.wedges
+             ELSE 0 END, 6) AS transitivity
+FROM tri, w"""
+
+
 def louvain_sql(sweeps: int = 6) -> str:
     """Exact unrolled mirror of the engine's semi-synchronous parity
     Louvain sweeps over the copart graph (algorithms/louvain.py

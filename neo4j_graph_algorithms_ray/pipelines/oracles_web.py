@@ -769,6 +769,30 @@ t AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(ln(dg / 1.5)) AS s
 SELECT round(1 + n / s, 6) AS alpha, CAST(n AS BIGINT) AS n_tail FROM t"""
 
 
+RICH_CLUB_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM wedges),
+deg AS (SELECT node, count(*) AS d FROM
+        (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) t
+        GROUP BY node),
+ks AS (SELECT CAST(unnest([2, 4, 8, 16, 32]) AS BIGINT) AS k),
+ek AS (SELECT ks.k, count(*) AS rich_edges
+       FROM und p JOIN deg da ON da.node = p.u
+       JOIN deg db ON db.node = p.v
+       CROSS JOIN ks
+       WHERE least(da.d, db.d) > ks.k GROUP BY ks.k),
+nk AS (SELECT ks.k, count(*) AS n_rich FROM deg CROSS JOIN ks
+       WHERE deg.d > ks.k GROUP BY ks.k)
+SELECT nk.k, nk.n_rich, coalesce(ek.rich_edges, 0) AS rich_edges,
+       round(CASE WHEN nk.n_rich > 1
+             THEN 2.0 * coalesce(ek.rich_edges, 0)
+                  / (nk.n_rich * (nk.n_rich - 1.0))
+             ELSE 0 END, 6) AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+ORDER BY nk.k"""
+
+
 HOST_TRIANGLES_SQL = f"""WITH {WEB_BASE},
 {WEB_EDGES},
 hp AS MATERIALIZED (
