@@ -173,6 +173,125 @@ def _q_triangle_global(sf_dir: str):
     return pd.DataFrame({"triangle_count": [stats["triangleCount"]]})
 
 
+def _q_zipf_alpha(sf_dir: str):
+    """Zipf exponent MLE over the documents corpus vocabulary
+    (functions/text.zipf_alpha) — one row (alpha, n_tail)."""
+    from neo4j_graph_algorithms_ray.functions.text import zipf_alpha
+    return zipf_alpha(_docs(sf_dir))
+
+
+def _q_host_outlink_entropy(sf_dir: str):
+    """Per-host outlink diversity: Shannon entropy of each host's
+    outlink distribution over target hosts (weights = distinct page
+    links), with target count and total links — the crawl-frontier
+    diversity signal separating broad hubs from link farms.
+    H = ln(T) − (Σ n·ln n)/T from map-side-combinable scalar partials;
+    only the per-host table shuffles."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            b["src_host"].to_numpy(zero_copy_only=False))
+        n = b["n_links"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "host": pa.array(uniq),
+            "n_targets": np.bincount(codes,
+                                     minlength=len(uniq)).astype(np.int64),
+            "total_links": np.bincount(codes, weights=n,
+                                       minlength=len(uniq))
+            .astype(np.int64),
+            "s2": np.bincount(codes, weights=n * np.log(n),
+                              minlength=len(uniq))})
+
+    agg = preagg_sum(
+        host_edge_ds(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        ["host"], ["n_targets", "total_links", "s2"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b["total_links"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s2 = b["s2"].to_numpy(zero_copy_only=False)
+        ent = round6(np.log(t) - s2 / t)
+        return pa.table({"host": b["host"], "n_targets": b["n_targets"],
+                         "total_links": b["total_links"],
+                         "entropy": pa.array(ent)})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("host")
+
+
+def _q_scc_condensation(sf_dir: str):
+    """Condensation DAG of strongly connected components: distinct
+    (src_comp, dst_comp) edges between different SCCs — the DAG a
+    reachability / bow-tie analysis walks. Input: the trade graph
+    with the supplier→customer backedges deterministically thinned
+    (keep (src+dst) % 3 == 0), because the full trade AND page graphs
+    both collapse into one giant SCC at driver scale — the thinned
+    graph exposes a real SCC mixture."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import scc
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.tpch import trade_edge_ds
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+    from neo4j_graph_algorithms_ray.util import (broadcast_join,
+                                                 predistinct)
+
+    def thin(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        keep = (src < 1_000_000) | ((src + dst) % 3 == 0)
+        return b.filter(pa.array(keep))
+
+    e = trade_edge_ds(sf_dir).map_batches(thin, batch_format="pyarrow") \
+        .materialize()
+    name = f"trade_thin:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        g = build_graph(e, name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    labels = scc(g).dataset.materialize()
+    j = broadcast_join(
+        e, labels.rename_columns({"node": "__n", "component": "src_comp"}),
+        on="src", right_on="__n")
+    j = broadcast_join(
+        j, labels.rename_columns({"node": "__n", "component": "dst_comp"}),
+        on="dst", right_on="__n")
+    j = j.select_columns(["src_comp", "dst_comp"]) \
+        .filter(expr="src_comp != dst_comp")
+    res = predistinct(j, ["src_comp", "dst_comp"]) \
+        .sort(["src_comp", "dst_comp"]).materialize()
+    if res.count() == 0:
+        return pa.table({"src_comp": pa.array([], pa.int64()),
+                         "dst_comp": pa.array([], pa.int64())})
+    return res
+
+
+def _q_local_bridges(sf_dir: str):
+    """Local bridges of the co-purchase graph (Granovetter's weak
+    ties): edges whose endpoints share no common neighbor — triangle
+    support 0 from one wedge-closure pass (ktruss.edge_support)."""
+    from neo4j_graph_algorithms_ray.algorithms.ktruss import edge_support
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    import pyarrow as pa
+    g = get_graph(sf_dir, "copart")
+    sup = edge_support(g)
+    res = sup.filter(expr="support == 0").select_columns(["u", "v"]) \
+        .sort(["u", "v"]).materialize()
+    if res.count() == 0:
+        # filtered-empty Datasets lose their schema entirely (not just
+        # the column names _empty_safe recovers) — hand back typed empty
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+    return res
+
+
 def _q_global_transitivity(sf_dir: str):
     """Global transitivity (one-row graph summary): 3·triangles /
     wedges with wedges = Σ_v d_v(d_v−1)/2 over the undirected
@@ -1097,6 +1216,17 @@ def _q_neardup_clusters(sf_dir: str):
 def _q_simhash_pairs(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.dedup import simhash_pairs
     return _empty_safe(simhash_pairs(_docs(sf_dir), max_hamming=8))
+
+
+def _q_simhash_clusters(sf_dir: str):
+    """Near-dup cluster resolution over the SimHash pair set — the
+    same pairs → WCC closure → min-id representative composition as
+    neardup_clusters, fed by the hamming-verified SimHash candidates
+    (dedup.neardup_clusters accepts any pair Dataset)."""
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        neardup_clusters, simhash_pairs)
+    docs = _docs(sf_dir)
+    return neardup_clusters(docs, pairs=simhash_pairs(docs, max_hamming=8))
 
 
 def _q_emb_neardup(sf_dir: str):
@@ -2038,6 +2168,11 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "labelprop_seeded": _q_labelprop_seeded,
         "rich_club": _q_rich_club,
         "global_transitivity": _q_global_transitivity,
+        "zipf_alpha": _q_zipf_alpha,
+        "host_outlink_entropy": _q_host_outlink_entropy,
+        "scc_condensation": _q_scc_condensation,
+        "local_bridges": _q_local_bridges,
+        "simhash_clusters": _q_simhash_clusters,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2155,6 +2290,11 @@ def oracle_sql() -> dict[str, str]:
         "labelprop_seeded": o.lpa_seeded_sql(LPA_SWEEPS),
         "rich_club": ow.RICH_CLUB_SQL,
         "global_transitivity": o.GLOBAL_TRANSITIVITY_SQL,
+        "zipf_alpha": od.zipf_alpha_sql(2),
+        "host_outlink_entropy": ow.HOST_OUTLINK_ENTROPY_SQL,
+        "scc_condensation": o.SCC_CONDENSATION_SQL,
+        "local_bridges": o.LOCAL_BRIDGES_SQL,
+        "simhash_clusters": od.simhash_clusters_sql(),
         "labelprop_weighted": o.lpa_weighted_sql(LPA_SWEEPS),
         "triangle_count_global": o.TRIANGLE_GLOBAL_SQL,
         "triangle_count_per_node": o.TRIANGLE_PER_NODE_SQL,

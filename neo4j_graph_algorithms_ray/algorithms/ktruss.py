@@ -82,6 +82,55 @@ def _truss_peel(n: int, k: int, *blocks: pa.Table) -> pa.Table:
                                                 dtype=np.int64))})
 
 
+@ray.remote
+def _support_pass(n: int, *blocks: pa.Table) -> pa.Table:
+    us, vs = [], []
+    for tbl in blocks:
+        us.append(tbl.column("u").to_numpy(zero_copy_only=False))
+        vs.append(tbl.column("v").to_numpy(zero_copy_only=False))
+    u = np.concatenate(us) if us else np.empty(0, np.int64)
+    v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+    ckeys = np.unique(u * np.int64(n) + v)
+    sup = _support(n, ckeys) if len(ckeys) else np.empty(0, np.int64)
+    return pa.table({"u": pa.array(ckeys // n, pa.int64()),
+                     "v": pa.array(ckeys % n, pa.int64()),
+                     "support": pa.array(sup)})
+
+
+def edge_support(
+    g: GraphTables,
+    *,
+    node_cols: tuple[str, str] = ("u", "v"),
+) -> rd.Dataset:
+    """Per-edge triangle support of the undirected simple graph →
+    (u, v, support) in original ids, u < v by dense-id order. One
+    wedge-closure pass (no peel) — the primitive behind trusses,
+    and support = 0 is exactly Granovetter's *local bridge* (an edge
+    whose endpoints share no neighbor: its removal lengthens the
+    u–v distance beyond 2). Same broadcast-regime contract and
+    fast-path limit as :func:`k_truss`."""
+    limit = _fast_path_limit()
+    if g.num_edges > limit:
+        raise RuntimeError(
+            f"edge_support: {g.num_edges} edges exceed the "
+            f"single-worker limit {limit}. The at-scale path is the "
+            "distributed triangle JOIN regime emitting per-edge hit "
+            "counts; raise NGA_TRIANGLE_FAST_PATH_EDGE_LIMIT if one "
+            "worker can hold the edge set.")
+    und = _undirected_simple_edges(g)
+    blocks = und.to_arrow_refs()
+    out_ref = _support_pass.remote(g.num_vertices, *blocks)
+    ds = rd.from_arrow_refs([out_ref])
+    vmap = g.vid_to_node_map()
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        return pa.table({node_cols[0]: vmap.take(b["u"]),
+                         node_cols[1]: vmap.take(b["v"]),
+                         "support": b["support"]})
+
+    return ds.map_batches(to_ids, batch_format="pyarrow")
+
+
 def k_truss(
     g: GraphTables,
     k: int = 3,

@@ -375,6 +375,40 @@ def vocab_topk(docs, *, topk: int = 100, id_col: str = "doc_id",
     return agg.sort(["n_occ", "token"], descending=[True, False]).limit(topk)
 
 
+def zipf_alpha(docs, *, fmin: int = 2, text_col: str = "text"):
+    """Zipf exponent of the corpus token-frequency distribution — the
+    discrete power-law MLE (Clauset-Shalizi-Newman 2009, same
+    estimator as community_metrics.powerlaw_alpha) over per-token
+    occurrence counts with frequency ≥ ``fmin``. The is-my-corpus-
+    Zipfian sanity check before subword-vocab sizing. One row
+    (alpha, n_tail).
+
+    Scale shape: the vocabulary reduces through the same factorized
+    map-side combine as vocab_topk; the MLE pass then collapses the
+    (token, count) table to two scalar partials per batch."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms.community_metrics import \
+        powerlaw_alpha
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, toks = _token_arrays(b[text_col])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "f": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "f": np.bincount(codes,
+                                          minlength=len(uniq))
+                         .astype(np.int64)})
+
+    freq = preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
+                      ["token"], "f")
+    return powerlaw_alpha(freq, degree_col="f", dmin=fmin)
+
+
 def doc_sample(docs, *, pct: int = 20, id_col: str = "doc_id"):
     """Deterministic hash sampling: keep rows whose md5(id) bucket
     (mod 100) is < ``pct``. The reproducible corpus-subsetting primitive

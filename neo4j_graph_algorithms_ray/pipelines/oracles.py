@@ -210,6 +210,18 @@ FROM vn n JOIN l{sweeps} l ON l.vid = n.vid
 ORDER BY n.node""")
 
 
+LOCAL_BRIDGES_SQL = f"""WITH {CO_EDGES},
+nbr AS (SELECT u AS x, v AS y FROM co UNION ALL SELECT v, u FROM co),
+sup AS (SELECT e.u, e.v, count(*) AS s
+        FROM co e JOIN nbr n1 ON n1.x = e.u
+        JOIN nbr n2 ON n2.x = e.v AND n2.y = n1.y
+        GROUP BY e.u, e.v)
+SELECT e.u AS u, e.v AS v
+FROM co e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+WHERE coalesce(sup.s, 0) = 0
+ORDER BY u, v"""
+
+
 GLOBAL_TRANSITIVITY_SQL = f"""WITH {CO_EDGES},
 tri AS (SELECT count(*) AS t FROM co e1
         JOIN co e2 ON e2.u = e1.u AND e2.v > e1.v
@@ -510,6 +522,32 @@ SELECT n.node AS node,
        greatest(n.node, coalesce(max(m.w), n.node)) AS component
 FROM tnodes n LEFT JOIN mutual m ON m.v = n.node
 GROUP BY n.node ORDER BY node"""
+
+
+SCC_CONDENSATION_SQL = f"""WITH RECURSIVE {TRADE_EDGES},
+thin AS MATERIALIZED (
+  SELECT src, dst FROM tedges
+  WHERE src < 1000000 OR (src + dst) % 3 = 0),
+tn AS MATERIALIZED (
+  SELECT src AS node FROM thin UNION SELECT dst FROM thin),
+reach(s, d) AS (
+  SELECT src, dst FROM thin
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN thin e ON e.src = r.d
+),
+mutual AS (
+  SELECT r1.s AS v, r1.d AS w
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+),
+comp AS (
+  SELECT n.node, greatest(n.node, coalesce(max(m.w), n.node)) AS c
+  FROM tn n LEFT JOIN mutual m ON m.v = n.node GROUP BY n.node
+)
+SELECT DISTINCT cs.c AS src_comp, cd.c AS dst_comp
+FROM thin e JOIN comp cs ON cs.node = e.src
+JOIN comp cd ON cd.node = e.dst
+WHERE cs.c != cd.c
+ORDER BY src_comp, dst_comp"""
 
 
 def eccentricity_sampled_sql(iters: int = 10) -> str:

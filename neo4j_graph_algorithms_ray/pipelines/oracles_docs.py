@@ -265,12 +265,10 @@ def neardup_clusters_sql(iters: int = 25, num_perm: int = 8, bands: int = 4,
             + f"\nSELECT node AS doc_id, c AS rep_id FROM r{iters} ORDER BY doc_id")
 
 
-def simhash_sql(max_hamming: int = 8) -> str:
-    """Bit-exact mirror of functions/dedup.simhash_pairs: token hash =
-    first 16 md5 hex digits (uint64); simhash bit b set iff the ±1
-    majority over all token occurrences of bit b is positive; 4×16-bit
-    band keys; pairs verified by bit_count(xor) ≤ max_hamming."""
-    return f"""WITH toksm AS MATERIALIZED (
+def _simhash_pair_ctes(max_hamming: int = 8) -> str:
+    """CTE chain ending in ``sh_pairs(a, b, hamming)`` — shared by
+    simhash_sql and simhash_clusters_sql."""
+    return f"""toksm AS MATERIALIZED (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
   FROM documents WHERE trim(text) <> ''),
 th AS MATERIALIZED (
@@ -296,12 +294,43 @@ bk AS (
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
-                     AND x.doc_id < y.doc_id)
-SELECT c.a AS a, c.b AS b,
-       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
-FROM cand c JOIN allsh sa ON sa.doc_id = c.a JOIN allsh sb ON sb.doc_id = c.b
-WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
-ORDER BY a, b"""
+                     AND x.doc_id < y.doc_id),
+sh_pairs AS MATERIALIZED (
+  SELECT c.a AS a, c.b AS b,
+         CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+  FROM cand c JOIN allsh sa ON sa.doc_id = c.a
+  JOIN allsh sb ON sb.doc_id = c.b
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming})"""
+
+
+def simhash_sql(max_hamming: int = 8) -> str:
+    """Bit-exact mirror of functions/dedup.simhash_pairs: token hash =
+    first 16 md5 hex digits (uint64); simhash bit b set iff the ±1
+    majority over all token occurrences of bit b is positive; 4×16-bit
+    band keys; pairs verified by bit_count(xor) ≤ max_hamming."""
+    return ("WITH " + _simhash_pair_ctes(max_hamming)
+            + "\nSELECT a, b, hamming FROM sh_pairs ORDER BY a, b")
+
+
+def simhash_clusters_sql(iters: int = 25, max_hamming: int = 8) -> str:
+    """Mirror of neardup_clusters over the SimHash pair set: unrolled
+    min-label propagation (same closure as neardup_clusters_sql)."""
+    ctes = [_simhash_pair_ctes(max_hamming),
+            "symp AS MATERIALIZED (SELECT a, b FROM sh_pairs "
+            "UNION ALL SELECT b AS a, a AS b FROM sh_pairs)",
+            "dn AS (SELECT doc_id AS node FROM documents)",
+            "r0 AS (SELECT node, node AS c FROM dn)"]
+    for it in range(1, iters + 1):
+        ctes.append(f"""r{it} AS MATERIALIZED (
+  SELECT n.node, least(p.c, coalesce(min(q.c), p.c)) AS c
+  FROM dn n
+  JOIN r{it-1} p ON p.node = n.node
+  LEFT JOIN symp e ON e.a = n.node
+  LEFT JOIN r{it-1} q ON q.node = e.b
+  GROUP BY n.node, p.c)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, c AS rep_id FROM r{iters} "
+              "ORDER BY doc_id")
 
 EMB_NEARDUP_SQL = """WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
@@ -382,6 +411,21 @@ occ AS (SELECT doc_id, unnest(tk) AS token FROM tl)
 SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
 FROM occ GROUP BY token
 ORDER BY n_occ DESC, token ASC LIMIT {topk}"""
+
+
+def zipf_alpha_sql(fmin: int = 2) -> str:
+    """Mirror of functions/text.zipf_alpha: token frequencies from the
+    same lowered whitespace tokenization, CSN discrete MLE over
+    frequencies ≥ fmin."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT unnest(tk) AS token FROM tl),
+freq AS (SELECT token, count(*) AS f FROM occ GROUP BY token),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(ln(f / {fmin - 0.5})) AS s
+      FROM freq WHERE f >= {fmin})
+SELECT round(1 + n / s, 6) AS alpha, CAST(n AS BIGINT) AS n_tail FROM t"""
 
 
 def doc_sample_sql(pct: int = 20) -> str:

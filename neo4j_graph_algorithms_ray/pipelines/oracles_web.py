@@ -769,6 +769,22 @@ t AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(ln(dg / 1.5)) AS s
 SELECT round(1 + n / s, 6) AS alpha, CAST(n AS BIGINT) AS n_tail FROM t"""
 
 
+HOST_OUTLINK_ENTROPY_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+hp AS (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src_host,
+              regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst_host
+       FROM wedges),
+hc AS (SELECT src_host AS host, dst_host, count(*) AS n
+       FROM hp GROUP BY src_host, dst_host),
+agg AS (SELECT host, CAST(count(*) AS BIGINT) AS n_targets,
+               CAST(sum(n) AS BIGINT) AS total_links,
+               sum(n * ln(n)) AS s2
+        FROM hc GROUP BY host)
+SELECT host, n_targets, total_links,
+       round(ln(total_links) - s2 / total_links, 6) AS entropy
+FROM agg ORDER BY host"""
+
+
 RICH_CLUB_SQL = f"""WITH {WEB_BASE},
 {WEB_EDGES},
 und AS MATERIALIZED (

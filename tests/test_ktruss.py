@@ -67,3 +67,27 @@ def test_ktruss_random_matches_bruteforce():
 def test_ktruss_k_validation():
     with pytest.raises(ValueError):
         _run([(0, 1)], 2)
+
+
+def test_edge_support_matches_bruteforce():
+    from neo4j_graph_algorithms_ray.algorithms.ktruss import edge_support
+    rng = np.random.default_rng(12)
+    n, m = 50, 260
+    edges = list({tuple(sorted((int(a), int(b))))
+                  for a, b in zip(rng.integers(0, n, m),
+                                  rng.integers(0, n, m)) if a != b})
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+
+    t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], pa.int64())})
+    g = build_graph(rd.from_arrow(t), name="edge_support_rand")
+    got = {tuple(sorted((int(r.u), int(r.v)))): int(r.support)
+           for r in edge_support(g).to_pandas().itertuples()}
+    assert got == expect
+    # local bridges = support-0 edges (Granovetter weak ties)
+    bridges = {e for e, s in got.items() if s == 0}
+    assert bridges == {e for e, s in expect.items() if s == 0}
