@@ -292,6 +292,53 @@ def _q_local_bridges(sf_dir: str):
     return res
 
 
+def _q_triangles_stream(sf_dir: str):
+    """algo.triangle.stream parity (TriangleStream.java): one row per
+    triangle as an (a, b, c) node triple over the co-purchase graph,
+    normalized a < b < c."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import triangle_stream
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "copart")
+
+    def norm(b: pa.Table) -> pa.Table:
+        m = np.sort(np.stack([
+            b["a"].to_numpy(zero_copy_only=False),
+            b["b"].to_numpy(zero_copy_only=False),
+            b["c"].to_numpy(zero_copy_only=False)]), axis=0)
+        return pa.table({"a": m[0], "b": m[1], "c": m[2]})
+
+    return triangle_stream(g).map_batches(norm, batch_format="pyarrow") \
+        .sort(["a", "b", "c"])
+
+
+def _q_labelprop_resumed(sf_dir: str):
+    """Kill-and-resume parity for label propagation: two semi-sweeps
+    with a checkpoint, then a second call restores the label vector
+    from the per-partition-lineage manifest and finishes the 6-sweep
+    schedule — must value-hash-match the straight-run unroll used by
+    ``labelprop`` (completes the resume story across PageRank / WCC /
+    LPA, the north rule's resume-from-checkpoint clause)."""
+    import hashlib
+    import shutil
+
+    from neo4j_graph_algorithms_ray.algorithms import label_propagation
+    from neo4j_graph_algorithms_ray.algorithms.common import \
+        translate_vid_columns
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    ck = f"/tmp/nga_ray/ckpt_q/lpa_{tag}"
+    shutil.rmtree(ck, ignore_errors=True)
+    label_propagation(g, max_iterations=2, mode="semi",
+                      checkpoint_dir=ck, checkpoint_every=2)
+    res = label_propagation(g, max_iterations=LPA_SWEEPS, mode="semi",
+                            checkpoint_dir=ck, resume=True)
+    return translate_vid_columns(g, res.dataset, ["label"])
+
+
 def _q_global_transitivity(sf_dir: str):
     """Global transitivity (one-row graph summary): 3·triangles /
     wedges with wedges = Σ_v d_v(d_v−1)/2 over the undirected
@@ -2173,6 +2220,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "scc_condensation": _q_scc_condensation,
         "local_bridges": _q_local_bridges,
         "simhash_clusters": _q_simhash_clusters,
+        "triangles_stream": _q_triangles_stream,
+        "labelprop_resumed": _q_labelprop_resumed,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2285,6 +2334,8 @@ def oracle_sql() -> dict[str, str]:
         "wcc": o.wcc_sql(WCC_SQL_ITERS, "components"),
         "wcc_sizes": o.wcc_sql(WCC_SQL_ITERS, "sizes"),
         "labelprop": o.lpa_sql(LPA_SWEEPS),
+        "labelprop_resumed": o.lpa_sql(LPA_SWEEPS),
+        "triangles_stream": o.TRIANGLES_STREAM_SQL,
         "community_conductance": o.lpa_conductance_sql(LPA_SWEEPS),
         "modularity_score": o.lpa_modularity_sql(LPA_SWEEPS),
         "labelprop_seeded": o.lpa_seeded_sql(LPA_SWEEPS),

@@ -299,6 +299,15 @@ FROM cvn n JOIN L{sweeps} l ON l.vid = n.vid JOIN cvn c ON c.vid = l.comm
 ORDER BY n.node""")
 
 
+TRIANGLES_STREAM_SQL = f"""WITH {CO_EDGES},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM co e1
+  JOIN co e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN co e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT a, b, c FROM tri ORDER BY a, b, c"""
+
+
 TRIANGLE_GLOBAL_SQL = f"""WITH {CO_EDGES}
 SELECT count(*) AS triangle_count
 FROM co e1
