@@ -292,6 +292,87 @@ def _q_local_bridges(sf_dir: str):
     return res
 
 
+def _q_avg_clustering(sf_dir: str):
+    """Watts–Strogatz average clustering coefficient (one row): the
+    mean of the per-node coefficients over the co-purchase graph —
+    the small-world summary companion of global_transitivity (they
+    differ: transitivity weights hubs, this weights nodes equally)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import triangle_count
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    from neo4j_graph_algorithms_ray.util import collect_arrow
+    g = get_graph(sf_dir, "copart")
+    per, _, _ = triangle_count(g)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b["coefficient"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([float(round6(c).sum())]),
+                         "n": pa.array([len(c)], pa.int64())})
+
+    s = 0.0
+    n = 0
+    for t in collect_arrow(per.map_batches(partial,
+                                           batch_format="pyarrow")):
+        if t.num_rows:
+            s += float(t["s"].to_numpy(zero_copy_only=False).sum())
+            n += int(t["n"].to_numpy(zero_copy_only=False).sum())
+    avg = round6(np.array([s / n if n else 0.0]))
+    return pd.DataFrame({"n_nodes": pd.array([n], dtype="int64"),
+                         "avg_clustering": avg})
+
+
+def _q_degree_gini(sf_dir: str):
+    """Gini coefficient of the page out-degree distribution (one
+    row) — the attention-inequality summary of a link graph, exact
+    from the degree histogram: with degrees ranked ascending,
+    G = 2·Σ i·dᵢ / (n·Σ d) − (n+1)/n. The rank sum collapses over
+    equal-degree ties, so only the (degree → count) histogram reaches
+    the driver — integer-exact at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    g = get_web_graph(sf_dir)
+    eng = get_engine(g, None)
+    deg = eng.degrees_dataset()
+
+    def hist(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    h = pa.concat_tables(
+        [t for t in collect_arrow(
+            preagg_sum(deg.map_batches(hist, batch_format="pyarrow"),
+                       ["d"], "c"))
+         if t.num_rows])
+    d = h["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = h["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(d, kind="stable")
+    d, c = d[order], c[order]
+    n = int(c.sum())
+    s = int((d * c).sum())
+    # Σ i·d over a tie block of size c at cumulative offset p:
+    # d · (p·c + c(c+1)/2)
+    p = np.concatenate([[0], np.cumsum(c)[:-1]])
+    t2 = int((d * (p * c + c * (c + 1) // 2)).sum())
+    gini = round6(np.array(
+        [2.0 * t2 / (float(n) * s) - (n + 1.0) / n if n and s else 0.0]))
+    return pd.DataFrame({"n_nodes": pd.array([n], dtype="int64"),
+                         "gini": gini})
+
+
 def _q_triangles_stream(sf_dir: str):
     """algo.triangle.stream parity (TriangleStream.java): one row per
     triangle as an (a, b, c) node triple over the co-purchase graph,
@@ -2222,6 +2303,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "simhash_clusters": _q_simhash_clusters,
         "triangles_stream": _q_triangles_stream,
         "labelprop_resumed": _q_labelprop_resumed,
+        "avg_clustering": _q_avg_clustering,
+        "degree_gini": _q_degree_gini,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2336,6 +2419,8 @@ def oracle_sql() -> dict[str, str]:
         "labelprop": o.lpa_sql(LPA_SWEEPS),
         "labelprop_resumed": o.lpa_sql(LPA_SWEEPS),
         "triangles_stream": o.TRIANGLES_STREAM_SQL,
+        "avg_clustering": o.AVG_CLUSTERING_SQL,
+        "degree_gini": ow.DEGREE_GINI_SQL,
         "community_conductance": o.lpa_conductance_sql(LPA_SWEEPS),
         "modularity_score": o.lpa_modularity_sql(LPA_SWEEPS),
         "labelprop_seeded": o.lpa_seeded_sql(LPA_SWEEPS),

@@ -299,6 +299,30 @@ FROM cvn n JOIN L{sweeps} l ON l.vid = n.vid JOIN cvn c ON c.vid = l.comm
 ORDER BY n.node""")
 
 
+AVG_CLUSTERING_SQL = f"""WITH {CO_EDGES},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM co e1
+  JOIN co e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN co e3 ON e3.u = e1.v AND e3.v = e2.v),
+nodes AS (SELECT u AS node FROM co UNION SELECT v AS node FROM co),
+deg AS (SELECT node, count(*) AS d FROM
+        (SELECT u AS node FROM co UNION ALL SELECT v AS node FROM co) t
+        GROUP BY node),
+cnt AS (SELECT node, count(*) AS t FROM
+        (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) x GROUP BY node),
+per AS (
+  SELECT round(CASE WHEN deg.d > 1
+               THEN 2.0 * coalesce(cnt.t, 0) / (deg.d * (deg.d - 1.0))
+               ELSE 0 END, 6) AS coef
+  FROM nodes n JOIN deg ON deg.node = n.node
+  LEFT JOIN cnt ON cnt.node = n.node)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       round(sum(coef) / count(*), 6) AS avg_clustering
+FROM per"""
+
+
 TRIANGLES_STREAM_SQL = f"""WITH {CO_EDGES},
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c

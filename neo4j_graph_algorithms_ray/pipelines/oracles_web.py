@@ -769,6 +769,20 @@ t AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(ln(dg / 1.5)) AS s
 SELECT round(1 + n / s, 6) AS alpha, CAST(n AS BIGINT) AS n_tail FROM t"""
 
 
+DEGREE_GINI_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{WEB_NODES},
+wdeg AS (SELECT src, count(*) AS dg FROM wedges GROUP BY src),
+gd AS (SELECT coalesce(wdeg.dg, 0) AS d
+       FROM wnodes n LEFT JOIN wdeg ON wdeg.src = n.node),
+r AS (SELECT d, row_number() OVER (ORDER BY d) AS rnk FROM gd),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS s,
+             CAST(sum(rnk * d) AS BIGINT) AS t2 FROM r)
+SELECT n AS n_nodes,
+       round(2.0 * t2 / (CAST(n AS DOUBLE) * s) - (n + 1.0) / n, 6) AS gini
+FROM t"""
+
+
 HOST_OUTLINK_ENTROPY_SQL = f"""WITH {WEB_BASE},
 {WEB_EDGES},
 hp AS (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src_host,
