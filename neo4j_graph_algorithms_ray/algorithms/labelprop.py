@@ -88,11 +88,10 @@ def label_propagation(
         elif seed_dataset is not None:
             joined = seed_dataset.join(g.vertices, "inner", num_partitions=max(2, eng.P),
                                        on=("node",))
-            for b in joined.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-                eng.set_state_from_table(
-                    "label",
-                    b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64),
-                    b.column("label").to_numpy(zero_copy_only=False).astype(np.int64))
+            # corpus-sized seed tables stream straight from the map
+            # tasks into the owning shard actors — never via the driver
+            eng.set_state_from_dataset("label", joined,
+                                       vid_col="vid", val_col="label")
 
     metrics, it, converged = [], start_iter, False
     quiet_streak = 0

@@ -1348,6 +1348,34 @@ class ShardEngine:
                                                 values[cuts[j]:cuts[j + 1]])
                  for j in range(self.P) if cuts[j + 1] > cuts[j]])
 
+    def set_state_from_dataset(self, name: str, ds, *, vid_col: str = "vid",
+                               val_col: str = "label") -> int:
+        """Distributed state load: every Dataset block routes its rows
+        to the owning shard actors directly from the map task — unlike
+        :meth:`set_state_from_table`, the table never transits the
+        driver, so corpus-sized seed/property tables stream in at any
+        scale. Returns the number of rows applied."""
+        actors, bounds, P = self.actors, self.bounds, self.P
+
+        def route(b):
+            import numpy as _np
+            import pyarrow as _pa
+            import ray as _ray
+            vids = b[vid_col].to_numpy(zero_copy_only=False) \
+                .astype(_np.int64)
+            vals = b[val_col].to_numpy(zero_copy_only=False)
+            part = _np.searchsorted(bounds, vids, side="right") - 1
+            order = _np.argsort(part, kind="stable")
+            v, x, p = vids[order], vals[order], part[order]
+            cuts = _np.searchsorted(p, _np.arange(P + 1))
+            _ray.get([actors[j].set_rows.remote(
+                name, v[cuts[j]:cuts[j + 1]], x[cuts[j]:cuts[j + 1]])
+                for j in range(P) if cuts[j + 1] > cuts[j]])
+            return _pa.table({"n": _pa.array([b.num_rows], _pa.int64())})
+
+        total = ds.map_batches(route, batch_format="pyarrow").sum("n")
+        return int(total or 0)
+
     def step(self, scatter_op: str, update_op: str, *, actors=None,
              update_actors=None, scatter_kw=None, update_kw=None) -> list[dict]:
         """One BSP superstep: scatter on all shards → route → update.
