@@ -593,6 +593,18 @@ SELECT s AS node, CAST(max(d) AS BIGINT) AS eccentricity
 FROM d{iters} GROUP BY s ORDER BY node""")
 
 
+def radius_diameter_sql(iters: int = 10) -> str:
+    """One-row min/max eccentricity over the same sampled-source BFS
+    unroll as eccentricity_sampled_sql."""
+    ctes = _bfs_ctes(iters)
+    return ("WITH " + ",\n".join(ctes) + f""",
+ecc AS (SELECT s, CAST(max(d) AS BIGINT) AS e FROM d{iters} GROUP BY s)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(min(e) AS BIGINT) AS radius,
+       CAST(max(e) AS BIGINT) AS diameter
+FROM ecc""")
+
+
 def lpa_weighted_sql(sweeps: int = 6) -> str:
     """Weighted LPA mirror over the weighted trade graph (w = 1 +
     (src+dst) % 5): votes are weight sums, argmax-weight tie-broken by

@@ -413,6 +413,14 @@ FROM occ GROUP BY token
 ORDER BY n_occ DESC, token ASC LIMIT {topk}"""
 
 
+DEDUP_RATE_BY_SOURCE_SQL = """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+       round(1 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM documents GROUP BY source ORDER BY source"""
+
+
 def zipf_alpha_sql(fmin: int = 2) -> str:
     """Mirror of functions/text.zipf_alpha: token frequencies from the
     same lowered whitespace tokenization, CSN discrete MLE over
