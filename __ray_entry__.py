@@ -292,6 +292,41 @@ def _q_local_bridges(sf_dir: str):
     return res
 
 
+def _q_pagerank_trace(sf_dir: str):
+    """PageRank convergence telemetry: per-iteration L1 residual
+    Σ_v |r_k(v) − r_{k−1}(v)| over the purchase graph — the monitor
+    a to-1e-6-convergence run reads to decide when to stop. Full-
+    recompute supersteps (one sum_state scatter per iteration) so
+    iteration k is exactly the SQL unroll's r_k; only one scalar per
+    iteration reaches the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.tpch import get_graph
+    g = get_graph(sf_dir, "purchase")
+    eng = get_engine(g, None)
+    eng.init_state("r", "const", 0.15)
+    eng.apply_state("outdeg", "degree")
+    iters, residuals = [], []
+    for k in range(1, PR_ITERS + 1):
+        eng.apply_state("prev", "copy", "r")
+        eng.apply_state("pr_div", "div0", "r", "outdeg")
+        eng.step("sum_state", "set_sum_update",
+                 scatter_kw={"name": "pr_div"},
+                 update_kw={"name": "inc"})
+        eng.apply_state("r", "scale", "inc", 0.85)
+        eng.apply_state("r", "add", "r", 0.15)
+        eng.apply_state("__res", "absdiff", "r", "prev")
+        iters.append(k)
+        residuals.append(float(eng.state_sum("__res")))
+    eng.drop_states(["prev", "pr_div", "inc", "__res"])
+    return pd.DataFrame({
+        "iteration": pd.array(iters, dtype="int64"),
+        "residual": round6(np.array(residuals))})
+
+
 def _q_radius_diameter(sf_dir: str):
     """Sampled graph radius and diameter (one row): min / max
     eccentricity over the 64 lowest-id MSBFS sources on the trade
@@ -2388,6 +2423,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "degree_gini": _q_degree_gini,
         "radius_diameter": _q_radius_diameter,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "pagerank_trace": _q_pagerank_trace,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2506,6 +2542,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_gini": ow.DEGREE_GINI_SQL,
         "radius_diameter": o.radius_diameter_sql(10),
         "dedup_rate_by_source": od.DEDUP_RATE_BY_SOURCE_SQL,
+        "pagerank_trace": o.pagerank_trace_sql(PR_ITERS),
         "community_conductance": o.lpa_conductance_sql(LPA_SWEEPS),
         "modularity_score": o.lpa_modularity_sql(LPA_SWEEPS),
         "labelprop_seeded": o.lpa_seeded_sql(LPA_SWEEPS),

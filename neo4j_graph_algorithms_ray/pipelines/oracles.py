@@ -69,6 +69,29 @@ def pagerank_topk_sql(iters: int = 20, k: int = 20) -> str:
     return base
 
 
+def pagerank_trace_sql(iters: int = 20) -> str:
+    """Per-iteration L1 residual Σ|r_k − r_{k−1}| over the same
+    unrolled iteration CTEs as pagerank_sql."""
+    ctes = [G1_EDGES, G1_NODES,
+            "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src)",
+            "r0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM nodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.d), 0) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r{k-1} p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS iteration, "
+        f"(SELECT round(sum(abs(a.r - b.r)), 6) FROM r{k} a "
+        f"JOIN r{k-1} b ON b.node = a.node) AS residual"
+        for k in range(1, iters + 1))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT * FROM ({rows}) ORDER BY iteration")
+
+
 def wcc_sql(iters: int = 25, final: str = "components") -> str:
     ctes = [G1_EDGES, G1_NODES,
             "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges "

@@ -376,6 +376,10 @@ class ShardActor:
             a, b = operands
             res = np.asarray(val(a), dtype=np.float64) \
                 + np.asarray(val(b), dtype=np.float64)
+        elif op == "absdiff":             # out = |a - b|
+            a, b = operands
+            res = np.abs(np.asarray(val(a), dtype=np.float64)
+                         - np.asarray(val(b), dtype=np.float64))
         elif op == "and_pos":             # out = (a > 0) & (b > 0)
             a, b = operands
             res = (np.asarray(val(a)) > 0) & (np.asarray(val(b)) > 0)
