@@ -180,6 +180,16 @@ def _q_zipf_alpha(sf_dir: str):
     return zipf_alpha(_docs(sf_dir))
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Tokenizer-budget coverage curve: fraction of corpus token
+    occurrences covered by the top-k vocabulary for k in
+    {5, 15, 10000} — small ks exercise a real partial-coverage curve
+    on the 31-token synthetic vocabulary
+    (functions/text.vocab_coverage)."""
+    from neo4j_graph_algorithms_ray.functions.text import vocab_coverage
+    return vocab_coverage(_docs(sf_dir), ks=(5, 15, 10000))
+
+
 def _q_host_outlink_entropy(sf_dir: str):
     """Per-host outlink diversity: Shannon entropy of each host's
     outlink distribution over target hosts (weights = distinct page
@@ -2413,6 +2423,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rich_club": _q_rich_club,
         "global_transitivity": _q_global_transitivity,
         "zipf_alpha": _q_zipf_alpha,
+        "vocab_coverage": _q_vocab_coverage,
         "host_outlink_entropy": _q_host_outlink_entropy,
         "scc_condensation": _q_scc_condensation,
         "local_bridges": _q_local_bridges,
@@ -2549,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": ow.RICH_CLUB_SQL,
         "global_transitivity": o.GLOBAL_TRANSITIVITY_SQL,
         "zipf_alpha": od.zipf_alpha_sql(2),
+        "vocab_coverage": od.vocab_coverage_sql(ks=(5, 15, 10000)),
         "host_outlink_entropy": ow.HOST_OUTLINK_ENTROPY_SQL,
         "scc_condensation": o.SCC_CONDENSATION_SQL,
         "local_bridges": o.LOCAL_BRIDGES_SQL,

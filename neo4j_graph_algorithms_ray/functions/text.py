@@ -375,21 +375,12 @@ def vocab_topk(docs, *, topk: int = 100, id_col: str = "doc_id",
     return agg.sort(["n_occ", "token"], descending=[True, False]).limit(topk)
 
 
-def zipf_alpha(docs, *, fmin: int = 2, text_col: str = "text"):
-    """Zipf exponent of the corpus token-frequency distribution — the
-    discrete power-law MLE (Clauset-Shalizi-Newman 2009, same
-    estimator as community_metrics.powerlaw_alpha) over per-token
-    occurrence counts with frequency ≥ ``fmin``. The is-my-corpus-
-    Zipfian sanity check before subword-vocab sizing. One row
-    (alpha, n_tail).
-
-    Scale shape: the vocabulary reduces through the same factorized
-    map-side combine as vocab_topk; the MLE pass then collapses the
-    (token, count) table to two scalar partials per batch."""
+def vocab_counts(docs, *, text_col: str = "text"):
+    """Corpus token-frequency table (token, f) via the same factorized
+    map-side combine as vocab_topk — the shared base of zipf_alpha and
+    vocab_coverage."""
     import pyarrow as pa
 
-    from neo4j_graph_algorithms_ray.algorithms.community_metrics import \
-        powerlaw_alpha
     from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
     from neo4j_graph_algorithms_ray.util import preagg_sum
 
@@ -404,9 +395,54 @@ def zipf_alpha(docs, *, fmin: int = 2, text_col: str = "text"):
                                           minlength=len(uniq))
                          .astype(np.int64)})
 
-    freq = preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
+    return preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
                       ["token"], "f")
-    return powerlaw_alpha(freq, degree_col="f", dmin=fmin)
+
+
+def zipf_alpha(docs, *, fmin: int = 2, text_col: str = "text"):
+    """Zipf exponent of the corpus token-frequency distribution — the
+    discrete power-law MLE (Clauset-Shalizi-Newman 2009, same
+    estimator as community_metrics.powerlaw_alpha) over per-token
+    occurrence counts with frequency ≥ ``fmin``. The is-my-corpus-
+    Zipfian sanity check before subword-vocab sizing. One row
+    (alpha, n_tail)."""
+    from neo4j_graph_algorithms_ray.algorithms.community_metrics import \
+        powerlaw_alpha
+    return powerlaw_alpha(vocab_counts(docs, text_col=text_col),
+                          degree_col="f", dmin=fmin)
+
+
+def vocab_coverage(docs, *, ks=(100, 1000, 10000),
+                   text_col: str = "text"):
+    """Tokenizer-budget planning: the fraction of corpus token
+    occurrences covered by the top-k vocabulary (ranked count desc,
+    token asc) for each k — the head/tail coverage curve that sizes a
+    subword vocabulary. Returns (k, covered_occ, total_occ, coverage).
+
+    Scale shape: the vocabulary reduces through the map-side combine;
+    only the top-max(k) rows (and one total) reach the driver."""
+    import pandas as pd_
+
+    freq = vocab_counts(docs, text_col=text_col).materialize()
+    total = int(freq.sum("f") or 0)
+    kmax = max(ks)
+    top = freq.sort(["f", "token"], descending=[True, False]).limit(kmax)
+    f = np.concatenate(
+        [t["f"].to_numpy(zero_copy_only=False)
+         for t in top.iter_batches(batch_format="pyarrow",
+                                   batch_size=kmax)] or
+        [np.empty(0, np.int64)])
+    cum = np.cumsum(f)
+    rows = []
+    for k in sorted(ks):
+        nv = min(k, len(f))
+        covered = int(cum[nv - 1]) if nv else 0
+        rows.append((k, covered, total,
+                     float(round6(np.array([covered / total
+                                            if total else 0.0]))[0])))
+    return pd_.DataFrame(rows, columns=["k", "covered_occ", "total_occ",
+                                        "coverage"]).astype(
+        {"k": "int64", "covered_occ": "int64", "total_occ": "int64"})
 
 
 def doc_sample(docs, *, pct: int = 20, id_col: str = "doc_id"):

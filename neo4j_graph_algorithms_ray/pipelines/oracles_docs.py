@@ -436,6 +436,29 @@ t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
 SELECT round(1 + n / s, 6) AS alpha, CAST(n AS BIGINT) AS n_tail FROM t"""
 
 
+def vocab_coverage_sql(ks=(100, 1000, 10000)) -> str:
+    """Mirror of functions/text.vocab_coverage: cumulative occurrence
+    coverage of the top-k vocabulary ranked (f DESC, token ASC)."""
+    klist = ", ".join(str(int(k)) for k in sorted(ks))
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT unnest(tk) AS token FROM tl),
+freq AS (SELECT token, count(*) AS f FROM occ GROUP BY token),
+ranked AS (SELECT f, row_number() OVER (ORDER BY f DESC, token ASC) AS rn
+           FROM freq),
+tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq),
+ks AS (SELECT unnest([{klist}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+  CAST(coalesce(c.cov, 0) AS BIGINT) AS covered_occ,
+  tot.total AS total_occ,
+  round(coalesce(c.cov, 0) / CAST(tot.total AS DOUBLE), 6) AS coverage
+FROM ks CROSS JOIN tot
+LEFT JOIN LATERAL (SELECT sum(f) AS cov FROM ranked WHERE rn <= ks.k) c
+  ON TRUE
+ORDER BY k"""
+
+
 def doc_sample_sql(pct: int = 20) -> str:
     """Mirror of functions/text.doc_sample: md5(doc_id-as-string) first
     15 hex digits mod 100 < pct."""
