@@ -78,6 +78,27 @@ def test_vocab_topk_brute_force():
         assert r["n_occ"] == occ[r["token"]] and r["n_docs"] == df[r["token"]]
 
 
+def test_vocab_coverage_brute_force():
+    from collections import Counter
+
+    from neo4j_graph_algorithms_ray.functions.text import vocab_coverage
+    occ = Counter()
+    for d in DOCS:
+        occ.update(d["text"].lower().split())
+    total = sum(occ.values())
+    ranked = sorted(occ, key=lambda t: (-occ[t], t))
+    df = vocab_coverage(_ds(), ks=(2, 5, 1000))
+    got = {int(r.k): (int(r.covered_occ), int(r.total_occ), r.coverage)
+           for r in df.itertuples()}
+    assert list(got) == [2, 5, 1000]
+    for k, (cov, tot, frac) in got.items():
+        want = sum(occ[t] for t in ranked[:k])
+        assert (cov, tot) == (want, total)
+        assert abs(frac - want / total) < 5e-7  # round6-ed
+    # full-vocab k covers everything
+    assert got[1000][0] == total and got[1000][2] == 1.0
+
+
 def test_doc_sample_deterministic_and_pct():
     from neo4j_graph_algorithms_ray.functions.text import doc_sample
     big = rd.from_items([{"doc_id": i, "text": "x"} for i in range(1000)])
