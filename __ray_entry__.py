@@ -2168,6 +2168,17 @@ def _q_host_articlerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_node_similarity(sf_dir: str):
+    """Per-host top-3 most similar hosts by in-neighborhood Jaccard
+    (GDS-style nodeSimilarity; algorithms/nodesim.py) over the host
+    graph, candidate pairs capped at shared-source outdeg <= 20."""
+    from neo4j_graph_algorithms_ray.algorithms.nodesim import \
+        node_similarity_topk
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    g = get_host_graph(sf_dir)
+    return node_similarity_topk(g, cap=20, k=3).dataset
+
+
 def _q_host_katz(sf_dir: str):
     """Katz centrality over the host graph (attenuated path counts,
     no degree normalization) — the third of the engine's one-scatter
@@ -2445,6 +2456,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "radius_diameter": _q_radius_diameter,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "exact_dedup": _q_exact_dedup,
+        "node_similarity": _q_node_similarity,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2653,6 +2665,7 @@ def oracle_sql() -> dict[str, str]:
         "web_graph_summary": ow.WEB_GRAPH_SUMMARY_SQL,
         "embedding_dim_stats": od.EMBEDDING_DIM_STATS_SQL,
         "host_katz": ow.host_katz_sql(0.05, 1.0, PR_ITERS),
+        "node_similarity": ow.node_similarity_sql(20, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -700,6 +700,44 @@ JOIN wind ib ON ib.dst = p.b
 ORDER BY adamic_adar DESC, url_a, url_b LIMIT {topk}"""
 
 
+def node_similarity_sql(cap: int = 20, k: int = 3) -> str:
+    """Mirror of algorithms/nodesim.node_similarity_topk over the host
+    graph: per-host top-k peers by in-neighborhood Jaccard; candidate
+    pairs share an in-linking host with outdeg in [2, cap]; jaccard
+    rounded to 1e-6 BEFORE the per-node rank; ties by peer host asc."""
+    return f"""WITH {WEB_BASE},
+{WEB_EDGES},
+hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1)),
+hout AS MATERIALIZED (SELECT src, count(*) AS deg FROM hedges GROUP BY src),
+hind AS MATERIALIZED (SELECT dst, count(*) AS ind FROM hedges GROUP BY dst),
+pairs AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b, count(*) AS n
+  FROM hedges e1
+  JOIN hedges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+  JOIN hout ho ON ho.src = e1.src
+  WHERE ho.deg BETWEEN 2 AND {cap}
+  GROUP BY e1.dst, e2.dst),
+sym AS (SELECT a AS v, b AS u, n FROM pairs
+        UNION ALL SELECT b, a, n FROM pairs),
+sc AS (SELECT s.v, s.u, s.n,
+              round(CAST(s.n AS DOUBLE) / (ia.ind + ib.ind - s.n), 6)
+                AS jaccard
+       FROM sym s
+       JOIN hind ia ON ia.dst = s.v
+       JOIN hind ib ON ib.dst = s.u),
+rk AS (SELECT v, u, n, jaccard,
+              row_number() OVER (PARTITION BY v
+                                 ORDER BY jaccard DESC, u ASC) AS rn
+       FROM sc)
+SELECT v AS node_a, u AS node_b, CAST(n AS BIGINT) AS n_common, jaccard
+FROM rk WHERE rn <= {k} ORDER BY node_a, jaccard DESC, node_b"""
+
+
 def web_opic_sql(iters: int = 20) -> str:
     """OPIC mirror (algorithms/opic.py): per round, bank cash into
     history, push cash/outdeg along out-edges, redistribute dangling
