@@ -2168,6 +2168,14 @@ def _q_host_articlerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_minhash_eval(sf_dir: str):
+    """LSH quality self-evaluation: recall/precision of the verified
+    MinHash-LSH pair set against the exact all-pairs n-gram Jaccard
+    ground truth (functions/dedup.minhash_eval). One row."""
+    from neo4j_graph_algorithms_ray.functions.dedup import minhash_eval
+    return minhash_eval(_docs(sf_dir))
+
+
 def _q_node_similarity(sf_dir: str):
     """Per-host top-3 most similar hosts by in-neighborhood Jaccard
     (GDS-style nodeSimilarity; algorithms/nodesim.py) over the host
@@ -2457,6 +2465,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "exact_dedup": _q_exact_dedup,
         "node_similarity": _q_node_similarity,
+        "minhash_eval": _q_minhash_eval,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2666,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": od.EMBEDDING_DIM_STATS_SQL,
         "host_katz": ow.host_katz_sql(0.05, 1.0, PR_ITERS),
         "node_similarity": ow.node_similarity_sql(20, 3),
+        "minhash_eval": od.minhash_eval_sql(8, 4, 0.5),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

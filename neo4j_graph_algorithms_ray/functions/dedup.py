@@ -1212,3 +1212,70 @@ def ngram_containment_pairs(docs: rd.Dataset, *, k: int = 3,
 
     return _ensure_pair_schema(j2.map_batches(finish, batch_format="pandas"),
                                empty)
+
+
+def minhash_eval(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
+                 k: int = 3, threshold: float = 0.5,
+                 df_cap: int = NGRAM_DF_CAP, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """MinHash-LSH quality report: how much of the exact near-dup pair
+    set (``ngram_jaccard_pairs``, the all-pairs ground truth) does the
+    banded-LSH pipeline (``minhash_lsh_pairs``) recover? One row
+    (n_exact, n_lsh, n_both, recall, precision) — the
+    banding-parameter tuning loop (more bands → higher recall, more
+    candidate verification work) run as an engine self-evaluation.
+
+    Both sides can miss the other legitimately: LSH misses true pairs
+    whose signatures never collide in a band (the recall gap being
+    measured), and LSH-verified pairs can fall outside the exact set
+    when held together only by shingles above the exact side's df
+    hub-cap (precision < 1 flags exactly those).
+
+    Scale shape: both pair sets stream through their own factorized
+    pipelines; the comparison is a flagged union → ``preagg_sum`` on
+    the pair key → per-batch count partials, so only per-batch partial
+    triples reach the driver-side sum. Returns a one-row pandas
+    DataFrame."""
+    import pandas as pd_
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    exact = ngram_jaccard_pairs(docs, k=k, threshold=threshold,
+                                df_cap=df_cap, id_col=id_col,
+                                text_col=text_col)
+    lsh = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands, k=k,
+                            threshold=threshold, id_col=id_col,
+                            text_col=text_col)
+
+    def flag(in_e: int, in_l: int):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({"a": b["a"], "b": b["b"],
+                             "in_e": pa.array(np.full(n, in_e, np.int64)),
+                             "in_l": pa.array(np.full(n, in_l, np.int64))})
+        return f
+
+    u = exact.select_columns(["a", "b"]) \
+        .map_batches(flag(1, 0), batch_format="pyarrow") \
+        .union(lsh.select_columns(["a", "b"])
+               .map_batches(flag(0, 1), batch_format="pyarrow"))
+    m = preagg_sum(u, ["a", "b"], ["in_e", "in_l"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        e = b["in_e"].to_numpy(zero_copy_only=False) > 0
+        ll = b["in_l"].to_numpy(zero_copy_only=False) > 0
+        return pa.table({"n_exact": pa.array([int(e.sum())]),
+                         "n_lsh": pa.array([int(ll.sum())]),
+                         "n_both": pa.array([int((e & ll).sum())])})
+
+    agg = m.map_batches(partials, batch_format="pyarrow")
+    s = agg.sum(["n_exact", "n_lsh", "n_both"]) or {}
+    ne = int(s.get("sum(n_exact)") or 0)
+    nl = int(s.get("sum(n_lsh)") or 0)
+    nb = int(s.get("sum(n_both)") or 0)
+    r6 = lambda x: float(round6(np.array([x]))[0])  # noqa: E731
+    return pd_.DataFrame({
+        "n_exact": [ne], "n_lsh": [nl], "n_both": [nb],
+        "recall": [r6(nb / ne) if ne else 0.0],
+        "precision": [r6(nb / nl) if nl else 0.0]})

@@ -241,6 +241,30 @@ mh_pairs AS MATERIALIZED (
   WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)), 6) >= {threshold})"""
 
 
+def minhash_eval_sql(num_perm: int = 8, bands: int = 4,
+                     threshold: float = 0.5,
+                     df_cap: int = 10_000) -> str:
+    """Mirror of functions/dedup.minhash_eval: full-outer-join the
+    exact pair set against the verified LSH pair set, count overlap,
+    recall and precision (round6, zero-guarded)."""
+    return f"""WITH exact_p AS ({ngram_jaccard_sql(df_cap, threshold)}),
+lsh_p AS ({minhash_sql(num_perm, bands, threshold)}),
+m AS (SELECT CAST(e.a IS NOT NULL AS INT) AS in_e,
+             CAST(l.a IS NOT NULL AS INT) AS in_l
+      FROM exact_p e FULL OUTER JOIN lsh_p l
+        ON e.a = l.a AND e.b = l.b)
+SELECT CAST(coalesce(sum(in_e), 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(sum(in_l), 0) AS BIGINT) AS n_lsh,
+       CAST(coalesce(sum(in_e * in_l), 0) AS BIGINT) AS n_both,
+       round(CASE WHEN coalesce(sum(in_e), 0) = 0 THEN 0
+                  ELSE sum(in_e * in_l) / CAST(sum(in_e) AS DOUBLE) END, 6)
+         AS recall,
+       round(CASE WHEN coalesce(sum(in_l), 0) = 0 THEN 0
+                  ELSE sum(in_e * in_l) / CAST(sum(in_l) AS DOUBLE) END, 6)
+         AS precision
+FROM m"""
+
+
 def neardup_clusters_sql(iters: int = 25, num_perm: int = 8, bands: int = 4,
                          threshold: float = 0.5) -> str:
     """Mirror of functions/dedup.neardup_clusters: transitive closure of

@@ -501,3 +501,29 @@ def test_ngram_containment_shuffle_regime_matches(monkeypatch):
            for r in dd.ngram_containment_pairs(docs,
                                                threshold=0.1).take_all()}
     assert small == big and len(small) > 0
+
+
+def test_minhash_eval_cross_checks_pair_sets():
+    from neo4j_graph_algorithms_ray.functions.dedup import (
+        minhash_eval, minhash_lsh_pairs, ngram_jaccard_pairs)
+    # widen the corpus with mid-jaccard pairs so the sets are non-trivial
+    docs = DOCS + [
+        {"doc_id": 10, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 11, "text": "alpha beta gamma delta epsilon zeta iota kappa"},
+        {"doc_id": 12, "text": "alpha beta gamma delta mu nu xi omicron"},
+    ]
+    ds = rd.from_items(docs)
+    thr = 0.2
+    ex = {(r["a"], r["b"]) for r in
+          ngram_jaccard_pairs(ds, threshold=thr).take_all()}
+    ls = {(r["a"], r["b"]) for r in
+          minhash_lsh_pairs(ds, threshold=thr).take_all()}
+    row = minhash_eval(rd.from_items(docs), threshold=thr).iloc[0]
+    assert (row.n_exact, row.n_lsh, row.n_both) == \
+        (len(ex), len(ls), len(ex & ls))
+    assert row.n_both <= min(row.n_exact, row.n_lsh)
+    assert abs(row.recall - len(ex & ls) / len(ex)) < 5e-7
+    assert abs(row.precision - len(ex & ls) / len(ls)) < 5e-7
+    # LSH-verified pairs all satisfy the exact threshold, so on a
+    # corpus whose dfs stay under the hub cap they are a subset
+    assert ls <= ex and row.precision == 1.0
