@@ -2168,6 +2168,16 @@ def _q_host_articlerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_vocab_novelty(sf_dir: str):
+    """Marginal vocabulary gain per source (tokens attributed to their
+    lexicographically-first source; functions/text.vocab_novelty)."""
+    from neo4j_graph_algorithms_ray.functions.text import vocab_novelty
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["text", "source"])
+    return vocab_novelty(docs)
+
+
 def _q_minhash_eval(sf_dir: str):
     """LSH quality self-evaluation: recall/precision of the verified
     MinHash-LSH pair set against the exact all-pairs n-gram Jaccard
@@ -2466,6 +2476,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "node_similarity": _q_node_similarity,
         "minhash_eval": _q_minhash_eval,
+        "vocab_novelty": _q_vocab_novelty,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2676,6 +2687,7 @@ def oracle_sql() -> dict[str, str]:
         "host_katz": ow.host_katz_sql(0.05, 1.0, PR_ITERS),
         "node_similarity": ow.node_similarity_sql(20, 3),
         "minhash_eval": od.minhash_eval_sql(8, 4, 0.5),
+        "vocab_novelty": od.VOCAB_NOVELTY_SQL,
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -2445,3 +2445,46 @@ def filter_report(docs, *, min_tokens: int = 8, lang: str = "en",
                          "reason": pa.array(reason, pa.string())})
 
     return docs.map_batches(report, batch_format="pyarrow", batch_size=4096)
+
+
+def vocab_novelty(docs, *, text_col: str = "text",
+                  source_col: str = "source"):
+    """Marginal vocabulary gain per source: each distinct corpus token
+    is attributed to its lexicographically-first source, giving
+    (source, n_new_tokens, cum_vocab) in source order — the which-
+    source-still-adds-vocabulary curve used when curating a pretraining
+    mixture (a source whose tokens all appeared in earlier sources adds
+    spelling diversity, not vocabulary).
+
+    Scale shape: per-batch (token, min source) partials combine through
+    the ``preagg_min`` map-side tree, so the shuffle carries per-batch-
+    distinct tokens; the per-source counts then reduce to |sources|
+    rows and the cumulative sum runs on that tiny result. Returns a
+    pandas DataFrame."""
+    import pandas as pd_
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import preagg_min, preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        di, toks = _token_arrays(b[text_col])
+        src = b[source_col].to_numpy(zero_copy_only=False)[di]
+        # per-batch combine: one row per (token) with its min source
+        t = pa.table({"token": pa.array(toks, pa.string()),
+                      "source": pa.array(src, pa.string())})
+        return t.group_by(["token"]).aggregate([("source", "min")]) \
+                .rename_columns(["token", "source"])
+
+    first = preagg_min(docs.map_batches(partial, batch_format="pyarrow"),
+                       ["token"], "source")
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"],
+                         "n_new_tokens": pa.array(
+                             np.ones(b.num_rows, np.int64))})
+
+    per = preagg_sum(first.map_batches(ones, batch_format="pyarrow"),
+                     ["source"], "n_new_tokens")
+    df = per.sort("source").to_pandas()
+    df["cum_vocab"] = df["n_new_tokens"].cumsum()
+    return df

@@ -483,6 +483,18 @@ LEFT JOIN LATERAL (SELECT sum(f) AS cov FROM ranked WHERE rn <= ks.k) c
 ORDER BY k"""
 
 
+VOCAB_NOVELTY_SQL = """WITH tl AS MATERIALIZED (
+  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT source, unnest(tk) AS token FROM tl),
+fs AS (SELECT token, min(source) AS source FROM occ GROUP BY token),
+per AS (SELECT source, count(*) AS n_new_tokens FROM fs GROUP BY source)
+SELECT source, CAST(n_new_tokens AS BIGINT) AS n_new_tokens,
+       CAST(sum(n_new_tokens) OVER (ORDER BY source) AS BIGINT)
+         AS cum_vocab
+FROM per ORDER BY source"""
+
+
 def doc_sample_sql(pct: int = 20) -> str:
     """Mirror of functions/text.doc_sample: md5(doc_id-as-string) first
     15 hex digits mod 100 < pct."""

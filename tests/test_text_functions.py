@@ -763,3 +763,17 @@ def test_char_entropy_brute_force():
             want_a = sum(ch.isascii() and ch.isalpha() for ch in t) / n
         assert abs(got[i]["char_entropy"] - want_h) < 1e-6, (i, t)
         assert abs(got[i]["alpha_ratio"] - want_a) < 1e-6, (i, t)
+
+
+def test_vocab_novelty_min_source_attribution():
+    from neo4j_graph_algorithms_ray.functions.text import vocab_novelty
+    docs = rd.from_items([
+        {"text": "a b c", "source": "s2"},
+        {"text": "a b d", "source": "s1"},
+        {"text": "e", "source": "s3"},
+        {"text": "", "source": "s3"},
+    ])
+    df = vocab_novelty(docs)
+    got = [tuple(r) for r in df.itertuples(index=False)]
+    # s1 claims a,b,d (lexicographic min source); s2 adds c; s3 adds e
+    assert got == [("s1", 3, 3), ("s2", 1, 4), ("s3", 1, 5)]
