@@ -2168,6 +2168,16 @@ def _q_host_articlerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_lang_vocab_overlap(sf_dir: str):
+    """Cross-language vocabulary Jaccard matrix via the token-bitmask
+    fold (functions/text.lang_vocab_overlap)."""
+    from neo4j_graph_algorithms_ray.functions.text import lang_vocab_overlap
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["text", "lang"])
+    return lang_vocab_overlap(docs)
+
+
 def _q_vocab_novelty(sf_dir: str):
     """Marginal vocabulary gain per source (tokens attributed to their
     lexicographically-first source; functions/text.vocab_novelty)."""
@@ -2477,6 +2487,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "node_similarity": _q_node_similarity,
         "minhash_eval": _q_minhash_eval,
         "vocab_novelty": _q_vocab_novelty,
+        "lang_vocab_overlap": _q_lang_vocab_overlap,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2688,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
         "node_similarity": ow.node_similarity_sql(20, 3),
         "minhash_eval": od.minhash_eval_sql(8, 4, 0.5),
         "vocab_novelty": od.VOCAB_NOVELTY_SQL,
+        "lang_vocab_overlap": od.LANG_VOCAB_OVERLAP_SQL,
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -2488,3 +2488,79 @@ def vocab_novelty(docs, *, text_col: str = "text",
     df = per.sort("source").to_pandas()
     df["cum_vocab"] = df["n_new_tokens"].cumsum()
     return df
+
+
+def lang_vocab_overlap(docs, *, text_col: str = "text",
+                       lang_col: str = "lang"):
+    """Cross-language vocabulary overlap: for every language pair with
+    at least one shared distinct token, (lang_a, lang_b, n_shared,
+    n_a, n_b, jaccard) — the is-my-language-ID-leaking /
+    script-sharing diagnostic over a multilingual corpus.
+
+    Scale shape: the (lang, token) incidence reduces to global-distinct
+    rows through one ``preagg_sum`` tree; each token then folds its
+    languages into a bitmask via a second token-keyed ``preagg_sum``
+    (sum of distinct per-lang bits == OR), and the mask histogram —
+    at most 2^|langs| rows — is the ONLY thing that reaches the
+    driver, where the pair matrix expands combinatorially. No
+    token-level self-join ever happens. Returns a pandas DataFrame
+    ordered by (lang_a, lang_b)."""
+    import pandas as pd_
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    langs = sorted({r[lang_col] for r in
+                    preagg_sum(docs.map_batches(
+                        lambda b: pa.table({
+                            lang_col: pc.unique(b[lang_col]),
+                        }).append_column("one", pa.array(
+                            np.ones(len(pc.unique(b[lang_col])), np.int64))),
+                        batch_format="pyarrow"), [lang_col], "one")
+                    .take_all()})
+    bit_of = {l: 1 << i for i, l in enumerate(langs)}
+
+    def incidence(b: pa.Table) -> pa.Table:
+        di, toks = _token_arrays(b[text_col])
+        lg = b[lang_col].to_numpy(zero_copy_only=False)[di]
+        t = pa.table({"lang": pa.array(lg, pa.string()),
+                      "token": pa.array(toks, pa.string()),
+                      "one": pa.array(np.ones(len(toks), np.int64))})
+        return t.group_by(["lang", "token"]).aggregate([("one", "min")]) \
+                .rename_columns(["lang", "token", "one"])
+
+    dist = preagg_sum(docs.map_batches(incidence, batch_format="pyarrow"),
+                      ["lang", "token"], "one")
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        lg = b["lang"].to_numpy(zero_copy_only=False)
+        bits = np.array([bit_of[x] for x in lg], dtype=np.int64)
+        return pa.table({"token": b["token"], "mask": pa.array(bits)})
+
+    masks = preagg_sum(dist.map_batches(to_bits, batch_format="pyarrow"),
+                       ["token"], "mask")
+
+    def mask_hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"mask": b["mask"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["mask"]).aggregate([("n", "sum")]) \
+                .rename_columns(["mask", "n"])
+
+    hist = preagg_sum(masks.map_batches(mask_hist, batch_format="pyarrow"),
+                      ["mask"], "n").take_all()
+    mk = np.array([r["mask"] for r in hist], dtype=np.int64)
+    cnt = np.array([r["n"] for r in hist], dtype=np.int64)
+    rows = []
+    for i, la in enumerate(langs):
+        na = int(cnt[(mk >> i) & 1 == 1].sum())
+        for j in range(i + 1, len(langs)):
+            lb = langs[j]
+            nb = int(cnt[(mk >> j) & 1 == 1].sum())
+            sh = int(cnt[((mk >> i) & 1 == 1) & ((mk >> j) & 1 == 1)].sum())
+            if sh:
+                rows.append((la, lb, sh, na, nb,
+                             float(round6(np.array(
+                                 [sh / (na + nb - sh)]))[0])))
+    return pd_.DataFrame(rows, columns=["lang_a", "lang_b", "n_shared",
+                                        "n_a", "n_b", "jaccard"]).astype(
+        {"n_shared": "int64", "n_a": "int64", "n_b": "int64"})

@@ -483,6 +483,26 @@ LEFT JOIN LATERAL (SELECT sum(f) AS cov FROM ranked WHERE rn <= ks.k) c
 ORDER BY k"""
 
 
+LANG_VOCAB_OVERLAP_SQL = """WITH tl AS MATERIALIZED (
+  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS MATERIALIZED (
+  SELECT DISTINCT lang, token
+  FROM (SELECT lang, unnest(tk) AS token FROM tl)),
+tot AS (SELECT lang, count(*) AS n FROM occ GROUP BY lang),
+sh AS (SELECT o1.lang AS lang_a, o2.lang AS lang_b, count(*) AS n_shared
+       FROM occ o1 JOIN occ o2 ON o2.token = o1.token AND o1.lang < o2.lang
+       GROUP BY 1, 2)
+SELECT s.lang_a, s.lang_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       round(s.n_shared / CAST(ta.n + tb.n - s.n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM sh s
+JOIN tot ta ON ta.lang = s.lang_a
+JOIN tot tb ON tb.lang = s.lang_b
+ORDER BY lang_a, lang_b"""
+
+
 VOCAB_NOVELTY_SQL = """WITH tl AS MATERIALIZED (
   SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS tk
   FROM documents WHERE trim(text) <> ''),

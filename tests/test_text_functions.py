@@ -777,3 +777,19 @@ def test_vocab_novelty_min_source_attribution():
     got = [tuple(r) for r in df.itertuples(index=False)]
     # s1 claims a,b,d (lexicographic min source); s2 adds c; s3 adds e
     assert got == [("s1", 3, 3), ("s2", 1, 4), ("s3", 1, 5)]
+
+
+def test_lang_vocab_overlap_hand_case():
+    from neo4j_graph_algorithms_ray.functions.text import lang_vocab_overlap
+    docs = rd.from_items([
+        {"text": "a b c", "lang": "en"},
+        {"text": "a b d", "lang": "de"},
+        {"text": "x y", "lang": "fr"},
+        {"text": "a", "lang": "fr"},
+        {"text": "", "lang": "zh"},        # empty: no tokens, no rows
+    ])
+    df = lang_vocab_overlap(docs)
+    got = [tuple(r) for r in df.itertuples(index=False)]
+    assert got == [("de", "en", 2, 3, 3, 0.5),
+                   ("de", "fr", 1, 3, 3, 0.2),
+                   ("en", "fr", 1, 3, 3, 0.2)]
