@@ -2168,6 +2168,13 @@ def _q_host_articlerank(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_dedup_sensitivity(sf_dir: str):
+    """Fuzzy-dedup threshold sweep: per-threshold near-dup pair and
+    cluster statistics (functions/dedup.dedup_sensitivity)."""
+    from neo4j_graph_algorithms_ray.functions.dedup import dedup_sensitivity
+    return dedup_sensitivity(_docs(sf_dir))
+
+
 def _q_lang_vocab_overlap(sf_dir: str):
     """Cross-language vocabulary Jaccard matrix via the token-bitmask
     fold (functions/text.lang_vocab_overlap)."""
@@ -2488,6 +2495,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "minhash_eval": _q_minhash_eval,
         "vocab_novelty": _q_vocab_novelty,
         "lang_vocab_overlap": _q_lang_vocab_overlap,
+        "dedup_sensitivity": _q_dedup_sensitivity,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2700,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_eval": od.minhash_eval_sql(8, 4, 0.5),
         "vocab_novelty": od.VOCAB_NOVELTY_SQL,
         "lang_vocab_overlap": od.LANG_VOCAB_OVERLAP_SQL,
+        "dedup_sensitivity": od.dedup_sensitivity_sql((0.3, 0.5, 0.8)),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -1279,3 +1279,56 @@ def minhash_eval(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
         "n_exact": [ne], "n_lsh": [nl], "n_both": [nb],
         "recall": [r6(nb / ne) if ne else 0.0],
         "precision": [r6(nb / nl) if nl else 0.0]})
+
+
+def dedup_sensitivity(docs: rd.Dataset, *, thresholds=(0.3, 0.5, 0.8),
+                      num_perm: int = 8, bands: int = 4, k: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Threshold-sensitivity sweep for fuzzy dedup: for each Jaccard
+    threshold, resolve the near-dup clusters (minhash→LSH→verify→WCC)
+    and report (threshold, n_pairs, n_dup_clusters, n_docs_in_dups,
+    n_removed) — how many docs a keep-one-representative dedup would
+    drop. The pick-the-threshold report run BEFORE committing a 100 TB
+    dedup pass.
+
+    Scale shape: one pipeline per threshold (thresholds are a handful);
+    within each, cluster sizes reduce through a rep-keyed
+    ``preagg_sum`` and only per-batch partial triples reach the
+    driver. Returns a pandas DataFrame ordered by threshold."""
+    import pandas as pd_
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    rows = []
+    for thr in sorted(thresholds):
+        pairs = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands,
+                                  k=k, threshold=thr, id_col=id_col,
+                                  text_col=text_col) \
+            .select_columns(["a", "b"]).materialize()
+        n_pairs = pairs.count()
+        clusters = neardup_clusters(docs, pairs, id_col=id_col,
+                                    text_col=text_col)
+
+        def ones(b: pa.Table) -> pa.Table:
+            return pa.table({"rep_id": b["rep_id"],
+                             "sz": pa.array(np.ones(b.num_rows, np.int64))})
+
+        sizes = preagg_sum(clusters.map_batches(ones, batch_format="pyarrow"),
+                           ["rep_id"], "sz")
+
+        def partials(b: pa.Table) -> pa.Table:
+            sz = b["sz"].to_numpy(zero_copy_only=False)
+            dup = sz[sz > 1]
+            return pa.table({"n_dup_clusters": pa.array([len(dup)]),
+                             "n_docs_in_dups": pa.array([int(dup.sum())])})
+
+        s = sizes.map_batches(partials, batch_format="pyarrow") \
+            .sum(["n_dup_clusters", "n_docs_in_dups"]) or {}
+        nc = int(s.get("sum(n_dup_clusters)") or 0)
+        nd = int(s.get("sum(n_docs_in_dups)") or 0)
+        rows.append((float(thr), int(n_pairs), nc, nd, nd - nc))
+    return pd_.DataFrame(rows, columns=[
+        "threshold", "n_pairs", "n_dup_clusters", "n_docs_in_dups",
+        "n_removed"]).astype({"n_pairs": "int64", "n_dup_clusters": "int64",
+                              "n_docs_in_dups": "int64",
+                              "n_removed": "int64"})

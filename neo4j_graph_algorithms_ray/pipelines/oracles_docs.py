@@ -265,6 +265,30 @@ SELECT CAST(coalesce(sum(in_e), 0) AS BIGINT) AS n_exact,
 FROM m"""
 
 
+def dedup_sensitivity_sql(thresholds=(0.3, 0.5, 0.8), iters: int = 25,
+                          num_perm: int = 8, bands: int = 4) -> str:
+    """Mirror of functions/dedup.dedup_sensitivity: one nested
+    cluster-closure chain per threshold, aggregated to the sweep
+    report."""
+    parts = []
+    for i, thr in enumerate(sorted(thresholds)):
+        parts.append(f"""t{i} AS (
+  WITH cl AS ({neardup_clusters_sql(iters, num_perm, bands, thr)}),
+       pr AS ({minhash_sql(num_perm, bands, thr)}),
+       sz AS (SELECT rep_id, count(*) AS sz FROM cl GROUP BY rep_id)
+  SELECT CAST({thr} AS DOUBLE) AS threshold,
+         CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_pairs,
+         CAST(count(*) FILTER (WHERE sz > 1) AS BIGINT) AS n_dup_clusters,
+         CAST(coalesce(sum(sz) FILTER (WHERE sz > 1), 0) AS BIGINT)
+           AS n_docs_in_dups,
+         CAST(coalesce(sum(sz) FILTER (WHERE sz > 1), 0)
+              - count(*) FILTER (WHERE sz > 1) AS BIGINT) AS n_removed
+  FROM sz)""")
+    sel = " UNION ALL ".join(f"SELECT * FROM t{i}"
+                             for i in range(len(parts)))
+    return ("WITH " + ",\n".join(parts) + f"\n{sel} ORDER BY threshold")
+
+
 def neardup_clusters_sql(iters: int = 25, num_perm: int = 8, bands: int = 4,
                          threshold: float = 0.5) -> str:
     """Mirror of functions/dedup.neardup_clusters: transitive closure of
