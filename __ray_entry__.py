@@ -1938,6 +1938,23 @@ def _q_web_pagerank_resumed(sf_dir: str):
     return _round6(res.dataset, "score")
 
 
+def _q_web_pagerank_incremental(sf_dir: str):
+    """Incremental-recrawl PageRank: rank the thinned "previous crawl"
+    graph cold (20 iterations), then warm-start 10 Jacobi sweeps on
+    the full graph from those scores (pagerank_warm streams the prior
+    vector into the shard actors; new-crawl nodes cold-init). Mirrors
+    the 30-CTE warm-chain SQL unroll."""
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import (pagerank,
+                                                                pagerank_warm)
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (
+        get_web_graph, get_web_graph_thinned)
+    g_old = get_web_graph_thinned(sf_dir)
+    x0 = pagerank(g_old, 0.85, max_iterations=PR_ITERS).dataset
+    g_new = get_web_graph(sf_dir)
+    res = pagerank_warm(g_new, x0, 0.85, max_iterations=10, node_col="url")
+    return _round6(res.dataset, "score")
+
+
 def _q_wcc_resumed(sf_dir: str):
     """Kill-and-resume parity for WCC (the north rule's
     components-from-checkpoint clause): two supersteps with a
@@ -2496,6 +2513,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "vocab_novelty": _q_vocab_novelty,
         "lang_vocab_overlap": _q_lang_vocab_overlap,
         "dedup_sensitivity": _q_dedup_sensitivity,
+        "web_pagerank_incremental": _q_web_pagerank_incremental,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2709,6 +2727,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_novelty": od.VOCAB_NOVELTY_SQL,
         "lang_vocab_overlap": od.LANG_VOCAB_OVERLAP_SQL,
         "dedup_sensitivity": od.dedup_sensitivity_sql((0.3, 0.5, 0.8)),
+        "web_pagerank_incremental":
+            ow.web_pagerank_incremental_sql(PR_ITERS, 10),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -246,3 +246,64 @@ def katz(
         stats={"computeSec": elapsed, "alpha": alpha, "beta": beta,
                "nodes": g.num_vertices, "edges": g.num_edges},
     )
+
+
+def pagerank_warm(
+    g: GraphTables,
+    init_scores,
+    damping: float = 0.85,
+    max_iterations: int = 10,
+    *,
+    num_partitions: Optional[int] = None,
+    keep_vid: bool = False,
+    node_col: str = "node",
+) -> IterativeResult:
+    """PageRank warm-started from a prior score vector — the
+    incremental-recrawl path: after an edge delta lands, re-converge
+    from yesterday's ranks instead of from scratch (the fixpoint is a
+    contraction, so k warm Jacobi sweeps from a near-fixpoint beat 20
+    cold ones).
+
+        r_{t+1}(v) = (1−d) + d · Σ_{u→v} r_t(u) / outdeg(u),
+        r_0(v) = init_scores[v] if present else (1−d)
+
+    ``init_scores``: Dataset/result with (node, score) keyed by
+    ORIGINAL node id — typically ``pagerank(old_graph).dataset``. The
+    vector streams from its map tasks straight into the owning shard
+    actors (no driver materialization), tolerating both missing nodes
+    (new pages since the last crawl → cold init) and extra nodes
+    (pages that dropped out → inner-join discard).
+
+    Fixed-k iterations for oracle parity (the SQL mirror unrolls the
+    same warm chain); converged-flag semantics mirror articlerank.
+    """
+    eng = get_engine(g, num_partitions)
+    eng.init_state("rank", "const", 1.0 - damping)
+    joined = init_scores.join(g.vertices, "inner",
+                              num_partitions=max(2, eng.P), on=("node",))
+    eng.set_state_from_dataset("rank", joined, vid_col="vid",
+                               val_col="score")
+    eng.apply_state("deg_f", "degree")
+
+    t0 = time.perf_counter()
+    for _ in range(max_iterations):
+        eng.apply_state("push", "div0", "rank", "deg_f")
+        eng.step("sum_state", "set_sum_update",
+                 scatter_kw={"name": "push"},
+                 update_kw={"name": "acc"})
+        eng.apply_state("acc_d", "scale", "acc", damping)
+        eng.apply_state("rank", "add", "acc_d", 1.0 - damping)
+    elapsed = time.perf_counter() - t0
+    metrics = [eng.drain_metrics()]
+
+    ds = eng.state_dataset(["rank"]).rename_columns({"rank": "score"})
+    ds = attach_node_ids(g, ds, out_col=node_col, keep_vid=keep_vid)
+    edges_scattered = sum(m.get("edges_scattered", 0)
+                          for im in metrics for m in im)
+    return IterativeResult(
+        dataset=ds, iterations=max_iterations, converged=False,
+        metrics=metrics,
+        stats={"computeSec": elapsed, "dampingFactor": damping,
+               "nodes": g.num_vertices, "edges": g.num_edges,
+               "edgesScattered": edges_scattered},
+    )

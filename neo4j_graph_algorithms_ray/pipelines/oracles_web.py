@@ -78,6 +78,50 @@ def web_pagerank_sql(iters: int = 20, topk: int = 0) -> str:
                    "ORDER BY url")
 
 
+def web_pagerank_incremental_sql(old_iters: int = 20, warm_iters: int = 10,
+                                 mod: int = 5) -> str:
+    """Mirror of the incremental-recrawl path: Jacobi PageRank on the
+    thinned "previous crawl" graph (edges with md5(src||'|'||dst)[:15]
+    % mod == 0 removed), then ``warm_iters`` warm sweeps on the full
+    graph starting from those ranks (missing nodes cold-init at
+    0.15)."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            f"""oedges AS MATERIALIZED (
+  SELECT src, dst FROM wedges
+  WHERE CAST(('0x' || substr(md5(src || '|' || dst), 1, 15)) AS BIGINT)
+        % {mod} != 0)""",
+            "onodes AS MATERIALIZED (SELECT src AS node FROM oedges "
+            "UNION SELECT dst FROM oedges)",
+            "odeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+            "AS dg FROM oedges GROUP BY src)",
+            "o0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM onodes)"]
+    for k in range(1, old_iters + 1):
+        ctes.append(f"""o{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM onodes n
+  LEFT JOIN oedges e ON e.dst = n.node
+  LEFT JOIN o{k-1} p ON p.node = e.src
+  LEFT JOIN odeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    ctes.append(
+        "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+        "FROM wedges GROUP BY src)")
+    ctes.append(f"""w0 AS (
+  SELECT n.node, coalesce(o.r, CAST(0.15 AS DOUBLE)) AS r
+  FROM wnodes n LEFT JOIN o{old_iters} o ON o.node = n.node)""")
+    for k in range(1, warm_iters + 1):
+        ctes.append(f"""w{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN w{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS url, round(r, 6) AS score FROM w{warm_iters} "
+              "ORDER BY url")
+
+
 def web_wcc_sql(iters: int = 30, final: str = "sizes") -> str:
     ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
             "sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM wedges "

@@ -59,6 +59,38 @@ def get_web_graph(sf_dir: str, *, undirected: bool = False) -> GraphTables:
     return g
 
 
+def get_web_graph_thinned(sf_dir: str, *, mod: int = 5) -> GraphTables:
+    """The "previous crawl" web graph: the full edge set minus the
+    deterministic 1/``mod`` slice where md5(src||'|'||dst)[:15] ≡ 0
+    (mod ``mod``) — the synthetic stand-in for edges discovered since
+    the last crawl, used by the incremental (warm-start) rank path.
+    Same md5 discipline the samplers use, so the SQL oracle can
+    reproduce the slice exactly."""
+    name = f"web_thin:{sf_dir}:{mod}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+
+        def keep_old(b: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(b["src_url"], b["dst_url"],
+                                              "|")
+            vals, inv = _md5_u64(
+                np.asarray(key.to_numpy(zero_copy_only=False), dtype=object),
+                15)
+            return b.filter(pa.array((vals[inv] % mod) != 0))
+
+        edges = web_edge_ds(sf_dir).map_batches(keep_old,
+                                                batch_format="pyarrow")
+        g = build_graph(edges, src_col="src_url", dst_col="dst_url",
+                        name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    return g
+
+
 HOST_RE = r"^[a-z]+://(?P<host>[^/]+)"
 
 

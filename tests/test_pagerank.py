@@ -241,3 +241,48 @@ def test_katz_no_degree_normalization():
     xs = {r["node"]: r["score"]
           for r in katz(g, 0.5, 1.0, max_iterations=5).dataset.take_all()}
     assert xs[1] == xs[2] == 1.5
+
+
+def test_pagerank_warm_continues_cold_series():
+    """10 warm Jacobi sweeps from the cold 20-iteration vector must
+    equal the cold 30-iteration run (same truncated Neumann series)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import (pagerank,
+                                                                pagerank_warm)
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    rng = np.random.default_rng(3)
+    e = {(int(s), int(d)) for s, d in
+         zip(rng.integers(0, 60, 400), rng.integers(0, 60, 400)) if s != d}
+    src, dst = zip(*sorted(e))
+    g = build_graph(rd.from_arrow(pa.table({"src": list(src),
+                                            "dst": list(dst)})),
+                    name="pr_warm")
+    x20 = pagerank(g, 0.85, max_iterations=20).dataset
+    warm = pagerank_warm(g, x20, 0.85, max_iterations=10).dataset
+    cold = pagerank(g, 0.85, max_iterations=30).dataset
+    w = {r["node"]: r["score"] for r in warm.take_all()}
+    c = {r["node"]: r["score"] for r in cold.take_all()}
+    assert set(w) == set(c)
+    assert all(abs(w[k] - c[k]) < 1e-9 for k in w)
+
+
+def test_pagerank_warm_missing_nodes_cold_init():
+    """Nodes absent from the init vector start at 1-d."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import pagerank_warm
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    g = build_graph(rd.from_arrow(pa.table({"src": [1, 2], "dst": [2, 3]})),
+                    name="pr_warm_miss")
+    init = rd.from_arrow(pa.table({"node": [1], "score": [0.15]}))
+    got = {r["node"]: r["score"] for r in
+           pagerank_warm(g, init, 0.85, max_iterations=1)
+           .dataset.take_all()}
+    # one sweep from all-0.15: r(2) = 0.15 + 0.85*0.15, r(3) likewise
+    assert abs(got[1] - 0.15) < 1e-12
+    assert abs(got[2] - (0.15 + 0.85 * 0.15)) < 1e-12
+    assert abs(got[3] - (0.15 + 0.85 * 0.15)) < 1e-12
