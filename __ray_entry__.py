@@ -2309,6 +2309,24 @@ def _q_host_rank_mass(sf_dir: str):
     return _round6(agg, "rank_mass").sort("host")
 
 
+def _q_wcc_incremental(sf_dir: str):
+    """Incremental-recrawl WCC: components of the thinned "previous
+    crawl" graph seed the full graph's hash-min (old components are
+    subsets of new ones, so the warm start only shortens convergence);
+    must value-hash-match the straight-run web WCC unroll."""
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    from neo4j_graph_algorithms_ray.algorithms.common import \
+        translate_vid_columns
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (
+        get_web_graph, get_web_graph_thinned)
+    g_old = get_web_graph_thinned(sf_dir, undirected=True)
+    seed = translate_vid_columns(g_old, wcc(g_old).dataset, ["component"])
+    g_new = get_web_graph(sf_dir, undirected=True)
+    res = wcc(g_new, init_components=seed)
+    comp = translate_vid_columns(g_new, res.dataset, ["component"])
+    return comp.rename_columns({"node": "url"})
+
+
 def _q_web_wcc_sizes(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import wcc
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -2514,6 +2532,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "lang_vocab_overlap": _q_lang_vocab_overlap,
         "dedup_sensitivity": _q_dedup_sensitivity,
         "web_pagerank_incremental": _q_web_pagerank_incremental,
+        "wcc_incremental": _q_wcc_incremental,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2729,6 +2748,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_sensitivity": od.dedup_sensitivity_sql((0.3, 0.5, 0.8)),
         "web_pagerank_incremental":
             ow.web_pagerank_incremental_sql(PR_ITERS, 10),
+        "wcc_incremental": ow.web_wcc_sql(30, "components"),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -39,6 +39,7 @@ def wcc(
     resume: bool = False,
     keep_vid: bool = False,
     jump_every: int = 4,
+    init_components: Optional[object] = None,
 ) -> IterativeResult:
     """Exact WCC. ``g`` must be built with ``undirected=True`` (the
     engine treats the edge table as directed; symmetrize at build time,
@@ -66,6 +67,24 @@ def wcc(
             eng.restore(ckpt, start_iter, ["component"])
     if start_iter == 0:
         eng.init_state("component", "vid")
+        if init_components is not None:
+            # incremental warm start: seed with a PRIOR run's (node,
+            # component) labels, both original ids (edges only ever
+            # added ⇒ old components are subsets of new ones and each
+            # old label — its component's min id — sits inside the
+            # same new component, so hash-min still converges to the
+            # new min-id fixpoint, just from a much shallower depth).
+            # Map the keyed node AND the label into this graph's vid
+            # space, then stream into the shard actors.
+            j1 = init_components.join(g.vertices, "inner",
+                                      num_partitions=max(2, eng.P),
+                                      on=("node",))
+            vl = g.vertices.rename_columns({"node": "component",
+                                            "vid": "cvid"})
+            j2 = j1.join(vl, "inner", num_partitions=max(2, eng.P),
+                         on=("component",))
+            eng.set_state_from_dataset("component", j2, vid_col="vid",
+                                       val_col="cvid")
     eng.init_state("changed", "const", 1, dtype="int8")
 
     metrics, it, converged, jumps = [], start_iter, False, 0

@@ -59,14 +59,15 @@ def get_web_graph(sf_dir: str, *, undirected: bool = False) -> GraphTables:
     return g
 
 
-def get_web_graph_thinned(sf_dir: str, *, mod: int = 5) -> GraphTables:
+def get_web_graph_thinned(sf_dir: str, *, mod: int = 5,
+                          undirected: bool = False) -> GraphTables:
     """The "previous crawl" web graph: the full edge set minus the
     deterministic 1/``mod`` slice where md5(src||'|'||dst)[:15] ≡ 0
     (mod ``mod``) — the synthetic stand-in for edges discovered since
     the last crawl, used by the incremental (warm-start) rank path.
     Same md5 discipline the samplers use, so the SQL oracle can
     reproduce the slice exactly."""
-    name = f"web_thin:{sf_dir}:{mod}"
+    name = f"web_thin:{sf_dir}:{mod}:{'und' if undirected else 'dir'}"
     g = GraphCatalog.get(name)
     if g is None:
         import numpy as np
@@ -86,7 +87,7 @@ def get_web_graph_thinned(sf_dir: str, *, mod: int = 5) -> GraphTables:
         edges = web_edge_ds(sf_dir).map_batches(keep_old,
                                                 batch_format="pyarrow")
         g = build_graph(edges, src_col="src_url", dst_col="dst_url",
-                        name=name.replace("/", "_"))
+                        undirected=undirected, name=name.replace("/", "_"))
         GraphCatalog.set(name, g)
     return g
 

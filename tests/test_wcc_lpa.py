@@ -203,3 +203,37 @@ def test_kcore_decomposition_matches_brute_force():
     assert got == want
     assert res.converged
     assert res.stats["degeneracy"] == max(want.values())
+
+
+def test_wcc_incremental_seed_matches_cold_run():
+    """Warm-starting WCC from a subgraph's components yields the same
+    labels as the cold run on the full graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.common import \
+        translate_vid_columns
+    from neo4j_graph_algorithms_ray.algorithms.wcc import wcc
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    rng = np.random.default_rng(5)
+    full = sorted({(int(s), int(d)) for s, d in
+                   zip(rng.integers(0, 80, 160), rng.integers(0, 80, 160))
+                   if s != d})
+    old = [e for i, e in enumerate(full) if i % 4 != 0]
+
+    def g_of(edges, name):
+        s, d = zip(*edges)
+        return build_graph(rd.from_arrow(pa.table({"src": list(s),
+                                                   "dst": list(d)})),
+                           undirected=True, name=name)
+
+    g_old, g_new = g_of(old, "wcc_inc_old"), g_of(full, "wcc_inc_new")
+    seed = translate_vid_columns(g_old, wcc(g_old).dataset, ["component"])
+    warm = wcc(g_new, init_components=seed)
+    cold = wcc(g_new)
+    w = {r["node"]: r["component"] for r in translate_vid_columns(
+        g_new, warm.dataset, ["component"]).take_all()}
+    c = {r["node"]: r["component"] for r in translate_vid_columns(
+        g_new, cold.dataset, ["component"]).take_all()}
+    assert w == c
