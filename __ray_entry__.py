@@ -2309,6 +2309,15 @@ def _q_host_rank_mass(sf_dir: str):
     return _round6(agg, "rank_mass").sort("host")
 
 
+def _q_edge_prune_topm(sf_dir: str):
+    """Rank-weighted crawl-graph compaction: per-source top-3 outlinks
+    by round6-ed target PageRank (webgraph.edge_prune_topm)."""
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (
+        edge_prune_topm, web_edge_ds)
+    ranks = _q_web_pagerank(sf_dir)
+    return edge_prune_topm(web_edge_ds(sf_dir), ranks, m=3)
+
+
 def _q_wcc_incremental(sf_dir: str):
     """Incremental-recrawl WCC: components of the thinned "previous
     crawl" graph seed the full graph's hash-min (old components are
@@ -2533,6 +2542,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "dedup_sensitivity": _q_dedup_sensitivity,
         "web_pagerank_incremental": _q_web_pagerank_incremental,
         "wcc_incremental": _q_wcc_incremental,
+        "edge_prune_topm": _q_edge_prune_topm,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2749,6 +2759,7 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank_incremental":
             ow.web_pagerank_incremental_sql(PR_ITERS, 10),
         "wcc_incremental": ow.web_wcc_sql(30, "components"),
+        "edge_prune_topm": ow.edge_prune_sql(3, PR_ITERS),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

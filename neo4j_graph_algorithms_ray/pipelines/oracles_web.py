@@ -78,6 +78,31 @@ def web_pagerank_sql(iters: int = 20, topk: int = 0) -> str:
                    "ORDER BY url")
 
 
+def edge_prune_sql(m: int = 3, iters: int = 20) -> str:
+    """Mirror of webgraph.edge_prune_topm over round6-ed web PageRank:
+    per-source top-m outlinks by target score, ties by dst asc."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+            "AS dg FROM wedges GROUP BY src)",
+            "r0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN r{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    ctes.append(f"pr AS (SELECT node, round(r, 6) AS score FROM r{iters})")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT src_url, dst_url, score FROM (
+  SELECT e.src AS src_url, e.dst AS dst_url, p.score,
+         row_number() OVER (PARTITION BY e.src
+                            ORDER BY p.score DESC, e.dst ASC) AS rn
+  FROM wedges e JOIN pr p ON p.node = e.dst) t
+WHERE rn <= {m} ORDER BY src_url, score DESC, dst_url""")
+
+
 def web_pagerank_incremental_sql(old_iters: int = 20, warm_iters: int = 10,
                                  mod: int = 5) -> str:
     """Mirror of the incremental-recrawl path: Jacobi PageRank on the

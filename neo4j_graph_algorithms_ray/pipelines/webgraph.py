@@ -201,3 +201,28 @@ def get_web_und_graph(sf_dir: str) -> GraphTables:
                         name=name.replace("/", "_"))
         GraphCatalog.set(name, g)
     return g
+
+
+def edge_prune_topm(edges: rd.Dataset, ranks: rd.Dataset, m: int = 3, *,
+                    src_col: str = "src_url", dst_col: str = "dst_url",
+                    node_col: str = "url",
+                    score_col: str = "score") -> rd.Dataset:
+    """Rank-weighted graph compaction: keep each source's top-``m``
+    outlinks by target score (ties: lower dst id first) →
+    (src, dst, score). The crawl-graph maintenance pass that bounds
+    per-page fanout while preserving the highest-authority endorsements
+    — run after every rank refresh at recrawl time.
+
+    Scale shape: the rank vector attaches to the edge stream through
+    the broadcast-join regime (put once, probed per batch; falls back
+    to a hash join past the byte/row caps) and the per-source top-m is
+    the bounded-exchange ``topk_per_group`` reduction — at most m rows
+    per (batch, source) ever shuffle. Scores must be pre-rounded
+    (round6) so float ties cannot flip the cut against a SQL oracle."""
+    from neo4j_graph_algorithms_ray.util import broadcast_join, topk_per_group
+
+    r = ranks.rename_columns({node_col: "__rnode"})
+    j = broadcast_join(edges, r, on=dst_col, right_on="__rnode")
+    top = topk_per_group(j, [src_col], score_col, m, tie_cols=[dst_col])
+    return top.select_columns([src_col, dst_col, score_col]) \
+        .sort([src_col, score_col, dst_col], descending=[False, True, False])
