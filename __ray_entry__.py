@@ -2309,6 +2309,25 @@ def _q_host_rank_mass(sf_dir: str):
     return _round6(agg, "rank_mass").sort("host")
 
 
+def _q_shard_plan(sf_dir: str):
+    """Partition-layout audit of the web graph's resident CSR shards:
+    per shard its vid range, vertex/edge counts and resident footprint
+    (state/shards.py info) — the per-partition lineage surface the
+    north star calls for. Engine-internal; rows-only driver check (the
+    accumulated-degree bounds have no SQL equivalent)."""
+    import pandas as pd
+    import ray
+
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    eng = get_engine(g, None)
+    infos = ray.get([a.info.remote() for a in eng.actors])
+    df = pd.DataFrame(infos).sort_values("part").reset_index(drop=True)
+    return df[["part", "lo", "hi", "n_local", "m", "resident_bytes",
+               "bytes_per_edge"]]
+
+
 def _q_edge_prune_topm(sf_dir: str):
     """Rank-weighted crawl-graph compaction: per-source top-3 outlinks
     by round6-ed target PageRank (webgraph.edge_prune_topm)."""
@@ -2543,6 +2562,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_pagerank_incremental": _q_web_pagerank_incremental,
         "wcc_incremental": _q_wcc_incremental,
         "edge_prune_topm": _q_edge_prune_topm,
+        "shard_plan": _q_shard_plan,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
