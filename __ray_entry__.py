@@ -2309,6 +2309,19 @@ def _q_host_rank_mass(sf_dir: str):
     return _round6(agg, "rank_mass").sort("host")
 
 
+def _q_web_ppr_batch(sf_dir: str):
+    """Batched multi-seed personalized PageRank: 3 topic seeds in ONE
+    BSP pass via matrix messages (pagerank.pagerank_batch) — each
+    column must match its independent single-seed unroll."""
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import pagerank_batch
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    from neo4j_graph_algorithms_ray.sources.pages import url_of
+    g = get_web_graph(sf_dir)
+    res = pagerank_batch(g, [url_of(0), url_of(1), url_of(2)], 0.85,
+                         max_iterations=PR_ITERS, node_col="url")
+    return _round6(res.dataset, "score")
+
+
 def _q_shard_plan(sf_dir: str):
     """Partition-layout audit of the web graph's resident CSR shards:
     per shard its vid range, vertex/edge counts and resident footprint
@@ -2563,6 +2576,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "wcc_incremental": _q_wcc_incremental,
         "edge_prune_topm": _q_edge_prune_topm,
         "shard_plan": _q_shard_plan,
+        "web_ppr_batch": _q_web_ppr_batch,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2780,6 +2794,7 @@ def oracle_sql() -> dict[str, str]:
             ow.web_pagerank_incremental_sql(PR_ITERS, 10),
         "wcc_incremental": ow.web_wcc_sql(30, "components"),
         "edge_prune_topm": ow.edge_prune_sql(3, PR_ITERS),
+        "web_ppr_batch": ow.web_ppr_batch_sql(PR_ITERS, (0, 1, 2)),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -22,6 +22,9 @@ import os
 import time
 from typing import Optional
 
+import numpy as np
+import pyarrow as pa
+
 from neo4j_graph_algorithms_ray.algorithms.common import (
     IterativeResult, attach_node_ids, ensure_ckpt_dir, get_engine)
 from neo4j_graph_algorithms_ray.graph import GraphTables
@@ -305,5 +308,68 @@ def pagerank_warm(
         metrics=metrics,
         stats={"computeSec": elapsed, "dampingFactor": damping,
                "nodes": g.num_vertices, "edges": g.num_edges,
+               "edgesScattered": edges_scattered},
+    )
+
+
+def pagerank_batch(
+    g: GraphTables,
+    seeds: list,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    *,
+    num_partitions: Optional[int] = None,
+    node_col: str = "node",
+    seed_col: str = "seed",
+) -> IterativeResult:
+    """S personalized PageRank vectors computed in ONE BSP pass —
+    matrix messages amortize every superstep's exchange over the whole
+    seed set (the MSBFS batching idea applied to rank mass): at 10^12
+    edges, 16 topic seeds cost ~one exchange, not sixteen.
+
+    Per seed column the recurrence is exactly ``pagerank(...,
+    source_nodes=[seed])`` (delta-push, teleport (1−d) on the seed
+    only), so each column value-hash-matches the single-seed oracle.
+    Returns a long-form Dataset (node, seed, score)."""
+    from neo4j_graph_algorithms_ray.algorithms.common import node_to_vid_map
+
+    eng = get_engine(g, num_partitions)
+    S = len(seeds)
+    nm = node_to_vid_map(g, list(seeds))
+    missing = [s for s in seeds if s not in nm]
+    if missing:
+        raise ValueError(f"seeds not in graph: {missing[:3]}")
+    svids = np.array([nm[s] for s in seeds], dtype=np.int64)
+    cols = np.arange(S, dtype=np.int64)
+    eng.init_state_wave("rankM", S, 0.0)
+    eng.init_state_wave("deltaM", S, 0.0)
+    eng.set_cells("rankM", svids, cols, np.full(S, 1.0 - damping))
+    eng.set_cells("deltaM", svids, cols, np.full(S, 1.0 - damping))
+
+    t0 = time.perf_counter()
+    for _ in range(max_iterations):
+        eng.step("ppr_push_multi", "ppr_update_multi",
+                 scatter_kw={"damping": damping})
+    elapsed = time.perf_counter() - t0
+    metrics = [eng.drain_metrics()]
+
+    seed_arr = np.asarray(list(seeds), dtype=object)
+
+    def label_seed(b: pa.Table) -> pa.Table:
+        c = b["col"].to_numpy(zero_copy_only=False)
+        return pa.table({"vid": b["vid"],
+                         seed_col: pa.array(seed_arr[c]),
+                         "score": b["value"]})
+
+    ds = eng.state_wave_dataset("rankM").map_batches(
+        label_seed, batch_format="pyarrow")
+    ds = attach_node_ids(g, ds, out_col=node_col)
+    edges_scattered = sum(m.get("edges_scattered", 0)
+                          for im in metrics for m in im)
+    return IterativeResult(
+        dataset=ds, iterations=max_iterations, converged=False,
+        metrics=metrics,
+        stats={"computeSec": elapsed, "dampingFactor": damping,
+               "seeds": S, "nodes": g.num_vertices, "edges": g.num_edges,
                "edgesScattered": edges_scattered},
     )

@@ -291,6 +291,33 @@ def web_ppr_sql(iters: int = 20, seed_docs=(0, 1)) -> str:
             + f"\nSELECT node AS url, round(r, 6) AS score FROM p{iters} ORDER BY url")
 
 
+def web_ppr_batch_sql(iters: int = 20, seed_docs=(0, 1, 2)) -> str:
+    """Mirror of pagerank.pagerank_batch: one independent PPR unroll
+    per seed, UNION ALL'd long-form (url, seed, score)."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+            "AS dg FROM wedges GROUP BY src)"]
+    sels = []
+    for i, d in enumerate(seed_docs):
+        seed = _url(str(d))
+        seed_case = f"CASE WHEN n.node = {seed} THEN 0.15 ELSE 0 END"
+        ctes.append(f"""s{i}_p0 AS (SELECT node,
+  CAST(CASE WHEN node = {seed} THEN 0.15 ELSE 0 END AS DOUBLE) AS r
+  FROM wnodes)""")
+        for k in range(1, iters + 1):
+            ctes.append(f"""s{i}_p{k} AS MATERIALIZED (
+  SELECT n.node, {seed_case} + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN s{i}_p{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+        sels.append(f"SELECT node AS url, {seed} AS seed, "
+                    f"round(r, 6) AS score FROM s{i}_p{iters}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + " UNION ALL ".join(sels) + " ORDER BY seed, url")
+
+
 def web_hits_sql(iters: int = 20) -> str:
     """HITS mirror: auth = Σ_in hub, hub = Σ_out auth, each L2-normalized
     per round; fixed ``iters`` rounds, round6 output."""

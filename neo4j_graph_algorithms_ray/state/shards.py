@@ -58,6 +58,7 @@ _COMBINE_OF_OP = {
     "in_degree_count": "sum", "min_state": "min", "min_state_delta": "min",
     "relax": "min", "max_state_masked": "max", "bits": "or",
     "brandes_fwd": "sum2d", "brandes_bwd": "sum2d", "bits_wave": "or2d",
+    "ppr_push_multi": "sum2d",
 }
 
 _COMBINE_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum,
@@ -399,6 +400,18 @@ class ShardActor:
         for nm in names:
             cols[nm] = pa.array(self.state[nm])
         return pa.table(cols)
+
+    def state_wave_table(self, name: str) -> pa.Table:
+        """2-D wave state in long form: (vid, col, value), one row per
+        (local vertex, seed column)."""
+        st = self.state[name]
+        n, S = st.shape
+        return pa.table({
+            "vid": pa.array(np.repeat(
+                np.arange(self.lo, self.hi, dtype=np.int64), S)),
+            "col": pa.array(np.tile(np.arange(S, dtype=np.int64), n)),
+            "value": pa.array(st.ravel()),
+        })
 
     def out_degree_table(self) -> pa.Table:
         return pa.table({"vid": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
@@ -823,6 +836,28 @@ class ShardActor:
                 idx = np.nonzero(fin)[0]
                 self.metrics["edges_scattered"] += int(np.isfinite(vals).sum())
                 return self._route(idx, mins[fin])
+            if op == "ppr_push_multi":
+                # batched personalized PageRank: all S delta columns
+                # push in ONE superstep — matrix messages amortize the
+                # exchange over the seed set (the MSBFS idea applied to
+                # rank mass). Per column identical to pr_push.
+                d = kw["damping"]
+                delta = self.state["deltaM"]
+                S = delta.shape[1]
+                nz = delta.any(axis=1) & (self.deg > 0)
+                if not nz.any():
+                    return [(np.empty(0, dtype=self.idx_dtype),
+                             np.empty((0, S))) for _ in range(self.P)]
+                push = np.where(nz[:, None],
+                                d * delta / np.maximum(self.deg, 1)[:, None],
+                                0.0)
+                vals = np.take(push, self.src_in_dst_order, axis=0)
+                sums = np.add.reduceat(vals, self.seg_starts, axis=0)
+                keep = sums.any(axis=1)
+                idx = np.nonzero(keep)[0]
+                self.metrics["edges_scattered"] += int(
+                    nz[self.src_in_dst_order].sum())
+                return self._route(idx, sums[keep])
             if op == "brandes_fwd":
                 # forward Brandes superstep: frontier vertices (dist ==
                 # level, per source column) push their σ along out-edges;
@@ -1050,6 +1085,15 @@ class ShardActor:
                 if kw.get("track_changed"):
                     self.state["changed"] = changed.astype(np.int8)
                 return {"changed": int(changed.sum())}
+            if op == "ppr_update_multi":
+                rank = self.state["rankM"]
+                acc = np.zeros_like(rank)
+                for m_ in msgs:
+                    if len(m_[0]):
+                        np.add.at(acc, m_[0].astype(np.int64), m_[1])
+                rank += acc
+                self.state["deltaM"] = acc
+                return {"max_delta": float(acc.max()) if acc.size else 0.0}
             if op == "brandes_fwd_update":
                 lv = kw["level"]
                 sig = self.state["sigma"]
@@ -1455,6 +1499,12 @@ class ShardEngine:
     def state_dataset(self, names: list[str], node_col: str = "vid"):
         import ray.data as rd
         refs = [a.state_table.remote(names, node_col) for a in self.actors]
+        return rd.from_arrow_refs(refs)
+
+    def state_wave_dataset(self, name: str):
+        """Long-form (vid, col, value) Dataset of a 2-D wave state."""
+        import ray.data as rd
+        refs = [a.state_wave_table.remote(name) for a in self.actors]
         return rd.from_arrow_refs(refs)
 
     def degrees_dataset(self, direction: str = "out"):

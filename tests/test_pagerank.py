@@ -286,3 +286,32 @@ def test_pagerank_warm_missing_nodes_cold_init():
     assert abs(got[1] - 0.15) < 1e-12
     assert abs(got[2] - (0.15 + 0.85 * 0.15)) < 1e-12
     assert abs(got[3] - (0.15 + 0.85 * 0.15)) < 1e-12
+
+
+def test_pagerank_batch_matches_single_seed_columns():
+    """Each column of the batched multi-seed PPR equals the independent
+    single-seed run exactly (same delta-push recurrence per column)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import (
+        pagerank, pagerank_batch)
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    rng = np.random.default_rng(2)
+    e = sorted({(int(s), int(d)) for s, d in
+                zip(rng.integers(0, 50, 300), rng.integers(0, 50, 300))
+                if s != d})
+    src, dst = zip(*e)
+    g = build_graph(rd.from_arrow(pa.table({"src": list(src),
+                                            "dst": list(dst)})),
+                    name="pprb_test")
+    seeds = [0, 7, 13]
+    bt = {(r["seed"], r["node"]): r["score"]
+          for r in pagerank_batch(g, seeds, 0.85, max_iterations=20)
+          .dataset.take_all()}
+    assert len(bt) == len(seeds) * g.num_vertices
+    for s in seeds:
+        for r in pagerank(g, 0.85, max_iterations=20,
+                          source_nodes=[s]).dataset.take_all():
+            assert abs(bt[(s, r["node"])] - r["score"]) < 1e-12
