@@ -2202,6 +2202,13 @@ def _q_lang_vocab_overlap(sf_dir: str):
     return lang_vocab_overlap(docs)
 
 
+def _q_simhash_eval(sf_dir: str):
+    """SimHash quality self-evaluation against the exact n-gram-Jaccard
+    pair set (functions/dedup.simhash_eval). One row."""
+    from neo4j_graph_algorithms_ray.functions.dedup import simhash_eval
+    return simhash_eval(_docs(sf_dir))
+
+
 def _q_vocab_novelty(sf_dir: str):
     """Marginal vocabulary gain per source (tokens attributed to their
     lexicographically-first source; functions/text.vocab_novelty)."""
@@ -2577,6 +2584,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "edge_prune_topm": _q_edge_prune_topm,
         "shard_plan": _q_shard_plan,
         "web_ppr_batch": _q_web_ppr_batch,
+        "simhash_eval": _q_simhash_eval,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2795,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc_incremental": ow.web_wcc_sql(30, "components"),
         "edge_prune_topm": ow.edge_prune_sql(3, PR_ITERS),
         "web_ppr_batch": ow.web_ppr_batch_sql(PR_ITERS, (0, 1, 2)),
+        "simhash_eval": od.simhash_eval_sql(8, 0.5),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -1236,17 +1236,25 @@ def minhash_eval(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
     the pair key → per-batch count partials, so only per-batch partial
     triples reach the driver-side sum. Returns a one-row pandas
     DataFrame."""
-    import pandas as pd_
-
-    from neo4j_graph_algorithms_ray.functions.text import round6
-    from neo4j_graph_algorithms_ray.util import preagg_sum
-
     exact = ngram_jaccard_pairs(docs, k=k, threshold=threshold,
                                 df_cap=df_cap, id_col=id_col,
                                 text_col=text_col)
     lsh = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands, k=k,
                             threshold=threshold, id_col=id_col,
                             text_col=text_col)
+    return _pair_set_report(exact, lsh)
+
+
+def _pair_set_report(exact: rd.Dataset, cand: rd.Dataset):
+    """Recall/precision of a candidate (a, b) pair set against an
+    exact one: flagged union → pair-key ``preagg_sum`` → per-batch
+    count partials; only partial triples reach the driver-side sum.
+    One-row pandas DataFrame (n_exact, n_lsh, n_both, recall,
+    precision)."""
+    import pandas as pd_
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import preagg_sum
 
     def flag(in_e: int, in_l: int):
         def f(b: pa.Table) -> pa.Table:
@@ -1258,7 +1266,7 @@ def minhash_eval(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
 
     u = exact.select_columns(["a", "b"]) \
         .map_batches(flag(1, 0), batch_format="pyarrow") \
-        .union(lsh.select_columns(["a", "b"])
+        .union(cand.select_columns(["a", "b"])
                .map_batches(flag(0, 1), batch_format="pyarrow"))
     m = preagg_sum(u, ["a", "b"], ["in_e", "in_l"])
 
@@ -1279,6 +1287,24 @@ def minhash_eval(docs: rd.Dataset, *, num_perm: int = 8, bands: int = 4,
         "n_exact": [ne], "n_lsh": [nl], "n_both": [nb],
         "recall": [r6(nb / ne) if ne else 0.0],
         "precision": [r6(nb / nl) if nl else 0.0]})
+
+
+def simhash_eval(docs: rd.Dataset, *, max_hamming: int = 8, k: int = 3,
+                 threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """SimHash quality report: recall/precision of the hamming-verified
+    SimHash pair set against the exact n-gram-Jaccard ground truth —
+    unlike MinHash-LSH the SimHash side is NOT Jaccard-verified, so
+    both its misses (sketch collisions that never happen) and its
+    extras (hamming-close docs below the Jaccard bar) show up here.
+    The pick-your-sketch companion to :func:`minhash_eval`; same
+    flagged-union comparison shape."""
+    exact = ngram_jaccard_pairs(docs, k=k, threshold=threshold,
+                                df_cap=df_cap, id_col=id_col,
+                                text_col=text_col)
+    cand = simhash_pairs(docs, max_hamming=max_hamming, id_col=id_col,
+                         text_col=text_col)
+    return _pair_set_report(exact, cand)
 
 
 def dedup_sensitivity(docs: rd.Dataset, *, thresholds=(0.3, 0.5, 0.8),

@@ -289,6 +289,29 @@ def dedup_sensitivity_sql(thresholds=(0.3, 0.5, 0.8), iters: int = 25,
     return ("WITH " + ",\n".join(parts) + f"\n{sel} ORDER BY threshold")
 
 
+def simhash_eval_sql(max_hamming: int = 8, threshold: float = 0.5,
+                     df_cap: int = 10_000) -> str:
+    """Mirror of functions/dedup.simhash_eval: exact pairs vs the
+    hamming-verified SimHash pair set, same report shape as
+    minhash_eval_sql."""
+    return f"""WITH exact_p AS ({ngram_jaccard_sql(df_cap, threshold)}),
+lsh_p AS ({simhash_sql(max_hamming)}),
+m AS (SELECT CAST(e.a IS NOT NULL AS INT) AS in_e,
+             CAST(l.a IS NOT NULL AS INT) AS in_l
+      FROM exact_p e FULL OUTER JOIN lsh_p l
+        ON e.a = l.a AND e.b = l.b)
+SELECT CAST(coalesce(sum(in_e), 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(sum(in_l), 0) AS BIGINT) AS n_lsh,
+       CAST(coalesce(sum(in_e * in_l), 0) AS BIGINT) AS n_both,
+       round(CASE WHEN coalesce(sum(in_e), 0) = 0 THEN 0
+                  ELSE sum(in_e * in_l) / CAST(sum(in_e) AS DOUBLE) END, 6)
+         AS recall,
+       round(CASE WHEN coalesce(sum(in_l), 0) = 0 THEN 0
+                  ELSE sum(in_e * in_l) / CAST(sum(in_l) AS DOUBLE) END, 6)
+         AS precision
+FROM m"""
+
+
 def neardup_clusters_sql(iters: int = 25, num_perm: int = 8, bands: int = 4,
                          threshold: float = 0.5) -> str:
     """Mirror of functions/dedup.neardup_clusters: transitive closure of
