@@ -149,6 +149,23 @@ def headline(num_cpus: int) -> dict:
         gw, 0.85, max_iterations=100, tolerance=1e-6,
         node_col="url").dataset.materialize(), repeats=2)
 
+    # batched multi-seed PPR: S rank vectors per exchange — report the
+    # amortization vs S independent single-seed runs (4 singles timed,
+    # extrapolated ×4)
+    from neo4j_graph_algorithms_ray.algorithms.pagerank import pagerank_batch
+    from neo4j_graph_algorithms_ray.sources.pages import url_of
+    seeds16 = [url_of(i) for i in range(16)]
+    timed("ppr_batch16", lambda: pagerank_batch(
+        gw, seeds16, 0.85, max_iterations=20,
+        node_col="url").dataset.materialize(), repeats=2)
+    t0 = time.perf_counter()
+    for _s in seeds16[:4]:
+        pagerank(gw, 0.85, max_iterations=20,
+                 source_nodes=[_s]).dataset.materialize()
+    t_single4 = time.perf_counter() - t0
+    extras["ppr_batch16_amortization_x"] = round(
+        4 * t_single4 / max(queries["ppr_batch16"], 1e-9), 1)
+
     # extraction throughput over bench-scale synthetic pages
     n_pages = int(os.environ.get("NGA_BENCH_PAGES", "100000"))
     import ray.data as _rd
