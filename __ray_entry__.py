@@ -1729,6 +1729,68 @@ def _q_host_triangles(sf_dir: str):
     return per_node.rename_columns({"node": "host"})
 
 
+def _q_host_features(sf_dir: str):
+    """ML feature assembly over the host graph: one wide row per host
+    (out/in degree, PageRank, triangle count, clustering coefficient)
+    — the feature-extraction join a ranking / spam model trains on.
+    Composes the existing distributed chains; the degree and rank
+    sides attach through left-outer hash joins keyed by host."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (
+        get_host_graph, host_edge_ds)
+    from neo4j_graph_algorithms_ray.util import (preagg_sum, safe_join,
+                                                 to_arrow_blocks)
+
+    g = get_host_graph(sf_dir)
+    pr = _round6(pagerank(g, 0.85, max_iterations=PR_ITERS,
+                          node_col="host").dataset, "score") \
+        .rename_columns({"score": "pagerank"})
+
+    he = host_edge_ds(sf_dir).filter(expr="src_host != dst_host")
+
+    def ones(col, out):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({out: b[col],
+                             f"n_{out}": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+        return f
+
+    outd = preagg_sum(he.map_batches(ones("src_host", "oh"),
+                                     batch_format="pyarrow"),
+                      ["oh"], "n_oh")
+    ind = preagg_sum(he.map_batches(ones("dst_host", "ih"),
+                                    batch_format="pyarrow"),
+                     ["ih"], "n_ih")
+    tri = _q_host_triangles(sf_dir)  # (host, triangles, coefficient)
+
+    j = safe_join(pr, outd, "left_outer", 8, on=("host",),
+                  right_on=("oh",))
+    j = safe_join(j, ind, "left_outer", 8, on=("host",),
+                  right_on=("ih",))
+    j = safe_join(j, tri.rename_columns({"host": "th"}), "left_outer", 8,
+                  on=("host",), right_on=("th",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table({
+            "host": b["host"],
+            "out_degree": pc.coalesce(pc.cast(b["n_oh"], pa.int64()), z),
+            "in_degree": pc.coalesce(pc.cast(b["n_ih"], pa.int64()), z),
+            "pagerank": b["pagerank"],
+            "triangles": pc.coalesce(pc.cast(b["triangles"], pa.int64()),
+                                     z),
+            "clustering": pc.coalesce(b["coefficient"],
+                                      pa.scalar(0.0, pa.float64())),
+        })
+
+    return to_arrow_blocks(j).map_batches(finish, batch_format="pyarrow")
+
+
 def _q_host_distinct_outlinks(sf_dir: str):
     """Per-host distinct-outlink-target estimate via a per-group HLL —
     the sketched COUNT(DISTINCT) GROUP BY of crawl budgeting."""
@@ -2585,6 +2647,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "shard_plan": _q_shard_plan,
         "web_ppr_batch": _q_web_ppr_batch,
         "simhash_eval": _q_simhash_eval,
+        "host_features": _q_host_features,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2804,6 +2867,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_prune_topm": ow.edge_prune_sql(3, PR_ITERS),
         "web_ppr_batch": ow.web_ppr_batch_sql(PR_ITERS, (0, 1, 2)),
         "simhash_eval": od.simhash_eval_sql(8, 0.5),
+        "host_features": ow.host_features_sql(PR_ITERS),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

@@ -204,6 +204,37 @@ def host_pagerank_sql(iters: int = 20) -> str:
             + f"\nSELECT node AS host, round(r, 6) AS score FROM h{iters} ORDER BY host")
 
 
+def host_features_sql(iters: int = 20) -> str:
+    """Mirror of the host feature-assembly join: per host its out/in
+    degree, round6 PageRank, triangle count and clustering
+    coefficient, nesting the existing chains as CTE subqueries."""
+    return f"""WITH pr AS ({host_pagerank_sql(iters)}),
+tri AS ({HOST_TRIANGLES_SQL}),
+deg AS (WITH {WEB_BASE},
+{WEB_EDGES},
+hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1)),
+hn AS (SELECT src AS host FROM hedges UNION SELECT dst FROM hedges),
+o AS (SELECT src AS host, count(*) AS od FROM hedges GROUP BY src),
+i AS (SELECT dst AS host, count(*) AS idg FROM hedges GROUP BY dst)
+SELECT hn.host, coalesce(o.od, 0) AS od, coalesce(i.idg, 0) AS idg
+FROM hn LEFT JOIN o ON o.host = hn.host LEFT JOIN i ON i.host = hn.host)
+SELECT pr.host,
+       CAST(d.od AS BIGINT) AS out_degree,
+       CAST(d.idg AS BIGINT) AS in_degree,
+       pr.score AS pagerank,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       coalesce(t.coefficient, 0) AS clustering
+FROM pr
+JOIN deg d ON d.host = pr.host
+LEFT JOIN tri t ON t.host = pr.host
+ORDER BY pr.host"""
+
+
 def host_betweenness_sql(sample: int = 0, max_depth: int = 19) -> str:
     """Exact directed Brandes betweenness over the host graph via the
     pair-dependency identity bc(v) = Σ_{s≠v≠t} σ_sv·σ_vt/σ_st with
