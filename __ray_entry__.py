@@ -2264,6 +2264,13 @@ def _q_lang_vocab_overlap(sf_dir: str):
     return lang_vocab_overlap(docs)
 
 
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    """All-pairs TF-IDF cosine ≥ 0.5 via the sparse inverted-index dot
+    (functions/text.tfidf_cosine_pairs)."""
+    from neo4j_graph_algorithms_ray.functions.text import tfidf_cosine_pairs
+    return _empty_safe(tfidf_cosine_pairs(_docs(sf_dir), threshold=0.5))
+
+
 def _q_simhash_eval(sf_dir: str):
     """SimHash quality self-evaluation against the exact n-gram-Jaccard
     pair set (functions/dedup.simhash_eval). One row."""
@@ -2648,6 +2655,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_ppr_batch": _q_web_ppr_batch,
         "simhash_eval": _q_simhash_eval,
         "host_features": _q_host_features,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2868,6 +2876,7 @@ def oracle_sql() -> dict[str, str]:
         "web_ppr_batch": ow.web_ppr_batch_sql(PR_ITERS, (0, 1, 2)),
         "simhash_eval": od.simhash_eval_sql(8, 0.5),
         "host_features": ow.host_features_sql(PR_ITERS),
+        "tfidf_cosine_pairs": od.tfidf_cosine_sql(0.5, 50),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

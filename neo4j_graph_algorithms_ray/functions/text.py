@@ -2564,3 +2564,127 @@ def lang_vocab_overlap(docs, *, text_col: str = "text",
     return pd_.DataFrame(rows, columns=["lang_a", "lang_b", "n_shared",
                                         "n_a", "n_b", "jaccard"]).astype(
         {"n_shared": "int64", "n_a": "int64", "n_b": "int64"})
+
+
+def tfidf_cosine_pairs(docs, *, threshold: float = 0.5, df_cap: int = 50,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """All-pairs TF-IDF cosine similarity ≥ ``threshold`` →
+    (a, b, cosine): the classic sparse-vector near-dup / related-docs
+    measure (tf = raw count, idf = ln(N/df)) computed as a sparse dot
+    product through the inverted index — no dense vectors, no
+    len(vocab)-wide state.
+
+    The vector space is restricted to tokens with df ≤ ``df_cap`` (the
+    stop-word-by-df discipline: an every-doc token carries no
+    discrimination and would make every per-token group C(N,2) pairs);
+    norms use the same restricted space so cosine stays a true cosine
+    there. Cosine is rounded to 1e-6 BEFORE the threshold so float
+    summation order can't flip boundary pairs against the SQL oracle.
+
+    Scale shape: per-batch (doc, token, tf) is exact (docs never span
+    batches); the df table reduces through the map-side combine and
+    broadcasts once via ``ray.put``; pair dots form per token group
+    (group size ≤ df_cap) and combine through a pair-keyed
+    ``preagg_sum``; norms attach via the broadcast-join regime."""
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import (broadcast_join, preagg_sum,
+                                                 to_arrow_blocks)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b[text_col])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        pair = np.unique(doc_idx.astype(np.int64) * len(uniq) + codes)
+        dfc = np.bincount((pair % len(uniq)).astype(np.int64),
+                          minlength=len(uniq))
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "df": dfc.astype(np.int64)})
+
+    n_docs = docs.count()
+    dft = preagg_sum(docs.map_batches(df_partial, batch_format="pyarrow"),
+                     ["token"], "df").materialize()
+    from neo4j_graph_algorithms_ray.util import collect_arrow
+    vocab = pa.concat_tables(collect_arrow(dft))
+    dfv = vocab["df"].to_numpy(zero_copy_only=False)
+    keep = dfv <= df_cap
+    idf_map = pd.Series(np.log(float(n_docs) / dfv[keep]),
+                        index=pd.Index(np.asarray(
+                            vocab["token"].to_pylist(), dtype=object)[keep]))
+    idf_ref = ray.put(idf_map)
+
+    def weights(b: pa.Table) -> pa.Table:
+        idf = ray.get(idf_ref)
+        doc_idx, toks = _token_arrays(b[text_col])
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64())})
+        codes, uniq = pd.factorize(toks)
+        key = doc_idx.astype(np.int64) * len(uniq) + codes
+        upair, tf = np.unique(key, return_counts=True)
+        di = (upair // len(uniq)).astype(np.int64)
+        ti = (upair % len(uniq)).astype(np.int64)
+        iv = idf.reindex(pd.Index(uniq[ti])).to_numpy()
+        ok = ~np.isnan(iv)
+        return pa.table({"token": pa.array(uniq[ti][ok], pa.string()),
+                         id_col: pa.array(ids[di[ok]]),
+                         "w": pa.array(tf[ok] * iv[ok])})
+
+    wt = to_arrow_blocks(docs.map_batches(weights, batch_format="pyarrow")) \
+        .materialize()
+
+    def norm_partial(b: pa.Table) -> pa.Table:
+        # docs never span batches: per-batch sum of squares is exact
+        ww = b["w"].to_numpy(zero_copy_only=False)
+        t = pa.table({id_col: b[id_col], "sq": pa.array(ww * ww)})
+        return t.group_by([id_col]).aggregate([("sq", "sum")]) \
+                .rename_columns([id_col, "sq"])
+
+    norms = preagg_sum(wt.map_batches(norm_partial, batch_format="pyarrow"),
+                       [id_col], "sq")
+
+    def pair_dots(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        ww = df["w"].to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        ids, ww = ids[order], ww[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "dp": np.empty(0, np.float64)})
+        ii, jj = np.triu_indices(n, 1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj],
+                             "dp": ww[ii] * ww[jj]})
+
+    # groups are ≤ df_cap rows; singleton-token groups emit nothing
+    dots = preagg_sum(
+        to_arrow_blocks(wt.groupby("token").map_groups(
+            pair_dots, batch_format="pandas")),
+        ["a", "b"], "dp")
+
+    j = broadcast_join(dots, norms.rename_columns({id_col: "na_id",
+                                                   "sq": "na_sq"}),
+                       on="a", right_on="na_id")
+    j = broadcast_join(j, norms.rename_columns({id_col: "nb_id",
+                                                "sq": "nb_sq"}),
+                       on="b", right_on="nb_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        dp = b["dp"].to_numpy(zero_copy_only=False)
+        na = np.sqrt(b["na_sq"].to_numpy(zero_copy_only=False))
+        nb = np.sqrt(b["nb_sq"].to_numpy(zero_copy_only=False))
+        cos = round6(dp / (na * nb))
+        m = cos >= threshold
+        return pa.table({"a": pa.array(
+                             b["a"].to_numpy(zero_copy_only=False)[m]),
+                         "b": pa.array(
+                             b["b"].to_numpy(zero_copy_only=False)[m]),
+                         "cosine": pa.array(cos[m])})
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -612,6 +612,33 @@ SELECT doc_id, token, tfidf FROM rk WHERE rn <= {topk}
 ORDER BY doc_id, tfidf DESC, token"""
 
 
+def tfidf_cosine_sql(threshold: float = 0.5, df_cap: int = 50) -> str:
+    """Mirror of functions/text.tfidf_cosine_pairs: sparse TF-IDF dot
+    through a token self-join over the df ≤ cap space, norms over the
+    same space, cosine round6-ed before the threshold."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS MATERIALIZED (SELECT doc_id, unnest(tk) AS token FROM tl),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM occ GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+w AS MATERIALIZED (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS w
+  FROM tf JOIN dfreq ON dfreq.token = tf.token CROSS JOIN n
+  WHERE dfreq.df <= {df_cap}),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id),
+dot AS (SELECT w1.doc_id AS a, w2.doc_id AS b, sum(w1.w * w2.w) AS dp
+        FROM w w1 JOIN w w2 ON w2.token = w1.token
+                           AND w1.doc_id < w2.doc_id
+        GROUP BY 1, 2)
+SELECT a, b, round(dp / (na.nn * nb.nn), 6) AS cosine
+FROM dot JOIN nrm na ON na.doc_id = dot.a JOIN nrm nb ON nb.doc_id = dot.b
+WHERE round(dp / (na.nn * nb.nn), 6) >= {threshold}
+ORDER BY a, b"""
+
+
 def bm25_topk_sql(terms, topk: int = 25, k1: float = 1.2,
                   b: float = 0.75) -> str:
     """Mirror of functions/text.bm25_topk: Lucene-style idf

@@ -793,3 +793,30 @@ def test_lang_vocab_overlap_hand_case():
     assert got == [("de", "en", 2, 3, 3, 0.5),
                    ("de", "fr", 1, 3, 3, 0.2),
                    ("en", "fr", 1, 3, 3, 0.2)]
+
+
+def test_tfidf_cosine_pairs_hand_case():
+    import math
+
+    from neo4j_graph_algorithms_ray.functions.text import tfidf_cosine_pairs
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "apple banana cherry"},
+        {"doc_id": 1, "text": "apple banana date"},
+        {"doc_id": 2, "text": "unrelated words entirely"},
+        {"doc_id": 3, "text": ""},
+    ])
+    rows = tfidf_cosine_pairs(docs, threshold=0.1).take_all()
+    # only (0,1) shares tokens: apple+banana df=2 (idf=ln2),
+    # cherry/date df=1 (idf=ln4=2ln2) -> cos = 2/(2+4) = 1/3
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (0, 1)
+    assert abs(r["cosine"] - round(1 / 3, 6)) < 5e-7
+    # df_cap excludes ubiquitous tokens from the space entirely
+    docs2 = rd.from_items([
+        {"doc_id": i, "text": "common filler"} for i in range(5)
+    ] + [{"doc_id": 9, "text": "common rare"}])
+    got = tfidf_cosine_pairs(docs2, threshold=0.0, df_cap=5).take_all()
+    # 'common' has df=6 > 5 -> dropped; 'filler' df=5 pairs the first five
+    assert {(r["a"], r["b"]) for r in got} == {
+        (a, b) for a in range(5) for b in range(a + 1, 5)}
