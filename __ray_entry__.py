@@ -1050,6 +1050,21 @@ def _q_window_agg(sf_dir: str):
     return _round6(ds, "sum_value")
 
 
+def _q_latest_event_per_user(sf_dir: str):
+    """Last-write-wins compaction: per user the most recent event row
+    (events.latest_event_per_user) — the CDC/upsert primitive."""
+    from neo4j_graph_algorithms_ray.functions.events import \
+        latest_event_per_user
+    return latest_event_per_user(_events(sf_dir))
+
+
+def _q_window_topk_types(sf_dir: str):
+    """Top-3 event types per tumbling window
+    (events.window_topk_types)."""
+    from neo4j_graph_algorithms_ray.functions.events import window_topk_types
+    return window_topk_types(_events(sf_dir), window_s=EVENT_WINDOW_S, k=3)
+
+
 def _q_hopping_agg(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.events import hopping_aggregate
     ds = hopping_aggregate(_events(sf_dir), window_s=EVENT_WINDOW_S,
@@ -2656,6 +2671,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "simhash_eval": _q_simhash_eval,
         "host_features": _q_host_features,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "window_topk_types": _q_window_topk_types,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2877,6 +2894,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_eval": od.simhash_eval_sql(8, 0.5),
         "host_features": ow.host_features_sql(PR_ITERS),
         "tfidf_cosine_pairs": od.tfidf_cosine_sql(0.5, 50),
+        "latest_event_per_user": oe.LATEST_EVENT_SQL,
+        "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,
         "web_bowtie": ow.WEB_BOWTIE_SQL,

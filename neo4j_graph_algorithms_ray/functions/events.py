@@ -519,3 +519,48 @@ def hopping_aggregate(events: rd.Dataset, window_s: int = 3600,
     agg = preagg_sum(events.map_batches(partial, batch_format="pyarrow"),
                      ["window_start_s"] + keys, ["n_events", "sum_value"])
     return agg
+
+
+def latest_event_per_user(events: rd.Dataset, *, time_col: str = "ts",
+                          id_col: str = "event_id",
+                          user_col: str = "user_id") -> rd.Dataset:
+    """Last-write-wins compaction — the CDC/upsert primitive: per user
+    the single most recent event row (ties on timestamp broken by the
+    LOWEST event id, a fixed deterministic rule). Returns (user_id,
+    ts_us, event_id, event_type, value).
+
+    Scale shape: ``topk_per_group`` with k=1 — every batch shrinks to
+    one row per local user before anything shuffles, so the exchange
+    carries ≤ |users-per-batch| rows, never raw events. This is how a
+    100 TB changelog compacts to current state."""
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({user_col: b.column(user_col),
+                         "ts_us": _ts_us(b.column(time_col)),
+                         id_col: b.column(id_col),
+                         "event_type": b.column("event_type"),
+                         "value": b.column("value")})
+
+    from neo4j_graph_algorithms_ray.util import topk_per_group
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    out = topk_per_group(prepped, [user_col], "ts_us", 1,
+                         descending=True, tie_cols=[id_col])
+    from neo4j_graph_algorithms_ray.util import to_arrow_blocks
+    return to_arrow_blocks(out).sort(user_col)
+
+
+def window_topk_types(events: rd.Dataset, window_s: int = 3600, k: int = 3,
+                      time_col: str = "ts") -> rd.Dataset:
+    """Per tumbling window the top-``k`` event types by count (ties:
+    type asc) — the stream-analytics "what's trending this hour" query.
+    Composition: ``windowed_aggregate`` map-side combine →
+    ``topk_per_group`` bounded reduction; raw events never shuffle."""
+    from neo4j_graph_algorithms_ray.util import (to_arrow_blocks,
+                                                 topk_per_group)
+    agg = windowed_aggregate(events, window_s=window_s,
+                             keys=("event_type",), time_col=time_col)
+    top = topk_per_group(agg.select_columns(
+        ["window_start_s", "event_type", "n_events"]),
+        ["window_start_s"], "n_events", k, tie_cols=["event_type"])
+    return to_arrow_blocks(top).sort(
+        ["window_start_s", "n_events", "event_type"],
+        descending=[False, True, False])

@@ -118,3 +118,28 @@ def window_unique_users_sql(window_s: int = 3600) -> str:
          AS window_start_s,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1 ORDER BY 1"""
+
+
+LATEST_EVENT_SQL = """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events) t
+WHERE rn = 1 ORDER BY user_id"""
+
+
+def window_topk_types_sql(window_s: int = 3600, k: int = 3) -> str:
+    """Mirror of events.window_topk_types: tumbling count per type,
+    row_number per window (n desc, type asc), top-k."""
+    return f"""WITH agg AS (
+  SELECT (epoch_us(ts) // (CAST({window_s} AS BIGINT) * 1000000))
+           * {window_s} AS window_start_s,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY window_start_s
+                                    ORDER BY n_events DESC,
+                                             event_type ASC) AS rn
+       FROM agg)
+SELECT window_start_s, event_type, CAST(n_events AS BIGINT) AS n_events
+FROM rk WHERE rn <= {k}
+ORDER BY window_start_s, n_events DESC, event_type"""
