@@ -1050,6 +1050,22 @@ def _q_window_agg(sf_dir: str):
     return _round6(ds, "sum_value")
 
 
+def _q_embedding_gram(sf_dir: str):
+    """Distributed Gram matrix (upper triangle, round6) over the
+    embeddings table (functions/ann.embedding_gram)."""
+    from neo4j_graph_algorithms_ray.functions.ann import embedding_gram
+    return embedding_gram(_emb(sf_dir))
+
+
+def _q_embedding_pca(sf_dir: str):
+    """Top-8 PCA explained-variance ratios from the distributed Gram
+    partials (functions/ann.embedding_pca). Rows-only driver check —
+    eigensolves have no SQL mirror; the Gram itself is value-hash
+    checked by ``embedding_gram``."""
+    from neo4j_graph_algorithms_ray.functions.ann import embedding_pca
+    return embedding_pca(_emb(sf_dir), topk=8)
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Last-write-wins compaction: per user the most recent event row
     (events.latest_event_per_user) — the CDC/upsert primitive."""
@@ -2673,6 +2689,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "latest_event_per_user": _q_latest_event_per_user,
         "window_topk_types": _q_window_topk_types,
+        "embedding_gram": _q_embedding_gram,
+        "embedding_pca": _q_embedding_pca,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2895,6 +2913,7 @@ def oracle_sql() -> dict[str, str]:
         "host_features": ow.host_features_sql(PR_ITERS),
         "tfidf_cosine_pairs": od.tfidf_cosine_sql(0.5, 50),
         "latest_event_per_user": oe.LATEST_EVENT_SQL,
+        "embedding_gram": od.EMBEDDING_GRAM_SQL,
         "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,

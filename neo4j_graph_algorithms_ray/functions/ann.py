@@ -567,3 +567,86 @@ def embedding_dim_stats(emb, *, vec_col: str = "embedding"):
                          "std": pa.array(r6(np.sqrt(var)))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_gram(emb, *, vec_col: str = "embedding"):
+    """Distributed Gram matrix XᵀX over the embedding column — the
+    linear-algebra partial behind PCA / whitening / covariance drift:
+    each batch contributes one D×D matmul, partials combine through the
+    (i, j)-keyed map-side tree, and only the D(D+1)/2 upper-triangle
+    rows (i ≤ j, 1-based, round6) ever reach the driver. The
+    eigen-step runs driver-side on the tiny result (see
+    ``embedding_pca``); the data-sized work is all here.
+
+    Returns (i, j, g) sorted by (i, j)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        x = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.num_rows
+        if n == 0 or len(x) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.float64())})
+        d = len(x) // n
+        m = x.reshape(n, d)
+        gram = m.T @ m
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu + 1), "j": pa.array(ju + 1),
+                         "g": pa.array(gram[iu, ju])})
+
+    agg = preagg_sum(emb.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow"), ["i", "j"], "g")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"i": b["i"], "j": b["j"],
+                         "g": pa.array(round6(
+                             b["g"].to_numpy(zero_copy_only=False)))})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["i", "j"])
+
+
+def embedding_pca(emb, *, vec_col: str = "embedding", topk: int = 8):
+    """Top-``topk`` PCA explained-variance ratios from the distributed
+    Gram matrix: the D×D covariance assembles from ``embedding_gram``'s
+    partials plus the per-dimension means, and the eigendecomposition
+    runs on the driver (D² floats — microscopic next to the corpus).
+    Returns (component, eigenvalue, explained_ratio) — pytest-pinned
+    (eigensolves have no SQL mirror)."""
+    import numpy as np
+    import pandas as pd_
+
+    rows = embedding_gram(emb, vec_col=vec_col).take_all()
+    if not rows:
+        return pd_.DataFrame(columns=["component", "eigenvalue",
+                                      "explained_ratio"])
+    d = max(r["j"] for r in rows)
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+        G[r["j"] - 1, r["i"] - 1] = r["g"]
+    stats = embedding_dim_stats(emb, vec_col=vec_col).take_all()
+    mean = np.zeros(d)
+    n = 0
+    for r in stats:
+        mean[r["dim"] - 1] = r["mean"]
+        n = r["n"] if "n" in r else n
+    # embedding_dim_stats drops n from its output; recount cheaply
+    n = emb.count()
+    cov = G / n - np.outer(mean, mean)
+    ev = np.linalg.eigvalsh(cov)[::-1]
+    tot = float(ev.sum()) or 1.0
+    k = min(topk, d)
+    return pd_.DataFrame({
+        "component": np.arange(1, k + 1),
+        "eigenvalue": ev[:k],
+        "explained_ratio": ev[:k] / tot})

@@ -1395,6 +1395,17 @@ SELECT doc_id, CAST(reason = 'keep' AS BIGINT) AS keep, reason
 FROM dec ORDER BY doc_id"""
 
 
+EMBEDDING_GRAM_SQL = """WITH dims AS (
+  SELECT unnest(generate_series(1, len((SELECT embedding FROM embeddings
+                                        LIMIT 1)))) AS i),
+pr AS (SELECT a.i AS i, b.i AS j FROM dims a JOIN dims b ON b.i >= a.i)
+SELECT p.i, p.j,
+       round(sum(CAST(e.embedding[p.i] AS DOUBLE)
+                 * CAST(e.embedding[p.j] AS DOUBLE)), 6) AS g
+FROM embeddings e CROSS JOIN pr p
+GROUP BY p.i, p.j ORDER BY i, j"""
+
+
 EMBEDDING_DIM_STATS_SQL = """WITH dims AS (
   SELECT unnest(generate_series(1, len((SELECT embedding FROM embeddings
                                         LIMIT 1)))) AS dim),

@@ -527,3 +527,31 @@ def test_minhash_eval_cross_checks_pair_sets():
     # LSH-verified pairs all satisfy the exact threshold, so on a
     # corpus whose dfs stay under the hub cap they are a subset
     assert ls <= ex and row.precision == 1.0
+
+
+def test_embedding_gram_and_pca_match_numpy():
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.functions.ann import (embedding_gram,
+                                                          embedding_pca)
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(120, 6))
+    # stretch one direction so the spectrum is non-flat
+    X[:, 0] *= 3
+    emb = rd.from_items([
+        {"vec_id": i,
+         "embedding": [float(v) for v in X[i].astype("float32")]}
+        for i in range(len(X))])
+    Xf = X.astype("float32").astype("float64")
+    G = Xf.T @ Xf
+    rows = embedding_gram(emb).take_all()
+    assert len(rows) == 6 * 7 // 2
+    for r in rows:
+        assert abs(r["g"] - G[r["i"] - 1, r["j"] - 1]) < 5e-6
+    cov = G / len(X) - np.outer(Xf.mean(0), Xf.mean(0))
+    ev = np.linalg.eigvalsh(cov)[::-1]
+    df = embedding_pca(emb, topk=3)
+    got = df["eigenvalue"].to_numpy()
+    # round6 on the gram + mean round6 perturb the eigenvalues slightly
+    assert np.allclose(got, ev[:3], atol=1e-4)
+    assert df["explained_ratio"].iloc[0] > 0.5  # the stretched direction
