@@ -1050,6 +1050,26 @@ def _q_window_agg(sf_dir: str):
     return _round6(ds, "sum_value")
 
 
+def _q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: labeled lang vs the LangId
+    heuristic (functions/text.langid_confusion)."""
+    from neo4j_graph_algorithms_ray.functions.text import langid_confusion
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["text", "lang"])
+    return langid_confusion(docs)
+
+
+def _q_quality_by_source(sf_dir: str):
+    """Per-source corpus quality aggregate
+    (functions/text.quality_by_source)."""
+    from neo4j_graph_algorithms_ray.functions.text import quality_by_source
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["text", "source"])
+    return quality_by_source(docs)
+
+
 def _q_embedding_gram(sf_dir: str):
     """Distributed Gram matrix (upper triangle, round6) over the
     embeddings table (functions/ann.embedding_gram)."""
@@ -2691,6 +2711,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "window_topk_types": _q_window_topk_types,
         "embedding_gram": _q_embedding_gram,
         "embedding_pca": _q_embedding_pca,
+        "langid_confusion": _q_langid_confusion,
+        "quality_by_source": _q_quality_by_source,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2914,6 +2936,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_cosine_pairs": od.tfidf_cosine_sql(0.5, 50),
         "latest_event_per_user": oe.LATEST_EVENT_SQL,
         "embedding_gram": od.EMBEDDING_GRAM_SQL,
+        "langid_confusion": od.langid_confusion_sql(),
+        "quality_by_source": od.quality_by_source_sql(),
         "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,

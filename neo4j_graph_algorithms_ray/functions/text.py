@@ -2688,3 +2688,75 @@ def tfidf_cosine_pairs(docs, *, threshold: float = 0.5, df_cap: int = 50,
                          "cosine": pa.array(cos[m])})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def langid_confusion(docs, *, lang_col: str = "lang",
+                     text_col: str = "text"):
+    """Language-ID confusion matrix: (lang, pred_lang, n) — labeled
+    language vs the LangId heuristic's prediction, the
+    is-my-language-filter-lying eval before a lang-gated corpus clean.
+
+    Scale shape: prediction and the (label, pred) count partial happen
+    in the same batch pass (no join — the label rides the batch);
+    only the ≤|langs|² count matrix shuffles."""
+    lid = LangId(id_col=lang_col, text_col=text_col)  # id col = label
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = lid(b)  # (lang, pred_lang)
+        t = p.append_column("n", pa.array(np.ones(p.num_rows, np.int64)))
+        return t.group_by([lang_col, "pred_lang"]).aggregate(
+            [("n", "sum")]).rename_columns([lang_col, "pred_lang", "n"])
+
+    return preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
+                      [lang_col, "pred_lang"], "n") \
+        .sort([lang_col, "pred_lang"])
+
+
+def quality_by_source(docs, *, source_col: str = "source",
+                      text_col: str = "text"):
+    """Per-source corpus quality aggregate: (source, n_docs, n_tokens,
+    mean_tokens, mean_stopword_ratio, mean_punct_ratio) — the
+    mixture-curation dashboard row telling which feeds are worth their
+    tokens.
+
+    Scale shape: the QualityScore kernel and the per-source moment
+    partials share one batch pass; only |sources| moment rows
+    shuffle."""
+    qs = QualityScore(id_col=source_col, text_col=text_col)
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = qs(b)
+        t = pa.table({
+            source_col: q[source_col],
+            "n_docs": pa.array(np.ones(q.num_rows, np.int64)),
+            "n_tokens": q["n_tokens"],
+            "sw": q["stopword_ratio"],
+            "pr": q["punct_ratio"],
+        })
+        return t.group_by([source_col]).aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum"), ("sw", "sum"),
+             ("pr", "sum")]).rename_columns(
+            [source_col, "n_docs", "n_tokens", "sw", "pr"])
+
+    agg = preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
+                     [source_col], ["n_docs", "n_tokens", "sw", "pr"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            source_col: b[source_col],
+            "n_docs": b["n_docs"],
+            "n_tokens": b["n_tokens"],
+            "mean_tokens": pa.array(round6(
+                b["n_tokens"].to_numpy(zero_copy_only=False) / n)),
+            "mean_stopword_ratio": pa.array(round6(
+                b["sw"].to_numpy(zero_copy_only=False) / n)),
+            "mean_punct_ratio": pa.array(round6(
+                b["pr"].to_numpy(zero_copy_only=False) / n)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(source_col)

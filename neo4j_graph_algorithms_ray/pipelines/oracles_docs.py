@@ -119,6 +119,28 @@ SELECT doc_id,
 FROM hits ORDER BY doc_id"""
 
 
+def langid_confusion_sql() -> str:
+    """Mirror of functions/text.langid_confusion: labeled lang vs the
+    LangId prediction, counted."""
+    return f"""WITH pred AS ({langid_sql()})
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY 1, 2 ORDER BY lang, pred_lang"""
+
+
+def quality_by_source_sql() -> str:
+    """Mirror of functions/text.quality_by_source: per-source means of
+    the round6-ed per-doc QualityScore ratios."""
+    return f"""WITH q AS ({QUALITY_SQL})
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(q.n_tokens) / CAST(count(*) AS DOUBLE), 6) AS mean_tokens,
+       round(sum(q.stopword_ratio) / count(*), 6) AS mean_stopword_ratio,
+       round(sum(q.punct_ratio) / count(*), 6) AS mean_punct_ratio
+FROM q JOIN documents d ON d.doc_id = q.doc_id
+GROUP BY d.source ORDER BY d.source"""
+
+
 FINGERPRINT_SQL = r"""SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY doc_id"""
