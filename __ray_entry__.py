@@ -1050,6 +1050,14 @@ def _q_window_agg(sf_dir: str):
     return _round6(ds, "sum_value")
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Per-dimension int8 quantization audit
+    (functions/ann.embedding_quantize_report)."""
+    from neo4j_graph_algorithms_ray.functions.ann import \
+        embedding_quantize_report
+    return embedding_quantize_report(_emb(sf_dir))
+
+
 def _q_langid_confusion(sf_dir: str):
     """Language-ID confusion matrix: labeled lang vs the LangId
     heuristic (functions/text.langid_confusion)."""
@@ -2713,6 +2721,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "langid_confusion": _q_langid_confusion,
         "quality_by_source": _q_quality_by_source,
+        "embedding_quantize": _q_embedding_quantize,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2938,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gram": od.EMBEDDING_GRAM_SQL,
         "langid_confusion": od.langid_confusion_sql(),
         "quality_by_source": od.quality_by_source_sql(),
+        "embedding_quantize": od.EMBEDDING_QUANTIZE_SQL,
         "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,

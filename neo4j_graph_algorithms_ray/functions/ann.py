@@ -650,3 +650,78 @@ def embedding_pca(emb, *, vec_col: str = "embedding", topk: int = 8):
         "component": np.arange(1, k + 1),
         "eigenvalue": ev[:k],
         "explained_ratio": ev[:k] / tot})
+
+
+def embedding_quantize_report(emb, *, vec_col: str = "embedding"):
+    """Symmetric int8 quantization audit: per dimension its scale
+    (corpus max |v|) and the mean absolute reconstruction error of
+    q = round(v / scale * 127) — the decide-before-you-compress report
+    for a vector store. Returns (dim, scale, mae), round6.
+
+    Scale shape: two streaming passes — a per-dim max-abs reduce
+    (map-side ``preagg_max``), scales broadcast once via ``ray.put``,
+    then per-dim absolute-error sum partials. Rounding is
+    half-away-from-zero to match the SQL mirror."""
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.util import preagg_max, preagg_sum
+
+    def _mat(b: pa.Table):
+        col = b[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        x = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.num_rows
+        return (x.reshape(n, len(x) // n) if n and len(x) else
+                np.zeros((0, 0)))
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        m = _mat(b)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"dim": pa.array(np.arange(1, m.shape[1] + 1)),
+                         "mx": pa.array(np.abs(m).max(axis=0))})
+
+    sel = emb.select_columns([vec_col])
+    mx = preagg_max(sel.map_batches(max_partial, batch_format="pyarrow"),
+                    ["dim"], "mx").take_all()
+    d = len(mx)
+    scales = np.zeros(d)
+    for r in mx:
+        scales[r["dim"] - 1] = r["mx"]
+    scale_ref = ray.put(scales)
+
+    def err_partial(b: pa.Table) -> pa.Table:
+        sc = ray.get(scale_ref)
+        m = _mat(b)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "ae": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        s = np.where(sc > 0, sc, 1.0)
+        q = pc.round(pa.array((m / s * 127.0).ravel()), ndigits=0,
+                     round_mode="half_towards_infinity") \
+            .to_numpy(zero_copy_only=False).reshape(m.shape)
+        q = np.clip(q, -127, 127)
+        err = np.abs(m - q * s / 127.0)
+        return pa.table({"dim": pa.array(np.arange(1, m.shape[1] + 1)),
+                         "ae": pa.array(err.sum(axis=0)),
+                         "n": pa.array(np.full(m.shape[1], m.shape[0],
+                                               np.int64))})
+
+    agg = preagg_sum(sel.map_batches(err_partial, batch_format="pyarrow"),
+                     ["dim"], ["ae", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        sc = scales[b["dim"].to_numpy(zero_copy_only=False) - 1]
+        ae = b["ae"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"dim": b["dim"],
+                         "scale": pa.array(round6(sc)),
+                         "mae": pa.array(round6(ae / n))})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("dim")

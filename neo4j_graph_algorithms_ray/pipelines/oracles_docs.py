@@ -1428,6 +1428,23 @@ FROM embeddings e CROSS JOIN pr p
 GROUP BY p.i, p.j ORDER BY i, j"""
 
 
+EMBEDDING_QUANTIZE_SQL = """WITH dims AS (
+  SELECT unnest(generate_series(1, len((SELECT embedding FROM embeddings
+                                        LIMIT 1)))) AS dim),
+v AS MATERIALIZED (
+  SELECT d.dim, CAST(e.embedding[d.dim] AS DOUBLE) AS x
+  FROM embeddings e, dims d),
+sc AS (SELECT dim, max(abs(x)) AS s,
+              CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) ELSE 1 END AS sd
+       FROM v GROUP BY dim),
+err AS (SELECT v.dim, sc.s,
+               abs(v.x - least(greatest(round(v.x / sc.sd * 127.0), -127),
+                               127) * sc.sd / 127.0) AS ae
+        FROM v JOIN sc ON sc.dim = v.dim)
+SELECT dim, round(s, 6) AS scale, round(avg(ae), 6) AS mae
+FROM err GROUP BY dim, s ORDER BY dim"""
+
+
 EMBEDDING_DIM_STATS_SQL = """WITH dims AS (
   SELECT unnest(generate_series(1, len((SELECT embedding FROM embeddings
                                         LIMIT 1)))) AS dim),
