@@ -1050,6 +1050,18 @@ def _q_window_agg(sf_dir: str):
     return _round6(ds, "sum_value")
 
 
+def _q_ann_eval(sf_dir: str):
+    """Per-query recall@10 of the LSH ANN index against brute-force
+    ground truth (functions/ann.ann_recall_report)."""
+    from neo4j_graph_algorithms_ray.functions.ann import (ann_recall_report,
+                                                          brute_force_topk,
+                                                          lsh_topk)
+    vecs, ids = _ann_queries(sf_dir)
+    bf = brute_force_topk(_emb(sf_dir), vecs, ids, k=10)
+    ap = lsh_topk(_emb(sf_dir), vecs, ids, k=10)
+    return ann_recall_report(bf, ap, k=10)
+
+
 def _q_embedding_quantize(sf_dir: str):
     """Per-dimension int8 quantization audit
     (functions/ann.embedding_quantize_report)."""
@@ -2722,6 +2734,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": _q_langid_confusion,
         "quality_by_source": _q_quality_by_source,
         "embedding_quantize": _q_embedding_quantize,
+        "ann_eval": _q_ann_eval,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2948,6 +2961,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": od.langid_confusion_sql(),
         "quality_by_source": od.quality_by_source_sql(),
         "embedding_quantize": od.EMBEDDING_QUANTIZE_SQL,
+        "ann_eval": od.ANN_EVAL_SQL,
         "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,

@@ -725,3 +725,52 @@ def embedding_quantize_report(emb, *, vec_col: str = "embedding"):
                          "mae": pa.array(round6(ae / n))})
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("dim")
+
+
+def ann_recall_report(exact_topk: rd.Dataset, approx_topk: rd.Dataset,
+                      *, k: int = 10) -> rd.Dataset:
+    """Per-query recall@k of an approximate top-k result against the
+    brute-force ground truth → (query_id, n_hit, k, recall) — the
+    index-quality eval run before trusting an ANN structure at corpus
+    scale. Both inputs are (query_id, vec_id, ...) top-k Datasets.
+
+    Scale shape: flagged union → (query, vec)-keyed ``preagg_sum`` →
+    per-query hit counts; the top-k lists are already tiny (Q×k), the
+    shape just keeps the comparison driver-free."""
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def flag(col):
+        def f(b: pa.Table) -> pa.Table:
+            one = np.ones(b.num_rows, np.int64)
+            z = np.zeros(b.num_rows, np.int64)
+            return pa.table({"query_id": b["query_id"],
+                             "vec_id": b["vec_id"],
+                             "in_e": pa.array(one if col == "e" else z),
+                             "in_a": pa.array(one if col == "a" else z)})
+        return f
+
+    u = exact_topk.select_columns(["query_id", "vec_id"]) \
+        .map_batches(flag("e"), batch_format="pyarrow") \
+        .union(approx_topk.select_columns(["query_id", "vec_id"])
+               .map_batches(flag("a"), batch_format="pyarrow"))
+    m = preagg_sum(u, ["query_id", "vec_id"], ["in_e", "in_a"])
+
+    def per_query(b: pa.Table) -> pa.Table:
+        e = b["in_e"].to_numpy(zero_copy_only=False) > 0
+        a = b["in_a"].to_numpy(zero_copy_only=False) > 0
+        t = pa.table({"query_id": b["query_id"],
+                      "n_hit": pa.array((e & a).astype(np.int64))})
+        return t.group_by(["query_id"]).aggregate([("n_hit", "sum")]) \
+                .rename_columns(["query_id", "n_hit"])
+
+    hits = preagg_sum(m.map_batches(per_query, batch_format="pyarrow"),
+                      ["query_id"], "n_hit")
+
+    def finish(b: pa.Table) -> pa.Table:
+        nh = b["n_hit"].to_numpy(zero_copy_only=False)
+        return pa.table({"query_id": b["query_id"], "n_hit": b["n_hit"],
+                         "k": pa.array(np.full(len(nh), k, np.int64)),
+                         "recall": pa.array(round6(nh / float(k)))})
+
+    return hits.map_batches(finish, batch_format="pyarrow").sort("query_id")

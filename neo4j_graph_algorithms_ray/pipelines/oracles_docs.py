@@ -487,6 +487,17 @@ SELECT query_id, vec_id, round(c, 6) AS cosine FROM (
   WHERE e.vec_id IN (SELECT vec_id FROM cand) AND e.vec_id <> qv.query_id) t
 WHERE rn <= 10 ORDER BY query_id, vec_id"""
 
+ANN_EVAL_SQL = f"""WITH bf AS ({ANN_TOPK_SQL}),
+ap AS ({ANN_LSH_TOPK_SQL})
+SELECT bf.query_id,
+       CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+       CAST(10 AS BIGINT) AS k,
+       round(count(ap.vec_id) / 10.0, 6) AS recall
+FROM bf LEFT JOIN ap ON ap.query_id = bf.query_id
+                    AND ap.vec_id = bf.vec_id
+GROUP BY bf.query_id ORDER BY bf.query_id"""
+
+
 # first_byte: utf-8 first byte == first codepoint for the ASCII synthetic
 # corpus; documented divergence for non-ASCII leading characters.
 MEDIA_SQL = """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
