@@ -1702,6 +1702,55 @@ def _q_lang_length_percentiles(sf_dir: str):
     return grouped_percentiles(docs, "n_chars", "lang")
 
 
+def _q_induced_subgraph(sf_dir: str):
+    """Deterministic sampled subgraph extraction: keep pages whose
+    md5(url)[:15] % 10 < 2 (the repo-standard hash sample) and emit the
+    induced edge list — the debug-at-1%-scale primitive for a 10^12-edge
+    graph. Batch-local filter on both endpoints; no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+
+    def keep(b: pa.Table) -> pa.Table:
+        sv, si = _md5_u64(np.asarray(
+            b["src_url"].to_numpy(zero_copy_only=False), dtype=object), 15)
+        dv, di = _md5_u64(np.asarray(
+            b["dst_url"].to_numpy(zero_copy_only=False), dtype=object), 15)
+        m = ((sv[si] % 10) < 2) & ((dv[di] % 10) < 2)
+        return b.filter(pa.array(m))
+
+    return web_edge_ds(sf_dir).map_batches(keep, batch_format="pyarrow") \
+        .sort(["src_url", "dst_url"])
+
+
+def _q_url_depth_stats(sf_dir: str):
+    """URL path-depth histogram over the crawl: depth = number of path
+    segments after the host, (depth, n_pages) — the crawl-frontier
+    shape metric. Vectorized split-count per batch + count combine."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def depth(b: pa.Table) -> pa.Table:
+        # strip scheme://host, count non-empty path segments: each
+        # matches "/<non-slash>" once
+        path = pc.replace_substring_regex(b["url"], r"^[a-z]+://[^/]*",
+                                          "")
+        d = pc.count_substring_regex(path, "/[^/]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"depth": pa.array(d),
+                         "n_pages": pa.array(np.ones(len(d), np.int64))})
+
+    pages = read_pages(sf_dir, columns=["url"])
+    return preagg_sum(pages.map_batches(depth, batch_format="pyarrow"),
+                      ["depth"], "n_pages").sort("depth")
+
+
 def _q_url_canonical(sf_dir: str):
     """URL canonicalization parity: decorate every page url with a
     deterministic pid%4 mess (tracking params / fragment+tracker /
@@ -2735,6 +2784,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "quality_by_source": _q_quality_by_source,
         "embedding_quantize": _q_embedding_quantize,
         "ann_eval": _q_ann_eval,
+        "induced_subgraph": _q_induced_subgraph,
+        "url_depth_stats": _q_url_depth_stats,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -2962,6 +3013,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_source": od.quality_by_source_sql(),
         "embedding_quantize": od.EMBEDDING_QUANTIZE_SQL,
         "ann_eval": od.ANN_EVAL_SQL,
+        "induced_subgraph": ow.INDUCED_SUBGRAPH_SQL,
+        "url_depth_stats": ow.URL_DEPTH_SQL,
         "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,

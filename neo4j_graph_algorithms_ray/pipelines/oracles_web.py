@@ -78,6 +78,24 @@ def web_pagerank_sql(iters: int = 20, topk: int = 0) -> str:
                    "ORDER BY url")
 
 
+INDUCED_SUBGRAPH_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES}
+SELECT src AS src_url, dst AS dst_url FROM wedges
+WHERE CAST(('0x' || substr(md5(src), 1, 15)) AS BIGINT) % 10 < 2
+  AND CAST(('0x' || substr(md5(dst), 1, 15)) AS BIGINT) % 10 < 2
+ORDER BY src_url, dst_url"""
+
+
+URL_DEPTH_SQL = f"""WITH {WEB_BASE}
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM (SELECT len(regexp_extract_all(
+        regexp_replace({_url('degs.d')}, '^[a-z]+://[^/]*', ''),
+        '/[^/]')) AS depth
+      FROM degs) t
+GROUP BY depth ORDER BY depth"""
+
+
 def edge_prune_sql(m: int = 3, iters: int = 20) -> str:
     """Mirror of webgraph.edge_prune_topm over round6-ed web PageRank:
     per-source top-m outlinks by target score, ties by dst asc."""
