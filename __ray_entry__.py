@@ -1106,6 +1106,13 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(_emb(sf_dir), topk=8)
 
 
+def _q_window_anomaly(sf_dir: str):
+    """Event-rate anomaly flags: tumbling-window counts z-scored
+    against the all-windows mean/std (events.window_anomaly)."""
+    from neo4j_graph_algorithms_ray.functions.events import window_anomaly
+    return window_anomaly(_events(sf_dir), window_s=EVENT_WINDOW_S, z_threshold=2.0)
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Last-write-wins compaction: per user the most recent event row
     (events.latest_event_per_user) — the CDC/upsert primitive."""
@@ -2786,6 +2793,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "ann_eval": _q_ann_eval,
         "induced_subgraph": _q_induced_subgraph,
         "url_depth_stats": _q_url_depth_stats,
+        "window_anomaly": _q_window_anomaly,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -3015,6 +3023,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_eval": od.ANN_EVAL_SQL,
         "induced_subgraph": ow.INDUCED_SUBGRAPH_SQL,
         "url_depth_stats": ow.URL_DEPTH_SQL,
+        "window_anomaly": oe.window_anomaly_sql(EVENT_WINDOW_S, 2.0),
         "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,

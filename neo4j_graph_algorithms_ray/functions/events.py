@@ -564,3 +564,42 @@ def window_topk_types(events: rd.Dataset, window_s: int = 3600, k: int = 3,
     return to_arrow_blocks(top).sort(
         ["window_start_s", "n_events", "event_type"],
         descending=[False, True, False])
+
+
+def window_anomaly(events: rd.Dataset, window_s: int = 3600,
+                   z_threshold: float = 2.0,
+                   time_col: str = "ts") -> rd.Dataset:
+    """Event-rate anomaly detection: tumbling-window counts scored by
+    their z-score against the all-windows mean/population-std →
+    (window_start_s, n_events, z, is_anomaly) — the monitoring query a
+    100 TB ingest runs over its own firehose.
+
+    Scale shape: the windowed count reduces map-side; the mean/std are
+    two scalars computed from the tiny window table; z-scoring is one
+    vectorized pass back over it. Raw events shuffle nothing."""
+    from neo4j_graph_algorithms_ray.functions.text import round6
+
+    agg = windowed_aggregate(events, window_s=window_s, keys=(),
+                             time_col=time_col) \
+        .select_columns(["window_start_s", "n_events"]).materialize()
+    s = agg.sum("n_events") or 0
+    n = agg.count()
+    mean = s / n if n else 0.0
+    ss = agg.map_batches(
+        lambda b: pa.table({"sq": pa.array(
+            (b["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+             - mean) ** 2)}),
+        batch_format="pyarrow").sum("sq") or 0.0
+    std = float(np.sqrt(ss / n)) if n else 0.0
+
+    def score(b: pa.Table) -> pa.Table:
+        ne = b["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z = round6((ne - mean) / std) if std > 0 else np.zeros(len(ne))
+        return pa.table({"window_start_s": b["window_start_s"],
+                         "n_events": b["n_events"],
+                         "z": pa.array(z),
+                         "is_anomaly": pa.array(
+                             np.abs(z) > z_threshold)})
+
+    return agg.map_batches(score, batch_format="pyarrow") \
+        .sort("window_start_s")

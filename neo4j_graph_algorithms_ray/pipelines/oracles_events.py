@@ -143,3 +143,22 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY window_start_s
 SELECT window_start_s, event_type, CAST(n_events AS BIGINT) AS n_events
 FROM rk WHERE rn <= {k}
 ORDER BY window_start_s, n_events DESC, event_type"""
+
+
+def window_anomaly_sql(window_s: int = 3600, z: float = 2.0) -> str:
+    """Mirror of events.window_anomaly: tumbling counts z-scored
+    against the all-windows mean / population std; the anomaly flag
+    compares the ROUNDED z, as the engine does."""
+    return f"""WITH agg AS (
+  SELECT (epoch_us(ts) // (CAST({window_s} AS BIGINT) * 1000000))
+           * {window_s} AS window_start_s,
+         count(*) AS n_events
+  FROM events GROUP BY 1),
+st AS (SELECT avg(n_events) AS m, stddev_pop(n_events) AS sd FROM agg)
+SELECT window_start_s, CAST(n_events AS BIGINT) AS n_events,
+       round(CASE WHEN st.sd > 0 THEN (n_events - st.m) / st.sd
+                  ELSE 0 END, 6) AS z,
+       CASE WHEN st.sd > 0
+            THEN abs(round((n_events - st.m) / st.sd, 6)) > {z}
+            ELSE FALSE END AS is_anomaly
+FROM agg CROSS JOIN st ORDER BY window_start_s"""
