@@ -1106,6 +1106,17 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(_emb(sf_dir), topk=8)
 
 
+def _q_host_hits(sf_dir: str):
+    """HITS hub/authority over the coarsened host graph — domain-level
+    portal vs authority separation."""
+    from neo4j_graph_algorithms_ray.algorithms.hits import hits
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_host_graph
+    g = get_host_graph(sf_dir)
+    res = hits(g, max_iterations=PR_ITERS, node_col="host")
+    out = _round6(res.dataset, "hub")
+    return _round6(out, "authority")
+
+
 def _q_window_anomaly(sf_dir: str):
     """Event-rate anomaly flags: tumbling-window counts z-scored
     against the all-windows mean/std (events.window_anomaly)."""
@@ -2794,6 +2805,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "induced_subgraph": _q_induced_subgraph,
         "url_depth_stats": _q_url_depth_stats,
         "window_anomaly": _q_window_anomaly,
+        "host_hits": _q_host_hits,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -3024,6 +3036,7 @@ def oracle_sql() -> dict[str, str]:
         "induced_subgraph": ow.INDUCED_SUBGRAPH_SQL,
         "url_depth_stats": ow.URL_DEPTH_SQL,
         "window_anomaly": oe.window_anomaly_sql(EVENT_WINDOW_S, 2.0),
+        "host_hits": ow.host_hits_sql(PR_ITERS),
         "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,

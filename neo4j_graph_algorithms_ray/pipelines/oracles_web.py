@@ -370,14 +370,40 @@ def web_ppr_batch_sql(iters: int = 20, seed_docs=(0, 1, 2)) -> str:
 def web_hits_sql(iters: int = 20) -> str:
     """HITS mirror: auth = Σ_in hub, hub = Σ_out auth, each L2-normalized
     per round; fixed ``iters`` rounds, round6 output."""
-    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
-            "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM wnodes)",
-            "a0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS a FROM wnodes)"]
+    return _hits_chain_sql(iters, [WEB_BASE, WEB_EDGES, WEB_NODES],
+                           "wedges", "wnodes", "url")
+
+
+def host_hits_sql(iters: int = 20) -> str:
+    """HITS over the coarsened host graph (same recurrence as
+    web_hits_sql over the distinct host→host edges)."""
+    base = [WEB_BASE, WEB_EDGES,
+            """hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1))""",
+            "hnodes AS MATERIALIZED (SELECT src AS node FROM hedges "
+            "UNION SELECT dst FROM hedges)"]
+    return _hits_chain_sql(iters, base, "hedges", "hnodes", "host")
+
+
+def _hits_chain_sql(iters: int, base_ctes: list, edges: str, nodes: str,
+                    out_col: str) -> str:
+    ctes = list(base_ctes) + [
+        f"h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM {nodes})",
+        f"a0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS a FROM {nodes})"]
+    return _hits_loop(ctes, iters, edges, nodes, out_col)
+
+
+def _hits_loop(ctes, iters, wedges="wedges", wnodes="wnodes",
+               out_col="url"):
     for k in range(1, iters + 1):
         ctes.append(f"""ar{k} AS MATERIALIZED (
   SELECT n.node, coalesce(sum(p.h), 0) AS a
-  FROM wnodes n
-  LEFT JOIN wedges e ON e.dst = n.node
+  FROM {wnodes} n
+  LEFT JOIN {wedges} e ON e.dst = n.node
   LEFT JOIN h{k-1} p ON p.node = e.src
   GROUP BY n.node)""")
         ctes.append(f"an{k} AS (SELECT CASE WHEN sqrt(sum(a*a)) = 0 THEN 1 "
@@ -385,16 +411,16 @@ def web_hits_sql(iters: int = 20) -> str:
         ctes.append(f"a{k} AS MATERIALIZED (SELECT node, a / (SELECT s FROM an{k}) AS a FROM ar{k})")
         ctes.append(f"""hr{k} AS MATERIALIZED (
   SELECT n.node, coalesce(sum(p.a), 0) AS h
-  FROM wnodes n
-  LEFT JOIN wedges e ON e.src = n.node
+  FROM {wnodes} n
+  LEFT JOIN {wedges} e ON e.src = n.node
   LEFT JOIN a{k} p ON p.node = e.dst
   GROUP BY n.node)""")
         ctes.append(f"hn{k} AS (SELECT CASE WHEN sqrt(sum(h*h)) = 0 THEN 1 "
                     f"ELSE sqrt(sum(h*h)) END AS s FROM hr{k})")
         ctes.append(f"h{k} AS MATERIALIZED (SELECT node, h / (SELECT s FROM hn{k}) AS h FROM hr{k})")
     return ("WITH " + ",\n".join(ctes) + f"""
-SELECT h.node AS url, round(h.h, 6) AS hub, round(a.a, 6) AS authority
-FROM h{iters} h JOIN a{iters} a ON a.node = h.node ORDER BY url""")
+SELECT h.node AS {out_col}, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node ORDER BY {out_col}""")
 
 
 def web_kcore_sql(k: int = 3, rounds: int = 40) -> str:
