@@ -1106,6 +1106,31 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(_emb(sf_dir), topk=8)
 
 
+def _q_ranked_anchor_report(sf_dir: str):
+    """Search-quality report: the top-20 pages by PageRank, each with
+    its dominant anchor text — what the link graph 'calls' its most
+    authoritative pages. Composition: rank top-k ⋈ anchor top-1."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.util import safe_join, to_arrow_blocks
+    topk = _q_web_pagerank_topk(sf_dir)
+    ta = to_arrow_blocks(_q_top_anchor_per_page(sf_dir)) \
+        .rename_columns({"dst_url": "__t"})
+    j = safe_join(topk, ta, "left_outer", 8, on=("url",),
+                  right_on=("__t",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b["url"], "score": b["score"],
+            "anchor": pc.coalesce(b["anchor"], pa.scalar("", pa.string())),
+            "n_anchor": pc.coalesce(pc.cast(b["n"], pa.int64()),
+                                    pa.scalar(0, pa.int64()))})
+
+    return to_arrow_blocks(j).map_batches(finish, batch_format="pyarrow") \
+        .sort(["score", "url"], descending=[True, False])
+
+
 def _q_host_hits(sf_dir: str):
     """HITS hub/authority over the coarsened host graph — domain-level
     portal vs authority separation."""
@@ -2806,6 +2831,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "url_depth_stats": _q_url_depth_stats,
         "window_anomaly": _q_window_anomaly,
         "host_hits": _q_host_hits,
+        "ranked_anchor_report": _q_ranked_anchor_report,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -3037,6 +3063,7 @@ def oracle_sql() -> dict[str, str]:
         "url_depth_stats": ow.URL_DEPTH_SQL,
         "window_anomaly": oe.window_anomaly_sql(EVENT_WINDOW_S, 2.0),
         "host_hits": ow.host_hits_sql(PR_ITERS),
+        "ranked_anchor_report": ow.ranked_anchor_sql(PR_ITERS, TOPK),
         "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,

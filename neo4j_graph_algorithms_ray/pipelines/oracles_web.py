@@ -677,6 +677,17 @@ rk AS (SELECT dst_url, anchor, n,
 SELECT dst_url, anchor, n FROM rk WHERE rn = 1 ORDER BY dst_url"""
 
 
+def ranked_anchor_sql(iters: int = 20, topk: int = 20) -> str:
+    """Mirror of the ranked-anchor report: top-k pages by PageRank with
+    each page's dominant anchor text."""
+    return f"""WITH pr AS ({web_pagerank_sql(iters, topk)}),
+ta AS ({TOP_ANCHOR_PER_PAGE_SQL})
+SELECT pr.url, pr.score, coalesce(ta.anchor, '') AS anchor,
+       CAST(coalesce(ta.n, 0) AS BIGINT) AS n_anchor
+FROM pr LEFT JOIN ta ON ta.dst_url = pr.url
+ORDER BY pr.score DESC, pr.url"""
+
+
 HOST_CRAWL_RECENCY_SQL = """SELECT 'site-' || (doc_id % 20) || '.test' AS host,
        count(*) AS n_pages,
        TIMESTAMP '2024-01-01 00:00:00' + max(doc_id) * INTERVAL 1 SECOND
