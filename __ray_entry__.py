@@ -1106,6 +1106,39 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(_emb(sf_dir), topk=8)
 
 
+def _q_degree_percentiles(sf_dir: str):
+    """Exact out-degree percentiles (p50/p90/p99/p100) of the web
+    graph via the degree HISTOGRAM (inverse CDF, lower interpolation):
+    the percentile never touches per-node rows on the driver — only
+    the |distinct degrees| histogram does."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    ds = _q_web_degrees(sf_dir)  # (url, out_degree) incl. zeros
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"deg": b["out_degree"],
+                         "c": pa.array(np.ones(b.num_rows, np.int64))})
+
+    hist = preagg_sum(ds.map_batches(ones, batch_format="pyarrow"),
+                      ["deg"], "c").take_all()
+    deg = np.array([r["deg"] for r in hist], dtype=np.int64)
+    cnt = np.array([r["c"] for r in hist], dtype=np.int64)
+    order = np.argsort(deg)
+    deg, cnt = deg[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for p in (50, 90, 99, 100):
+        target = int(np.ceil(p * n / 100.0))
+        idx = int(np.searchsorted(cum, target))
+        rows.append((p, int(deg[idx]) if n else 0))
+    return pd.DataFrame(rows, columns=["pct", "degree"]).astype(
+        {"pct": "int64", "degree": "int64"})
+
+
 def _q_ranked_anchor_report(sf_dir: str):
     """Search-quality report: the top-20 pages by PageRank, each with
     its dominant anchor text — what the link graph 'calls' its most
@@ -2832,6 +2865,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "window_anomaly": _q_window_anomaly,
         "host_hits": _q_host_hits,
         "ranked_anchor_report": _q_ranked_anchor_report,
+        "degree_percentiles": _q_degree_percentiles,
         # ---------------- position 51+ (multi-round green) -------
         "fingerprint": _q_fingerprint,
         "embedding_neardup": _q_emb_neardup,
@@ -3064,6 +3098,7 @@ def oracle_sql() -> dict[str, str]:
         "window_anomaly": oe.window_anomaly_sql(EVENT_WINDOW_S, 2.0),
         "host_hits": ow.host_hits_sql(PR_ITERS),
         "ranked_anchor_report": ow.ranked_anchor_sql(PR_ITERS, TOPK),
+        "degree_percentiles": ow.DEGREE_PERCENTILES_SQL,
         "window_topk_types": oe.window_topk_types_sql(EVENT_WINDOW_S, 3),
         "web_powerlaw": ow.WEB_POWERLAW_SQL,
         "host_triangles": ow.HOST_TRIANGLES_SQL,

@@ -677,6 +677,22 @@ rk AS (SELECT dst_url, anchor, n,
 SELECT dst_url, anchor, n FROM rk WHERE rn = 1 ORDER BY dst_url"""
 
 
+DEGREE_PERCENTILES_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{WEB_NODES},
+wdeg AS (SELECT src, count(*) AS dg FROM wedges GROUP BY src),
+d AS (SELECT coalesce(wdeg.dg, 0) AS deg FROM wnodes n
+      LEFT JOIN wdeg ON wdeg.src = n.node),
+nn2 AS (SELECT count(*) AS n FROM d),
+h AS (SELECT deg, count(*) AS c FROM d GROUP BY deg),
+cum AS (SELECT deg, sum(c) OVER (ORDER BY deg) AS cc FROM h),
+ks AS (SELECT unnest([50, 90, 99, 100]) AS p)
+SELECT CAST(ks.p AS BIGINT) AS pct, CAST(min(cum.deg) AS BIGINT) AS degree
+FROM ks CROSS JOIN nn2
+JOIN cum ON cum.cc >= CAST(ceil(ks.p * nn2.n / 100.0) AS BIGINT)
+GROUP BY ks.p ORDER BY pct"""
+
+
 def ranked_anchor_sql(iters: int = 20, topk: int = 20) -> str:
     """Mirror of the ranked-anchor report: top-k pages by PageRank with
     each page's dominant anchor text."""
