@@ -1106,6 +1106,20 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(_emb(sf_dir), topk=8)
 
 
+def _q_web_matching(sf_dir: str):
+    """Parallel maximal matching (Israeli-Itai local-minimum edge
+    matching, the edge analogue of Luby MIS) over the undirected web
+    page graph — disjoint page pairs for e.g. conflict-free pairwise
+    dedup review. Deterministic md5 edge priorities, mirrored
+    bit-for-bit by the unrolled SQL oracle
+    (oracles_web.web_matching_sql)."""
+    from neo4j_graph_algorithms_ray.algorithms.matching import \
+        maximal_matching
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    return maximal_matching(g, rounds=8, node_col="url")
+
+
 def _q_degree_percentiles(sf_dir: str):
     """Exact out-degree percentiles (p50/p90/p99/p100) of the web
     graph via the degree HISTOGRAM (inverse CDF, lower interpolation):
@@ -2774,6 +2788,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "betweenness_maxdepth": _q_betweenness_maxdepth,
         # --- below here: outside the r04 window; rotate into the
         # window next round (never driver-verified yet) ---
+        "web_matching": _q_web_matching,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3068,6 +3083,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_budget": od.TOKEN_BUDGET_SQL,
         "lang_length_percentiles": od.lang_length_percentiles_sql(),
         "mis_hosts": ow.mis_luby_sql(8),
+        "web_matching": ow.web_matching_sql(8),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

@@ -1405,3 +1405,38 @@ def host_katz_sql(alpha: float = 0.05, beta: float = 1.0,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS host, round(r, 6) AS score FROM x{iters} "
               "ORDER BY host")
+
+
+def web_matching_sql(rounds: int = 8) -> str:
+    """Mirror of algorithms/matching.maximal_matching over the
+    undirected web page graph: identical md5(a ∥ '|' ∥ b ∥ '#r') edge
+    priorities, unique-strict-min win rule, rounds unrolled."""
+    ctes = [WEB_BASE, WEB_EDGES,
+            "mund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM wedges WHERE src != dst)",
+            "mact0 AS (SELECT a AS node FROM mund UNION SELECT b FROM mund)"]
+    for r in range(rounds):
+        ctes += [
+            f"live{r} AS MATERIALIZED (SELECT e.a, e.b, "
+            f"CAST(('0x' || substr(md5(e.a || '|' || e.b || '#{r}'), 1, 15)) "
+            f"AS BIGINT) AS p FROM mund e "
+            f"JOIN mact{r} x ON x.node = e.a "
+            f"JOIN mact{r} y ON y.node = e.b)",
+            f"inc{r} AS (SELECT a AS node, p FROM live{r} "
+            f"UNION ALL SELECT b, p FROM live{r})",
+            f"st{r} AS MATERIALIZED (SELECT g.node, m.mp FROM "
+            f"(SELECT node, p, count(*) AS c FROM inc{r} GROUP BY node, p) g "
+            f"JOIN (SELECT node, min(p) AS mp FROM inc{r} GROUP BY node) m "
+            f"ON m.node = g.node AND g.p = m.mp WHERE g.c = 1)",
+            f"win{r} AS MATERIALIZED (SELECT l.a, l.b FROM live{r} l "
+            f"JOIN st{r} sa ON sa.node = l.a AND sa.mp = l.p "
+            f"JOIN st{r} sb ON sb.node = l.b AND sb.mp = l.p)",
+            f"mact{r + 1} AS MATERIALIZED (SELECT node FROM mact{r} "
+            f"EXCEPT (SELECT a FROM win{r} UNION SELECT b FROM win{r}))",
+        ]
+    wins = " UNION ALL ".join(
+        f"SELECT a, b, {r} AS matched_round FROM win{r}"
+        for r in range(rounds))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT a AS url_a, b AS url_b, CAST(matched_round AS BIGINT) AS matched_round
+FROM ({wins}) t ORDER BY url_a, url_b""")
