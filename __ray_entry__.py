@@ -235,14 +235,10 @@ def _q_host_outlink_entropy(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow").sort("host")
 
 
-def _q_scc_condensation(sf_dir: str):
-    """Condensation DAG of strongly connected components: distinct
-    (src_comp, dst_comp) edges between different SCCs — the DAG a
-    reachability / bow-tie analysis walks. Input: the trade graph
-    with the supplier→customer backedges deterministically thinned
-    (keep (src+dst) % 3 == 0), because the full trade AND page graphs
-    both collapse into one giant SCC at driver scale — the thinned
-    graph exposes a real SCC mixture."""
+def _condensation_edges(sf_dir: str):
+    """Distinct (src_comp, dst_comp) SCC-condensation edges of the
+    thinned trade graph — shared by scc_condensation and
+    condensation_levels."""
     import numpy as np
     import pyarrow as pa
 
@@ -275,11 +271,41 @@ def _q_scc_condensation(sf_dir: str):
         on="dst", right_on="__n")
     j = j.select_columns(["src_comp", "dst_comp"]) \
         .filter(expr="src_comp != dst_comp")
-    res = predistinct(j, ["src_comp", "dst_comp"]) \
+    return predistinct(j, ["src_comp", "dst_comp"]).materialize()
+
+
+def _q_scc_condensation(sf_dir: str):
+    """Condensation DAG of strongly connected components: distinct
+    (src_comp, dst_comp) edges between different SCCs — the DAG a
+    reachability / bow-tie analysis walks. Input: the trade graph
+    with the supplier→customer backedges deterministically thinned
+    (keep (src+dst) % 3 == 0), because the full trade AND page graphs
+    both collapse into one giant SCC at driver scale — the thinned
+    graph exposes a real SCC mixture."""
+    import pyarrow as pa
+
+    res = _condensation_edges(sf_dir) \
         .sort(["src_comp", "dst_comp"]).materialize()
     if res.count() == 0:
         return pa.table({"src_comp": pa.array([], pa.int64()),
                          "dst_comp": pa.array([], pa.int64())})
+    return res
+
+
+def _q_condensation_levels(sf_dir: str):
+    """Topological layering of the SCC condensation DAG: longest-path
+    level per component (algorithms/dag.dag_levels) — the wave order
+    an incremental recompute or reachability sweep processes
+    components in. Exact recursive-CTE longest-path SQL oracle."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms.dag import dag_levels
+    res = dag_levels(_condensation_edges(sf_dir),
+                     src_col="src_comp", dst_col="dst_comp",
+                     out_col="component").sort("component").materialize()
+    if res.count() == 0:
+        return pa.table({"component": pa.array([], pa.int64()),
+                         "level": pa.array([], pa.int64())})
     return res
 
 
@@ -2789,6 +2815,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         # --- below here: outside the r04 window; rotate into the
         # window next round (never driver-verified yet) ---
         "web_matching": _q_web_matching,
+        "condensation_levels": _q_condensation_levels,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3009,6 +3036,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": od.vocab_coverage_sql(ks=(5, 15, 10000)),
         "host_outlink_entropy": ow.HOST_OUTLINK_ENTROPY_SQL,
         "scc_condensation": o.SCC_CONDENSATION_SQL,
+        "condensation_levels": o.CONDENSATION_LEVELS_SQL,
         "local_bridges": o.LOCAL_BRIDGES_SQL,
         "simhash_clusters": od.simhash_clusters_sql(),
         "labelprop_weighted": o.lpa_weighted_sql(LPA_SWEEPS),

@@ -889,3 +889,37 @@ GRAPH_CATALOG_SQL = """SELECT 'driver_catalog_rt' AS name,
      SELECT DISTINCT n_nationkey, n_regionkey FROM nation) x) AS BIGINT)
      AS relationships,
   TRUE AS removed, FALSE AS exists_after"""
+
+
+CONDENSATION_LEVELS_SQL = f"""WITH RECURSIVE {TRADE_EDGES},
+thin AS MATERIALIZED (
+  SELECT src, dst FROM tedges
+  WHERE src < 1000000 OR (src + dst) % 3 = 0),
+tn AS MATERIALIZED (
+  SELECT src AS node FROM thin UNION SELECT dst FROM thin),
+reach(s, d) AS (
+  SELECT src, dst FROM thin
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN thin e ON e.src = r.d
+),
+mutual AS (
+  SELECT r1.s AS v, r1.d AS w
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+),
+comp AS (
+  SELECT n.node, greatest(n.node, coalesce(max(m.w), n.node)) AS c
+  FROM tn n LEFT JOIN mutual m ON m.v = n.node GROUP BY n.node
+),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT cs.c AS s, cd.c AS d
+  FROM thin e JOIN comp cs ON cs.node = e.src
+  JOIN comp cd ON cd.node = e.dst
+  WHERE cs.c != cd.c),
+cnodes AS (SELECT s AS node FROM cedges UNION SELECT d FROM cedges),
+walk(node, dp) AS (
+  SELECT node, 0 FROM cnodes
+  UNION
+  SELECT e.d, w.dp + 1 FROM walk w JOIN cedges e ON e.s = w.node
+)
+SELECT node AS component, CAST(max(dp) AS BIGINT) AS level
+FROM walk GROUP BY node ORDER BY component"""
