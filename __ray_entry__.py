@@ -1146,6 +1146,71 @@ def _q_web_matching(sf_dir: str):
     return maximal_matching(g, rounds=8, node_col="url")
 
 
+def _q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier prioritization: pages already crawled = warc_ts
+    before the cutoff (the first 60% of the crawl window — a REAL
+    timestamp filter on the input-hint column, not id arithmetic);
+    frontier = outlink targets of crawled pages that are not
+    themselves crawled, scored by expected crawl mass
+    sum(1/outdeg(src)) over crawled sources. The SQL oracle mirrors
+    the cutoff arithmetically (warc_ts = base + doc_id seconds by
+    fixture construction)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.sources.pages import (BASE_TS_US,
+                                                          pages_path)
+    from neo4j_graph_algorithms_ray.util import (join_partitions,
+                                                 preagg_sum,
+                                                 read_parquet_clean,
+                                                 round6, safe_join)
+    pages = read_parquet_clean(pages_path(sf_dir),
+                               columns=["url", "warc_ts"])
+    n = pages.count()
+    cutoff_us = BASE_TS_US + ((3 * n) // 5) * 1_000_000
+
+    def crawled_only(b: pa.Table) -> pa.Table:
+        ts = b["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return b.filter(pc.less(ts, cutoff_us)).select(["url"])
+
+    crawled = pages.map_batches(crawled_only, batch_format="pyarrow") \
+        .materialize()
+    nparts = join_partitions(8)
+    ce = safe_join(web_edge_ds(sf_dir),
+                   crawled.rename_columns({"url": "src_url"}),
+                   "inner", nparts, on=("src_url",)).materialize()
+    outdeg = preagg_sum(
+        ce.map_batches(
+            lambda b: pa.table({
+                "src_url": b["src_url"],
+                "__c": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"), ["src_url"], "__c")
+    contrib = safe_join(ce, outdeg, "inner", nparts, on=("src_url",)) \
+        .map_batches(
+            lambda b: pa.table({
+                "url": b["dst_url"],
+                "__s": pc.divide(pa.array(np.ones(b.num_rows, np.float64)),
+                                 b["__c"].cast(pa.float64()))}),
+            batch_format="pyarrow")
+    score = preagg_sum(contrib, ["url"], "__s")
+    # frontier only: drop targets already crawled (left-anti shape)
+    mark = crawled.map_batches(
+        lambda b: b.append_column(
+            "__m", pa.array(np.ones(b.num_rows, np.int8))),
+        batch_format="pyarrow")
+    frontier = safe_join(score, mark, "left_outer", nparts, on=("url",)) \
+        .map_batches(
+            lambda b: pa.table({
+                "url": b.filter(pc.is_null(b["__m"]))["url"],
+                "score": pa.array(round6(
+                    b.filter(pc.is_null(b["__m"]))["__s"]
+                    .to_numpy(zero_copy_only=False)))}),
+            batch_format="pyarrow")
+    return frontier.sort("url").materialize()
+
+
 def _q_degree_percentiles(sf_dir: str):
     """Exact out-degree percentiles (p50/p90/p99/p100) of the web
     graph via the degree HISTOGRAM (inverse CDF, lower interpolation):
@@ -2816,6 +2881,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         # window next round (never driver-verified yet) ---
         "web_matching": _q_web_matching,
         "condensation_levels": _q_condensation_levels,
+        "crawl_frontier": _q_crawl_frontier,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3112,6 +3178,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_length_percentiles": od.lang_length_percentiles_sql(),
         "mis_hosts": ow.mis_luby_sql(8),
         "web_matching": ow.web_matching_sql(8),
+        "crawl_frontier": ow.CRAWL_FRONTIER_SQL,
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

@@ -1440,3 +1440,18 @@ def web_matching_sql(rounds: int = 8) -> str:
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT a AS url_a, b AS url_b, CAST(matched_round AS BIGINT) AS matched_round
 FROM ({wins}) t ORDER BY url_a, url_b""")
+
+
+CRAWL_FRONTIER_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+kk AS (SELECT (3 * n) // 5 AS k FROM nn),
+cw AS MATERIALIZED (
+  SELECT src, dst FROM wedges
+  WHERE CAST(regexp_extract(src, '/page/(\\d+)$', 1) AS BIGINT)
+        < (SELECT k FROM kk)),
+od AS (SELECT src, count(*) AS c FROM cw GROUP BY src)
+SELECT cw.dst AS url, round(sum(1.0 / od.c), 6) AS score
+FROM cw JOIN od ON od.src = cw.src
+WHERE CAST(regexp_extract(cw.dst, '/page/(\\d+)$', 1) AS BIGINT)
+      >= (SELECT k FROM kk)
+GROUP BY cw.dst ORDER BY url"""
