@@ -1211,6 +1211,47 @@ def _q_crawl_frontier(sf_dir: str):
     return frontier.sort("url").materialize()
 
 
+def _q_canonical_dedup(sf_dir: str):
+    """Crawl-snapshot compaction: decorate every page with pid%3+1
+    captures (original / +tracking-params / +trailing-slash, one day
+    apart), canonicalize (functions/urls.normalize_urls), and keep the
+    LATEST capture per canonical url (functions/urls.canonical_latest).
+    The oracle derives captures, canonical keys and winners
+    analytically from the same case split."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.urls import canonical_latest
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+
+    DAY_US = 86_400_000_000
+
+    def decorate(b: pa.Table) -> pa.Table:
+        urls = b["url"].cast(pa.string())
+        pid = pc.cast(pc.struct_field(
+            pc.extract_regex(urls, r"/page/(?P<pid>\d+)$"), "pid"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        ts = b["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u = np.asarray(urls.to_pylist(), dtype=object)
+        nv = pid % 3 + 1  # captures per page
+        idx = np.repeat(np.arange(len(u)), nv)
+        v = np.arange(int(nv.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(nv) - nv, nv)
+        base = u[idx]
+        messy = base.copy()
+        messy[v == 1] = base[v == 1] + "?utm_source=feed&ref=rss"
+        messy[v == 2] = base[v == 2] + "/"
+        return pa.table({
+            "url": pa.array(messy, pa.string()),
+            "ts_us": pa.array(ts[idx] + v * DAY_US)})
+
+    caps = read_pages(sf_dir, columns=["url", "warc_ts"]) \
+        .map_batches(decorate, batch_format="pyarrow")
+    return canonical_latest(caps).sort("url_canon").materialize()
+
+
 def _q_degree_percentiles(sf_dir: str):
     """Exact out-degree percentiles (p50/p90/p99/p100) of the web
     graph via the degree HISTOGRAM (inverse CDF, lower interpolation):
@@ -2882,6 +2923,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "web_matching": _q_web_matching,
         "condensation_levels": _q_condensation_levels,
         "crawl_frontier": _q_crawl_frontier,
+        "canonical_dedup": _q_canonical_dedup,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3179,6 +3221,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_hosts": ow.mis_luby_sql(8),
         "web_matching": ow.web_matching_sql(8),
         "crawl_frontier": ow.CRAWL_FRONTIER_SQL,
+        "canonical_dedup": ow.CANONICAL_DEDUP_SQL,
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

@@ -66,3 +66,45 @@ def normalize_url_column(ds, col: str = "url", out_col: str | None = None):
         return b.append_column(out, norm)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def canonical_latest(ds, *, url_col: str = "url", ts_col: str = "ts_us"):
+    """Crawl-snapshot compaction keyed by CANONICAL url: collapse a
+    capture log (messy url, capture timestamp) to one row per
+    canonical page — how many captures were seen, which capture wins
+    (latest timestamp; ties broken by min url string, deterministic),
+    and when. The scale shape is three map-side-combined aggregations
+    over the canonical key (max ts, count, min winning url) plus one
+    hash join back onto the capture log — no per-group Python, no
+    driver materialization; skew is bounded by captures-per-page.
+
+    Returns (url_canon, n_captures, kept_url, kept_ts_us)."""
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.util import (join_partitions,
+                                                 preagg_max, preagg_min,
+                                                 preagg_sum, safe_join)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url_canon": normalize_urls(b[url_col]),
+            "__u": b[url_col].cast(pa.string()),
+            "__ts": b[ts_col].cast(pa.int64()),
+            "__one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    rec = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    nparts = join_partitions(8)
+    mx = preagg_max(rec.select_columns(["url_canon", "__ts"]),
+                    ["url_canon"], "__ts") \
+        .rename_columns({"__ts": "kept_ts_us"})
+    cnt = preagg_sum(rec.select_columns(["url_canon", "__one"]),
+                     ["url_canon"], "__one") \
+        .rename_columns({"__one": "n_captures"})
+    at = safe_join(rec.select_columns(["url_canon", "__u", "__ts"]),
+                   mx, "inner", nparts, on=("url_canon",)) \
+        .filter(expr="__ts == kept_ts_us") \
+        .select_columns(["url_canon", "__u"])
+    kept = preagg_min(at, ["url_canon"], "__u") \
+        .rename_columns({"__u": "kept_url"})
+    out = safe_join(cnt, mx, "inner", nparts, on=("url_canon",))
+    return safe_join(out, kept, "inner", nparts, on=("url_canon",))

@@ -1455,3 +1455,21 @@ FROM cw JOIN od ON od.src = cw.src
 WHERE CAST(regexp_extract(cw.dst, '/page/(\\d+)$', 1) AS BIGINT)
       >= (SELECT k FROM kk)
 GROUP BY cw.dst ORDER BY url"""
+
+
+CANONICAL_DEDUP_SQL = """WITH caps AS (
+  SELECT doc_id AS pid, unnest(generate_series(0, doc_id % 3)) AS v
+  FROM documents),
+u AS (SELECT pid, v,
+             'http://site-' || (pid % 20) || '.test/page/' || pid AS url
+      FROM caps)
+SELECT url AS url_canon,
+       CAST(pid % 3 + 1 AS BIGINT) AS n_captures,
+       CASE pid % 3
+         WHEN 0 THEN url
+         WHEN 1 THEN url || '?utm_source=feed&ref=rss'
+         ELSE url || '/'
+       END AS kept_url,
+       CAST(1704067200000000 + pid * 1000000
+            + (pid % 3) * 86400000000 AS BIGINT) AS kept_ts_us
+FROM u WHERE v = 0 ORDER BY url_canon"""
