@@ -1584,6 +1584,15 @@ def _q_pii_counts(sf_dir: str):
     return pii_counts(_docs(sf_dir))
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII masking over the documents table: typed-token replacement
+    (<EMAIL>/<PHONE>/<IP>) + per-doc redaction counts
+    (functions/text.pii_redact). Value-hash oracle on the full masked
+    TEXT, not just the counts."""
+    from neo4j_graph_algorithms_ray.functions.text import pii_redact
+    return pii_redact(_docs(sf_dir))
+
+
 def _q_line_dedup(sf_dir: str):
     """CCNet-style corpus line dedup over deterministically constructed
     multi-line docs (the sf documents are single-line): each doc becomes
@@ -2924,6 +2933,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "condensation_levels": _q_condensation_levels,
         "crawl_frontier": _q_crawl_frontier,
         "canonical_dedup": _q_canonical_dedup,
+        "pii_redact": _q_pii_redact,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3222,6 +3232,7 @@ def oracle_sql() -> dict[str, str]:
         "web_matching": ow.web_matching_sql(8),
         "crawl_frontier": ow.CRAWL_FRONTIER_SQL,
         "canonical_dedup": ow.CANONICAL_DEDUP_SQL,
+        "pii_redact": od.PII_REDACT_SQL,
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

@@ -2760,3 +2760,31 @@ def quality_by_source(docs, *, source_col: str = "source",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(source_col)
+
+
+PII_TOKENS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+
+
+def pii_redact(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """PII masking — the redaction counterpart of pii_counts: replace
+    every email / phone / ipv4 occurrence with its typed token and
+    count replacements. Patterns apply in PII_PATTERNS order, each
+    counting + rewriting the PREVIOUS pattern's output (the SQL oracle
+    chains regexp_replace identically). One vectorized RE2 count + one
+    replace per pattern per batch; zero per-row Python.
+
+    Returns (id_col, text, n_redactions)."""
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = _text_column(batch, text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        total = np.zeros(batch.num_rows, np.int64)
+        for name, pat in PII_PATTERNS.items():
+            total += pc.count_substring_regex(txt, pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            txt = pc.replace_substring_regex(
+                txt, pattern=pat, replacement=PII_TOKENS[name])
+        return pa.table({id_col: batch[id_col], "text": txt,
+                         "n_redactions": pa.array(total)})
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

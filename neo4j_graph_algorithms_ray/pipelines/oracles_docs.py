@@ -1466,3 +1466,21 @@ SELECT dim,
        round(sqrt(greatest(sum(x * x) / count(*)
                            - pow(sum(x) / count(*), 2), 0)), 6) AS std
 FROM v GROUP BY dim ORDER BY dim"""
+
+
+# Mirrors functions/text.pii_redact: each pattern counts + rewrites the
+# previous pattern's output, in PII_PATTERNS order (email, phone, ipv4).
+PII_REDACT_SQL = r"""WITH t0 AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+t1 AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS c,
+  regexp_replace(s, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+  FROM t0),
+t2 AS (SELECT doc_id,
+  c + CAST(len(regexp_extract_all(s, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS BIGINT) AS c,
+  regexp_replace(s, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS s
+  FROM t1),
+t3 AS (SELECT doc_id,
+  c + CAST(len(regexp_extract_all(s, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS c,
+  regexp_replace(s, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS s
+  FROM t2)
+SELECT doc_id, s AS text, c AS n_redactions FROM t3 ORDER BY doc_id"""

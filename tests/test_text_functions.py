@@ -820,3 +820,20 @@ def test_tfidf_cosine_pairs_hand_case():
     # 'common' has df=6 > 5 -> dropped; 'filler' df=5 pairs the first five
     assert {(r["a"], r["b"]) for r in got} == {
         (a, b) for a in range(5) for b in range(a + 1, 5)}
+
+
+def test_pii_redact_masks_and_counts():
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.text import pii_redact
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "mail a.b@c.de or +1 (555) 123-4567 at 10.0.0.1"},
+        {"doc_id": 1, "text": "clean"},
+        {"doc_id": 2, "text": "x@y.zz x@y.zz"},
+    ])
+    rows = {r["doc_id"]: r for r in pii_redact(docs).take_all()}
+    assert rows[0]["text"] == "mail <EMAIL> or <PHONE> at <IP>"
+    assert rows[0]["n_redactions"] == 3
+    assert rows[1] == {"doc_id": 1, "text": "clean", "n_redactions": 0}
+    assert rows[2]["text"] == "<EMAIL> <EMAIL>"
+    assert rows[2]["n_redactions"] == 2
