@@ -29,3 +29,32 @@ def test_normalize_url_column_stage():
     ds = rd.from_items([{"url": c[0], "i": i} for i, c in enumerate(CASES)])
     rows = sorted(normalize_url_column(ds).take_all(), key=lambda r: r["i"])
     assert [r["url"] for r in rows] == [c[1] for c in CASES]
+
+
+def test_normalize_urls_idempotent():
+    once = normalize_urls(pa.array([c[0] for c in CASES]))
+    twice = normalize_urls(once)
+    assert once.to_pylist() == twice.to_pylist()
+
+
+def test_canonical_latest_brute_force():
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.urls import canonical_latest
+
+    caps = [  # (messy url, ts) — three canonical groups
+        ("http://a.test/p?utm_source=x", 10),
+        ("http://a.test/p/", 30),
+        ("HTTP://A.test/p", 20),
+        ("http://b.test/q", 5),
+        ("http://c.test/r?ref=z", 7),
+        ("http://c.test/r", 7),  # ts tie → min url string wins
+    ]
+    ds = rd.from_items([{"url": u, "ts_us": t} for u, t in caps])
+    rows = {r["url_canon"]: r for r in canonical_latest(ds).take_all()}
+    assert rows["http://a.test/p"]["n_captures"] == 3
+    assert rows["http://a.test/p"]["kept_url"] == "http://a.test/p/"
+    assert rows["http://a.test/p"]["kept_ts_us"] == 30
+    assert rows["http://b.test/q"]["n_captures"] == 1
+    assert rows["http://c.test/r"]["kept_url"] == "http://c.test/r"
+    assert rows["http://c.test/r"]["kept_ts_us"] == 7
