@@ -319,6 +319,17 @@ def headline(num_cpus: int) -> dict:
     dg_sec = queries.pop(f"dup_ngram_{n_big}d")
     extras["dup_ngram_docs_per_sec"] = round(n_big / dg_sec, 1)
 
+    # round-4 session-8: PII masking throughput (safety-filter stage a
+    # 100 TB run executes on every document; throughput line only)
+    from neo4j_graph_algorithms_ray.functions.text import pii_redact
+
+    def pii_pass():
+        return pii_redact(big_docs).count()
+
+    timed(f"pii_redact_{n_big}d", pii_pass, repeats=2)
+    pr_sec = queries.pop(f"pii_redact_{n_big}d")
+    extras["pii_redact_docs_per_sec"] = round(n_big / pr_sec, 1)
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",
