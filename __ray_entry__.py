@@ -1584,6 +1584,17 @@ def _q_pii_counts(sf_dir: str):
     return pii_counts(_docs(sf_dir))
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization encoding of the embeddings table
+    (functions/ann.pq_encode): m=8 subspaces x k=16 centroids → 8
+    bytes per 64-dim vector (32x compression), per-vector
+    reconstruction error. Rows-only driver check — k-means codebooks
+    have no SQL mirror; reconstruction quality and determinism are
+    pinned by pytest (test_dedup_ann.test_pq_encode_reconstruction)."""
+    from neo4j_graph_algorithms_ray.functions.ann import pq_encode
+    return pq_encode(_emb(sf_dir), m=8, k=16)
+
+
 def _q_pii_redact(sf_dir: str):
     """PII masking over the documents table: typed-token replacement
     (<EMAIL>/<PHONE>/<IP>) + per-doc redaction counts
@@ -2934,6 +2945,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": _q_crawl_frontier,
         "canonical_dedup": _q_canonical_dedup,
         "pii_redact": _q_pii_redact,
+        "pq_codes": _q_pq_codes,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,

@@ -774,3 +774,93 @@ def ann_recall_report(exact_topk: rd.Dataset, approx_topk: rd.Dataset,
                          "recall": pa.array(round6(nh / float(k)))})
 
     return hits.map_batches(finish, batch_format="pyarrow").sort("query_id")
+
+
+def pq_train_codebooks(emb: rd.Dataset, m: int = 4, k: int = 16, *,
+                       sample: int = 65536, iters: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011): split each
+    vector into ``m`` contiguous subspaces and train ``k`` L2 k-means
+    centroids per subspace on the SAME deterministic hash sample as
+    ivf_train_centroids — the driver holds ``sample`` vectors, never
+    the corpus. Init = first k sampled subvectors (id order), Lloyd
+    rounds with plain means (L2 geometry — PQ quantizes raw
+    subvectors, unlike the spherical IVF codebook); empty cells
+    re-seeded from the worst-served point. Returns (m, k, dim/m)."""
+    n = emb.count()
+    stride = max(1, n // max(1, sample))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = (pd.util.hash_array(np.asarray(ids)) % np.uint64(stride)) == 0
+        return batch.filter(pa.array(keep))
+
+    rows = emb.map_batches(pick, batch_format="pyarrow").take_all()
+    if not rows:
+        rows = emb.limit(max(k, 1)).take_all()
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    order = np.argsort([r[id_col] for r in rows])
+    mat = mat[order]
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    k = min(k, len(mat))
+    books = np.empty((m, k, sub), np.float64)
+    for s in range(m):
+        x = mat[:, s * sub:(s + 1) * sub]
+        c = x[:k].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for j in range(k):
+                sel = a == j
+                if sel.any():
+                    c[j] = x[sel].mean(axis=0)
+                else:
+                    c[j] = x[d.min(axis=1).argmax()]
+        books[s] = c
+    return books
+
+
+def pq_encode(emb: rd.Dataset, m: int = 4, k: int = 16, *,
+              sample: int = 65536, iters: int = 10,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> rd.Dataset:
+    """PQ-encode the corpus → (id, codes list<int8>, recon_err): the
+    memory-compression path for web-scale embedding stores (dim
+    float32 → m bytes per vector, 32x at dim=64/m=8). Codebooks train
+    once on the driver sample, broadcast via ``ray.put``; encoding is
+    one (batch x k) distance matmul per subspace per batch — no
+    shuffle at all. recon_err = squared L2 reconstruction error,
+    round6."""
+    books = pq_train_codebooks(emb, m, k, sample=sample, iters=iters,
+                               id_col=id_col, vec_col=vec_col)
+    bref = ray.put(books)
+    sub = books.shape[2]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.int8())),
+                             "recon_err": pa.array([], pa.float64())})
+        bks = ray.get(bref)
+        x = _vec_matrix(batch[vec_col]).astype(np.float64)
+        n = x.shape[0]
+        codes = np.empty((n, bks.shape[0]), np.int8)
+        err = np.zeros(n, np.float64)
+        for s in range(bks.shape[0]):
+            xs = x[:, s * sub:(s + 1) * sub]
+            c = bks[s]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 (argmin drops ||x||^2)
+            d = -2.0 * (xs @ c.T) + (c * c).sum(axis=1)[None, :]
+            a = d.argmin(axis=1)
+            codes[:, s] = a.astype(np.int8)
+            err += ((xs - c[a]) ** 2).sum(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "codes": pa.array(list(codes), pa.list_(pa.int8())),
+            "recon_err": pa.array(round6(err))})
+
+    return emb.map_batches(encode, batch_format="pyarrow")

@@ -555,3 +555,42 @@ def test_embedding_gram_and_pca_match_numpy():
     # round6 on the gram + mean round6 perturb the eigenvalues slightly
     assert np.allclose(got, ev[:3], atol=1e-4)
     assert df["explained_ratio"].iloc[0] > 0.5  # the stretched direction
+
+
+def test_pq_encode_reconstruction():
+    import numpy as np
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.ann import (pq_encode,
+                                                          pq_train_codebooks)
+    rng = np.random.default_rng(7)
+    # 3 well-separated planted clusters per subspace → PQ should hit
+    # near-zero reconstruction error with k=4
+    base = rng.normal(0, 0.01, size=(120, 16))
+    centers = np.repeat(np.array([[0.0], [5.0], [-5.0]]), 40, axis=0)
+    vecs = base + centers  # all 16 dims shifted per planted cluster
+    items = [{"vec_id": i, "embedding": vecs[i].astype("float32").tolist()}
+             for i in range(len(vecs))]
+    ds = rd.from_items(items)
+    out = {r["vec_id"]: r for r in pq_encode(ds, m=4, k=4).take_all()}
+    assert len(out) == 120
+    errs = np.array([out[i]["recon_err"] for i in range(120)])
+    # planted structure: reconstruction error far below raw norm (~400)
+    assert errs.mean() < 1.0
+    assert all(len(out[i]["codes"]) == 4 for i in range(120))
+    # determinism: same input → same codes
+    out2 = {r["vec_id"]: r for r in pq_encode(ds, m=4, k=4).take_all()}
+    assert all(out[i]["codes"] == out2[i]["codes"] for i in range(120))
+    # codebooks shape
+    books = pq_train_codebooks(ds, m=4, k=4)
+    assert books.shape == (4, 4, 4)
+
+
+def test_pq_encode_dim_mismatch_raises():
+    import pytest
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.ann import pq_train_codebooks
+    ds = rd.from_items([{"vec_id": 0, "embedding": [1.0] * 10}])
+    with pytest.raises(ValueError):
+        pq_train_codebooks(ds, m=4, k=2)
