@@ -1336,6 +1336,15 @@ def _q_latest_event_per_user(sf_dir: str):
     return latest_event_per_user(_events(sf_dir))
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's
+    time-ordered event stream (events.event_transitions) — exact LAG
+    SQL oracle."""
+    from neo4j_graph_algorithms_ray.functions.events import \
+        event_transitions
+    return event_transitions(_events(sf_dir))
+
+
 def _q_window_topk_types(sf_dir: str):
     """Top-3 event types per tumbling window
     (events.window_topk_types)."""
@@ -2946,6 +2955,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "canonical_dedup": _q_canonical_dedup,
         "pii_redact": _q_pii_redact,
         "pq_codes": _q_pq_codes,
+        "event_transitions": _q_event_transitions,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3245,6 +3255,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": ow.CRAWL_FRONTIER_SQL,
         "canonical_dedup": ow.CANONICAL_DEDUP_SQL,
         "pii_redact": od.PII_REDACT_SQL,
+        "event_transitions": oe.EVENT_TRANSITIONS_SQL,
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

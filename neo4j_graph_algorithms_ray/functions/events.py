@@ -603,3 +603,55 @@ def window_anomaly(events: rd.Dataset, window_s: int = 3600,
 
     return agg.map_batches(score, batch_format="pyarrow") \
         .sort("window_start_s")
+
+
+def event_transitions(events: rd.Dataset, *,
+                      user_col: str = "user_id", time_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id",
+                      num_buckets: Optional[int] = None) -> rd.Dataset:
+    """First-order Markov transition counts: for every user's
+    time-ordered event stream (ties broken by id, same ordering rule
+    as sessionize), count consecutive (from_type -> to_type) pairs
+    corpus-wide — the behavioral transition matrix behind funnel
+    mining / next-event models. Same coarse-user-hash-bucket exchange
+    as sessionize (one lexsort per bucket covers every user in it,
+    LAG is a shifted compare), then a map-side-combined global
+    groupby-sum over at most |types|^2 keys.
+
+    Returns (from_type, to_type, n)."""
+    nb = _num_buckets(num_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b.column(user_col)
+        return pa.table({id_col: b.column(id_col).cast(pa.int64()),
+                         "__u": users,
+                         "__ty": b.column(type_col).cast(pa.string()),
+                         "__t": _ts_us(b.column(time_col)),
+                         "__b": _bucket_of(users, nb)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        codes = pd.factorize(df["__u"].to_numpy())[0]
+        t = df["__t"].to_numpy()
+        ids = df[id_col].to_numpy()
+        ty = df["__ty"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        cc, tt2 = codes[order], ty[order]
+        same = np.zeros(len(cc), dtype=bool)
+        if len(cc) > 1:
+            same[1:] = cc[1:] == cc[:-1]
+        frm = np.roll(tt2, 1)[same]
+        to = tt2[same]
+        g = pd.DataFrame({"from_type": frm, "to_type": to})
+        out = g.groupby(["from_type", "to_type"], sort=False) \
+               .size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+    tagged = drop_empty_blocks(
+        events.select_columns([id_col, user_col, time_col, type_col])
+        .map_batches(tag, batch_format="pyarrow"))
+    partial = tagged.groupby("__b").map_groups(per_bucket,
+                                               batch_format="pandas")
+    return preagg_sum(partial, ["from_type", "to_type"], "n")

@@ -162,3 +162,16 @@ SELECT window_start_s, CAST(n_events AS BIGINT) AS n_events,
             THEN abs(round((n_events - st.m) / st.sd, 6)) > {z}
             ELSE FALSE END AS is_anomaly
 FROM agg CROSS JOIN st ORDER BY window_start_s"""
+
+
+# Mirrors functions/events.event_transitions: LAG over each user's
+# (ts, event_id)-ordered stream, global pair counts.
+EVENT_TRANSITIONS_SQL = """WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type ORDER BY from_type, to_type"""
