@@ -2756,6 +2756,42 @@ def _q_host_rank_mass(sf_dir: str):
     return _round6(agg, "rank_mass").sort("host")
 
 
+def _q_host_rank_hhi(sf_dir: str):
+    """Rank concentration per host (Herfindahl index of within-host
+    PageRank shares): HHI = sum((r/mass)^2) = sum(r^2)/mass^2 — one
+    map-side-combined aggregation pass over (r, r^2, 1) partials, no
+    join. Near 1 → the host's authority sits on one page; near
+    1/n_pages → evenly spread. Crawl-budget / site-structure signal."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (HOST_RE,
+                                                               get_web_graph)
+    from neo4j_graph_algorithms_ray.util import preagg_sum, round6
+    g = get_web_graph(sf_dir)
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url")
+
+    def to_host(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        r = b["score"].to_numpy(zero_copy_only=False)
+        return pa.table({"host": h, "__r": b["score"],
+                         "__r2": pa.array(r * r),
+                         "n_pages": pa.array(np.ones(b.num_rows, np.int64))})
+
+    agg = preagg_sum(res.dataset.map_batches(to_host, batch_format="pyarrow"),
+                     ["host"], ["__r", "__r2", "n_pages"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        mass = b["__r"].to_numpy(zero_copy_only=False)
+        r2 = b["__r2"].to_numpy(zero_copy_only=False)
+        return pa.table({"host": b["host"], "n_pages": b["n_pages"],
+                         "hhi": pa.array(round6(r2 / (mass * mass)))})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("host")
+
+
 def _q_web_ppr_batch(sf_dir: str):
     """Batched multi-seed personalized PageRank: 3 topic seeds in ONE
     BSP pass via matrix messages (pagerank.pagerank_batch) — each
@@ -2956,6 +2992,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "pq_codes": _q_pq_codes,
         "event_transitions": _q_event_transitions,
+        "host_rank_hhi": _q_host_rank_hhi,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3256,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_dedup": ow.CANONICAL_DEDUP_SQL,
         "pii_redact": od.PII_REDACT_SQL,
         "event_transitions": oe.EVENT_TRANSITIONS_SQL,
+        "host_rank_hhi": ow.host_rank_hhi_sql(PR_ITERS),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

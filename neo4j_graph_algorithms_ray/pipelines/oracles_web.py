@@ -1473,3 +1473,25 @@ SELECT url AS url_canon,
        CAST(1704067200000000 + pid * 1000000
             + (pid % 3) * 86400000000 AS BIGINT) AS kept_ts_us
 FROM u WHERE v = 0 ORDER BY url_canon"""
+
+
+def host_rank_hhi_sql(iters: int = 20) -> str:
+    """Mirror of _q_host_rank_hhi: the web_pagerank unroll grouped by
+    host, HHI = sum(r^2) / sum(r)^2 per host."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+            "FROM wedges GROUP BY src)",
+            "r0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN r{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT regexp_extract(node, '^[a-z]+://([^/]+)', 1) AS host,
+       count(*) AS n_pages,
+       round(sum(r * r) / (sum(r) * sum(r)), 6) AS hhi
+FROM r{iters} GROUP BY host ORDER BY host""")
