@@ -1211,6 +1211,16 @@ def _q_crawl_frontier(sf_dir: str):
     return frontier.sort("url").materialize()
 
 
+def _q_url_templates(sf_dir: str):
+    """URL path-template mining over the pages table
+    (functions/urls.url_templates): digit runs in the path collapse to
+    '{n}', count per template."""
+    from neo4j_graph_algorithms_ray.functions.urls import url_templates
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    return url_templates(read_pages(sf_dir, columns=["url"])) \
+        .sort("template")
+
+
 def _q_canonical_dedup(sf_dir: str):
     """Crawl-snapshot compaction: decorate every page with pid%3+1
     captures (original / +tracking-params / +trailing-slash, one day
@@ -2993,6 +3003,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "event_transitions": _q_event_transitions,
         "host_rank_hhi": _q_host_rank_hhi,
+        "url_templates": _q_url_templates,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3294,6 +3305,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": od.PII_REDACT_SQL,
         "event_transitions": oe.EVENT_TRANSITIONS_SQL,
         "host_rank_hhi": ow.host_rank_hhi_sql(PR_ITERS),
+        "url_templates": ow.URL_TEMPLATES_SQL,
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

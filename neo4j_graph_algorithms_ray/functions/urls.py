@@ -108,3 +108,34 @@ def canonical_latest(ds, *, url_col: str = "url", ts_col: str = "ts_us"):
         .rename_columns({"__u": "kept_url"})
     out = safe_join(cnt, mx, "inner", nparts, on=("url_canon",))
     return safe_join(out, kept, "inner", nparts, on=("url_canon",))
+
+
+def url_templates(ds, *, url_col: str = "url"):
+    """URL pattern mining: collapse digit runs in the PATH (host left
+    intact) to '{n}' and count urls per template — the standard
+    crawl-side structure report (which url shapes dominate a site,
+    which to canonicalize or skip). Vectorized RE2 + one
+    map-side-combined count; returns (template, n_urls)."""
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    head_pat = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+    def to_template(b: pa.Table) -> pa.Table:
+        u = b[url_col].cast(pa.string())
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        m = pc.extract_regex(u, f"(?P<head>{head_pat})")
+        head = pc.fill_null(pc.struct_field(m, "head"), "")
+        rest = pc.replace_substring_regex(u, pattern=head_pat,
+                                          replacement="",
+                                          max_replacements=1)
+        rest = pc.replace_substring_regex(rest, pattern=r"[0-9]+",
+                                          replacement="{n}")
+        return pa.table({
+            "template": pc.binary_join_element_wise(head, rest, ""),
+            "n_urls": pa.array(np.ones(b.num_rows, np.int64))})
+
+    return preagg_sum(ds.map_batches(to_template, batch_format="pyarrow"),
+                      ["template"], "n_urls")

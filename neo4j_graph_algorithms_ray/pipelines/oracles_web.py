@@ -1495,3 +1495,13 @@ SELECT regexp_extract(node, '^[a-z]+://([^/]+)', 1) AS host,
        count(*) AS n_pages,
        round(sum(r * r) / (sum(r) * sum(r)), 6) AS hhi
 FROM r{iters} GROUP BY host ORDER BY host""")
+
+
+URL_TEMPLATES_SQL = """WITH p AS (
+  SELECT 'http://site-' || (doc_id % 20) || '.test/page/' || doc_id AS url
+  FROM documents)
+SELECT regexp_extract(url, '^[a-z]+://[^/?#]*')
+         || regexp_replace(regexp_replace(url, '^[a-z]+://[^/?#]*', ''),
+                           '[0-9]+', '{n}', 'g') AS template,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM p GROUP BY template ORDER BY template"""
