@@ -2861,6 +2861,66 @@ def _q_wcc_incremental(sf_dir: str):
     return comp.rename_columns({"node": "url"})
 
 
+def _q_hub_removal_wcc(sf_dir: str):
+    """Robustness-to-hub-loss report: remove the top-20 out-degree
+    pages (ties by url — deterministic), then component sizes of the
+    remaining undirected page graph. The skew story measured from the
+    other side: how much connectivity the hub vertices carry. Isolated
+    survivors stay as singleton components (extra_vertices)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    from neo4j_graph_algorithms_ray.algorithms.common import \
+        translate_vid_columns
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+    from neo4j_graph_algorithms_ray.util import preagg_sum, predistinct
+
+    name = f"web_hubless:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        edges = web_edge_ds(sf_dir).materialize()
+        deg = preagg_sum(edges.map_batches(
+            lambda b: pa.table({
+                "url": b["src_url"],
+                "__c": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"), ["url"], "__c")
+        hubs = {r["url"] for r in deg.sort(["__c", "url"],
+                                           descending=[True, False])
+                .limit(20).take_all()}  # 20 urls on the driver
+        hub_arr = pa.array(sorted(hubs))
+
+        def drop_hubs(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.invert(pc.is_in(b["src_url"], value_set=hub_arr)),
+                pc.invert(pc.is_in(b["dst_url"], value_set=hub_arr)))
+            return b.filter(keep)
+
+        survivors = predistinct(
+            edges.map_batches(
+                lambda b: pa.table({"node": pa.concat_arrays(
+                    [b["src_url"].combine_chunks(),
+                     b["dst_url"].combine_chunks()])}),
+                batch_format="pyarrow"), ["node"]) \
+            .map_batches(
+                lambda b: b.filter(pc.invert(
+                    pc.is_in(b["node"], value_set=hub_arr))),
+                batch_format="pyarrow")
+        g = build_graph(edges.map_batches(drop_hubs,
+                                          batch_format="pyarrow"),
+                        src_col="src_url", dst_col="dst_url",
+                        undirected=True, extra_vertices=survivors,
+                        name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    res = wcc(g)
+    comp = translate_vid_columns(g, res.dataset, ["component"])
+    return comp.groupby("component").count() \
+        .rename_columns({"count()": "size"})
+
+
 def _q_web_wcc_sizes(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import wcc
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -3004,6 +3064,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "host_rank_hhi": _q_host_rank_hhi,
         "url_templates": _q_url_templates,
+        "hub_removal_wcc": _q_hub_removal_wcc,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3306,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": oe.EVENT_TRANSITIONS_SQL,
         "host_rank_hhi": ow.host_rank_hhi_sql(PR_ITERS),
         "url_templates": ow.URL_TEMPLATES_SQL,
+        "hub_removal_wcc": ow.hub_removal_wcc_sql(60, 20),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

@@ -1505,3 +1505,32 @@ SELECT regexp_extract(url, '^[a-z]+://[^/?#]*')
                            '[0-9]+', '{n}', 'g') AS template,
        CAST(count(*) AS BIGINT) AS n_urls
 FROM p GROUP BY template ORDER BY template"""
+
+
+def hub_removal_wcc_sql(iters: int = 60, k: int = 20) -> str:
+    """Mirror of _q_hub_removal_wcc: drop the top-k out-degree pages
+    (ties by url asc), hash-min WCC sizes over the survivors
+    (isolated survivors = singletons)."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg2 AS (SELECT src, count(*) AS dg FROM wedges GROUP BY src)",
+            f"hubs AS MATERIALIZED (SELECT src AS node FROM wdeg2 "
+            f"ORDER BY dg DESC, src ASC LIMIT {k})",
+            "fnodes AS MATERIALIZED (SELECT node FROM wnodes "
+            "WHERE node NOT IN (SELECT node FROM hubs))",
+            "fedges AS MATERIALIZED (SELECT src, dst FROM wedges "
+            "WHERE src NOT IN (SELECT node FROM hubs) "
+            "AND dst NOT IN (SELECT node FROM hubs))",
+            "fsym AS MATERIALIZED (SELECT src AS a, dst AS b FROM fedges "
+            "UNION ALL SELECT dst, src FROM fedges)",
+            "h0 AS (SELECT node, node AS c FROM fnodes)"]
+    for i in range(1, iters + 1):
+        ctes.append(f"""h{i} AS MATERIALIZED (
+  SELECT n.node, least(p.c, coalesce(min(q.c), p.c)) AS c
+  FROM fnodes n
+  JOIN h{i-1} p ON p.node = n.node
+  LEFT JOIN fsym e ON e.a = n.node
+  LEFT JOIN h{i-1} q ON q.node = e.b
+  GROUP BY n.node, p.c)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT c AS component, count(*) AS size FROM h{iters}
+GROUP BY c ORDER BY component""")
