@@ -2921,6 +2921,103 @@ def _q_hub_removal_wcc(sf_dir: str):
         .rename_columns({"count()": "size"})
 
 
+def _q_host_simrank(sf_dir: str):
+    """SimRank domain similarity over the host graph (Jeh & Widom
+    KDD'02, in-neighbor form, c=0.8, 5 sweeps): hosts are similar when
+    similar hosts link to them — the link-structure complement of the
+    content near-dup family. Pair state stays a Dataset; zero pairs are
+    pruned each sweep (exact). Oracle: unrolled join/groupby CTE chain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms.simrank import simrank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
+
+    pairs = simrank(host_edge_ds(sf_dir), src_col="src_host",
+                    dst_col="dst_host", c=0.8, iterations=5)
+
+    def fin(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["a"], b["b"])
+        b = b.filter(keep)
+        return pa.table({
+            "host_a": b["a"], "host_b": b["b"],
+            "simrank": pa.array(round6(
+                b["s"].to_numpy(zero_copy_only=False)))})
+
+    return pairs.map_batches(fin, batch_format="pyarrow") \
+        .sort(["host_a", "host_b"])
+
+
+def _lang_edge_matrix(sf_dir: str):
+    """(src_lang, dst_lang, n_edges) over the distinct page link graph.
+
+    Scale shape: the url→lang map is a projection of the pages table
+    (corpus-sized), so both sides attach via hash joins keyed on url —
+    never a driver or broadcast copy; the groupby shuffle then carries
+    at most |langs|² rows after the map-side combine."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    from neo4j_graph_algorithms_ray.util import preagg_sum, safe_join
+
+    langmap = read_pages(sf_dir, columns=["url", "lang"])
+    j = safe_join(web_edge_ds(sf_dir), langmap, "inner", 16,
+                  on=("src_url",), right_on=("url",))
+    j = j.rename_columns({"lang": "src_lang"})
+    j = safe_join(j, langmap, "inner", 16, on=("dst_url",),
+                  right_on=("url",))
+    j = j.rename_columns({"lang": "dst_lang"})
+    counts = preagg_sum(j.map_batches(
+        lambda b: pa.table({
+            "src_lang": b["src_lang"], "dst_lang": b["dst_lang"],
+            "n_edges": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow"), ["src_lang", "dst_lang"], "n_edges")
+    # ≤ |langs|² rows from here on — driver-finish is bounded
+    return counts.sort(["src_lang", "dst_lang"]).take_all()
+
+
+def _q_lang_mixing(sf_dir: str):
+    """Language mixing matrix of the page link graph: for every
+    (src_lang, dst_lang) pair the edge count and corpus-wide fraction —
+    the cross-lingual linking report a multilingual crawl QA pass runs."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    rows = _lang_edge_matrix(sf_dir)
+    tot = float(sum(r["n_edges"] for r in rows))
+    return pa.table({
+        "src_lang": pa.array([r["src_lang"] for r in rows]),
+        "dst_lang": pa.array([r["dst_lang"] for r in rows]),
+        "n_edges": pa.array([r["n_edges"] for r in rows],
+                            type=pa.int64()),
+        "frac": pa.array(round6([r["n_edges"] / tot for r in rows]))})
+
+
+def _q_lang_assortativity(sf_dir: str):
+    """Newman's categorical assortativity coefficient (PRE 67, 2003)
+    of page language over directed link edges:
+    r = (Σᵢ eᵢᵢ − Σᵢ aᵢbᵢ) / (1 − Σᵢ aᵢbᵢ) with e the mixing matrix,
+    a/b its row/col sums — do pages link within their own language?"""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    rows = _lang_edge_matrix(sf_dir)
+    langs = sorted({r["src_lang"] for r in rows}
+                   | {r["dst_lang"] for r in rows})
+    li = {l: i for i, l in enumerate(langs)}
+    e = np.zeros((len(langs), len(langs)))
+    for r in rows:
+        e[li[r["src_lang"]], li[r["dst_lang"]]] = r["n_edges"]
+    e /= e.sum()
+    ab = float(e.sum(axis=1) @ e.sum(axis=0))
+    r_coef = (float(np.trace(e)) - ab) / (1.0 - ab)
+    return pa.table({"assortativity": pa.array(round6([r_coef]))})
+
+
 def _q_web_wcc_sizes(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import wcc
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -3065,6 +3162,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "host_rank_hhi": _q_host_rank_hhi,
         "url_templates": _q_url_templates,
         "hub_removal_wcc": _q_hub_removal_wcc,
+        "host_simrank": _q_host_simrank,
+        "lang_mixing": _q_lang_mixing,
+        "lang_assortativity": _q_lang_assortativity,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3368,6 +3468,9 @@ def oracle_sql() -> dict[str, str]:
         "host_rank_hhi": ow.host_rank_hhi_sql(PR_ITERS),
         "url_templates": ow.URL_TEMPLATES_SQL,
         "hub_removal_wcc": ow.hub_removal_wcc_sql(60, 20),
+        "host_simrank": ow.host_simrank_sql(5, 0.8),
+        "lang_mixing": ow.LANG_MIXING_SQL,
+        "lang_assortativity": ow.LANG_ASSORTATIVITY_SQL,
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

@@ -1534,3 +1534,78 @@ def hub_removal_wcc_sql(iters: int = 60, k: int = 20) -> str:
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT c AS component, count(*) AS size FROM h{iters}
 GROUP BY c ORDER BY component""")
+
+
+_HEDGES = """hedges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst
+  FROM wedges
+  WHERE regexp_extract(src, '^[a-z]+://([^/]+)', 1)
+     != regexp_extract(dst, '^[a-z]+://([^/]+)', 1))"""
+
+
+def host_simrank_sql(iters: int = 5, c: float = 0.8) -> str:
+    """Mirror of algorithms/simrank.py over the host graph: in-neighbor
+    SimRank, decay c, diagonal pinned to 1, zero pairs pruned each
+    sweep (exact), emitted as a < b with round6 scores."""
+    ctes = [WEB_BASE, WEB_EDGES, _HEDGES,
+            "hnodes AS MATERIALIZED (SELECT src AS node FROM hedges "
+            "UNION SELECT dst FROM hedges)",
+            "hind AS (SELECT dst, CAST(count(*) AS DOUBLE) AS d "
+            "FROM hedges GROUP BY dst)",
+            "p0 AS (SELECT node AS a, node AS b, CAST(1 AS DOUBLE) AS s "
+            "FROM hnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT x.a, x.b, {c} * x.ss / (ia.d * ib.d) AS s
+  FROM (SELECT e1.dst AS a, e2.dst AS b, sum(p.s) AS ss
+        FROM p{k-1} p
+        JOIN hedges e1 ON e1.src = p.a
+        JOIN hedges e2 ON e2.src = p.b
+        WHERE e1.dst != e2.dst
+        GROUP BY 1, 2) x
+  JOIN hind ia ON ia.dst = x.a
+  JOIN hind ib ON ib.dst = x.b
+  WHERE x.ss > 0
+  UNION ALL SELECT node, node, CAST(1 AS DOUBLE) FROM hnodes)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT a AS host_a, b AS host_b, round(s, 6) AS simrank
+FROM p{iters} WHERE a < b ORDER BY host_a, host_b""")
+
+
+_PAGE_LANG = (f"pl AS (SELECT {_url('doc_id')} AS url, lang "
+              "FROM documents)")
+
+LANG_MIXING_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{_PAGE_LANG},
+m AS (SELECT s.lang AS src_lang, t.lang AS dst_lang, count(*) AS n_edges
+      FROM wedges e
+      JOIN pl s ON s.url = e.src
+      JOIN pl t ON t.url = e.dst
+      GROUP BY 1, 2)
+SELECT src_lang, dst_lang, CAST(n_edges AS BIGINT) AS n_edges,
+       round(n_edges / (SELECT CAST(sum(n_edges) AS DOUBLE) FROM m), 6)
+         AS frac
+FROM m ORDER BY src_lang, dst_lang"""
+
+LANG_ASSORTATIVITY_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{_PAGE_LANG},
+m AS (SELECT s.lang AS src_lang, t.lang AS dst_lang,
+             CAST(count(*) AS DOUBLE) AS n_edges
+      FROM wedges e
+      JOIN pl s ON s.url = e.src
+      JOIN pl t ON t.url = e.dst
+      GROUP BY 1, 2),
+tot AS (SELECT sum(n_edges) AS t FROM m),
+eii AS (SELECT coalesce(sum(n_edges / (SELECT t FROM tot)), 0) AS x
+        FROM m WHERE src_lang = dst_lang),
+ab AS (SELECT coalesce(sum(a.sa * b.sb), 0) AS y FROM
+         (SELECT src_lang AS l, sum(n_edges / (SELECT t FROM tot)) AS sa
+          FROM m GROUP BY 1) a
+       JOIN
+         (SELECT dst_lang AS l, sum(n_edges / (SELECT t FROM tot)) AS sb
+          FROM m GROUP BY 1) b ON a.l = b.l)
+SELECT round(((SELECT x FROM eii) - (SELECT y FROM ab))
+             / (1 - (SELECT y FROM ab)), 6) AS assortativity"""
