@@ -3018,6 +3018,113 @@ def _q_lang_assortativity(sf_dir: str):
     return pa.table({"assortativity": pa.array(round6([r_coef]))})
 
 
+def _q_lang_rank_mass(sf_dir: str):
+    """Total PageRank mass per page language and its corpus share —
+    "which languages hold the link authority", the slice-level rank
+    report a multilingual corpus curation pass reads. One hash join of
+    the rank vector against the url→lang projection, then a ≤|langs|
+    groupby."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    from neo4j_graph_algorithms_ray.util import preagg_sum, safe_join
+
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+    langmap = read_pages(sf_dir, columns=["url", "lang"])
+    j = safe_join(pr, langmap, "inner", 16, on=("url",))
+    mass = preagg_sum(j.select_columns(["lang", "score"]),
+                      ["lang"], "score")
+    rows = sorted(mass.take_all(), key=lambda r: r["lang"])  # ≤ |langs|
+    tot = float(sum(r["score"] for r in rows))
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows]),
+        "rank_mass": pa.array(round6([r["score"] for r in rows])),
+        "share": pa.array(round6([r["score"] / tot for r in rows]))})
+
+
+def _q_rank_degree_corr(sf_dir: str):
+    """Pearson correlation between per-page in-degree and PageRank —
+    the classic "is rank just degree?" diagnostic (Pandurangan et al.
+    2002 find ~0.3–0.6 on real webs). Distributed moment sums: one
+    left join rank×in-degree, per-batch partial (n, Σx, Σy, Σxy, Σx²,
+    Σy²), a 6-scalar reduce, closed form on the driver."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (get_web_graph,
+                                                               web_edge_ds)
+    from neo4j_graph_algorithms_ray.util import preagg_sum, safe_join
+
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+    ind = preagg_sum(web_edge_ds(sf_dir).map_batches(
+        lambda b: pa.table({"url": b["dst_url"],
+                            "idg": pa.array(np.ones(b.num_rows,
+                                                    np.float64))}),
+        batch_format="pyarrow"), ["url"], "idg")
+    j = safe_join(pr, ind, "left_outer", 16, on=("url",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.nan_to_num(b["idg"].to_numpy(zero_copy_only=False))
+        y = b["score"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": [float(len(x))], "sx": [x.sum()],
+                         "sy": [y.sum()], "sxy": [(x * y).sum()],
+                         "sxx": [(x * x).sum()], "syy": [(y * y).sum()]})
+
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    s = j.map_batches(partial, batch_format="pyarrow").sum(cols)
+    n, sx, sy, sxy, sxx, syy = (s[f"sum({c})"] for c in cols)
+    r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy))
+    return pa.table({"pearson_r": pa.array(round6([r]))})
+
+
+def _q_host_lang_profile(sf_dir: str):
+    """Per-host language profile: page count, distinct languages,
+    dominant language (ties → lexicographically first) and Shannon
+    language entropy (nats) — the host-level multilingualism report.
+    Scale shape: map-side-combined (host, lang) counts, then a
+    per-host map_groups whose group size is bounded by |langs|."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import HOST_RE
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    pages = read_pages(sf_dir, columns=["url", "lang"])
+
+    def to_host(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        return pa.table({"host": h, "lang": b["lang"],
+                         "n": pa.array(np.ones(b.num_rows, np.int64))})
+
+    counts = preagg_sum(pages.map_batches(to_host, batch_format="pyarrow"),
+                        ["host", "lang"], "n")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        tot = int(df["n"].sum())
+        dom = df.sort_values(["n", "lang"],
+                             ascending=[False, True]).iloc[0]["lang"]
+        p = df["n"].to_numpy(np.float64) / tot
+        return pd.DataFrame({
+            "host": [df["host"].iloc[0]], "n_pages": [tot],
+            "n_langs": [len(df)], "dominant_lang": [dom],
+            "lang_entropy": [float(round6(-(p * np.log(p)).sum()))]})
+
+    return counts.groupby("host").map_groups(
+        fin, batch_format="pandas").sort("host")
+
+
 def _q_web_wcc_sizes(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import wcc
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -3165,6 +3272,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "host_simrank": _q_host_simrank,
         "lang_mixing": _q_lang_mixing,
         "lang_assortativity": _q_lang_assortativity,
+        "lang_rank_mass": _q_lang_rank_mass,
+        "rank_degree_corr": _q_rank_degree_corr,
+        "host_lang_profile": _q_host_lang_profile,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3471,6 +3581,9 @@ def oracle_sql() -> dict[str, str]:
         "host_simrank": ow.host_simrank_sql(5, 0.8),
         "lang_mixing": ow.LANG_MIXING_SQL,
         "lang_assortativity": ow.LANG_ASSORTATIVITY_SQL,
+        "lang_rank_mass": ow.lang_rank_mass_sql(PR_ITERS),
+        "rank_degree_corr": ow.rank_degree_corr_sql(PR_ITERS),
+        "host_lang_profile": ow.HOST_LANG_PROFILE_SQL,
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

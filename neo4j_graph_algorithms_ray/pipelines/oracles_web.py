@@ -1609,3 +1609,72 @@ ab AS (SELECT coalesce(sum(a.sa * b.sb), 0) AS y FROM
           FROM m GROUP BY 1) b ON a.l = b.l)
 SELECT round(((SELECT x FROM eii) - (SELECT y FROM ab))
              / (1 - (SELECT y FROM ab)), 6) AS assortativity"""
+
+
+def _rank_ctes(iters: int) -> list:
+    """The unrolled raw (unrounded) web PageRank chain r0..r{iters}."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+            "AS dg FROM wedges GROUP BY src)",
+            "r0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN r{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ctes
+
+
+def lang_rank_mass_sql(iters: int = 20) -> str:
+    """Mirror of _q_lang_rank_mass: total raw PageRank mass per page
+    language plus its share of the corpus total."""
+    ctes = _rank_ctes(iters)
+    ctes.append(f"pl AS (SELECT {_url('doc_id')} AS url, lang "
+                "FROM documents)")
+    ctes.append(f"m AS (SELECT pl.lang, sum(r.r) AS mass FROM r{iters} r "
+                "JOIN pl ON pl.url = r.node GROUP BY pl.lang)")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT lang, round(mass, 6) AS rank_mass,
+       round(mass / (SELECT sum(mass) FROM m), 6) AS share
+FROM m ORDER BY lang""")
+
+
+def rank_degree_corr_sql(iters: int = 20) -> str:
+    """Mirror of _q_rank_degree_corr: Pearson r between per-page
+    in-degree and raw PageRank, moment-sum formula."""
+    ctes = _rank_ctes(iters)
+    ctes.append("ind AS (SELECT dst, CAST(count(*) AS DOUBLE) AS idg "
+                "FROM wedges GROUP BY dst)")
+    ctes.append(f"""xy AS (SELECT coalesce(i.idg, 0) AS x, r.r AS y
+  FROM r{iters} r LEFT JOIN ind i ON i.dst = r.node)""")
+    return ("WITH " + ",\n".join(ctes) + """,
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy)
+SELECT round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS pearson_r
+FROM s""")
+
+
+HOST_LANG_PROFILE_SQL = """WITH pl AS (
+  SELECT 'site-' || (doc_id % 20) || '.test' AS host, lang FROM documents),
+c AS (SELECT host, lang, CAST(count(*) AS DOUBLE) AS n
+      FROM pl GROUP BY 1, 2),
+t AS (SELECT host, sum(n) AS tot, CAST(count(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY 1),
+dom AS (SELECT host, lang,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY n DESC, lang ASC) AS rk
+        FROM c),
+ent AS (SELECT c.host, -sum((c.n / t.tot) * ln(c.n / t.tot)) AS h
+        FROM c JOIN t ON t.host = c.host GROUP BY c.host)
+SELECT t.host, CAST(t.tot AS BIGINT) AS n_pages, t.n_langs,
+       d.lang AS dominant_lang, round(ent.h, 6) AS lang_entropy
+FROM t
+JOIN dom d ON d.host = t.host AND d.rk = 1
+JOIN ent ON ent.host = t.host
+ORDER BY t.host"""
