@@ -3125,6 +3125,70 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_readability(sf_dir: str):
+    """Flesch-style readability proxies per document (three RE2 count
+    kernels, no shuffle) — functions/text.py:readability."""
+    from neo4j_graph_algorithms_ray.functions.text import readability
+    return readability(_docs(sf_dir))
+
+
+def _q_negative_edges(sf_dir: str):
+    """Deterministic negative sampling for contrastive link-prediction
+    training: per source url, 8 md5 trials index into the global url
+    ordinal table; candidates that hit the source itself or an existing
+    edge are discarded and the first 3 survivors (by trial order) kept.
+
+    Scale shape: the ordinal map is a sorted zip_with_index Dataset
+    (never a driver array); candidates attach their target url through
+    an integer-keyed join, existing edges are removed by a left-outer
+    anti-join on (src, dst), and the per-source head-k is the grouped
+    top-k primitive (map-side partial + grouped finish). Repo-standard
+    60-bit md5 so the SQL oracle replays the trials bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    from neo4j_graph_algorithms_ray.util import (safe_join, topk_per_group,
+                                                 zip_with_index)
+
+    J, K = 8, 3
+    urls = read_pages(sf_dir, columns=["url"]).sort("url")
+    ords = zip_with_index(urls, index_col="ord")
+    n = ords.count()
+
+    def cand(b: pa.Table) -> pa.Table:
+        u = b["url"].combine_chunks()
+        j = np.tile(np.arange(1, J + 1, dtype=np.int64), len(u))
+        src = pa.array(np.repeat(np.asarray(u.to_pylist(), dtype=object), J))
+        keys = pc.binary_join_element_wise(
+            src, "#neg#", pa.array(j.astype(str)), "")
+        vals, inv = _md5_u64(np.asarray(keys.to_pylist(), dtype=object), 15)
+        o = (vals[inv] % np.uint64(n)).astype(np.int64)
+        return pa.table({"src_url": src, "trial": pa.array(j),
+                         "ord": pa.array(o)})
+
+    cands = urls.map_batches(cand, batch_format="pyarrow")
+    tgt = safe_join(cands, ords.rename_columns({"url": "dst_url"}),
+                    "inner", 16, on=("ord",))
+    tgt = tgt.filter(expr="dst_url != src_url") \
+        .select_columns(["src_url", "trial", "dst_url"])
+    edges = web_edge_ds(sf_dir).map_batches(
+        lambda b: pa.table({"src_url": b["src_url"],
+                            "dst_url": b["dst_url"],
+                            "__hit": pa.array(np.ones(b.num_rows, np.int8))}),
+        batch_format="pyarrow")
+    aj = safe_join(tgt, edges, "left_outer", 16, on=("src_url", "dst_url"))
+    neg = aj.map_batches(
+        lambda b: b.filter(pc.is_null(b["__hit"])).drop_columns(["__hit"]),
+        batch_format="pyarrow")
+    out = topk_per_group(neg, ["src_url"], "trial", K, descending=False)
+    return out.select_columns(["src_url", "dst_url", "trial"]) \
+        .sort(["src_url", "trial"])
+
+
 def _q_web_wcc_sizes(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import wcc
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -3275,6 +3339,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "lang_rank_mass": _q_lang_rank_mass,
         "rank_degree_corr": _q_rank_degree_corr,
         "host_lang_profile": _q_host_lang_profile,
+        "readability": _q_readability,
+        "negative_edges": _q_negative_edges,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
         "knn_graph": _q_knn_graph,
@@ -3584,6 +3650,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_rank_mass": ow.lang_rank_mass_sql(PR_ITERS),
         "rank_degree_corr": ow.rank_degree_corr_sql(PR_ITERS),
         "host_lang_profile": ow.HOST_LANG_PROFILE_SQL,
+        "readability": od.READABILITY_SQL,
+        "negative_edges": ow.negative_edges_sql(8, 3),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),
         "host_articlerank": ow.host_articlerank_sql(PR_ITERS),

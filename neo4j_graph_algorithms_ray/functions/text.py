@@ -2788,3 +2788,35 @@ def pii_redact(docs, *, id_col: str = "doc_id", text_col: str = "text"):
                          "n_redactions": pa.array(total)})
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def readability(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc Flesch-reading-ease-style score from regex proxies:
+    words = ``\\S+`` runs, sentences = ``[.!?]+`` runs (floored at 1),
+    syllables = vowel-run count ``[aeiouyAEIOUY]+`` — the cheap
+    fluency screen corpus filters apply next to gopher_quality.
+
+        flesch = 206.835 − 1.015·words/sentences − 84.6·syllables/words
+
+    (words floored at 1 in the second ratio). Scale shape: three RE2
+    count kernels per batch, no shuffle, no per-row Python."""
+    import pyarrow as pa
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = _text_column(b, text_col)
+        w = pc.count_substring_regex(txt, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        s = pc.count_substring_regex(txt, r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        y = pc.count_substring_regex(txt, r"[aeiouyAEIOUY]+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        fl = (206.835 - 1.015 * w / np.maximum(s, 1.0)
+              - 84.6 * y / np.maximum(w, 1.0))
+        return pa.table({id_col: b[id_col],
+                         "words": pa.array(w.astype(np.int64)),
+                         "sentences": pa.array(s.astype(np.int64)),
+                         "syllables": pa.array(y.astype(np.int64)),
+                         "flesch": pa.array(round6(fl))})
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=4096)

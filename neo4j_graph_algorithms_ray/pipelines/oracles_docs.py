@@ -1484,3 +1484,17 @@ t3 AS (SELECT doc_id,
   regexp_replace(s, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS s
   FROM t2)
 SELECT doc_id, s AS text, c AS n_redactions FROM t3 ORDER BY doc_id"""
+
+
+READABILITY_SQL = r"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sentences,
+  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+    AS syllables,
+  round(206.835
+        - 1.015 * len(regexp_extract_all(text, '\S+'))
+          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        - 84.6 * len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+          / greatest(len(regexp_extract_all(text, '\S+')), 1), 6)
+    AS flesch
+FROM documents ORDER BY doc_id"""

@@ -1678,3 +1678,29 @@ FROM t
 JOIN dom d ON d.host = t.host AND d.rk = 1
 JOIN ent ON ent.host = t.host
 ORDER BY t.host"""
+
+
+def negative_edges_sql(trials: int = 8, k: int = 3) -> str:
+    """Mirror of _q_negative_edges: per source url, md5 trials index
+    the global url ordinal table; self-hits and existing edges are
+    discarded; first k survivors per source by trial order."""
+    ctes = [WEB_BASE, WEB_EDGES,
+            f"pl AS (SELECT {_url('doc_id')} AS url FROM documents)",
+            "ords AS MATERIALIZED (SELECT url, row_number() "
+            "OVER (ORDER BY url) - 1 AS ord FROM pl)",
+            "n2 AS (SELECT count(*) AS n FROM ords)",
+            f"""cand AS MATERIALIZED (
+  SELECT o.url AS src_url, j AS trial,
+         CAST(('0x' || substr(md5(o.url || '#neg#' || j), 1, 15))
+              AS BIGINT) % (SELECT n FROM n2) AS ord
+  FROM ords o, (SELECT unnest(generate_series(1, {trials})) AS j) t)""",
+            """tgt AS (SELECT c.src_url, c.trial, o.url AS dst_url
+  FROM cand c JOIN ords o ON o.ord = c.ord WHERE o.url != c.src_url)""",
+            """neg AS (SELECT t.* FROM tgt t
+  LEFT JOIN wedges e ON e.src = t.src_url AND e.dst = t.dst_url
+  WHERE e.src IS NULL)"""]
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT src_url, dst_url, CAST(trial AS BIGINT) AS trial
+FROM (SELECT *, row_number() OVER (PARTITION BY src_url
+                                   ORDER BY trial) AS rk FROM neg)
+WHERE rk <= {k} ORDER BY src_url, trial""")
