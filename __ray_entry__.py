@@ -3189,6 +3189,100 @@ def _q_negative_edges(sf_dir: str):
         .sort(["src_url", "trial"])
 
 
+def _q_ppr_sweep_cut(sf_dir: str):
+    """Local community detection by PPR sweep cut (Andersen-Chung-Lang
+    FOCS'06): rank pages by personalized PageRank from the seed page
+    (round6 scores, ties by url — bit-reproducible order), then the
+    conductance φ(S_k) = cut(S_k) / min(vol(S_k), vol(V∖S_k)) of every
+    prefix of the top-100 ranks over the undirected page graph — the
+    curve whose argmin is the seed's community.
+
+    Scale shape: the sweep is capped at T ranks, so only the T-row rank
+    map travels (closure-broadcast); per-edge min/max-rank histograms
+    are map-side bincounts reduced to ≤T rows, and prefix sums finish
+    on the driver over T rows. The corpus-sized pieces (PPR, degree
+    table, edge classification) all stay distributed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (get_web_graph,
+                                                               web_edge_ds)
+    from neo4j_graph_algorithms_ray.sources.pages import url_of
+    from neo4j_graph_algorithms_ray.util import preagg_sum, predistinct
+
+    T = 100
+    g = get_web_graph(sf_dir)
+    ppr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url",
+                   source_nodes=[url_of(0)]).dataset
+    top = _round6(ppr, "score") \
+        .sort(["score", "url"], descending=[True, False]).limit(T).take_all()
+    rank = {r["url"]: i + 1 for i, r in enumerate(top)}     # ≤ T entries
+    ranked_urls = pa.array(list(rank))
+
+    def to_und(b: pa.Table) -> pa.Table:
+        lt = pc.less(b["src_url"], b["dst_url"])
+        lo = pc.if_else(lt, b["src_url"], b["dst_url"])
+        hi = pc.if_else(lt, b["dst_url"], b["src_url"])
+        return pa.table({"a": lo, "b": hi})
+
+    und = predistinct(web_edge_ds(sf_dir).map_batches(
+        to_und, batch_format="pyarrow"), ["a", "b"]).materialize()
+    n_pairs = und.count()
+
+    # degree of each RANKED node over the undirected simple graph
+    incid = und.map_batches(
+        lambda b: pa.table({
+            "url": pa.concat_arrays([b["a"].combine_chunks(),
+                                     b["b"].combine_chunks()]),
+            "dg": pa.array(np.ones(2 * b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    incid = incid.map_batches(
+        lambda b: b.filter(pc.is_in(b["url"], value_set=ranked_urls)),
+        batch_format="pyarrow")
+    degs = {r["url"]: r["dg"]
+            for r in preagg_sum(incid, ["url"], "dg").take_all()}  # ≤ T
+
+    def hist(b: pa.Table, *, _urls=ranked_urls, _t=T) -> pa.Table:
+        # vectorized rank lookup: position in the rank-ordered url list
+        # (+1 → 1-based rank), misses → T+1
+        ra = pc.add(pc.fill_null(pc.index_in(b["a"], value_set=_urls), _t),
+                    1).to_numpy(zero_copy_only=False).astype(np.int64)
+        rb = pc.add(pc.fill_null(pc.index_in(b["b"], value_set=_urls), _t),
+                    1).to_numpy(zero_copy_only=False).astype(np.int64)
+        mn, mx = np.minimum(ra, rb), np.maximum(ra, rb)
+        hmin = np.bincount(mn[mn <= _t], minlength=_t + 1)[1:]
+        hmax = np.bincount(mx[mx <= _t], minlength=_t + 1)[1:]
+        return pa.table({"k": pa.array(np.arange(1, _t + 1)),
+                         "hmin": pa.array(hmin.astype(np.int64)),
+                         "hmax": pa.array(hmax.astype(np.int64))})
+
+    hs = preagg_sum(und.map_batches(hist, batch_format="pyarrow"),
+                    ["k"], ["hmin", "hmax"]).take_all()          # ≤ T rows
+    hmin = np.zeros(T + 1, np.int64)
+    hmax = np.zeros(T + 1, np.int64)
+    for r in hs:
+        hmin[r["k"]], hmax[r["k"]] = r["hmin"], r["hmax"]
+    cut = np.cumsum(hmin) - np.cumsum(hmax)
+    vol_tot = 2 * n_pairs
+    vol = np.cumsum([0] + [degs.get(r["url"], 0) for r in top])
+    ks, cuts, vols, conds = [], [], [], []
+    for k in range(1, len(top) + 1):
+        mv = min(vol[k], vol_tot - vol[k])
+        if mv <= 0:
+            continue
+        ks.append(k)
+        cuts.append(int(cut[k]))
+        vols.append(int(vol[k]))
+        conds.append(cut[k] / mv)
+    return pa.table({"k": pa.array(ks, type=pa.int64()),
+                     "cut_edges": pa.array(cuts, type=pa.int64()),
+                     "volume": pa.array(vols, type=pa.int64()),
+                     "conductance": pa.array(round6(conds))})
+
+
 def _q_web_wcc_sizes(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms import wcc
     from neo4j_graph_algorithms_ray.algorithms.common import translate_vid_columns
@@ -3340,6 +3434,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rank_degree_corr": _q_rank_degree_corr,
         "host_lang_profile": _q_host_lang_profile,
         "readability": _q_readability,
+        "ppr_sweep_cut": _q_ppr_sweep_cut,
         "negative_edges": _q_negative_edges,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
@@ -3651,6 +3746,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_degree_corr": ow.rank_degree_corr_sql(PR_ITERS),
         "host_lang_profile": ow.HOST_LANG_PROFILE_SQL,
         "readability": od.READABILITY_SQL,
+        "ppr_sweep_cut": ow.ppr_sweep_cut_sql(PR_ITERS, 100, 0),
         "negative_edges": ow.negative_edges_sql(8, 3),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),

@@ -1704,3 +1704,51 @@ SELECT src_url, dst_url, CAST(trial AS BIGINT) AS trial
 FROM (SELECT *, row_number() OVER (PARTITION BY src_url
                                    ORDER BY trial) AS rk FROM neg)
 WHERE rk <= {k} ORDER BY src_url, trial""")
+
+
+def ppr_sweep_cut_sql(iters: int = 20, t: int = 100, seed: int = 0) -> str:
+    """Mirror of _q_ppr_sweep_cut: rank by round6 PPR from the seed
+    page (ties by url), conductance of each top-t prefix over the
+    undirected simple page graph."""
+    seed_url = _url(str(seed))
+    seed_case = f"CASE WHEN n.node = {seed_url} THEN 0.15 ELSE 0 END"
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+            "AS dg FROM wedges GROUP BY src)",
+            f"""p0 AS (SELECT node,
+  CAST(CASE WHEN node = {seed_url} THEN 0.15 ELSE 0 END AS DOUBLE) AS r
+  FROM wnodes)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT n.node, {seed_case} + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN p{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    ctes += [
+        f"""rk AS MATERIALIZED (SELECT node, rank FROM (
+  SELECT node, row_number() OVER (ORDER BY round(r, 6) DESC, node ASC)
+    AS rank FROM p{iters}) WHERE rank <= {t})""",
+        """wund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM wedges)""",
+        """udeg AS (SELECT n, count(*) AS dg FROM (
+  SELECT a AS n FROM wund UNION ALL SELECT b FROM wund) GROUP BY n)""",
+        f"""er AS MATERIALIZED (
+  SELECT coalesce(ra.rank, {t + 1}) AS ra, coalesce(rb.rank, {t + 1}) AS rb
+  FROM wund w
+  LEFT JOIN rk ra ON ra.node = w.a
+  LEFT JOIN rk rb ON rb.node = w.b)""",
+        "tot AS (SELECT sum(dg) AS v FROM udeg)",
+        """sw AS (SELECT r2.rank AS k,
+  (SELECT count(*) FROM er WHERE least(ra, rb) <= r2.rank)
+    - (SELECT count(*) FROM er WHERE greatest(ra, rb) <= r2.rank) AS cut,
+  (SELECT coalesce(sum(udeg.dg), 0) FROM rk JOIN udeg ON udeg.n = rk.node
+   WHERE rk.rank <= r2.rank) AS vol
+  FROM rk r2)"""]
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT k, CAST(cut AS BIGINT) AS cut_edges, CAST(vol AS BIGINT) AS volume,
+       round(CAST(cut AS DOUBLE)
+             / least(vol, (SELECT v FROM tot) - vol), 6) AS conductance
+FROM sw WHERE least(vol, (SELECT v FROM tot) - vol) > 0 ORDER BY k""")
