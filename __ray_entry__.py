@@ -3125,6 +3125,31 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_freq_spectrum(sf_dir: str):
+    """Token count-of-counts (Zipf spectrum) — functions/text.freq_spectrum."""
+    from neo4j_graph_algorithms_ray.functions.text import freq_spectrum
+    return freq_spectrum(_docs(sf_dir))
+
+
+def _q_compression_ratio(sf_dir: str):
+    """zlib compressibility per doc (rows-only; pinned pytest) —
+    functions/text.CompressionRatio."""
+    from neo4j_graph_algorithms_ray.functions.text import CompressionRatio
+    return _docs(sf_dir).map_batches(CompressionRatio(),
+                                     batch_format="pyarrow",
+                                     batch_size=4096)
+
+
+def _q_logreg_quality(sf_dir: str):
+    """Distributed logistic-regression language classifier (rows-only;
+    numpy-replay pytest) — functions/text.logreg_quality."""
+    from neo4j_graph_algorithms_ray.functions.text import logreg_quality
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+    return logreg_quality(docs)
+
+
 def _q_readability(sf_dir: str):
     """Flesch-style readability proxies per document (three RE2 count
     kernels, no shuffle) — functions/text.py:readability."""
@@ -3435,6 +3460,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "host_lang_profile": _q_host_lang_profile,
         "readability": _q_readability,
         "ppr_sweep_cut": _q_ppr_sweep_cut,
+        "freq_spectrum": _q_freq_spectrum,
+        "compression_ratio": _q_compression_ratio,
+        "logreg_quality": _q_logreg_quality,
         "negative_edges": _q_negative_edges,
         "bm25_topk": _q_bm25_topk,
         "nb_quality": _q_nb_quality,
@@ -3747,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         "host_lang_profile": ow.HOST_LANG_PROFILE_SQL,
         "readability": od.READABILITY_SQL,
         "ppr_sweep_cut": ow.ppr_sweep_cut_sql(PR_ITERS, 100, 0),
+        "freq_spectrum": od.FREQ_SPECTRUM_SQL,
         "negative_edges": ow.negative_edges_sql(8, 3),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),

@@ -2820,3 +2820,132 @@ def readability(docs, *, id_col: str = "doc_id", text_col: str = "text"):
 
     return docs.map_batches(score, batch_format="pyarrow",
                             batch_size=4096)
+
+
+def freq_spectrum(docs, *, text_col: str = "text"):
+    """Token frequency spectrum (count-of-counts): for each corpus
+    frequency f, how many distinct lowered whitespace tokens occur
+    exactly f times — the Zipf/heaps diagnostic vocabulary planners
+    read (singleton mass = hapax count).
+
+    Scale shape: per-batch factorize partials shuffle at most
+    per-batch-distinct tokens (the vocab_topk combine); the second
+    groupby is over distinct frequency VALUES — tiny."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, toks = _token_arrays(b[text_col])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "f": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "f": np.bincount(codes,
+                                          minlength=len(uniq)).astype(np.int64)})
+
+    counts = preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
+                        ["token"], "f")
+    spec = preagg_sum(counts.map_batches(
+        lambda b: pa.table({"freq": b["f"],
+                            "n_tokens": pa.array(np.ones(b.num_rows,
+                                                         np.int64))}),
+        batch_format="pyarrow"), ["freq"], "n_tokens")
+    return spec.sort("freq")
+
+
+class CompressionRatio:
+    """(id, text) → (id, n_bytes, n_compressed, ratio): zlib(level=6)
+    compressed size over utf-8 byte size — the repetition / boilerplate
+    proxy quality filters use next to dup_ngram_frac (highly repetitive
+    pages compress far below ~0.4). Deterministic (fixed zlib level,
+    no dictionary), so results are stable across runs and workers.
+
+    The per-doc zlib call is an opaque C kernel like the md5 hashes —
+    row-at-a-time by nature but no Python-level work besides the loop;
+    no SQL mirror exists (rows-only driver check + pinned pytest)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 level: int = 6):
+        import zlib
+        self.id_col, self.text_col, self.level = id_col, text_col, level
+        self._compress = zlib.compress
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = _text_column(batch, self.text_col)
+        raw = [t.encode("utf-8") if t is not None else b""
+               for t in txt.to_pylist()]
+        nb = np.fromiter((len(r) for r in raw), np.int64, len(raw))
+        nc = np.fromiter((len(self._compress(r, self.level)) for r in raw),
+                         np.int64, len(raw))
+        ratio = np.where(nb > 0, nc / np.maximum(nb, 1), 0.0)
+        return pa.table({self.id_col: batch[self.id_col],
+                         "n_bytes": pa.array(nb), "n_compressed": pa.array(nc),
+                         "ratio": pa.array(round6(ratio))})
+
+
+def logreg_quality(docs, *, iterations: int = 20, lr: float = 0.5,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   lang_col: str = "lang", pos_lang: str = "en"):
+    """Distributed logistic-regression quality/language classifier —
+    full-batch gradient descent, the FineWeb-style "train a cheap
+    linear filter on weak labels" recipe. Features per doc (scaled to
+    O(1) for conditioning): bias, chars/1e3, words/1e2, sentences/1e1,
+    vowel-runs per word; label y = (lang == ``pos_lang``).
+
+    Each iteration is one streaming pass: every batch emits the exact
+    partial gradient Xᵀ(σ(Xw) − y) (+ row count and running hit count
+    for accuracy), a 6-scalar Dataset.sum reduces them, and the driver
+    applies w ← w − lr·g/n. Only the weight vector (5 floats) crosses
+    the driver boundary per sweep. Returns one (name, value) row per
+    weight plus train_accuracy — pinned by a numpy-replay pytest
+    (rows-only driver check; the sigmoid iteration isn't SQL)."""
+    import pyarrow as pa
+
+    names = ["w_bias", "w_chars", "w_words", "w_sentences", "w_vowel_rate"]
+
+    def feats(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        txt = _text_column(b, text_col)
+        ch = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        w = pc.count_substring_regex(txt, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        s = pc.count_substring_regex(txt, r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        v = pc.count_substring_regex(txt, r"[aeiouyAEIOUY]+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.column_stack([np.ones_like(ch), ch / 1e3, w / 1e2, s / 1e1,
+                             v / np.maximum(w, 1.0)])
+        y = pc.equal(b[lang_col], pos_lang).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return x, y
+
+    d = len(names)
+    wvec = np.zeros(d)
+    for _ in range(iterations):
+        def grad(b: pa.Table, *, _w=wvec.copy()) -> pa.Table:
+            x, y = feats(b)
+            p = 1.0 / (1.0 + np.exp(-(x @ _w)))
+            g = x.T @ (p - y)
+            cols = {f"g{i}": [g[i]] for i in range(d)}
+            cols["n"] = [float(len(y))]
+            cols["hits"] = [float(np.sum((p > 0.5) == (y > 0.5)))]
+            return pa.table(cols)
+
+        cols = [f"g{i}" for i in range(d)] + ["n", "hits"]
+        s = docs.map_batches(grad, batch_format="pyarrow").sum(cols)
+        n = s["sum(n)"]
+        wvec = wvec - lr * np.array([s[f"sum(g{i})"] for i in range(d)]) / n
+    # final accuracy pass with the trained weights
+    def acc(b: pa.Table, *, _w=wvec.copy()) -> pa.Table:
+        x, y = feats(b)
+        p = 1.0 / (1.0 + np.exp(-(x @ _w)))
+        return pa.table({"n": [float(len(y))],
+                         "hits": [float(np.sum((p > 0.5) == (y > 0.5)))]})
+
+    s = docs.map_batches(acc, batch_format="pyarrow").sum(["n", "hits"])
+    vals = list(round6(wvec)) + [float(round6(s["sum(hits)"] / s["sum(n)"]))]
+    return pa.table({"name": pa.array(names + ["train_accuracy"]),
+                     "value": pa.array(vals)})

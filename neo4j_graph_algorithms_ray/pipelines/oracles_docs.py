@@ -1498,3 +1498,12 @@ READABILITY_SQL = r"""SELECT doc_id,
           / greatest(len(regexp_extract_all(text, '\S+')), 1), 6)
     AS flesch
 FROM documents ORDER BY doc_id"""
+
+
+FREQ_SPECTRUM_SQL = """WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT unnest(tk) AS token FROM tl),
+tc AS (SELECT token, count(*) AS f FROM occ GROUP BY token)
+SELECT CAST(f AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_tokens
+FROM tc GROUP BY f ORDER BY freq"""
