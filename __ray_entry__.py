@@ -3125,6 +3125,69 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_anchor_entropy(sf_dir: str):
+    """Per-target anchor-text diversity: inlink count, distinct anchor
+    strings and Shannon entropy (nats) — high-entropy targets are
+    described many ways (navigational hubs), low-entropy ones carry a
+    consistent label. Composition: anchor index → per-target
+    map_groups (group size bounded by distinct anchors per page)."""
+    import numpy as np
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import anchor_text_ds
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        tot = int(df["n"].sum())
+        p = df["n"].to_numpy(np.float64) / tot
+        return pd.DataFrame({
+            "dst_url": [df["dst_url"].iloc[0]], "n_anchors": [tot],
+            "n_distinct": [len(df)],
+            "anchor_entropy": [float(round6(-(p * np.log(p)).sum()))]})
+
+    return anchor_text_ds(sf_dir).groupby("dst_url").map_groups(
+        fin, batch_format="pandas").sort("dst_url")
+
+
+def _q_rank_by_depth(sf_dir: str):
+    """Do deeper URLs rank lower? Mean PageRank by URL path depth —
+    the rank/crawl-depth diagnostic. Map-side (depth, Σr, n) partials;
+    the shuffle carries ≤ max-depth rows per batch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+
+    def partial(b: pa.Table) -> pa.Table:
+        path = pc.replace_substring_regex(b["url"],
+                                          pattern=r"^[a-z]+://[^/]*",
+                                          replacement="")
+        depth = pc.count_substring_regex(path, r"/[^/]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"depth": pa.array(depth),
+                         "sum_r": b["score"],
+                         "n_pages": pa.array(np.ones(b.num_rows, np.int64))})
+
+    agg = preagg_sum(pr.map_batches(partial, batch_format="pyarrow"),
+                     ["depth"], ["sum_r", "n_pages"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "depth": b["depth"], "n_pages": b["n_pages"],
+            "mean_rank": pa.array(round6(
+                b["sum_r"].to_numpy(zero_copy_only=False)
+                / b["n_pages"].to_numpy(zero_copy_only=False)))})
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("depth")
+
+
 def _q_freq_spectrum(sf_dir: str):
     """Token count-of-counts (Zipf spectrum) — functions/text.freq_spectrum."""
     from neo4j_graph_algorithms_ray.functions.text import freq_spectrum
@@ -3460,6 +3523,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "host_lang_profile": _q_host_lang_profile,
         "readability": _q_readability,
         "ppr_sweep_cut": _q_ppr_sweep_cut,
+        "anchor_entropy": _q_anchor_entropy,
+        "rank_by_depth": _q_rank_by_depth,
         "freq_spectrum": _q_freq_spectrum,
         "compression_ratio": _q_compression_ratio,
         "logreg_quality": _q_logreg_quality,
@@ -3776,6 +3841,8 @@ def oracle_sql() -> dict[str, str]:
         "readability": od.READABILITY_SQL,
         "ppr_sweep_cut": ow.ppr_sweep_cut_sql(PR_ITERS, 100, 0),
         "freq_spectrum": od.FREQ_SPECTRUM_SQL,
+        "anchor_entropy": ow.ANCHOR_ENTROPY_SQL,
+        "rank_by_depth": ow.rank_by_depth_sql(PR_ITERS),
         "negative_edges": ow.negative_edges_sql(8, 3),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,
         "filter_report": od.filter_report_sql(),

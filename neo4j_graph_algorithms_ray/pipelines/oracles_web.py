@@ -1752,3 +1752,32 @@ SELECT k, CAST(cut AS BIGINT) AS cut_edges, CAST(vol AS BIGINT) AS volume,
        round(CAST(cut AS DOUBLE)
              / least(vol, (SELECT v FROM tot) - vol), 6) AS conductance
 FROM sw WHERE least(vol, (SELECT v FROM tot) - vol) > 0 ORDER BY k""")
+
+
+ANCHOR_ENTROPY_SQL = f"""WITH {WEB_BASE},
+a AS (SELECT {_url('t')} AS dst_url, 'link ' || j AS anchor,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM links GROUP BY 1, 2),
+t AS (SELECT dst_url, sum(n) AS tot, CAST(count(*) AS BIGINT) AS n_distinct
+      FROM a GROUP BY 1),
+e AS (SELECT a.dst_url, -sum((a.n / t.tot) * ln(a.n / t.tot)) AS h
+      FROM a JOIN t ON t.dst_url = a.dst_url GROUP BY a.dst_url)
+SELECT t.dst_url, CAST(t.tot AS BIGINT) AS n_anchors, t.n_distinct,
+       round(e.h, 6) AS anchor_entropy
+FROM t JOIN e ON e.dst_url = t.dst_url ORDER BY t.dst_url"""
+
+
+def rank_by_depth_sql(iters: int = 20) -> str:
+    """Mirror of _q_rank_by_depth: mean raw PageRank by URL path depth
+    (same depth rule as URL_DEPTH_SQL)."""
+    ctes = _rank_ctes(iters)
+    ctes.append("""dep AS (SELECT node,
+  len(regexp_extract_all(regexp_replace(node, '^[a-z]+://[^/]*', ''),
+      '/[^/]')) AS depth
+  FROM wnodes)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(d.depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       round(avg(r.r), 6) AS mean_rank
+FROM r{iters} r JOIN dep d ON d.node = r.node
+GROUP BY d.depth ORDER BY depth""")
