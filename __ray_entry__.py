@@ -3125,6 +3125,62 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_web_cheirank(sf_dir: str):
+    """CheiRank — PageRank over the reversed link graph
+    (Chepelianskii 2010): scores pages by how much they POINT AT
+    important content (communicativity/hub-ness), the dual of
+    authority rank. Same BSP engine on the reversed edge table."""
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+
+    name = f"web_rev:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        g = build_graph(web_edge_ds(sf_dir), src_col="dst_url",
+                        dst_col="src_url", name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url")
+    return _round6(res.dataset, "score").sort("url")
+
+
+def _q_rank_flows(sf_dir: str):
+    """Top-50 edges by transferred rank mass r(src)/outdeg(src) — which
+    individual links carry the most authority (the link-sculpting /
+    endorsement report). One corpus-scale join of the edge table
+    against the rank and out-degree vectors, then a bounded top-k."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (get_web_graph,
+                                                               web_edge_ds)
+    from neo4j_graph_algorithms_ray.util import preagg_sum, safe_join
+
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+    edges = web_edge_ds(sf_dir)
+    deg = preagg_sum(edges.map_batches(
+        lambda b: pa.table({"url": b["src_url"],
+                            "dg": pa.array(np.ones(b.num_rows, np.float64))}),
+        batch_format="pyarrow"), ["url"], "dg")
+    src_stats = safe_join(pr, deg, "inner", 16, on=("url",))
+    j = safe_join(edges, src_stats, "inner", 16,
+                  on=("src_url",), right_on=("url",))
+
+    def flow(b: pa.Table) -> pa.Table:
+        f = (b["score"].to_numpy(zero_copy_only=False)
+             / b["dg"].to_numpy(zero_copy_only=False))
+        return pa.table({"src_url": b["src_url"], "dst_url": b["dst_url"],
+                         "flow": pa.array(round6(f))})
+
+    return j.map_batches(flow, batch_format="pyarrow") \
+        .sort(["flow", "src_url", "dst_url"],
+              descending=[True, False, False]).limit(50)
+
+
 def _q_anchor_entropy(sf_dir: str):
     """Per-target anchor-text diversity: inlink count, distinct anchor
     strings and Shannon entropy (nats) — high-entropy targets are
@@ -3523,6 +3579,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "host_lang_profile": _q_host_lang_profile,
         "readability": _q_readability,
         "ppr_sweep_cut": _q_ppr_sweep_cut,
+        "web_cheirank": _q_web_cheirank,
+        "rank_flows": _q_rank_flows,
         "anchor_entropy": _q_anchor_entropy,
         "rank_by_depth": _q_rank_by_depth,
         "freq_spectrum": _q_freq_spectrum,
@@ -3842,6 +3900,8 @@ def oracle_sql() -> dict[str, str]:
         "ppr_sweep_cut": ow.ppr_sweep_cut_sql(PR_ITERS, 100, 0),
         "freq_spectrum": od.FREQ_SPECTRUM_SQL,
         "anchor_entropy": ow.ANCHOR_ENTROPY_SQL,
+        "web_cheirank": ow.web_cheirank_sql(PR_ITERS),
+        "rank_flows": ow.rank_flows_sql(PR_ITERS, 50),
         "rank_by_depth": ow.rank_by_depth_sql(PR_ITERS),
         "negative_edges": ow.negative_edges_sql(8, 3),
         "host_distinct_outlinks": ow.HOST_DISTINCT_OUTLINKS_SQL,

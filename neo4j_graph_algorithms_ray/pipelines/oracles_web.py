@@ -1781,3 +1781,37 @@ SELECT CAST(d.depth AS BIGINT) AS depth,
        round(avg(r.r), 6) AS mean_rank
 FROM r{iters} r JOIN dep d ON d.node = r.node
 GROUP BY d.depth ORDER BY depth""")
+
+
+def web_cheirank_sql(iters: int = 20) -> str:
+    """Mirror of _q_web_cheirank: PageRank over the REVERSED edge set
+    (communicativity / hub-ness; Chepelianskii 2010)."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "rdeg AS MATERIALIZED (SELECT dst AS src, "
+            "CAST(count(*) AS DOUBLE) AS dg FROM wedges GROUP BY dst)",
+            "c0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM wnodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""c{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.src = n.node
+  LEFT JOIN c{k-1} p ON p.node = e.dst
+  LEFT JOIN rdeg dg ON dg.src = e.dst
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS url, round(r, 6) AS score FROM c{iters} "
+            "ORDER BY url")
+
+
+def rank_flows_sql(iters: int = 20, topk: int = 50) -> str:
+    """Mirror of _q_rank_flows: top-k edges by transferred rank mass
+    r(src)/outdeg(src), ties by (src, dst)."""
+    ctes = _rank_ctes(iters)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT e.src AS src_url, e.dst AS dst_url,
+       round(r.r / dg.dg, 6) AS flow
+FROM wedges e
+JOIN r{iters} r ON r.node = e.src
+JOIN wdeg dg ON dg.src = e.src
+ORDER BY round(r.r / dg.dg, 6) DESC, e.src ASC, e.dst ASC
+LIMIT {topk}""")
