@@ -3125,6 +3125,43 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_rank_movers(sf_dir: str):
+    """Temporal rank churn: PageRank on the current crawl vs the
+    thinned "previous crawl" graph (the incremental-recrawl fixture),
+    top-25 pages by |Δscore| among nodes present in both — the
+    rank-volatility report a recrawl scheduler reads. Two BSP rank
+    runs + one hash join; top-k bounded."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (
+        get_web_graph, get_web_graph_thinned)
+    from neo4j_graph_algorithms_ray.util import safe_join
+
+    g_now = get_web_graph(sf_dir)
+    g_old = get_web_graph_thinned(sf_dir, mod=5)
+    now = pagerank(g_now, 0.85, max_iterations=PR_ITERS,
+                   node_col="url").dataset
+    old = pagerank(g_old, 0.85, max_iterations=PR_ITERS, node_col="url") \
+        .dataset.rename_columns({"score": "score_prev"})
+    j = safe_join(now, old, "inner", 16, on=("url",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        f = b["score"].to_numpy(zero_copy_only=False)
+        o = b["score_prev"].to_numpy(zero_copy_only=False)
+        return pa.table({"url": b["url"],
+                         "score_prev": pa.array(round6(o)),
+                         "score_now": pa.array(round6(f)),
+                         "delta": pa.array(round6(f - o)),
+                         "__absd": pa.array(round6(np.abs(f - o)))})
+
+    return j.map_batches(fin, batch_format="pyarrow") \
+        .sort(["__absd", "url"], descending=[True, False]).limit(25) \
+        .drop_columns(["__absd"])
+
+
 def _q_web_cheirank(sf_dir: str):
     """CheiRank — PageRank over the reversed link graph
     (Chepelianskii 2010): scores pages by how much they POINT AT
@@ -3579,6 +3616,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "host_lang_profile": _q_host_lang_profile,
         "readability": _q_readability,
         "ppr_sweep_cut": _q_ppr_sweep_cut,
+        "rank_movers": _q_rank_movers,
         "web_cheirank": _q_web_cheirank,
         "rank_flows": _q_rank_flows,
         "anchor_entropy": _q_anchor_entropy,
@@ -3901,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "freq_spectrum": od.FREQ_SPECTRUM_SQL,
         "anchor_entropy": ow.ANCHOR_ENTROPY_SQL,
         "web_cheirank": ow.web_cheirank_sql(PR_ITERS),
+        "rank_movers": ow.rank_movers_sql(PR_ITERS, 5, 25),
         "rank_flows": ow.rank_flows_sql(PR_ITERS, 50),
         "rank_by_depth": ow.rank_by_depth_sql(PR_ITERS),
         "negative_edges": ow.negative_edges_sql(8, 3),

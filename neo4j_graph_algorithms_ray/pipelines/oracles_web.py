@@ -1815,3 +1815,31 @@ JOIN r{iters} r ON r.node = e.src
 JOIN wdeg dg ON dg.src = e.src
 ORDER BY round(r.r / dg.dg, 6) DESC, e.src ASC, e.dst ASC
 LIMIT {topk}""")
+
+
+def rank_movers_sql(iters: int = 20, mod: int = 5, topk: int = 25) -> str:
+    """Mirror of _q_rank_movers: full vs previous-crawl (thinned)
+    PageRank, top-k movers by |delta| among nodes present in both."""
+    ctes = _rank_ctes(iters)
+    ctes += [f"""oedges AS MATERIALIZED (
+  SELECT src, dst FROM wedges
+  WHERE CAST(('0x' || substr(md5(src || '|' || dst), 1, 15)) AS BIGINT)
+        % {mod} != 0)""",
+             "onodes AS MATERIALIZED (SELECT src AS node FROM oedges "
+             "UNION SELECT dst FROM oedges)",
+             "odeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+             "AS dg FROM oedges GROUP BY src)",
+             "o0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM onodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""o{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM onodes n
+  LEFT JOIN oedges e ON e.dst = n.node
+  LEFT JOIN o{k-1} p ON p.node = e.src
+  LEFT JOIN odeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT f.node AS url, round(o.r, 6) AS score_prev,
+       round(f.r, 6) AS score_now, round(f.r - o.r, 6) AS delta
+FROM r{iters} f JOIN o{iters} o ON o.node = f.node
+ORDER BY round(abs(f.r - o.r), 6) DESC, f.node ASC LIMIT {topk}""")
