@@ -3125,6 +3125,99 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_length_rank_corr(sf_dir: str):
+    """Webtext × link-graph fusion: Pearson r between document word
+    count and the page's PageRank — "does link authority track content
+    volume?". Same distributed moment-sum reduction as
+    rank_degree_corr, with the doc→url map computed vectorized from
+    doc ids (no extra table scan)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    from neo4j_graph_algorithms_ray.util import safe_join
+
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+
+    def words(b: pa.Table) -> pa.Table:
+        dn = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        url = pc.binary_join_element_wise(
+            "http://site-", pa.array((dn % 20).astype(str)),
+            ".test/page/", pa.array(dn.astype(str)), "")
+        w = pc.count_substring_regex(b["text"], r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"url": url, "w": pa.array(w)})
+
+    dw = _docs(sf_dir).map_batches(words, batch_format="pyarrow")
+    j = safe_join(pr, dw, "inner", 16, on=("url",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["w"].to_numpy(zero_copy_only=False)
+        y = b["score"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": [float(len(x))], "sx": [x.sum()],
+                         "sy": [y.sum()], "sxy": [(x * y).sum()],
+                         "sxx": [(x * x).sum()], "syy": [(y * y).sum()]})
+
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    s = j.map_batches(partial, batch_format="pyarrow").sum(cols)
+    n, sx, sy, sxy, sxx, syy = (s[f"sum({c})"] for c in cols)
+    r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy))
+    return pa.table({"pearson_r": pa.array(round6([r]))})
+
+
+def _q_dup_rank_report(sf_dir: str):
+    """Dedup × rank fusion: PageRank mass sitting on non-canonical
+    near-duplicate pages (MinHash-LSH transitive closure, rep = min
+    doc id) — the wasted crawl/rank budget a dedup pass recovers.
+    Composition: neardup_clusters → vectorized doc→url map → hash join
+    with the rank vector → 3-scalar reduce."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.dedup import neardup_clusters
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    from neo4j_graph_algorithms_ray.util import safe_join
+
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+    clusters = neardup_clusters(_docs(sf_dir), num_perm=8, bands=4,
+                                threshold=0.5)
+
+    def to_url(b: pa.Table) -> pa.Table:
+        dn = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        url = pc.binary_join_element_wise(
+            "http://site-", pa.array((dn % 20).astype(str)),
+            ".test/page/", pa.array(dn.astype(str)), "")
+        dup = pc.not_equal(b["rep_id"], b["doc_id"])
+        return pa.table({"url": url, "dup": dup})
+
+    cl = clusters.map_batches(to_url, batch_format="pyarrow")
+    j = safe_join(pr, cl, "inner", 16, on=("url",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        dup = b["dup"].to_numpy(zero_copy_only=False)
+        r = b["score"].to_numpy(zero_copy_only=False)
+        return pa.table({"nd": [float(dup.sum())],
+                         "dmass": [float(r[dup].sum())],
+                         "tmass": [float(r.sum())]})
+
+    s = j.map_batches(partial, batch_format="pyarrow") \
+        .sum(["nd", "dmass", "tmass"])
+    return pa.table({
+        "n_dup_docs": pa.array([int(s["sum(nd)"])], type=pa.int64()),
+        "dup_rank_mass": pa.array(round6([s["sum(dmass)"]])),
+        "dup_rank_frac": pa.array(round6([s["sum(dmass)"]
+                                          / s["sum(tmass)"]]))})
+
+
 def _q_rank_movers(sf_dir: str):
     """Temporal rank churn: PageRank on the current crawl vs the
     thinned "previous crawl" graph (the incremental-recrawl fixture),
@@ -3617,6 +3710,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "readability": _q_readability,
         "ppr_sweep_cut": _q_ppr_sweep_cut,
         "rank_movers": _q_rank_movers,
+        "length_rank_corr": _q_length_rank_corr,
+        "dup_rank_report": _q_dup_rank_report,
         "web_cheirank": _q_web_cheirank,
         "rank_flows": _q_rank_flows,
         "anchor_entropy": _q_anchor_entropy,
@@ -3940,6 +4035,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_entropy": ow.ANCHOR_ENTROPY_SQL,
         "web_cheirank": ow.web_cheirank_sql(PR_ITERS),
         "rank_movers": ow.rank_movers_sql(PR_ITERS, 5, 25),
+        "length_rank_corr": ow.length_rank_corr_sql(PR_ITERS),
+        "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),
         "rank_flows": ow.rank_flows_sql(PR_ITERS, 50),
         "rank_by_depth": ow.rank_by_depth_sql(PR_ITERS),
         "negative_edges": ow.negative_edges_sql(8, 3),

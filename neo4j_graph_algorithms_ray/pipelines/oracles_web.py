@@ -1843,3 +1843,42 @@ SELECT f.node AS url, round(o.r, 6) AS score_prev,
        round(f.r, 6) AS score_now, round(f.r - o.r, 6) AS delta
 FROM r{iters} f JOIN o{iters} o ON o.node = f.node
 ORDER BY round(abs(f.r - o.r), 6) DESC, f.node ASC LIMIT {topk}""")
+
+
+def length_rank_corr_sql(iters: int = 20) -> str:
+    """Mirror of _q_length_rank_corr: Pearson r between document word
+    count (\\S+ runs) and the page's raw PageRank."""
+    ctes = _rank_ctes(iters)
+    ctes.append(f"""dw AS (SELECT {_url('doc_id')} AS url,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS w
+  FROM documents)""")
+    return ("WITH " + ",\n".join(ctes) + f""",
+xy AS (SELECT dw.w AS x, r.r AS y FROM r{iters} r JOIN dw ON dw.url = r.node),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy)
+SELECT round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS pearson_r
+FROM s""")
+
+
+def dup_rank_report_sql(iters: int = 20, nd_iters: int = 25) -> str:
+    """Mirror of _q_dup_rank_report: PageRank mass held by non-canonical
+    near-duplicate pages (rep_id != doc_id under MinHash-LSH transitive
+    closure) — the wasted crawl/rank budget scalar."""
+    from neo4j_graph_algorithms_ray.pipelines.oracles_docs import \
+        neardup_clusters_sql
+    rank_sel = ("WITH " + ",\n".join(_rank_ctes(iters))
+                + f"\nSELECT node, r FROM r{iters}")
+    return f"""WITH nc AS ({neardup_clusters_sql(nd_iters, 8, 4, 0.5)}),
+pr AS ({rank_sel}),
+j AS (SELECT nc.doc_id, nc.rep_id, pr.r
+      FROM nc JOIN pr ON pr.node = {_url('nc.doc_id')})
+SELECT CAST(sum(CASE WHEN rep_id != doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(sum(CASE WHEN rep_id != doc_id THEN r ELSE 0 END), 6)
+         AS dup_rank_mass,
+       round(sum(CASE WHEN rep_id != doc_id THEN r ELSE 0 END) / sum(r), 6)
+         AS dup_rank_frac
+FROM j"""
