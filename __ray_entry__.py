@@ -3125,6 +3125,64 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_snowball_sample(sf_dir: str):
+    """Snowball (bounded-BFS) neighborhood sampler from the seed page:
+    each hop expands the frontier to unvisited out-neighbors and keeps
+    the md5-least 50 (ties by url) — the deterministic GNN-minibatch /
+    neighborhood-audit sampler. Repo-standard 60-bit md5 so the SQL
+    oracle replays the per-hop selection exactly.
+
+    Scale shape: each hop is one hash join (frontier × edges), a
+    distinct combine, an anti-join against the visited set, and a
+    global top-``cap`` (bounded output); frontier and visited stay
+    Datasets — nothing corpus-sized touches the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.sources.pages import url_of
+    from neo4j_graph_algorithms_ray.util import predistinct, safe_join
+    import ray.data as rd
+
+    HOPS, CAP = 3, 50
+    edges = web_edge_ds(sf_dir).materialize()
+    frontier = rd.from_items([{"url": url_of(0)}]).materialize()
+    visited = frontier
+    out = [(url_of(0), 0)]
+    for h in range(1, HOPS + 1):
+        nbr = safe_join(frontier, edges, "inner", 8,
+                        on=("url",), right_on=("src_url",))
+        cand = predistinct(nbr.select_columns(["dst_url"])
+                           .rename_columns({"dst_url": "url"}), ["url"])
+        seen = visited.map_batches(
+            lambda b: b.append_column(
+                "__v", pa.array(np.ones(b.num_rows, np.int8))),
+            batch_format="pyarrow")
+        cand = safe_join(cand, seen, "left_outer", 8, on=("url",))
+        cand = cand.map_batches(
+            lambda b: b.filter(pc.is_null(b["__v"])).select(["url"]),
+            batch_format="pyarrow")
+
+        def key(b: pa.Table) -> pa.Table:
+            u = np.asarray(b["url"].to_pylist(), dtype=object)
+            vals, inv = _md5_u64(u, 15)
+            return pa.table({"url": b["url"],
+                             "k": pa.array(vals[inv].astype(np.int64))})
+
+        picked = cand.map_batches(key, batch_format="pyarrow") \
+            .sort(["k", "url"]).limit(CAP).select_columns(["url"]) \
+            .materialize()
+        out += [(r["url"], h) for r in picked.take_all()]   # ≤ cap rows
+        visited = visited.union(picked).materialize()
+        frontier = picked
+    urls, hop = zip(*out)
+    return pa.table({"url": pa.array(list(urls)),
+                     "hop": pa.array(list(hop), type=pa.int64())}) \
+        .sort_by([("hop", "ascending"), ("url", "ascending")])
+
+
 def _q_length_rank_corr(sf_dir: str):
     """Webtext × link-graph fusion: Pearson r between document word
     count and the page's PageRank — "does link authority track content
@@ -3711,6 +3769,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "ppr_sweep_cut": _q_ppr_sweep_cut,
         "rank_movers": _q_rank_movers,
         "length_rank_corr": _q_length_rank_corr,
+        "snowball_sample": _q_snowball_sample,
         "dup_rank_report": _q_dup_rank_report,
         "web_cheirank": _q_web_cheirank,
         "rank_flows": _q_rank_flows,
@@ -4036,6 +4095,7 @@ def oracle_sql() -> dict[str, str]:
         "web_cheirank": ow.web_cheirank_sql(PR_ITERS),
         "rank_movers": ow.rank_movers_sql(PR_ITERS, 5, 25),
         "length_rank_corr": ow.length_rank_corr_sql(PR_ITERS),
+        "snowball_sample": ow.snowball_sample_sql(3, 50, 0),
         "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),
         "rank_flows": ow.rank_flows_sql(PR_ITERS, 50),
         "rank_by_depth": ow.rank_by_depth_sql(PR_ITERS),

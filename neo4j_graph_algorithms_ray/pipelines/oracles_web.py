@@ -1882,3 +1882,29 @@ SELECT CAST(sum(CASE WHEN rep_id != doc_id THEN 1 ELSE 0 END) AS BIGINT)
        round(sum(CASE WHEN rep_id != doc_id THEN r ELSE 0 END) / sum(r), 6)
          AS dup_rank_frac
 FROM j"""
+
+
+def snowball_sample_sql(hops: int = 3, cap: int = 50, seed: int = 0) -> str:
+    """Mirror of _q_snowball_sample: BFS from the seed page, each hop
+    expanding to unvisited out-neighbors, keeping the md5-least ``cap``
+    of them (ties by url) — the bounded neighborhood sampler."""
+    seed_url = _url(str(seed))
+    ctes = [WEB_BASE, WEB_EDGES,
+            f"f0 AS (SELECT {seed_url} AS url, 0 AS hop)",
+            f"v0 AS (SELECT url FROM f0)"]
+    for h in range(1, hops + 1):
+        ctes.append(f"""f{h} AS MATERIALIZED (
+  SELECT url, {h} AS hop FROM (
+    SELECT url, row_number() OVER (ORDER BY
+      CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT), url) AS rk
+    FROM (SELECT DISTINCT e.dst AS url
+          FROM f{h-1} f JOIN wedges e ON e.src = f.url
+          WHERE e.dst NOT IN (SELECT url FROM v{h-1})))
+  WHERE rk <= {cap})""")
+        ctes.append(f"v{h} AS (SELECT url FROM v{h-1} "
+                    f"UNION SELECT url FROM f{h})")
+    sel = " UNION ALL ".join(f"SELECT url, hop FROM f{h}"
+                             for h in range(hops + 1))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT url, CAST(hop AS BIGINT) AS hop FROM ({sel}) "
+            "ORDER BY hop, url")
