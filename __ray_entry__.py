@@ -3125,6 +3125,75 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_coupling(sf_dir: str):
+    """Bibliographic coupling — pages sharing OUT-links (the dual of
+    co-citation): run the same shard-local pair kernel on the REVERSED
+    graph (cached by web_cheirank), so in-neighbor pairs there are
+    out-neighbor pairs here. Hub guard: targets with in-degree > 20
+    excluded, as in cocitation."""
+    from neo4j_graph_algorithms_ray.algorithms.cocitation import \
+        cocitation_topk
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+
+    name = f"web_rev:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        g = build_graph(web_edge_ds(sf_dir), src_col="dst_url",
+                        dst_col="src_url", name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    return cocitation_topk(g, cap=20, topk=50)
+
+
+def _q_host_insularity(sf_dir: str):
+    """Per-host link insularity: fraction of a host's page-level
+    outlinks that stay on-host — the site-structure metric crawl
+    budgeting reads (insular sites need fewer cross-host fetch slots).
+    One map-side-combined aggregation over the host-pair counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    he = host_edge_ds(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b["n_links"].to_numpy(zero_copy_only=False)
+        internal = pc.equal(b["src_host"], b["dst_host"]) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"host": b["src_host"],
+                         "n_internal": pa.array(np.where(internal, n, 0)),
+                         "n_total": pa.array(n)})
+
+    agg = preagg_sum(he.map_batches(partial, batch_format="pyarrow"),
+                     ["host"], ["n_internal", "n_total"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        i = b["n_internal"].to_numpy(zero_copy_only=False)
+        t = b["n_total"].to_numpy(zero_copy_only=False)
+        return pa.table({"host": b["host"], "n_internal": b["n_internal"],
+                         "n_total": b["n_total"],
+                         "insularity": pa.array(round6(i / t))})
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("host")
+
+
+def _q_host_reciprocity(sf_dir: str):
+    """Edge reciprocity of the host graph (distinct cross-host edges):
+    do domains link back? Same unordered-pair reduction as the page
+    level query, one aggregation over host pairs."""
+    from neo4j_graph_algorithms_ray.algorithms.reciprocity import \
+        edge_reciprocity
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import host_edge_ds
+    he = host_edge_ds(sf_dir).filter(expr="src_host != dst_host") \
+        .select_columns(["src_host", "dst_host"])
+    return edge_reciprocity(he, "src_host", "dst_host")
+
+
 def _q_snowball_sample(sf_dir: str):
     """Snowball (bounded-BFS) neighborhood sampler from the seed page:
     each hop expands the frontier to unvisited out-neighbors and keeps
@@ -3770,6 +3839,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rank_movers": _q_rank_movers,
         "length_rank_corr": _q_length_rank_corr,
         "snowball_sample": _q_snowball_sample,
+        "coupling": _q_coupling,
+        "host_insularity": _q_host_insularity,
+        "host_reciprocity": _q_host_reciprocity,
         "dup_rank_report": _q_dup_rank_report,
         "web_cheirank": _q_web_cheirank,
         "rank_flows": _q_rank_flows,
@@ -4096,6 +4168,9 @@ def oracle_sql() -> dict[str, str]:
         "rank_movers": ow.rank_movers_sql(PR_ITERS, 5, 25),
         "length_rank_corr": ow.length_rank_corr_sql(PR_ITERS),
         "snowball_sample": ow.snowball_sample_sql(3, 50, 0),
+        "coupling": ow.coupling_sql(20, 50),
+        "host_insularity": ow.HOST_INSULARITY_SQL,
+        "host_reciprocity": ow.HOST_RECIPROCITY_SQL,
         "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),
         "rank_flows": ow.rank_flows_sql(PR_ITERS, 50),
         "rank_by_depth": ow.rank_by_depth_sql(PR_ITERS),

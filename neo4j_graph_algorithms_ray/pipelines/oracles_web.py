@@ -1908,3 +1908,48 @@ def snowball_sample_sql(hops: int = 3, cap: int = 50, seed: int = 0) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT url, CAST(hop AS BIGINT) AS hop FROM ({sel}) "
             "ORDER BY hop, url")
+
+
+def coupling_sql(cap: int = 20, topk: int = 50) -> str:
+    """Bibliographic coupling mirror — the out-link dual of
+    cocitation_sql: pairs of SOURCES sharing a target whose in-degree
+    is in [2, cap]; top-k by count, (url_a, url_b) tie-break."""
+    return f"""WITH {WEB_BASE},
+{WEB_EDGES},
+elig AS (SELECT dst FROM wedges GROUP BY dst
+         HAVING count(*) BETWEEN 2 AND {cap}),
+pairs AS (
+  SELECT e1.src AS a, e2.src AS b
+  FROM wedges e1 JOIN wedges e2
+    ON e1.dst = e2.dst AND e1.src < e2.src
+  WHERE e1.dst IN (SELECT dst FROM elig))
+SELECT a AS node_a, b AS node_b, count(*) AS n_common
+FROM pairs GROUP BY a, b
+ORDER BY n_common DESC, node_a ASC, node_b ASC LIMIT {topk}"""
+
+
+HOST_INSULARITY_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+hp AS (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS s,
+              regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS d
+       FROM wedges)
+SELECT s AS host,
+       CAST(sum(CASE WHEN s = d THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
+       CAST(count(*) AS BIGINT) AS n_total,
+       round(sum(CASE WHEN s = d THEN 1.0 ELSE 0.0 END) / count(*), 6)
+         AS insularity
+FROM hp GROUP BY s ORDER BY host"""
+
+
+HOST_RECIPROCITY_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{_HEDGES},
+p AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS o
+      FROM hedges GROUP BY a, b)
+SELECT CAST(sum(CASE WHEN o = 3 THEN 2 ELSE 1 END) AS BIGINT) AS total_edges,
+       CAST(sum(CASE WHEN o = 3 THEN 2 ELSE 0 END) AS BIGINT)
+         AS reciprocal_edges,
+       round(sum(CASE WHEN o = 3 THEN 2.0 ELSE 0.0 END)
+             / sum(CASE WHEN o = 3 THEN 2 ELSE 1 END), 6) AS reciprocity
+FROM p"""
