@@ -3125,6 +3125,27 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_wl_colors(sf_dir: str):
+    """1-WL color-refinement histogram of the undirected page graph
+    (2 rounds) — the structural fingerprint / symmetry report;
+    algorithms/wl.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms.wl import wl_colors
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    cols = wl_colors(web_edge_ds(sf_dir), src_col="src_url",
+                     dst_col="dst_url", rounds=2)
+    hist = preagg_sum(cols.map_batches(
+        lambda b: pa.table({"wl_color": b["wl_color"],
+                            "n_nodes": pa.array(np.ones(b.num_rows,
+                                                        np.int64))}),
+        batch_format="pyarrow"), ["wl_color"], "n_nodes")
+    return hist.sort("wl_color")
+
+
 def _q_coupling(sf_dir: str):
     """Bibliographic coupling — pages sharing OUT-links (the dual of
     co-citation): run the same shard-local pair kernel on the REVERSED
@@ -3840,6 +3861,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "length_rank_corr": _q_length_rank_corr,
         "snowball_sample": _q_snowball_sample,
         "coupling": _q_coupling,
+        "wl_colors": _q_wl_colors,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
         "dup_rank_report": _q_dup_rank_report,
@@ -4169,6 +4191,7 @@ def oracle_sql() -> dict[str, str]:
         "length_rank_corr": ow.length_rank_corr_sql(PR_ITERS),
         "snowball_sample": ow.snowball_sample_sql(3, 50, 0),
         "coupling": ow.coupling_sql(20, 50),
+        "wl_colors": ow.wl_colors_sql(2),
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,
         "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),

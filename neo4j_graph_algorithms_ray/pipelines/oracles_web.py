@@ -1953,3 +1953,31 @@ SELECT CAST(sum(CASE WHEN o = 3 THEN 2 ELSE 1 END) AS BIGINT) AS total_edges,
        round(sum(CASE WHEN o = 3 THEN 2.0 ELSE 0.0 END)
              / sum(CASE WHEN o = 3 THEN 2 ELSE 1 END), 6) AS reciprocity
 FROM p"""
+
+
+def wl_colors_sql(rounds: int = 2) -> str:
+    """Mirror of algorithms/wl.py over the undirected page graph:
+    color_0 = degree; per round md5_60bit(own || '|' || sorted
+    neighbor colors comma-joined); final color histogram."""
+    ctes = [WEB_BASE, WEB_EDGES,
+            """wund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM wedges WHERE src != dst)""",
+            "sym AS MATERIALIZED (SELECT a, b FROM wund "
+            "UNION ALL SELECT b, a FROM wund)",
+            "wc0 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS c "
+            "FROM sym GROUP BY a)"]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""wc{k} AS MATERIALIZED (
+  SELECT s.a AS node,
+         CAST(('0x' || substr(md5(
+             CAST(any_value(ca.c) AS VARCHAR) || '|' ||
+             string_agg(CAST(cb.c AS VARCHAR), ',' ORDER BY cb.c)),
+           1, 15)) AS BIGINT) AS c
+  FROM sym s
+  JOIN wc{k-1} ca ON ca.node = s.a
+  JOIN wc{k-1} cb ON cb.node = s.b
+  GROUP BY s.a)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT c AS wl_color, CAST(count(*) AS BIGINT) AS n_nodes
+FROM wc{rounds} GROUP BY c ORDER BY wl_color""")
