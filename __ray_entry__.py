@@ -3125,6 +3125,51 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_square_count(sf_dir: str):
+    """Hub-capped 4-cycle (square) census of the undirected page graph:
+    squares = ½·Σ_{u<v} C(codeg(u,v), 2) where codeg counts common
+    neighbors through vertices with degree in [2, 20] — same shard-local
+    co-pair kernel and DF-cap discipline as cocitation (hubs above the
+    cap excluded; the oracle mirrors the filter). Squares are the next
+    motif after triangles in web community structure (bipartite cores =
+    spam/link-farm signatures, Kumar et al. WWW'99)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.algorithms.common import get_engine
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    # deduped undirected graph: reciprocal page links must collapse to
+    # ONE und edge or co-degree (and the hub cap) overcounts them
+    name = f"web_und_dedup:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        g = build_graph(web_edge_ds(sf_dir), src_col="src_url",
+                        dst_col="dst_url", undirected=True, dedup=True,
+                        name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    eng = get_engine(g, None)
+    parts = rd.from_arrow_refs(
+        [a.copair_counts.remote(20) for a in eng.actors])
+    counts = preagg_sum(parts, ["a", "b"], "n")
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pairs": pa.array([int(len(n))]),
+                         "ch2": pa.array([int((n * (n - 1) // 2).sum())])})
+
+    s = counts.map_batches(partial, batch_format="pyarrow") \
+        .sum(["pairs", "ch2"])
+    return pa.table({
+        "n_codeg_pairs": pa.array([int(s["sum(pairs)"])], type=pa.int64()),
+        "squares": pa.array([int(s["sum(ch2)"]) // 2], type=pa.int64())})
+
+
 def _q_wl_colors(sf_dir: str):
     """1-WL color-refinement histogram of the undirected page graph
     (2 rounds) — the structural fingerprint / symmetry report;
@@ -3862,6 +3907,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "snowball_sample": _q_snowball_sample,
         "coupling": _q_coupling,
         "wl_colors": _q_wl_colors,
+        "square_count": _q_square_count,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
         "dup_rank_report": _q_dup_rank_report,
@@ -4192,6 +4238,7 @@ def oracle_sql() -> dict[str, str]:
         "snowball_sample": ow.snowball_sample_sql(3, 50, 0),
         "coupling": ow.coupling_sql(20, 50),
         "wl_colors": ow.wl_colors_sql(2),
+        "square_count": ow.SQUARE_COUNT_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,
         "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),

@@ -1981,3 +1981,20 @@ def wl_colors_sql(rounds: int = 2) -> str:
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT c AS wl_color, CAST(count(*) AS BIGINT) AS n_nodes
 FROM wc{rounds} GROUP BY c ORDER BY wl_color""")
+
+
+SQUARE_COUNT_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+wund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM wedges WHERE src != dst),
+sym AS MATERIALIZED (SELECT a, b FROM wund UNION ALL SELECT b, a FROM wund),
+deg AS (SELECT a AS z, count(*) AS d FROM sym GROUP BY a),
+pairs AS (
+  SELECT s1.b AS x, s2.b AS y
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  WHERE s1.a IN (SELECT z FROM deg WHERE d BETWEEN 2 AND 20)),
+pc2 AS (SELECT x, y, count(*) AS n FROM pairs GROUP BY x, y)
+SELECT CAST(count(*) AS BIGINT) AS n_codeg_pairs,
+       CAST((sum(n * (n - 1) // 2)) // 2 AS BIGINT) AS squares
+FROM pc2"""
