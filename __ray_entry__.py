@@ -3125,6 +3125,54 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_heaps_law(sf_dir: str):
+    """Heaps-law vocabulary growth: cumulative distinct-token count
+    after each doc_id-order quarter of the corpus — the
+    vocabulary-budget curve tokenizer planners read. Distributed shape:
+    per-batch (token, min doc_id) partials → preagg_min (vocab-sized
+    shuffle, corpus never re-scanned), then a 4-bucket histogram and a
+    driver cumsum over 4 rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import preagg_min, preagg_sum
+
+    Q = 4
+    docs = _docs(sf_dir)
+    n_docs = int(docs.max("doc_id")) + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b["text"])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "first_doc": pa.array([], pa.int64())})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc_idx]
+        codes, uniq = pd.factorize(toks)
+        first = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, codes, ids)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "first_doc": pa.array(first)})
+
+    fo = preagg_min(docs.map_batches(partial, batch_format="pyarrow"),
+                    ["token"], "first_doc")
+    hist = preagg_sum(fo.map_batches(
+        lambda b: pa.table({
+            "q": pa.array(np.minimum(
+                b["first_doc"].to_numpy(zero_copy_only=False)
+                * Q // n_docs, Q - 1).astype(np.int64)),
+            "nt": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow"), ["q"], "nt")
+    rows = sorted(hist.take_all(), key=lambda r: r["q"])     # ≤ Q rows
+    qs = [r["q"] for r in rows]
+    cum = np.cumsum([r["nt"] for r in rows])
+    return pa.table({"quarter": pa.array([q + 1 for q in qs],
+                                         type=pa.int64()),
+                     "vocab_size": pa.array(cum, type=pa.int64())})
+
+
 def _q_square_count(sf_dir: str):
     """Hub-capped 4-cycle (square) census of the undirected page graph:
     squares = ½·Σ_{u<v} C(codeg(u,v), 2) where codeg counts common
@@ -3908,6 +3956,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "coupling": _q_coupling,
         "wl_colors": _q_wl_colors,
         "square_count": _q_square_count,
+        "heaps_law": _q_heaps_law,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
         "dup_rank_report": _q_dup_rank_report,
@@ -4239,6 +4288,7 @@ def oracle_sql() -> dict[str, str]:
         "coupling": ow.coupling_sql(20, 50),
         "wl_colors": ow.wl_colors_sql(2),
         "square_count": ow.SQUARE_COUNT_SQL,
+        "heaps_law": od.heaps_law_sql(4),
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,
         "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),

@@ -1507,3 +1507,21 @@ occ AS (SELECT unnest(tk) AS token FROM tl),
 tc AS (SELECT token, count(*) AS f FROM occ GROUP BY token)
 SELECT CAST(f AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_tokens
 FROM tc GROUP BY f ORDER BY freq"""
+
+
+def heaps_law_sql(quarters: int = 4) -> str:
+    """Mirror of _q_heaps_law: vocabulary size after each doc_id-order
+    quarter of the corpus, via each token's first-occurrence doc."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT doc_id, unnest(tk) AS token FROM tl),
+fo AS (SELECT token, min(doc_id) AS first_doc FROM occ GROUP BY token),
+nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+bucketed AS (
+  SELECT least(CAST(floor(first_doc * {quarters} / (SELECT n FROM nn))
+               AS BIGINT), {quarters - 1}) AS q
+  FROM fo)
+SELECT CAST(q + 1 AS BIGINT) AS quarter,
+       CAST(sum(count(*)) OVER (ORDER BY q) AS BIGINT) AS vocab_size
+FROM bucketed GROUP BY q ORDER BY quarter"""
