@@ -3125,6 +3125,51 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_edge_percolation(sf_dir: str):
+    """Bond-percolation robustness curve: keep a deterministic md5
+    slice of 20% / 50% / 80% of the page links, run WCC on each
+    surviving graph, report the largest-component size — how much
+    random link loss the web graph's connectivity tolerates (the
+    complement of hub_removal_wcc's targeted attack). Each level is
+    one filtered edge scan + one BSP WCC; nothing driver-sized."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import wcc
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+
+    edges = web_edge_ds(sf_dir).materialize()
+    out = {"keep_tenths": [], "n_edges": [], "n_nodes": [], "lcc_size": []}
+    for k in (2, 5, 8):
+        def keep(b: pa.Table, *, _k=k) -> pa.Table:
+            import pyarrow.compute as pc
+            s = pc.binary_join_element_wise(b["src_url"], "|",
+                                            b["dst_url"], "")
+            vals, inv = _md5_u64(np.asarray(s.to_pylist(), dtype=object),
+                                 15)
+            return b.filter(pa.array((vals[inv] % 10) < _k))
+
+        ke = edges.map_batches(keep, batch_format="pyarrow")
+        name = f"web_perc:{sf_dir}:{k}"
+        g = GraphCatalog.get(name)
+        if g is None:
+            g = build_graph(ke, src_col="src_url", dst_col="dst_url",
+                            undirected=True, name=name.replace("/", "_"))
+            GraphCatalog.set(name, g)
+        comp = wcc(g).dataset
+        sizes = comp.groupby("component").count()
+        lcc = int(sizes.max("count()"))
+        out["keep_tenths"].append(k)
+        out["n_edges"].append(ke.count())
+        out["n_nodes"].append(comp.count())
+        out["lcc_size"].append(lcc)
+    return pa.table({c: pa.array(v, type=pa.int64())
+                     for c, v in out.items()})
+
+
 def _q_heaps_law(sf_dir: str):
     """Heaps-law vocabulary growth: cumulative distinct-token count
     after each doc_id-order quarter of the corpus — the
@@ -3957,6 +4002,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "wl_colors": _q_wl_colors,
         "square_count": _q_square_count,
         "heaps_law": _q_heaps_law,
+        "edge_percolation": _q_edge_percolation,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
         "dup_rank_report": _q_dup_rank_report,
@@ -4289,6 +4335,7 @@ def oracle_sql() -> dict[str, str]:
         "wl_colors": ow.wl_colors_sql(2),
         "square_count": ow.SQUARE_COUNT_SQL,
         "heaps_law": od.heaps_law_sql(4),
+        "edge_percolation": ow.edge_percolation_sql((2, 5, 8), 40),
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,
         "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),

@@ -1998,3 +1998,41 @@ pc2 AS (SELECT x, y, count(*) AS n FROM pairs GROUP BY x, y)
 SELECT CAST(count(*) AS BIGINT) AS n_codeg_pairs,
        CAST((sum(n * (n - 1) // 2)) // 2 AS BIGINT) AS squares
 FROM pc2"""
+
+
+def edge_percolation_sql(keeps=(2, 5, 8), iters: int = 40) -> str:
+    """Mirror of _q_edge_percolation: for each keep-tenths level k the
+    surviving edge slice is md5_60(src||'|'||dst) % 10 < k; report
+    edge/node counts and the largest WCC size over incident nodes."""
+    blocks = []
+    for k in keeps:
+        ctes = [f"""ke{k} AS MATERIALIZED (
+  SELECT src, dst FROM wedges
+  WHERE CAST(('0x' || substr(md5(src || '|' || dst), 1, 15)) AS BIGINT)
+        % 10 < {k})""",
+                f"kn{k} AS MATERIALIZED (SELECT src AS node FROM ke{k} "
+                f"UNION SELECT dst FROM ke{k})",
+                f"ks{k} AS MATERIALIZED (SELECT src AS a, dst AS b "
+                f"FROM ke{k} UNION ALL SELECT dst, src FROM ke{k})",
+                f"kc{k}_0 AS (SELECT node, node AS c FROM kn{k})"]
+        for it in range(1, iters + 1):
+            ctes.append(f"""kc{k}_{it} AS MATERIALIZED (
+  SELECT n.node, least(p.c, coalesce(min(q.c), p.c)) AS c
+  FROM kn{k} n
+  JOIN kc{k}_{it-1} p ON p.node = n.node
+  LEFT JOIN ks{k} e ON e.a = n.node
+  LEFT JOIN kc{k}_{it-1} q ON q.node = e.b
+  GROUP BY n.node, p.c)""")
+        blocks.append((k, ctes))
+    all_ctes = [WEB_BASE, WEB_EDGES]
+    for _, ctes in blocks:
+        all_ctes += ctes
+    sels = []
+    for k, _ in blocks:
+        sels.append(f"""SELECT {k} AS keep_tenths,
+  (SELECT CAST(count(*) AS BIGINT) FROM ke{k}) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT) FROM kn{k}) AS n_nodes,
+  (SELECT CAST(max(s) AS BIGINT) FROM
+     (SELECT count(*) AS s FROM kc{k}_{iters} GROUP BY c)) AS lcc_size""")
+    return ("WITH " + ",\n".join(all_ctes) + "\n"
+            + " UNION ALL ".join(sels) + "\nORDER BY keep_tenths")
