@@ -3125,6 +3125,48 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_minhash_band_load(sf_dir: str):
+    """LSH index-health diagnostic: per-band histogram of MinHash
+    bucket sizes. A fat bucket is a hot key that will dominate pair
+    generation — the skew report an operator checks before running the
+    dedup pass at scale. Per-batch signatures (actor state), map-side
+    combined (band, key) counts, then a ≤|distinct sizes| histogram."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import MinHashSignatures
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    NUM_PERM, BANDS = 8, 4
+    r = NUM_PERM // BANDS
+
+    class BandKeys(MinHashSignatures):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sig = self.signature_matrix(batch[self.text_col].to_numpy())
+            frames = []
+            for b in range(BANDS):
+                cols = sig[:, b * r:(b + 1) * r].astype(str)
+                key = cols[:, 0]
+                for i in range(1, r):
+                    key = np.char.add(np.char.add(key, ":"), cols[:, i])
+                frames.append(pd.DataFrame({
+                    "band": np.full(len(key), b, np.int64),
+                    "bkey": key,
+                    "n": np.ones(len(key), np.int64)}))
+            return pd.concat(frames, ignore_index=True)
+
+    bk = _docs(sf_dir).map_batches(BandKeys(NUM_PERM),
+                                   batch_format="pandas", batch_size=4096)
+    sizes = preagg_sum(bk, ["band", "bkey"], "n")
+    hist = preagg_sum(sizes.map_batches(
+        lambda b: pa.table({"band": b["band"], "bucket_size": b["n"],
+                            "n_buckets": pa.array(np.ones(b.num_rows,
+                                                          np.int64))}),
+        batch_format="pyarrow"), ["band", "bucket_size"], "n_buckets")
+    return hist.sort(["band", "bucket_size"])
+
+
 def _q_edge_percolation(sf_dir: str):
     """Bond-percolation robustness curve: keep a deterministic md5
     slice of 20% / 50% / 80% of the page links, run WCC on each
@@ -4003,6 +4045,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "square_count": _q_square_count,
         "heaps_law": _q_heaps_law,
         "edge_percolation": _q_edge_percolation,
+        "minhash_band_load": _q_minhash_band_load,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
         "dup_rank_report": _q_dup_rank_report,
@@ -4336,6 +4379,7 @@ def oracle_sql() -> dict[str, str]:
         "square_count": ow.SQUARE_COUNT_SQL,
         "heaps_law": od.heaps_law_sql(4),
         "edge_percolation": ow.edge_percolation_sql((2, 5, 8), 40),
+        "minhash_band_load": od.minhash_band_load_sql(8, 4),
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,
         "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),

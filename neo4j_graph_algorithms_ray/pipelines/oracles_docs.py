@@ -217,9 +217,10 @@ def minhash_sql(num_perm: int = 8, bands: int = 4, threshold: float = 0.5) -> st
             "SELECT a, b, jaccard FROM mh_pairs ORDER BY a, b")
 
 
-def _minhash_pair_ctes(num_perm: int, bands: int, threshold: float) -> str:
-    """CTE chain ending in ``mh_pairs(a, b, jaccard)`` — the verified
-    near-dup pair set, shared by minhash_sql and neardup_clusters_sql."""
+def _minhash_band_ctes(num_perm: int, bands: int) -> str:
+    """CTE chain ending in ``bk(doc_id, band, bkey)`` — the banded LSH
+    bucket keys, shared by _minhash_pair_ctes and the band-load
+    diagnostic."""
     from neo4j_graph_algorithms_ray.functions.dedup import (
         MINHASH_MOD, minhash_params)
     a_arr, c_arr = minhash_params(num_perm)
@@ -244,7 +245,13 @@ sig AS MATERIALIZED (
 bk AS MATERIALIZED (
   SELECT doc_id, band,
     CASE band {band_keys} END AS bkey
-  FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_),
+  FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_)"""
+
+
+def _minhash_pair_ctes(num_perm: int, bands: int, threshold: float) -> str:
+    """CTE chain ending in ``mh_pairs(a, b, jaccard)`` — the verified
+    near-dup pair set, shared by minhash_sql and neardup_clusters_sql."""
+    return f"""{_minhash_band_ctes(num_perm, bands)},
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
@@ -1525,3 +1532,14 @@ bucketed AS (
 SELECT CAST(q + 1 AS BIGINT) AS quarter,
        CAST(sum(count(*)) OVER (ORDER BY q) AS BIGINT) AS vocab_size
 FROM bucketed GROUP BY q ORDER BY quarter"""
+
+
+def minhash_band_load_sql(num_perm: int = 8, bands: int = 4) -> str:
+    """Mirror of _q_minhash_band_load: per-band histogram of LSH bucket
+    sizes — the index-health diagnostic (a fat bucket means a hot key
+    that will dominate pair generation)."""
+    return f"""WITH {_minhash_band_ctes(num_perm, bands)},
+bs AS (SELECT band, bkey, count(*) AS sz FROM bk GROUP BY band, bkey)
+SELECT CAST(band AS BIGINT) AS band, CAST(sz AS BIGINT) AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets
+FROM bs GROUP BY band, sz ORDER BY band, bucket_size"""
