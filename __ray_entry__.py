@@ -3125,6 +3125,44 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_simhash_bit_balance(sf_dir: str):
+    """SimHash index-health diagnostic: per-bit ones-fraction of the
+    corpus's 64-bit signatures. A bit stuck near 0 or 1 carries no
+    discriminating power and weakens the hamming bands — the
+    fingerprint-quality report the dedup operator checks. Per-batch
+    bit-count partials (64 rows each), one tiny groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import SimHash
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    sh = SimHash()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sig = sh.simhash_all(b["text"].to_numpy())
+        bits = np.unpackbits(sig.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little").astype(np.int64)
+        return pd.DataFrame({"bit": np.arange(64, dtype=np.int64),
+                             "n_ones": bits.sum(axis=0),
+                             "n_docs": np.full(64, len(sig), np.int64)})
+
+    agg = preagg_sum(_docs(sf_dir).map_batches(partial,
+                                               batch_format="pandas",
+                                               batch_size=4096),
+                     ["bit"], ["n_ones", "n_docs"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        o = b["n_ones"].to_numpy(zero_copy_only=False)
+        d = b["n_docs"].to_numpy(zero_copy_only=False)
+        return pa.table({"bit": b["bit"], "n_ones": b["n_ones"],
+                         "frac_ones": pa.array(round6(o / d))})
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("bit")
+
+
 def _q_minhash_band_load(sf_dir: str):
     """LSH index-health diagnostic: per-band histogram of MinHash
     bucket sizes. A fat bucket is a hot key that will dominate pair
@@ -4046,6 +4084,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "heaps_law": _q_heaps_law,
         "edge_percolation": _q_edge_percolation,
         "minhash_band_load": _q_minhash_band_load,
+        "simhash_bit_balance": _q_simhash_bit_balance,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
         "dup_rank_report": _q_dup_rank_report,
@@ -4380,6 +4419,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law": od.heaps_law_sql(4),
         "edge_percolation": ow.edge_percolation_sql((2, 5, 8), 40),
         "minhash_band_load": od.minhash_band_load_sql(8, 4),
+        "simhash_bit_balance": od.SIMHASH_BIT_BALANCE_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,
         "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),

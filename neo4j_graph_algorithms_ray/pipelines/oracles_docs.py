@@ -365,9 +365,10 @@ def neardup_clusters_sql(iters: int = 25, num_perm: int = 8, bands: int = 4,
             + f"\nSELECT node AS doc_id, c AS rep_id FROM r{iters} ORDER BY doc_id")
 
 
-def _simhash_pair_ctes(max_hamming: int = 8) -> str:
-    """CTE chain ending in ``sh_pairs(a, b, hamming)`` — shared by
-    simhash_sql and simhash_clusters_sql."""
+def _simhash_sig_ctes() -> str:
+    """CTE chain ending in ``allsh(doc_id, simhash)`` — the 64-bit
+    signatures, shared by the pair chain and the bit-balance
+    diagnostic."""
     return f"""toksm AS MATERIALIZED (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
   FROM documents WHERE trim(text) <> ''),
@@ -386,7 +387,13 @@ sim0 AS (
   FROM bits GROUP BY doc_id),
 allsh AS MATERIALIZED (
   SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS UBIGINT)) AS simhash
-  FROM documents d LEFT JOIN sim0 s USING (doc_id)),
+  FROM documents d LEFT JOIN sim0 s USING (doc_id))"""
+
+
+def _simhash_pair_ctes(max_hamming: int = 8) -> str:
+    """CTE chain ending in ``sh_pairs(a, b, hamming)`` — shared by
+    simhash_sql and simhash_clusters_sql."""
+    return f"""{_simhash_sig_ctes()},
 bk AS (
   SELECT doc_id, band,
     CAST((CAST(simhash AS HUGEINT) >> CAST(16 * band AS INTEGER)) & 65535 AS BIGINT) AS bkey
@@ -1543,3 +1550,15 @@ bs AS (SELECT band, bkey, count(*) AS sz FROM bk GROUP BY band, bkey)
 SELECT CAST(band AS BIGINT) AS band, CAST(sz AS BIGINT) AS bucket_size,
        CAST(count(*) AS BIGINT) AS n_buckets
 FROM bs GROUP BY band, sz ORDER BY band, bucket_size"""
+
+
+SIMHASH_BIT_BALANCE_SQL = f"""WITH {_simhash_sig_ctes()},
+bb AS (SELECT b.b AS bit,
+              sum(CAST((simhash >> CAST(b.b AS INTEGER)) & 1 AS BIGINT))
+                AS n_ones,
+              count(*) AS n_docs
+       FROM allsh CROSS JOIN (SELECT unnest(range(64)) AS b) b
+       GROUP BY b.b)
+SELECT CAST(bit AS BIGINT) AS bit, CAST(n_ones AS BIGINT) AS n_ones,
+       round(CAST(n_ones AS DOUBLE) / n_docs, 6) AS frac_ones
+FROM bb ORDER BY bit"""
