@@ -3125,6 +3125,90 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_tokenizer_fertility(sf_dir: str):
+    """Chars-per-token by language — the tokenizer-budget planning
+    stat (CJK-like langs run short tokens; fertility drives context
+    cost). Per-batch (lang, chars, tokens) partials, ≤|langs| rows
+    shuffled."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import (preagg_sum,
+                                                 read_parquet_clean)
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ch = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tk = pc.count_substring_regex(b["text"], r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lang": b["lang"], "n_chars": pa.array(ch),
+                         "n_tokens": pa.array(tk)})
+
+    agg = preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
+                     ["lang"], ["n_chars", "n_tokens"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        c = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"lang": b["lang"], "n_chars": b["n_chars"],
+                         "n_tokens": b["n_tokens"],
+                         "chars_per_token": pa.array(round6(
+                             c / np.maximum(t, 1.0)))})
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("lang")
+
+
+def _q_quality_assortativity(sf_dir: str):
+    """Numeric assortativity of content volume over link edges:
+    Pearson r of (src word count, dst word count) across all page
+    links — do pages link to similarly-sized pages? Two hash joins of
+    the edge table against the doc-length projection, then the
+    distributed moment-sum reduction."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.util import safe_join
+
+    def words(b: pa.Table) -> pa.Table:
+        dn = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        url = pc.binary_join_element_wise(
+            "http://site-", pa.array((dn % 20).astype(str)),
+            ".test/page/", pa.array(dn.astype(str)), "")
+        w = pc.count_substring_regex(b["text"], r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"url": url, "w": pa.array(w)})
+
+    dw = _docs(sf_dir).map_batches(words, batch_format="pyarrow") \
+        .materialize()
+    j = safe_join(web_edge_ds(sf_dir), dw, "inner", 16,
+                  on=("src_url",), right_on=("url",))
+    j = j.rename_columns({"w": "x"})
+    j = safe_join(j, dw, "inner", 16, on=("dst_url",), right_on=("url",))
+    j = j.rename_columns({"w": "y"})
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": [float(len(x))], "sx": [x.sum()],
+                         "sy": [y.sum()], "sxy": [(x * y).sum()],
+                         "sxx": [(x * x).sum()], "syy": [(y * y).sum()]})
+
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    s = j.map_batches(partial, batch_format="pyarrow").sum(cols)
+    n, sx, sy, sxy, sxx, syy = (s[f"sum({c})"] for c in cols)
+    r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy))
+    return pa.table({"assortativity": pa.array(round6([r]))})
+
+
 def _q_simhash_bit_balance(sf_dir: str):
     """SimHash index-health diagnostic: per-bit ones-fraction of the
     corpus's 64-bit signatures. A bit stuck near 0 or 1 carries no
@@ -4085,6 +4169,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "edge_percolation": _q_edge_percolation,
         "minhash_band_load": _q_minhash_band_load,
         "simhash_bit_balance": _q_simhash_bit_balance,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
         "dup_rank_report": _q_dup_rank_report,
@@ -4420,6 +4506,8 @@ def oracle_sql() -> dict[str, str]:
         "edge_percolation": ow.edge_percolation_sql((2, 5, 8), 40),
         "minhash_band_load": od.minhash_band_load_sql(8, 4),
         "simhash_bit_balance": od.SIMHASH_BIT_BALANCE_SQL,
+        "tokenizer_fertility": od.TOKENIZER_FERTILITY_SQL,
+        "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,
         "dup_rank_report": ow.dup_rank_report_sql(PR_ITERS, 25),

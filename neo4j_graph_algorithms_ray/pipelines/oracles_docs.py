@@ -1562,3 +1562,12 @@ bb AS (SELECT b.b AS bit,
 SELECT CAST(bit AS BIGINT) AS bit, CAST(n_ones AS BIGINT) AS n_ones,
        round(CAST(n_ones AS DOUBLE) / n_docs, 6) AS frac_ones
 FROM bb ORDER BY bit"""
+
+
+TOKENIZER_FERTILITY_SQL = r"""SELECT lang,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+  round(CAST(sum(length(text)) AS DOUBLE)
+        / greatest(sum(len(regexp_extract_all(text, '\S+'))), 1), 6)
+    AS chars_per_token
+FROM documents GROUP BY lang ORDER BY lang"""

@@ -2036,3 +2036,19 @@ def edge_percolation_sql(keeps=(2, 5, 8), iters: int = 40) -> str:
      (SELECT count(*) AS s FROM kc{k}_{iters} GROUP BY c)) AS lcc_size""")
     return ("WITH " + ",\n".join(all_ctes) + "\n"
             + " UNION ALL ".join(sels) + "\nORDER BY keep_tenths")
+
+
+QUALITY_ASSORTATIVITY_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+dw AS (SELECT {_url('doc_id')} AS url,
+              CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS w
+       FROM documents),
+xy AS (SELECT s.w AS x, t.w AS y
+       FROM wedges e JOIN dw s ON s.url = e.src JOIN dw t ON t.url = e.dst),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy)
+SELECT round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS assortativity
+FROM s"""
