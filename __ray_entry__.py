@@ -3125,6 +3125,87 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_host_hll_outlinks(sf_dir: str):
+    """Keyed HLL: per-host estimated distinct outlink targets vs the
+    exact count — the bounded-memory per-key distinct pattern a 100 TB
+    run uses when the exact table (host × url) no longer fits. Sketch
+    state is |hosts| × 256 registers (mergeable by max), never
+    url-sized; the exact side here exists only to report rel_err.
+    Same 60-bit-md5 register/rho rule as the corpus HLL
+    (functions/sketches.py), so the oracle replays it bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    from neo4j_graph_algorithms_ray.functions.sketches import (HLL_M,
+                                                               HLL_REST_BITS)
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (HOST_RE,
+                                                               web_edge_ds)
+    from neo4j_graph_algorithms_ray.util import (preagg_max, preagg_sum,
+                                                 predistinct)
+
+    edges = web_edge_ds(sf_dir)
+
+    def to_host(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["src_url"], HOST_RE), "host")
+        return pa.table({"host": h, "dst": b["dst_url"]})
+
+    hd = predistinct(edges.map_batches(to_host, batch_format="pyarrow"),
+                     ["host", "dst"]).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        hosts = np.asarray(b["host"].to_pylist(), dtype=object)
+        h, inv = _md5_u64(np.asarray(b["dst"].to_pylist(), dtype=object),
+                          15)
+        hv = h[inv]
+        reg = (hv % HLL_M).astype(np.int64)
+        rest = (hv // HLL_M).astype(np.uint64)
+        rho = np.full(len(hv), HLL_REST_BITS + 1, dtype=np.int64)
+        nz = rest > 0
+        rho[nz] = HLL_REST_BITS - np.floor(
+            np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        codes, uniq = pd.factorize(hosts)
+        key = codes.astype(np.int64) * HLL_M + reg
+        order = np.argsort(key, kind="stable")
+        k, rh = key[order], rho[order]
+        uk, starts = np.unique(k, return_index=True)
+        mx = np.maximum.reduceat(rh, starts)
+        return pa.table({"host": pa.array(uniq[(uk // HLL_M)]),
+                         "register": pa.array(uk % HLL_M),
+                         "max_rho": pa.array(mx)})
+
+    regs = preagg_max(hd.map_batches(partial, batch_format="pyarrow"),
+                      ["host", "register"], "max_rho")
+    exact = preagg_sum(hd.map_batches(
+        lambda b: pa.table({"host": b["host"],
+                            "n": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow"), ["host"], "n")
+    ex = {r["host"]: r["n"] for r in exact.take_all()}       # |hosts| rows
+    by_host: dict = {}
+    for r in regs.take_all():                  # |hosts| × ≤256 rows
+        by_host.setdefault(r["host"], {})[r["register"]] = r["max_rho"]
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    rows = []
+    for host in sorted(by_host):
+        M = np.zeros(HLL_M)
+        for reg, mr in by_host[host].items():
+            M[reg] = mr
+        est = alpha * HLL_M * HLL_M / np.sum(np.power(2.0, -M))
+        zeros = int((M == 0).sum())
+        if est <= 2.5 * HLL_M and zeros:
+            est = HLL_M * np.log(HLL_M / zeros)
+        rows.append((host, float(round6(est)), int(ex[host]),
+                     float(round6(abs(est - ex[host]) / ex[host]))))
+    return pa.table({
+        "host": pa.array([r[0] for r in rows]),
+        "hll_estimate": pa.array([r[1] for r in rows]),
+        "exact_distinct": pa.array([r[2] for r in rows], type=pa.int64()),
+        "rel_err": pa.array([r[3] for r in rows])})
+
+
 def _q_tokenizer_fertility(sf_dir: str):
     """Chars-per-token by language — the tokenizer-budget planning
     stat (CJK-like langs run short tokens; fertility drives context
@@ -4170,6 +4251,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "minhash_band_load": _q_minhash_band_load,
         "simhash_bit_balance": _q_simhash_bit_balance,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "host_hll_outlinks": _q_host_hll_outlinks,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4507,6 +4589,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_load": od.minhash_band_load_sql(8, 4),
         "simhash_bit_balance": od.SIMHASH_BIT_BALANCE_SQL,
         "tokenizer_fertility": od.TOKENIZER_FERTILITY_SQL,
+        "host_hll_outlinks": ow.HOST_HLL_OUTLINKS_SQL,
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

@@ -2052,3 +2052,35 @@ SELECT round((n * sxy - sx * sy)
              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
          AS assortativity
 FROM s"""
+
+
+HOST_HLL_OUTLINKS_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+hp AS (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS host, dst
+       FROM wedges),
+hd AS MATERIALIZED (SELECT DISTINCT host, dst FROM hp),
+hh AS (SELECT host,
+              CAST(('0x' || substr(md5(dst), 1, 15)) AS BIGINT) AS hv
+       FROM hd),
+r AS (SELECT host, hv % 256 AS reg,
+             CASE WHEN hv // 256 = 0 THEN 53
+                  ELSE 52 - CAST(floor(log2(hv // 256)) AS BIGINT) END AS rho
+      FROM hh),
+mr AS (SELECT host, reg, max(rho) AS m FROM r GROUP BY host, reg),
+agg AS (SELECT host,
+               sum(power(2.0, -m)) + (256 - count(*)) AS s,
+               256 - count(*) AS zeros
+        FROM mr GROUP BY host),
+est AS (SELECT host, zeros,
+               (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / s AS e
+        FROM agg),
+fin AS (SELECT host,
+               CASE WHEN e <= 2.5 * 256 AND zeros > 0
+                    THEN 256 * ln(256.0 / zeros) ELSE e END AS e
+        FROM est),
+ex AS (SELECT host, CAST(count(*) AS BIGINT) AS exact_distinct
+       FROM hd GROUP BY host)
+SELECT f.host, round(f.e, 6) AS hll_estimate, ex.exact_distinct,
+       round(abs(f.e - ex.exact_distinct) / ex.exact_distinct, 6)
+         AS rel_err
+FROM fin f JOIN ex ON ex.host = f.host ORDER BY f.host"""
