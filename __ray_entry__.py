@@ -3125,6 +3125,32 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_damping_sensitivity(sf_dir: str):
+    """Rank-stability report: top-20 page overlap between PageRank at
+    damping 0.5 / 0.85 / 0.95 and the 0.85 baseline — how sensitive
+    the ranking head is to the teleport mix (Boldi et al. WWW'05).
+    Three BSP rank runs; only three top-k url sets reach the driver."""
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+
+    K = 20
+    g = get_web_graph(sf_dir)
+    tops = {}
+    for d in (0.5, 0.85, 0.95):
+        pr = pagerank(g, d, max_iterations=PR_ITERS, node_col="url").dataset
+        top = _round6(pr, "score") \
+            .sort(["score", "url"], descending=[True, False]).limit(K)
+        tops[d] = {r["url"] for r in top.take_all()}        # K urls
+    base = tops[0.85]
+    return pa.table({
+        "damping": pa.array([0.5, 0.85, 0.95]),
+        "overlap_with_085": pa.array(
+            [len(tops[d] & base) for d in (0.5, 0.85, 0.95)],
+            type=pa.int64())})
+
+
 def _q_host_hll_outlinks(sf_dir: str):
     """Keyed HLL: per-host estimated distinct outlink targets vs the
     exact count — the bounded-memory per-key distinct pattern a 100 TB
@@ -4252,6 +4278,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "simhash_bit_balance": _q_simhash_bit_balance,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "host_hll_outlinks": _q_host_hll_outlinks,
+        "damping_sensitivity": _q_damping_sensitivity,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4590,6 +4617,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_bit_balance": od.SIMHASH_BIT_BALANCE_SQL,
         "tokenizer_fertility": od.TOKENIZER_FERTILITY_SQL,
         "host_hll_outlinks": ow.HOST_HLL_OUTLINKS_SQL,
+        "damping_sensitivity": ow.damping_sensitivity_sql(
+            PR_ITERS, (0.5, 0.85, 0.95), 20),
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

@@ -2084,3 +2084,38 @@ SELECT f.host, round(f.e, 6) AS hll_estimate, ex.exact_distinct,
        round(abs(f.e - ex.exact_distinct) / ex.exact_distinct, 6)
          AS rel_err
 FROM fin f JOIN ex ON ex.host = f.host ORDER BY f.host"""
+
+
+def damping_sensitivity_sql(iters: int = 20, dampings=(0.5, 0.85, 0.95),
+                            topk: int = 20) -> str:
+    """Mirror of _q_damping_sensitivity: for each damping factor, the
+    top-k page set (round6 score desc, url asc) and its overlap with
+    the d=0.85 baseline set."""
+    ctes = [WEB_BASE, WEB_EDGES, WEB_NODES,
+            "wdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) "
+            "AS dg FROM wedges GROUP BY src)"]
+    tops = []
+    for di, d in enumerate(dampings):
+        base = round(1.0 - d, 6)
+        ctes.append(f"d{di}_0 AS (SELECT node, CAST({base} AS DOUBLE) AS r "
+                    "FROM wnodes)")
+        for k in range(1, iters + 1):
+            ctes.append(f"""d{di}_{k} AS MATERIALIZED (
+  SELECT n.node, {base} + {d} * coalesce(sum(p.r / dg.dg), 0) AS r
+  FROM wnodes n
+  LEFT JOIN wedges e ON e.dst = n.node
+  LEFT JOIN d{di}_{k-1} p ON p.node = e.src
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+        ctes.append(f"""t{di} AS MATERIALIZED (
+  SELECT node FROM d{di}_{iters}
+  ORDER BY round(r, 6) DESC, node ASC LIMIT {topk})""")
+        tops.append(di)
+    base_idx = dampings.index(0.85)
+    sels = []
+    for di, d in zip(tops, dampings):
+        sels.append(f"""SELECT CAST({d} AS DOUBLE) AS damping,
+  (SELECT CAST(count(*) AS BIGINT) FROM t{di}
+   WHERE node IN (SELECT node FROM t{base_idx})) AS overlap_with_085""")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + " UNION ALL ".join(sels) + "\nORDER BY damping")
