@@ -3125,6 +3125,55 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_token_burstiness(sf_dir: str):
+    """Fano factor (variance/mean of per-doc counts, zeros included)
+    for the top-50 corpus tokens — bursty content words vs evenly
+    spread function words (Church & Gale 1995), the dispersion signal
+    stopword-list builders read. Per-batch (token, Σc, Σc²) partials
+    (a doc never spans batches), vocab-sized shuffle, top-k sort."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    K = 50
+    docs = _docs(sf_dir)
+    n_docs = float(docs.count())
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b["text"])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "s": pa.array([], pa.float64()),
+                             "ss": pa.array([], pa.float64())})
+        codes, uniq = pd.factorize(toks)
+        key = doc_idx.astype(np.int64) * len(uniq) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        tok_of = (uk % len(uniq)).astype(np.int64)
+        c = cnt.astype(np.float64)
+        s = np.zeros(len(uniq))
+        ss = np.zeros(len(uniq))
+        np.add.at(s, tok_of, c)
+        np.add.at(ss, tok_of, c * c)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "s": pa.array(s), "ss": pa.array(ss)})
+
+    tot = preagg_sum(docs.map_batches(partial, batch_format="pyarrow"),
+                     ["token"], ["s", "ss"])
+    top = tot.sort(["s", "token"], descending=[True, False]).limit(K) \
+        .take_all()                                        # K rows
+    top.sort(key=lambda r: r["token"])
+    mean = np.array([r["s"] for r in top]) / n_docs
+    var = (np.array([r["ss"] for r in top])
+           - np.array([r["s"] for r in top]) ** 2 / n_docs) / n_docs
+    return pa.table({"token": pa.array([r["token"] for r in top]),
+                     "mean_count": pa.array(round6(mean)),
+                     "fano": pa.array(round6(var / mean))})
+
+
 def _q_damping_sensitivity(sf_dir: str):
     """Rank-stability report: top-20 page overlap between PageRank at
     damping 0.5 / 0.85 / 0.95 and the 0.85 baseline — how sensitive
@@ -4279,6 +4328,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "host_hll_outlinks": _q_host_hll_outlinks,
         "damping_sensitivity": _q_damping_sensitivity,
+        "token_burstiness": _q_token_burstiness,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4619,6 +4669,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hll_outlinks": ow.HOST_HLL_OUTLINKS_SQL,
         "damping_sensitivity": ow.damping_sensitivity_sql(
             PR_ITERS, (0.5, 0.85, 0.95), 20),
+        "token_burstiness": od.token_burstiness_sql(50),
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

@@ -1571,3 +1571,25 @@ TOKENIZER_FERTILITY_SQL = r"""SELECT lang,
         / greatest(sum(len(regexp_extract_all(text, '\S+'))), 1), 6)
     AS chars_per_token
 FROM documents GROUP BY lang ORDER BY lang"""
+
+
+def token_burstiness_sql(topk: int = 50) -> str:
+    """Mirror of _q_token_burstiness: Fano factor (var/mean over ALL
+    docs, zeros included) of per-doc counts for the top-k tokens."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT doc_id, unnest(tk) AS token FROM tl),
+dc AS (SELECT token, doc_id, CAST(count(*) AS DOUBLE) AS c
+       FROM occ GROUP BY token, doc_id),
+tot AS (SELECT token, sum(c) AS s, sum(c * c) AS ss FROM dc GROUP BY token),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM documents),
+top AS (SELECT token, s, ss FROM tot
+        ORDER BY s DESC, token ASC LIMIT {topk}),
+st AS (SELECT token, s / (SELECT d FROM nd) AS mean,
+              (ss - s * s / (SELECT d FROM nd)) / (SELECT d FROM nd)
+                AS variance
+       FROM top)
+SELECT token, round(mean, 6) AS mean_count,
+       round(variance / mean, 6) AS fano
+FROM st ORDER BY token"""
