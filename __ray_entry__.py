@@ -3125,6 +3125,49 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_crawl_budget(sf_dir: str):
+    """Crawl-budget allocation: Hamilton (largest-remainder)
+    apportionment of 1000 fetch slots across hosts proportional to
+    their PageRank mass — the rank-weighted politeness scheduler's
+    input table. Host mass is one map-side-combined aggregation over
+    the rank vector; apportionment runs on the |hosts|-bounded result
+    (at web scale: apportion over the top-N host slice)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (HOST_RE,
+                                                               get_web_graph)
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    B = 1000
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+
+    def to_host(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        return pa.table({"host": h, "mass": b["score"]})
+
+    hm = preagg_sum(pr.map_batches(to_host, batch_format="pyarrow"),
+                    ["host"], "mass")
+    rows = sorted(hm.take_all(), key=lambda r: r["host"])   # |hosts| rows
+    mass = np.array([r["mass"] for r in rows])
+    quota = B * mass / mass.sum()
+    base = np.floor(quota).astype(np.int64)
+    rem = quota - np.floor(quota)
+    left = B - int(base.sum())
+    order = sorted(range(len(rows)),
+                   key=lambda i: (-rem[i], rows[i]["host"]))
+    slots = base.copy()
+    for i in order[:left]:
+        slots[i] += 1
+    return pa.table({"host": pa.array([r["host"] for r in rows]),
+                     "slots": pa.array(slots, type=pa.int64()),
+                     "rank_mass": pa.array(round6(mass))})
+
+
 def _q_token_burstiness(sf_dir: str):
     """Fano factor (variance/mean of per-doc counts, zeros included)
     for the top-50 corpus tokens — bursty content words vs evenly
@@ -4329,6 +4372,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "host_hll_outlinks": _q_host_hll_outlinks,
         "damping_sensitivity": _q_damping_sensitivity,
         "token_burstiness": _q_token_burstiness,
+        "crawl_budget": _q_crawl_budget,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4670,6 +4714,7 @@ def oracle_sql() -> dict[str, str]:
         "damping_sensitivity": ow.damping_sensitivity_sql(
             PR_ITERS, (0.5, 0.85, 0.95), 20),
         "token_burstiness": od.token_burstiness_sql(50),
+        "crawl_budget": ow.crawl_budget_sql(PR_ITERS, 1000),
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

@@ -2119,3 +2119,28 @@ def damping_sensitivity_sql(iters: int = 20, dampings=(0.5, 0.85, 0.95),
    WHERE node IN (SELECT node FROM t{base_idx})) AS overlap_with_085""")
     return ("WITH " + ",\n".join(ctes) + "\n"
             + " UNION ALL ".join(sels) + "\nORDER BY damping")
+
+
+def crawl_budget_sql(iters: int = 20, budget: int = 1000) -> str:
+    """Mirror of _q_crawl_budget: Hamilton (largest-remainder)
+    apportionment of ``budget`` fetch slots over hosts proportional to
+    their PageRank mass."""
+    ctes = _rank_ctes(iters)
+    ctes += ["""hm AS (SELECT regexp_extract(node, '^[a-z]+://([^/]+)', 1)
+    AS host, sum(r) AS mass
+  FROM r{it} GROUP BY 1)""".format(it=iters),
+             "tm AS (SELECT sum(mass) AS t FROM hm)",
+             f"""q AS (SELECT host, mass,
+  {budget} * mass / (SELECT t FROM tm) AS quota FROM hm)""",
+             """b AS (SELECT host, mass, quota,
+  CAST(floor(quota) AS BIGINT) AS base, quota - floor(quota) AS rem
+  FROM q)""",
+             f"""lo AS (SELECT {budget} - sum(base) AS left_over FROM b)""",
+             """rk AS (SELECT host, mass, base, rem,
+  row_number() OVER (ORDER BY rem DESC, host ASC) AS rr FROM b)"""]
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT host,
+       CAST(base + CASE WHEN rr <= (SELECT left_over FROM lo)
+                        THEN 1 ELSE 0 END AS BIGINT) AS slots,
+       round(mass, 6) AS rank_mass
+FROM rk ORDER BY host""")
