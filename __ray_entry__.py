@@ -3125,6 +3125,60 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_conversion_lag(sf_dir: str):
+    """Funnel timing: for users whose first 'view' is followed
+    (strictly later) by a 'purchase', the lag to the earliest such
+    purchase — conversion-latency stats the growth dashboard reads
+    next to `funnel`. Two filtered per-user min aggregations + one
+    hash join; only 4 scalars reach the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.events import _ts_us
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import (preagg_min,
+                                                 read_parquet_clean,
+                                                 safe_join)
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+
+    def pick(t: str):
+        def fn(b: pa.Table, *, _t=t) -> pa.Table:
+            m = pc.equal(b["event_type"], _t)
+            b = b.filter(m)
+            return pa.table({"user_id": b["user_id"],
+                             "t": _ts_us(b["ts"])})
+        return fn
+
+    ta = preagg_min(ev.map_batches(pick("view"), batch_format="pyarrow"),
+                    ["user_id"], "t").rename_columns({"t": "ta"}) \
+        .materialize()
+    n_start = ta.count()
+    evb = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    j = safe_join(evb, ta, "inner", 16, on=("user_id",))
+    j = j.map_batches(lambda b: b.filter(pc.greater(b["t"], b["ta"])),
+                      batch_format="pyarrow")
+    tb = preagg_min(j, ["user_id", "ta"], "t")
+
+    def partial(b: pa.Table) -> pa.Table:
+        lag = (b["t"].to_numpy(zero_copy_only=False)
+               - b["ta"].to_numpy(zero_copy_only=False)) / 1e6
+        return pa.table({"n": [float(len(lag))], "s": [lag.sum()],
+                         "mx": [lag.max() if len(lag) else 0.0]})
+
+    agg = tb.map_batches(partial, batch_format="pyarrow")
+    n = agg.sum("n")
+    s = agg.sum("s")
+    mx = agg.max("mx")
+    return pa.table({
+        "n_users_start": pa.array([n_start], type=pa.int64()),
+        "n_converted": pa.array([int(n)], type=pa.int64()),
+        "mean_lag_s": pa.array(round6([s / n])),
+        "max_lag_s": pa.array(round6([mx]))})
+
+
 def _q_crawl_budget(sf_dir: str):
     """Crawl-budget allocation: Hamilton (largest-remainder)
     apportionment of 1000 fetch slots across hosts proportional to
@@ -4373,6 +4427,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "damping_sensitivity": _q_damping_sensitivity,
         "token_burstiness": _q_token_burstiness,
         "crawl_budget": _q_crawl_budget,
+        "conversion_lag": _q_conversion_lag,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4715,6 +4770,7 @@ def oracle_sql() -> dict[str, str]:
             PR_ITERS, (0.5, 0.85, 0.95), 20),
         "token_burstiness": od.token_burstiness_sql(50),
         "crawl_budget": ow.crawl_budget_sql(PR_ITERS, 1000),
+        "conversion_lag": oe.conversion_lag_sql("view", "purchase"),
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

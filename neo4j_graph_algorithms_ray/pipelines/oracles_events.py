@@ -175,3 +175,24 @@ SELECT prev_type AS from_type, event_type AS to_type,
        CAST(count(*) AS BIGINT) AS n
 FROM lagged WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type ORDER BY from_type, to_type"""
+
+
+def conversion_lag_sql(step_a: str = "view", step_b: str = "purchase") -> str:
+    """Mirror of _q_conversion_lag: first step_a per user, earliest
+    strictly-later step_b, lag stats in seconds."""
+    return f"""WITH a AS (
+  SELECT user_id, min(ts) AS ta FROM events
+  WHERE event_type = '{step_a}' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, min(e.ts) AS tb
+  FROM events e JOIN a ON a.user_id = e.user_id
+  WHERE e.event_type = '{step_b}' AND e.ts > a.ta
+  GROUP BY e.user_id),
+l AS (SELECT CAST(date_diff('microsecond', a.ta, b.tb) AS DOUBLE)
+             / 1000000 AS lag_s
+      FROM b JOIN a ON a.user_id = b.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_users_start,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       round(avg(lag_s), 6) AS mean_lag_s,
+       round(max(lag_s), 6) AS max_lag_s
+FROM l"""
