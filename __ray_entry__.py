@@ -3125,6 +3125,49 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_value_percentiles(sf_dir: str):
+    """Exact per-event-type value percentiles (p50/p90/p99,
+    nearest-rank on the distributed value histogram — the
+    length_percentiles discipline, partitioned by type). The
+    histogram shuffle carries (type, distinct value) rows; per-type
+    finish is a vectorized cumsum in one map_groups. At 100 TB with
+    high-cardinality doubles, bucket values first (the histogram IS
+    the accuracy knob)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.util import (preagg_sum,
+                                                 read_parquet_clean)
+
+    PCTS = (50, 90, 99)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    hist = preagg_sum(ev.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"],
+                            "v": b["value"],
+                            "n": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow"), ["event_type", "v"], "n")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v")
+        cum = df["n"].cumsum().to_numpy()
+        vals = df["v"].to_numpy()
+        N = int(cum[-1])
+        out_p, out_v = [], []
+        for p in PCTS:
+            k = int(np.ceil(N * p / 100.0))
+            out_p.append(p)
+            out_v.append(float(round6(vals[np.searchsorted(cum, k)])))
+        return pd.DataFrame({"event_type": df["event_type"].iloc[0],
+                             "pct": np.array(out_p, np.int64),
+                             "value": out_v})
+
+    return hist.groupby("event_type").map_groups(
+        fin, batch_format="pandas").sort(["event_type", "pct"])
+
+
 def _q_conversion_lag(sf_dir: str):
     """Funnel timing: for users whose first 'view' is followed
     (strictly later) by a 'purchase', the lag to the earliest such
@@ -4428,6 +4471,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": _q_token_burstiness,
         "crawl_budget": _q_crawl_budget,
         "conversion_lag": _q_conversion_lag,
+        "value_percentiles": _q_value_percentiles,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4771,6 +4815,7 @@ def oracle_sql() -> dict[str, str]:
         "token_burstiness": od.token_burstiness_sql(50),
         "crawl_budget": ow.crawl_budget_sql(PR_ITERS, 1000),
         "conversion_lag": oe.conversion_lag_sql("view", "purchase"),
+        "value_percentiles": oe.VALUE_PERCENTILES_SQL,
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

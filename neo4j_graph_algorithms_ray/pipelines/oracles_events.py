@@ -196,3 +196,19 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_users_start,
        round(avg(lag_s), 6) AS mean_lag_s,
        round(max(lag_s), 6) AS max_lag_s
 FROM l"""
+
+
+VALUE_PERCENTILES_SQL = """WITH h AS (
+  SELECT event_type, value AS v, count(*) AS n
+  FROM events GROUP BY event_type, value),
+c AS (SELECT event_type, v,
+             sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cum
+      FROM h),
+nn AS (SELECT event_type, count(*) AS N FROM events GROUP BY event_type),
+ps AS (SELECT unnest([50, 90, 99]) AS pct)
+SELECT c.event_type, CAST(ps.pct AS BIGINT) AS pct,
+       round(min(c.v), 6) AS value
+FROM ps CROSS JOIN nn
+JOIN c ON c.event_type = nn.event_type
+      AND c.cum >= ceil(nn.N * ps.pct / 100.0)
+GROUP BY c.event_type, ps.pct ORDER BY c.event_type, pct"""
