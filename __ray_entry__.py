@@ -3125,6 +3125,39 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_rank_residual(sf_dir: str):
+    """Convergence audit: L1 / max distance between the PageRank
+    vectors at 10 and 20 iterations — the "is the iteration budget
+    enough" scalar an operator reads before trusting fixed-k runs at
+    scale. Two BSP runs, one hash join, a 3-scalar reduce."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    from neo4j_graph_algorithms_ray.util import safe_join
+
+    g = get_web_graph(sf_dir)
+    ra = pagerank(g, 0.85, max_iterations=10, node_col="url").dataset \
+        .rename_columns({"score": "ra"})
+    rb = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+    j = safe_join(rb, ra, "inner", 16, on=("url",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = np.abs(b["score"].to_numpy(zero_copy_only=False)
+                   - b["ra"].to_numpy(zero_copy_only=False))
+        return pa.table({"l1": [d.sum()],
+                         "mx": [d.max() if len(d) else 0.0],
+                         "n": [float(len(d))]})
+
+    agg = j.map_batches(partial, batch_format="pyarrow")
+    return pa.table({
+        "l1_residual": pa.array(round6([agg.sum("l1")])),
+        "max_residual": pa.array(round6([agg.max("mx")])),
+        "n_nodes": pa.array([int(agg.sum("n"))], type=pa.int64())})
+
+
 def _q_value_percentiles(sf_dir: str):
     """Exact per-event-type value percentiles (p50/p90/p99,
     nearest-rank on the distributed value histogram — the
@@ -4472,6 +4505,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "crawl_budget": _q_crawl_budget,
         "conversion_lag": _q_conversion_lag,
         "value_percentiles": _q_value_percentiles,
+        "rank_residual": _q_rank_residual,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4816,6 +4850,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": ow.crawl_budget_sql(PR_ITERS, 1000),
         "conversion_lag": oe.conversion_lag_sql("view", "purchase"),
         "value_percentiles": oe.VALUE_PERCENTILES_SQL,
+        "rank_residual": ow.rank_residual_sql(10, PR_ITERS),
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

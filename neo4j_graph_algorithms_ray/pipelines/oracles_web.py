@@ -2144,3 +2144,15 @@ SELECT host,
                         THEN 1 ELSE 0 END AS BIGINT) AS slots,
        round(mass, 6) AS rank_mass
 FROM rk ORDER BY host""")
+
+
+def rank_residual_sql(it_a: int = 10, it_b: int = 20) -> str:
+    """Mirror of _q_rank_residual: L1 and max distance between the
+    rank vectors at two iteration depths (one unrolled chain, two
+    taps)."""
+    ctes = _rank_ctes(it_b)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT round(sum(abs(b.r - a.r)), 6) AS l1_residual,
+       round(max(abs(b.r - a.r)), 6) AS max_residual,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM r{it_a} a JOIN r{it_b} b ON b.node = a.node""")
