@@ -3125,6 +3125,68 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_degree_drift(sf_dir: str):
+    """Crawl-to-crawl drift monitor: two-sample KS statistic between
+    the out-degree distributions of the current and thinned
+    previous-crawl graphs (zero-out-degree nodes included) — the
+    cheap structural-change alarm a recrawl pipeline evaluates before
+    re-ranking. Degree histograms are distribution-sized (≤ max
+    degree), so the KS finish on the driver is bounded regardless of
+    corpus size."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+    import pyarrow.compute as pc
+
+    def hist_of(edges, nodes):
+        deg = preagg_sum(edges.map_batches(
+            lambda b: pa.table({"node": b["src_url"],
+                                "d": pa.array(np.ones(b.num_rows,
+                                                      np.int64))}),
+            batch_format="pyarrow"), ["node"], "d")
+        n_nodes = nodes.count()
+        h = preagg_sum(deg.map_batches(
+            lambda b: pa.table({"deg": b["d"],
+                                "n": pa.array(np.ones(b.num_rows,
+                                                      np.int64))}),
+            batch_format="pyarrow"), ["deg"], "n")
+        rows = {r["deg"]: r["n"] for r in h.take_all()}  # ≤ max-degree
+        rows[0] = n_nodes - sum(rows.values())           # zero-outdeg
+        return rows, n_nodes
+
+    from neo4j_graph_algorithms_ray.util import predistinct
+
+    def nodes_of(edges):
+        return predistinct(edges.map_batches(
+            lambda b: pa.table({"node": pa.concat_arrays(
+                [b["src_url"].combine_chunks(),
+                 b["dst_url"].combine_chunks()])}),
+            batch_format="pyarrow"), ["node"])
+
+    full = web_edge_ds(sf_dir).materialize()
+    md = 5
+
+    def thin(b: pa.Table) -> pa.Table:
+        from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+        s = pc.binary_join_element_wise(b["src_url"], "|", b["dst_url"], "")
+        vals, inv = _md5_u64(np.asarray(s.to_pylist(), dtype=object), 15)
+        return b.filter(pa.array((vals[inv] % md) != 0))
+
+    prev = full.map_batches(thin, batch_format="pyarrow").materialize()
+    ha, na = hist_of(full, nodes_of(full))
+    hb, nb = hist_of(prev, nodes_of(prev))
+    support = sorted(set(ha) | set(hb))
+    fa = np.cumsum([ha.get(d, 0) for d in support]) / na
+    fb = np.cumsum([hb.get(d, 0) for d in support]) / nb
+    ks = float(np.max(np.abs(fa - fb)))
+    return pa.table({"ks_stat": pa.array(round6([ks])),
+                     "n_nodes_full": pa.array([na], type=pa.int64()),
+                     "n_nodes_prev": pa.array([nb], type=pa.int64())})
+
+
 def _q_rank_residual(sf_dir: str):
     """Convergence audit: L1 / max distance between the PageRank
     vectors at 10 and 20 iterations — the "is the iteration budget
@@ -4506,6 +4568,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "conversion_lag": _q_conversion_lag,
         "value_percentiles": _q_value_percentiles,
         "rank_residual": _q_rank_residual,
+        "degree_drift": _q_degree_drift,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4851,6 +4914,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_lag": oe.conversion_lag_sql("view", "purchase"),
         "value_percentiles": oe.VALUE_PERCENTILES_SQL,
         "rank_residual": ow.rank_residual_sql(10, PR_ITERS),
+        "degree_drift": ow.degree_drift_sql(5),
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

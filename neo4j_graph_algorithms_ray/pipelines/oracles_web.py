@@ -2156,3 +2156,37 @@ SELECT round(sum(abs(b.r - a.r)), 6) AS l1_residual,
        round(max(abs(b.r - a.r)), 6) AS max_residual,
        CAST(count(*) AS BIGINT) AS n_nodes
 FROM r{it_a} a JOIN r{it_b} b ON b.node = a.node""")
+
+
+def degree_drift_sql(mod: int = 5) -> str:
+    """Mirror of _q_degree_drift: two-sample KS statistic between the
+    out-degree distributions (zero-degree nodes included) of the full
+    and thinned previous-crawl graphs."""
+    return f"""WITH {WEB_BASE},
+{WEB_EDGES},
+{WEB_NODES},
+oedges AS MATERIALIZED (
+  SELECT src, dst FROM wedges
+  WHERE CAST(('0x' || substr(md5(src || '|' || dst), 1, 15)) AS BIGINT)
+        % {mod} != 0),
+onodes AS (SELECT src AS node FROM oedges UNION SELECT dst FROM oedges),
+da AS (SELECT n.node, coalesce(d.dg, 0) AS deg FROM wnodes n
+       LEFT JOIN (SELECT src, count(*) AS dg FROM wedges GROUP BY src) d
+         ON d.src = n.node),
+db AS (SELECT n.node, coalesce(d.dg, 0) AS deg FROM onodes n
+       LEFT JOIN (SELECT src, count(*) AS dg FROM oedges GROUP BY src) d
+         ON d.src = n.node),
+ha AS (SELECT deg, CAST(count(*) AS DOUBLE) AS n FROM da GROUP BY deg),
+hb AS (SELECT deg, CAST(count(*) AS DOUBLE) AS n FROM db GROUP BY deg),
+na AS (SELECT sum(n) AS t FROM ha), nb AS (SELECT sum(n) AS t FROM hb),
+sup AS (SELECT deg FROM ha UNION SELECT deg FROM hb),
+cdf AS (SELECT s.deg,
+  coalesce((SELECT sum(a.n) FROM ha a WHERE a.deg <= s.deg), 0)
+    / (SELECT t FROM na) AS fa,
+  coalesce((SELECT sum(b.n) FROM hb b WHERE b.deg <= s.deg), 0)
+    / (SELECT t FROM nb) AS fb
+  FROM sup s)
+SELECT round(max(abs(fa - fb)), 6) AS ks_stat,
+       (SELECT CAST(t AS BIGINT) FROM na) AS n_nodes_full,
+       (SELECT CAST(t AS BIGINT) FROM nb) AS n_nodes_prev
+FROM cdf"""
