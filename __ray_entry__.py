@@ -3125,6 +3125,39 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_orphan_pages(sf_dir: str):
+    """Crawl QA: pages no other page links to (zero in-degree over the
+    distinct link graph) — orphans are unreachable by link-following
+    and signal sitemap/discovery gaps. One anti-join of the page list
+    against the distinct target set; three scalars out."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    from neo4j_graph_algorithms_ray.util import predistinct, safe_join
+
+    pages = read_pages(sf_dir, columns=["url"])
+    n_pages = pages.count()
+    tgt = predistinct(web_edge_ds(sf_dir).select_columns(["dst_url"]),
+                      ["dst_url"]).map_batches(
+        lambda b: pa.table({"url": b["dst_url"],
+                            "__t": pa.array(np.ones(b.num_rows, np.int8))}),
+        batch_format="pyarrow")
+    aj = safe_join(pages, tgt, "left_outer", 16, on=("url",))
+    orphans = aj.map_batches(
+        lambda b: pa.table({"n": [float(pc.sum(
+            pc.is_null(b["__t"]).cast(pa.int64())).as_py() or 0)]}),
+        batch_format="pyarrow")
+    n_orph = int(orphans.sum("n"))
+    return pa.table({
+        "n_pages": pa.array([n_pages], type=pa.int64()),
+        "n_orphans": pa.array([n_orph], type=pa.int64()),
+        "orphan_frac": pa.array(round6([n_orph / n_pages]))})
+
+
 def _q_degree_drift(sf_dir: str):
     """Crawl-to-crawl drift monitor: two-sample KS statistic between
     the out-degree distributions of the current and thinned
@@ -4569,6 +4602,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": _q_value_percentiles,
         "rank_residual": _q_rank_residual,
         "degree_drift": _q_degree_drift,
+        "orphan_pages": _q_orphan_pages,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4915,6 +4949,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": oe.VALUE_PERCENTILES_SQL,
         "rank_residual": ow.rank_residual_sql(10, PR_ITERS),
         "degree_drift": ow.degree_drift_sql(5),
+        "orphan_pages": ow.ORPHAN_PAGES_SQL,
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

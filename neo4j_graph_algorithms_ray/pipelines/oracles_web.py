@@ -2190,3 +2190,14 @@ SELECT round(max(abs(fa - fb)), 6) AS ks_stat,
        (SELECT CAST(t AS BIGINT) FROM na) AS n_nodes_full,
        (SELECT CAST(t AS BIGINT) FROM nb) AS n_nodes_prev
 FROM cdf"""
+
+
+ORPHAN_PAGES_SQL = f"""WITH {WEB_BASE},
+{WEB_EDGES},
+pl AS (SELECT {_url('doc_id')} AS url FROM documents),
+tgt AS (SELECT DISTINCT dst FROM wedges)
+SELECT CAST((SELECT count(*) FROM pl) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_orphans,
+       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM pl), 6)
+         AS orphan_frac
+FROM pl WHERE pl.url NOT IN (SELECT dst FROM tgt)"""
