@@ -3125,6 +3125,48 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_host_rank_gini(sf_dir: str):
+    """Gini coefficient of PageRank mass across hosts — the
+    authority-inequality summary at domain granularity (complement of
+    host_rank_hhi). Distributed shape: host mass aggregation → global
+    (mass, host) sort → zip_with_index rank stamp → 3-scalar partial
+    sums; no driver array of hosts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (HOST_RE,
+                                                               get_web_graph)
+    from neo4j_graph_algorithms_ray.util import preagg_sum, zip_with_index
+
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+
+    def to_host(b: pa.Table) -> pa.Table:
+        h = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        return pa.table({"host": h, "mass": b["score"]})
+
+    hm = preagg_sum(pr.map_batches(to_host, batch_format="pyarrow"),
+                    ["host"], "mass")
+    ranked = zip_with_index(hm.sort(["mass", "host"]), index_col="rnk")
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = b["mass"].to_numpy(zero_copy_only=False)
+        r = b["rnk"].to_numpy(zero_copy_only=False).astype(np.float64) + 1
+        return pa.table({"n": [float(len(m))], "s": [m.sum()],
+                         "t2": [(r * m).sum()]})
+
+    agg = ranked.map_batches(partial, batch_format="pyarrow")
+    n = agg.sum("n")
+    s = agg.sum("s")
+    t2 = agg.sum("t2")
+    return pa.table({
+        "n_hosts": pa.array([int(n)], type=pa.int64()),
+        "gini": pa.array(round6([2.0 * t2 / (n * s) - (n + 1.0) / n]))})
+
+
 def _q_orphan_pages(sf_dir: str):
     """Crawl QA: pages no other page links to (zero in-degree over the
     distinct link graph) — orphans are unreachable by link-following
@@ -4603,6 +4645,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rank_residual": _q_rank_residual,
         "degree_drift": _q_degree_drift,
         "orphan_pages": _q_orphan_pages,
+        "host_rank_gini": _q_host_rank_gini,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4950,6 +4993,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_residual": ow.rank_residual_sql(10, PR_ITERS),
         "degree_drift": ow.degree_drift_sql(5),
         "orphan_pages": ow.ORPHAN_PAGES_SQL,
+        "host_rank_gini": ow.host_rank_gini_sql(PR_ITERS),
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

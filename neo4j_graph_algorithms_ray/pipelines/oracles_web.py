@@ -2201,3 +2201,19 @@ SELECT CAST((SELECT count(*) FROM pl) AS BIGINT) AS n_pages,
        round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM pl), 6)
          AS orphan_frac
 FROM pl WHERE pl.url NOT IN (SELECT dst FROM tgt)"""
+
+
+def host_rank_gini_sql(iters: int = 20) -> str:
+    """Mirror of _q_host_rank_gini: Gini of PageRank mass across
+    hosts, exact from the ascending-mass rank sum."""
+    ctes = _rank_ctes(iters)
+    ctes.append("""hm AS (SELECT regexp_extract(node, '^[a-z]+://([^/]+)', 1)
+    AS host, sum(r) AS mass
+  FROM r{it} GROUP BY 1)""".format(it=iters))
+    return ("WITH " + ",\n".join(ctes) + """,
+rk AS (SELECT mass, row_number() OVER (ORDER BY mass, host) AS rnk FROM hm),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(mass) AS s,
+             sum(rnk * mass) AS t2 FROM rk)
+SELECT CAST(n AS BIGINT) AS n_hosts,
+       round(2.0 * t2 / (n * s) - (n + 1.0) / n, 6) AS gini
+FROM t""")
