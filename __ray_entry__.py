@@ -3125,6 +3125,42 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_web_pagerank_anchor_weighted(sf_dir: str):
+    """Page-level PageRank weighted by href multiplicity: parallel
+    links are NOT deduped — every anchor occurrence is an endorsement,
+    so a page linked 5 times from one source receives 5× the push
+    share. Raw extraction → (src,dst) occurrence counts (map-side
+    combined) → weighted CSR → BSP rank."""
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.graph import build_graph
+    from neo4j_graph_algorithms_ray.registry import GraphCatalog
+    from neo4j_graph_algorithms_ray.sources.pages import read_pages
+    from neo4j_graph_algorithms_ray.stages.extract import ExtractLinks
+    from neo4j_graph_algorithms_ray.util import preagg_sum
+
+    import numpy as np
+    import pyarrow as pa
+
+    name = f"web_anchorw:{sf_dir}"
+    g = GraphCatalog.get(name)
+    if g is None:
+        pages = read_pages(sf_dir, columns=["url", "html"])
+        raw = pages.map_batches(ExtractLinks(), batch_format="pyarrow") \
+            .filter(expr="src_url != dst_url")
+        w = preagg_sum(raw.map_batches(
+            lambda b: pa.table({"src_url": b["src_url"],
+                                "dst_url": b["dst_url"],
+                                "w": pa.array(np.ones(b.num_rows,
+                                                      np.float64))}),
+            batch_format="pyarrow"), ["src_url", "dst_url"], "w")
+        g = build_graph(w, src_col="src_url", dst_col="dst_url",
+                        weight_col="w", name=name.replace("/", "_"))
+        GraphCatalog.set(name, g)
+    res = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url",
+                   weighted=True)
+    return _round6(res.dataset, "score").sort("url")
+
+
 def _q_host_rank_gini(sf_dir: str):
     """Gini coefficient of PageRank mass across hosts — the
     authority-inequality summary at domain granularity (complement of
@@ -4646,6 +4682,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "degree_drift": _q_degree_drift,
         "orphan_pages": _q_orphan_pages,
         "host_rank_gini": _q_host_rank_gini,
+        "web_pagerank_anchor_weighted": _q_web_pagerank_anchor_weighted,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -4994,6 +5031,8 @@ def oracle_sql() -> dict[str, str]:
         "degree_drift": ow.degree_drift_sql(5),
         "orphan_pages": ow.ORPHAN_PAGES_SQL,
         "host_rank_gini": ow.host_rank_gini_sql(PR_ITERS),
+        "web_pagerank_anchor_weighted":
+            ow.web_pagerank_anchor_weighted_sql(PR_ITERS),
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

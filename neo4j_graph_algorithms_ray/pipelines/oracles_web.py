@@ -2217,3 +2217,30 @@ t AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(mass) AS s,
 SELECT CAST(n AS BIGINT) AS n_hosts,
        round(2.0 * t2 / (n * s) - (n + 1.0) / n, 6) AS gini
 FROM t""")
+
+
+def web_pagerank_anchor_weighted_sql(iters: int = 20) -> str:
+    """Mirror of _q_web_pagerank_anchor_weighted: page-level PageRank
+    with edge weight = href occurrence count (parallel links NOT
+    deduped — each anchor is an endorsement); push ∝ w/Σ_out w."""
+    ctes = [WEB_BASE,
+            f"""wl AS MATERIALIZED (
+  SELECT {_url('d')} AS src, {_url('t')} AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM links GROUP BY 1, 2)""",
+            "wn AS MATERIALIZED (SELECT src AS node FROM wl "
+            "UNION SELECT dst FROM wl)",
+            "wwd AS MATERIALIZED (SELECT src, sum(w) AS wd "
+            "FROM wl GROUP BY src)",
+            "a0 AS (SELECT node, CAST(0.15 AS DOUBLE) AS r FROM wn)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""a{k} AS MATERIALIZED (
+  SELECT n.node, 0.15 + 0.85 * coalesce(sum(p.r * e.w / dg.wd), 0) AS r
+  FROM wn n
+  LEFT JOIN wl e ON e.dst = n.node
+  LEFT JOIN a{k-1} p ON p.node = e.src
+  LEFT JOIN wwd dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS url, round(r, 6) AS score FROM a{iters} "
+            "ORDER BY url")
