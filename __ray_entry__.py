@@ -3125,6 +3125,57 @@ def _q_host_lang_profile(sf_dir: str):
         fin, batch_format="pandas").sort("host")
 
 
+def _q_reciprocal_rank_boost(sf_dir: str):
+    """Link-exchange diagnostic: mean PageRank of pages holding at
+    least one reciprocal link vs the rest — elevated reciprocal-page
+    rank is the classic link-scheme smell checked alongside
+    web_spam_mass. One self-join for the reciprocal set, one
+    rank join, a 4-scalar reduce."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.algorithms import pagerank
+    from neo4j_graph_algorithms_ray.functions.text import round6
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import (get_web_graph,
+                                                               web_edge_ds)
+    from neo4j_graph_algorithms_ray.util import (predistinct, safe_join)
+
+    g = get_web_graph(sf_dir)
+    pr = pagerank(g, 0.85, max_iterations=PR_ITERS, node_col="url").dataset
+    e = web_edge_ds(sf_dir).materialize()
+    rev = e.map_batches(
+        lambda b: pa.table({"src_url": b["dst_url"],
+                            "dst_url": b["src_url"],
+                            "__r": pa.array(np.ones(b.num_rows, np.int8))}),
+        batch_format="pyarrow")
+    both = safe_join(e, rev, "inner", 16, on=("src_url", "dst_url"))
+    recip = predistinct(both.select_columns(["src_url"])
+                        .rename_columns({"src_url": "url"}), ["url"]) \
+        .map_batches(
+            lambda b: b.append_column(
+                "__h", pa.array(np.ones(b.num_rows, np.int8))),
+            batch_format="pyarrow")
+    j = safe_join(pr, recip, "left_outer", 16, on=("url",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        has = pc.is_valid(b["__h"]).to_numpy(zero_copy_only=False)
+        r = b["score"].to_numpy(zero_copy_only=False)
+        return pa.table({"nr": [float(has.sum())],
+                         "no": [float((~has).sum())],
+                         "sr": [float(r[has].sum())],
+                         "so": [float(r[~has].sum())]})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .sum(["nr", "no", "sr", "so"])
+    nr, no = agg["sum(nr)"], agg["sum(no)"]
+    return pa.table({
+        "n_reciprocal": pa.array([int(nr)], type=pa.int64()),
+        "n_other": pa.array([int(no)], type=pa.int64()),
+        "mean_rank_reciprocal": pa.array(round6([agg["sum(sr)"] / nr])),
+        "mean_rank_other": pa.array(round6([agg["sum(so)"] / no]))})
+
+
 def _q_web_pagerank_anchor_weighted(sf_dir: str):
     """Page-level PageRank weighted by href multiplicity: parallel
     links are NOT deduped — every anchor occurrence is an endorsement,
@@ -4683,6 +4734,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "orphan_pages": _q_orphan_pages,
         "host_rank_gini": _q_host_rank_gini,
         "web_pagerank_anchor_weighted": _q_web_pagerank_anchor_weighted,
+        "reciprocal_rank_boost": _q_reciprocal_rank_boost,
         "quality_assortativity": _q_quality_assortativity,
         "host_insularity": _q_host_insularity,
         "host_reciprocity": _q_host_reciprocity,
@@ -5033,6 +5085,7 @@ def oracle_sql() -> dict[str, str]:
         "host_rank_gini": ow.host_rank_gini_sql(PR_ITERS),
         "web_pagerank_anchor_weighted":
             ow.web_pagerank_anchor_weighted_sql(PR_ITERS),
+        "reciprocal_rank_boost": ow.reciprocal_rank_boost_sql(PR_ITERS),
         "quality_assortativity": ow.QUALITY_ASSORTATIVITY_SQL,
         "host_insularity": ow.HOST_INSULARITY_SQL,
         "host_reciprocity": ow.HOST_RECIPROCITY_SQL,

@@ -2244,3 +2244,23 @@ def web_pagerank_anchor_weighted_sql(iters: int = 20) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS url, round(r, 6) AS score FROM a{iters} "
             "ORDER BY url")
+
+
+def reciprocal_rank_boost_sql(iters: int = 20) -> str:
+    """Mirror of _q_reciprocal_rank_boost: mean raw PageRank of pages
+    with at least one reciprocal link vs pages with none."""
+    ctes = _rank_ctes(iters)
+    ctes.append("""recip AS MATERIALIZED (
+  SELECT DISTINCT e1.src AS node
+  FROM wedges e1 JOIN wedges e2 ON e2.src = e1.dst AND e2.dst = e1.src)""")
+    return ("WITH " + ",\n".join(ctes) + f""",
+j AS (SELECT r.node, r.r,
+             CASE WHEN rc.node IS NOT NULL THEN 1 ELSE 0 END AS has_recip
+      FROM r{iters} r LEFT JOIN recip rc ON rc.node = r.node)
+SELECT CAST(sum(has_recip) AS BIGINT) AS n_reciprocal,
+       CAST(sum(1 - has_recip) AS BIGINT) AS n_other,
+       round(sum(CASE WHEN has_recip = 1 THEN r ELSE 0 END)
+             / nullif(sum(has_recip), 0), 6) AS mean_rank_reciprocal,
+       round(sum(CASE WHEN has_recip = 0 THEN r ELSE 0 END)
+             / nullif(sum(1 - has_recip), 0), 6) AS mean_rank_other
+FROM j""")
