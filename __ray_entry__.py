@@ -1652,6 +1652,44 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(docs, min_count=2)
 
 
+def _q_boilerplate_strip(sf_dir: str):
+    """Within-source boilerplate stripping over deterministically
+    constructed multi-line docs: every doc of a source shares a NAV
+    line (frac 1.0 → stripped), doc_id%4==0 docs share a per-source
+    COPYRIGHT footer (stripped where its within-source count clears
+    max(2, ceil(0.2·group docs))), tails are unique (kept), and the
+    MIRROR SYNC LINE (doc_id%25==0) is corpus-common but rare within
+    each source so it SURVIVES — the per-group semantics that
+    corpus-global line_dedup cannot express. Oracle:
+    BOILERPLATE_STRIP_SQL mirrors construction and threshold."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from neo4j_graph_algorithms_ray.functions.text import boilerplate_strip
+
+    def build(b: _pa.Table) -> _pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False).astype(object)
+        base = _pc.fill_null(b["text"].cast(_pa.string()), "") \
+            .to_numpy(zero_copy_only=False).astype(object)
+        nav = "NAV " + src + " HOME ABOUT\n"
+        tails = _np.where(ids % 4 == 0,
+                          "COPYRIGHT " + src + " FOOTER",
+                          _np.char.add("tail-", ids.astype(str)).astype(object))
+        sync = _np.where(ids % 25 == 0, "\nMIRROR SYNC LINE", "").astype(object)
+        txt = nav + base + "\n" + tails + sync
+        return _pa.table({"doc_id": b["doc_id"],
+                          "source": b["source"],
+                          "text": _pa.array(txt, _pa.string())})
+
+    from neo4j_graph_algorithms_ray.util import read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "source"]) \
+        .map_batches(build, batch_format="pyarrow")
+    return boilerplate_strip(docs, frac=0.2, min_docs=2)
+
+
 def _q_corpus_clean(sf_dir: str):
     """End-to-end corpus cleaning (language+quality gate → corpus line
     dedup → exact collapse) over the line_dedup multi-line construction
@@ -4694,6 +4732,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "betweenness_maxdepth": _q_betweenness_maxdepth,
         # --- below here: outside the r04 window; rotate into the
         # window next round (never driver-verified yet) ---
+        "boilerplate_strip": _q_boilerplate_strip,
         "web_matching": _q_web_matching,
         "condensation_levels": _q_condensation_levels,
         "crawl_frontier": _q_crawl_frontier,
@@ -5146,6 +5185,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": od.DECONTAMINATE_SQL,
         "pii_counts": od.PII_COUNTS_SQL,
         "line_dedup": od.LINE_DEDUP_SQL,
+        "boilerplate_strip": od.BOILERPLATE_STRIP_SQL,
         "corpus_clean": od.corpus_clean_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),
         "bm25_topk": od.bm25_topk_sql(BM25_TERMS, 25),

@@ -1286,6 +1286,185 @@ def line_dedup(docs, *, min_count: int = 2, id_col: str = "doc_id",
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow")
 
 
+def _mix_gh(gh: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Mix a group hash and a line hash into one 64-bit key (Fibonacci
+    multiply + xor). Internal membership keys only — same collision
+    contract as :func:`_line_hashes`."""
+    return ((gh.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ h.view(np.uint64)).view(np.int64)
+
+
+def boilerplate_strip(docs, *, frac: float = 0.2, min_docs: int = 2,
+                      group_col: str = "source", id_col: str = "doc_id",
+                      text_col: str = "text", bcast_limit: int | None = None,
+                      num_partitions: int = 32, nbuckets: int = 64):
+    """Per-group boilerplate-line removal — the within-host nav/footer
+    stage (boilerpipe/trafilatura semantics at corpus scale): a line is
+    boilerplate FOR A GROUP (host / source) when it occurs in ≥
+    max(``min_docs``, ceil(``frac`` · group-doc-count)) distinct
+    documents of that group, and is stripped only from that group's
+    documents. Distinct from corpus-global :func:`line_dedup`: a line
+    shared across many hosts but rare within each survives here, and
+    the threshold scales with host size. Returns (id_col, text_col)
+    with surviving lines joined by ``\\n``; documents with no surviving
+    line are dropped.
+
+    100 TB shape: pass 1 streams the corpus once emitting per-batch
+    (group-hash, line-hash, doc-count) partials — map-side combined,
+    distinct-doc counting is exact because a document occupies exactly
+    one row, so per-batch per-doc uniqueness suffices. Group document
+    totals are a second tiny aggregate, joined on group hash (a proper
+    shuffle join — hosts can be 100M+). Pass 2 streams the corpus
+    again and rebuilds each batch locally against the boilerplate set:
+    broadcast once via ``ray.put`` when ≤ NGA_LINE_BCAST_LIMIT mixed
+    keys, else the same semantics run shuffle-side (explode →
+    anti-join on (gh, h) → bucketed segmented reassembly — the
+    line_dedup machinery keyed per group). Beyond-reference corpus
+    operator; oracle: BOILERPLATE_STRIP_SQL mirrors construction,
+    threshold, and drop semantics."""
+    import os
+
+    import ray
+
+    from neo4j_graph_algorithms_ray.util import (preagg_sum, safe_join,
+                                                 to_arrow_blocks)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _split_lines(_text_column(b, text_col))
+        if len(flat) == 0:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ghr = _line_hashes(b[group_col].cast(pa.string()).combine_chunks()
+                           if isinstance(b[group_col], pa.ChunkedArray)
+                           else b[group_col].cast(pa.string()))
+        h = _line_hashes(flat)
+        pairs = np.stack([ghr[doc_idx], h, doc_idx], axis=1)
+        # one row per doc → distinct (doc, line) within the batch IS
+        # distinct corpus-wide; collapse repeats of a line inside a doc
+        uniq = np.unique(pairs, axis=0)
+        gl = uniq[:, :2]
+        key, cnt = np.unique(gl, axis=0, return_counts=True)
+        return pa.table({"gh": pa.array(key[:, 0]),
+                         "h": pa.array(key[:, 1]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def total_partial(b: pa.Table) -> pa.Table:
+        ghr = _line_hashes(b[group_col].cast(pa.string()).combine_chunks()
+                           if isinstance(b[group_col], pa.ChunkedArray)
+                           else b[group_col].cast(pa.string()))
+        key, cnt = np.unique(ghr, return_counts=True)
+        return pa.table({"gh": pa.array(key),
+                         "nd": pa.array(cnt.astype(np.int64))})
+
+    counts = preagg_sum(docs.map_batches(count_partial,
+                                         batch_format="pyarrow"),
+                        ["gh", "h"], "n")
+    totals = preagg_sum(docs.map_batches(total_partial,
+                                         batch_format="pyarrow"),
+                        ["gh"], "nd")
+
+    def threshold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        need = np.maximum(min_docs, np.ceil(
+            frac * b["nd"].to_numpy(zero_copy_only=False)).astype(np.int64))
+        keep = b["n"].to_numpy(zero_copy_only=False) >= need
+        return b.filter(pa.array(keep)).select(["gh", "h"])
+
+    boiler = safe_join(counts, totals, "inner", num_partitions,
+                       on=("gh",)) \
+        .map_batches(threshold, batch_format="pyarrow").materialize()
+
+    limit = (bcast_limit if bcast_limit is not None
+             else int(os.environ.get("NGA_LINE_BCAST_LIMIT", 20_000_000)))
+    if boiler.count() <= limit:
+        tabs = [t for t in ray.get(boiler.to_arrow_refs()) if t.num_rows]
+        ks = (np.sort(np.concatenate(
+            [_mix_gh(t["gh"].to_numpy(zero_copy_only=False),
+                     t["h"].to_numpy(zero_copy_only=False)) for t in tabs]))
+            if tabs else np.empty(0, np.int64))
+        ref = ray.put(ks)
+
+        def rebuild(b: pa.Table) -> pa.Table:
+            flat, doc_idx, _ = _split_lines(_text_column(b, text_col))
+            bset = ray.get(ref)  # local plasma, zero-copy numpy
+            ghr = _line_hashes(b[group_col].cast(pa.string()).combine_chunks()
+                               if isinstance(b[group_col], pa.ChunkedArray)
+                               else b[group_col].cast(pa.string()))
+            k = _mix_gh(ghr[doc_idx], _line_hashes(flat))
+            if len(bset) and len(k):
+                pos = np.minimum(np.searchsorted(bset, k), len(bset) - 1)
+                keep = bset[pos] != k
+            else:
+                keep = np.ones(len(k), dtype=bool)
+            nrows = b.num_rows
+            kept_per_doc = np.bincount(doc_idx[keep], minlength=nrows)
+            offsets = np.zeros(nrows + 1, dtype=np.int32)
+            np.cumsum(kept_per_doc, out=offsets[1:])
+            kept_lines = flat.filter(pa.array(keep))
+            if isinstance(kept_lines, pa.ChunkedArray):
+                kept_lines = kept_lines.combine_chunks()
+            lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           kept_lines)
+            text = pc.binary_join(lst, "\n")
+            mask = pa.array(kept_per_doc > 0)
+            return pa.table({id_col: b[id_col].filter(mask),
+                             text_col: text.filter(mask)})
+
+        return docs.map_batches(rebuild, batch_format="pyarrow")
+
+    # shuffle regime: boilerplate set too large to broadcast — same
+    # anti-join + bucketed reassembly as line_dedup, keyed (gh, h)
+    def explode(b: pa.Table) -> pa.Table:
+        flat, doc_idx, n_lines = _split_lines(_text_column(b, text_col))
+        ghr = _line_hashes(b[group_col].cast(pa.string()).combine_chunks()
+                           if isinstance(b[group_col], pa.ChunkedArray)
+                           else b[group_col].cast(pa.string()))
+        starts = np.repeat(np.cumsum(n_lines) - n_lines, n_lines)
+        line_no = np.arange(len(doc_idx), dtype=np.int64) - starts
+        return pa.table({id_col: b[id_col].take(pa.array(doc_idx)),
+                         "line_no": pa.array(line_no),
+                         "ln": flat,
+                         "gh": pa.array(ghr[doc_idx]),
+                         "h": pa.array(_line_hashes(flat))})
+
+    lines = docs.map_batches(explode, batch_format="pyarrow")
+    marks = boiler.map_batches(
+        lambda b: b.append_column(
+            "_dup", pa.array(np.ones(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    joined = safe_join(lines, marks, "left_outer", num_partitions,
+                       on=("gh", "h"))
+
+    def keep_unmarked(b: pa.Table) -> pd.DataFrame:
+        t = b.filter(pc.is_null(b["_dup"])).select([id_col, "line_no", "ln"])
+        df = t.to_pandas()
+        df["_bkt"] = (pd.util.hash_array(df[id_col].to_numpy())
+                      % np.uint64(nbuckets)).astype(np.int64)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 text_col: pd.Series(dtype=object)})
+        g = g.sort_values([id_col, "line_no"])
+        codes, uniq = pd.factorize(g[id_col].to_numpy())  # sorted order
+        cnt = np.bincount(codes)
+        bounds = np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()),
+            pa.array(g["ln"].to_numpy(), pa.string()))
+        return pd.DataFrame({id_col: uniq,
+                             text_col: pc.binary_join(lst, "\n").to_pandas()})
+
+    out = joined.map_batches(keep_unmarked, batch_format="pyarrow") \
+                .groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    return to_arrow_blocks(out).map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow")
+
+
 def _raw_token_arrays(txt) -> tuple[np.ndarray, object, np.ndarray]:
     """Case-preserving whitespace tokenize → (doc_idx int64[], flat
     token pa.Array, tokens_per_doc int64[]). Empty/whitespace-only

@@ -924,6 +924,42 @@ FROM documents ORDER BY doc_id"""
 # construction (the sf documents are single-line), then CCNet line-dedup
 # semantics — a line occurring >= 2 times corpus-wide is removed from
 # every doc; docs with no surviving line drop out (GROUP BY).
+# Mirrors _q_boilerplate_strip exactly: per-source nav/footer lines on
+# a deterministic multi-line construction, then within-group
+# boilerplate semantics — a line in >= max(2, ceil(0.2 * group docs))
+# distinct docs OF ITS SOURCE is stripped from that source's docs only.
+# The MIRROR SYNC LINE (doc_id%25==0) is corpus-common but rare within
+# each source, so it SURVIVES — the semantic difference vs line_dedup.
+BOILERPLATE_STRIP_SQL = r"""WITH docs2 AS (
+  SELECT doc_id, source,
+         'NAV ' || source || ' HOME ABOUT' || chr(10) || coalesce(text, '')
+         || chr(10)
+         || CASE WHEN doc_id % 4 = 0 THEN 'COPYRIGHT ' || source || ' FOOTER'
+                 ELSE 'tail-' || doc_id END
+         || CASE WHEN doc_id % 25 = 0 THEN chr(10) || 'MIRROR SYNC LINE'
+                 ELSE '' END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, chr(10))) AS ln,
+         unnest(range(len(string_split(text, chr(10))))) AS line_no
+  FROM docs2
+), sd AS (SELECT source, count(*) AS n_docs FROM docs2 GROUP BY source),
+cnt AS (
+  SELECT l.source, l.ln, count(DISTINCT l.doc_id) AS dc
+  FROM lines l GROUP BY l.source, l.ln
+), boiler AS (
+  SELECT c.source, c.ln
+  FROM cnt c JOIN sd ON sd.source = c.source
+  WHERE c.dc >= greatest(2, CAST(ceil(0.2 * sd.n_docs) AS BIGINT))
+)
+SELECT l.doc_id, string_agg(l.ln, chr(10) ORDER BY l.line_no) AS text
+FROM lines l
+WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                  WHERE b.source = l.source AND b.ln = l.ln)
+GROUP BY l.doc_id"""
+
+
 LINE_DEDUP_SQL = r"""WITH docs2 AS (
   SELECT doc_id,
          'SHARED HEADER BOILERPLATE' || chr(10) || coalesce(text, '')

@@ -298,6 +298,60 @@ def test_line_dedup_regime_parity():
     assert _line_out(bcast_limit=0, min_count=3) == _line_out(min_count=3)
 
 
+# -------------- boilerplate_strip (within-group nav/footer) --------------
+
+BOILER_DOCS = [
+    # host A (5 docs incl. doc 7): NAV in all 5 (stripped at any frac),
+    # FOOT in 2 of 5 (below ceil(0.5·5)=3 → kept at frac=0.5)
+    {"doc_id": 1, "source": "a", "text": "NAV A\nalpha\nFOOT A"},
+    {"doc_id": 2, "source": "a", "text": "NAV A\nbeta\nFOOT A"},
+    {"doc_id": 3, "source": "a", "text": "NAV A\ngamma"},
+    {"doc_id": 4, "source": "a", "text": "NAV A\nCROSS HOST LINE"},
+    # host B: its own NAV; CROSS HOST LINE appears once here — common
+    # corpus-wide (2×) but rare within each host, so it SURVIVES
+    {"doc_id": 5, "source": "b", "text": "NAV B\ndelta\nCROSS HOST LINE"},
+    {"doc_id": 6, "source": "b", "text": "NAV B\nepsilon"},
+    # doc 7: everything boilerplate → dropped entirely
+    {"doc_id": 7, "source": "a", "text": "NAV A"},
+]
+
+
+def _boiler_out(bcast_limit=None, frac=0.5, min_docs=2):
+    from neo4j_graph_algorithms_ray.functions.text import boilerplate_strip
+    out = boilerplate_strip(rd.from_items(BOILER_DOCS), frac=frac,
+                            min_docs=min_docs,
+                            bcast_limit=bcast_limit).take_all()
+    return {r["doc_id"]: r["text"] for r in out}
+
+
+def test_boilerplate_strip_per_group():
+    # host a has 5 docs (1,2,3,4,7) → threshold max(2, ceil(0.5·5))=3:
+    # NAV A (5 docs) stripped, FOOT A (2 docs) kept. host b has 2 docs
+    # → threshold 2: NAV B (2 docs) stripped.
+    out = _boiler_out()
+    assert out[1] == "alpha\nFOOT A"
+    assert out[2] == "beta\nFOOT A"
+    assert out[3] == "gamma"
+    # CROSS HOST LINE survives in BOTH hosts (rare within each)
+    assert out[4] == "CROSS HOST LINE"
+    assert out[5] == "delta\nCROSS HOST LINE"
+    assert out[6] == "epsilon"
+    # doc 7 was pure boilerplate → dropped
+    assert 7 not in out
+
+
+def test_boilerplate_strip_threshold_scales_with_group():
+    # min_docs=2, frac tiny → FOOT A (2 docs) now clears the bar too
+    out = _boiler_out(frac=0.01)
+    assert out[1] == "alpha" and out[2] == "beta"
+
+
+def test_boilerplate_strip_regime_parity():
+    # force the shuffle regime (bcast_limit=0) — identical output
+    assert _boiler_out(bcast_limit=0) == _boiler_out()
+    assert _boiler_out(bcast_limit=0, frac=0.01) == _boiler_out(frac=0.01)
+
+
 # ---------------- corpus_clean (composed cleaning pipeline) ----------------
 
 def test_corpus_clean_three_stages():
