@@ -1966,6 +1966,15 @@ def _q_page_text(sf_dir: str):
     return extracted_text_ds(sf_dir).select_columns(["url", "text"])
 
 
+def _q_page_meta(sf_dir: str):
+    """Per-page metadata extraction: <title>, first <h1>, raw href
+    count — the page-descriptor stage (title dedup / snippets /
+    quality rules). Oracle: PAGE_META_SQL reconstructs all three from
+    the deterministic page template."""
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import page_meta_ds
+    return page_meta_ds(sf_dir)
+
+
 def _q_page_links(sf_dir: str):
     from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds
     return web_edge_ds(sf_dir)
@@ -4733,6 +4742,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         # --- below here: outside the r04 window; rotate into the
         # window next round (never driver-verified yet) ---
         "boilerplate_strip": _q_boilerplate_strip,
+        "page_meta": _q_page_meta,
         "web_matching": _q_web_matching,
         "condensation_levels": _q_condensation_levels,
         "crawl_frontier": _q_crawl_frontier,
@@ -5186,6 +5196,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_counts": od.PII_COUNTS_SQL,
         "line_dedup": od.LINE_DEDUP_SQL,
         "boilerplate_strip": od.BOILERPLATE_STRIP_SQL,
+        "page_meta": ow.PAGE_META_SQL,
         "corpus_clean": od.corpus_clean_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),
         "bm25_topk": od.bm25_topk_sql(BM25_TERMS, 25),

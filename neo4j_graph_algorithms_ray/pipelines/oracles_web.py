@@ -45,6 +45,18 @@ SELECT {_url('degs.d')} AS url,
 FROM degs LEFT JOIN lab ON lab.d = degs.d
 ORDER BY url"""
 
+# Mirrors page_meta_ds: title/h1 are 'Doc d' by the page template;
+# n_links counts raw href occurrences = the links CTE rows per page
+# (self-links skipped at compose time, zero-link pages keep a row).
+PAGE_META_SQL = f"""WITH {WEB_BASE},
+lc AS (SELECT d, CAST(count(*) AS BIGINT) AS n_links FROM links GROUP BY d)
+SELECT {_url('degs.d')} AS url,
+       'Doc ' || degs.d AS title,
+       'Doc ' || degs.d AS h1,
+       coalesce(lc.n_links, CAST(0 AS BIGINT)) AS n_links
+FROM degs LEFT JOIN lc ON lc.d = degs.d
+ORDER BY url"""
+
 PAGE_LINKS_SQL = f"""WITH {WEB_BASE},
 {WEB_EDGES}
 SELECT src AS src_url, dst AS dst_url FROM wedges ORDER BY src_url, dst_url"""

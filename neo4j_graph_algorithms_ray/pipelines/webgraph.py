@@ -38,6 +38,17 @@ def extracted_text_ds(sf_dir: str) -> rd.Dataset:
                              batch_size=EXTRACT_BATCH)
 
 
+def page_meta_ds(sf_dir: str) -> rd.Dataset:
+    """(url, title, h1, n_links) per page — title/first-h1 extraction
+    plus raw href count (out-degree before self-link/distinct
+    normalization). Same warm-task-pool instance pattern as the other
+    extract stages."""
+    from neo4j_graph_algorithms_ray.stages.extract import ExtractMeta
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    return pages.map_batches(ExtractMeta(), batch_format="pyarrow",
+                             batch_size=EXTRACT_BATCH)
+
+
 def web_edge_ds(sf_dir: str) -> rd.Dataset:
     """Distinct (src_url, dst_url) href edges, self-links dropped."""
     pages = read_pages(sf_dir, columns=["url", "html"])

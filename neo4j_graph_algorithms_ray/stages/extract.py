@@ -100,6 +100,36 @@ class ExtractLinks:
         return pa.table({"src_url": srcs, "dst_url": dsts})
 
 
+TITLE_RE = r"<title>(?P<t>[^<]*)</title>"
+H1_RE = r"<h1>(?P<h>[^<]*)</h1>"
+
+
+class ExtractMeta:
+    """pages(url, html) → (url, title, h1, n_links): per-page metadata
+    — the <title> and first <h1> text plus the raw href count. Title
+    extraction is the classic page-descriptor stage (title-based dedup,
+    SERP snippets, quality rules); n_links is the out-degree before any
+    normalization. First-match semantics for title/h1 (RE2 leftmost),
+    matching DuckDB ``regexp_extract``; pages without the tag get ''.
+    Fully vectorized: two ``extract_regex`` + one
+    ``count_substring`` over the whole column, no per-row Python."""
+
+    def __init__(self):
+        self.title_re = TITLE_RE
+        self.h1_re = H1_RE
+        self.href_open = HREF_OPEN
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = _html_utf8(batch)
+        tm = pc.extract_regex(html, self.title_re)
+        hm = pc.extract_regex(html, self.h1_re)
+        title = pc.fill_null(pc.struct_field(tm, "t"), "")
+        h1 = pc.fill_null(pc.struct_field(hm, "h"), "")
+        n_links = pc.count_substring(html, self.href_open).cast(pa.int64())
+        return pa.table({"url": batch.column("url"), "title": title,
+                         "h1": h1, "n_links": n_links})
+
+
 ANCHOR_HEAD_RE = r'^(?P<u>[^"]*)">(?P<a>[^<]*)'
 
 

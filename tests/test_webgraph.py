@@ -141,3 +141,22 @@ def test_extract_anchors_text_and_duplicates():
     assert rows == [("u1", "http://x.test/a", "Alpha"),
                     ("u1", "http://x.test/a", "Alpha"),
                     ("u1", "http://x.test/b", "B two")]
+
+
+def test_extract_meta_title_h1_links():
+    from neo4j_graph_algorithms_ray.stages.extract import ExtractMeta
+    html = [
+        b'<html><head><title>First T</title></head><body><h1>Head A</h1>'
+        b'<a href="http://x.test/a">a</a><a href="http://x.test/b">b</a>'
+        b'</body></html>',
+        # no title/h1, no links -> empty strings, 0
+        b'<html><body><p>plain</p></body></html>',
+        # two titles -> leftmost match wins (RE2 / regexp_extract parity)
+        b'<title>One</title><title>Two</title><h1>H</h1>',
+    ]
+    batch = pa.table({"url": ["u1", "u2", "u3"],
+                      "html": pa.array(html, pa.binary())})
+    out = ExtractMeta()(batch)
+    assert out["title"].to_pylist() == ["First T", "", "One"]
+    assert out["h1"].to_pylist() == ["Head A", "", "H"]
+    assert out["n_links"].to_pylist() == [2, 0, 0]
