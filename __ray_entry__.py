@@ -1747,6 +1747,14 @@ def _q_bigram_xent(sf_dir: str):
     return bigram_xent(_docs(sf_dir), min_count=2)
 
 
+def _q_trigram_xent(sf_dir: str):
+    """Trigram stupid-backoff LM cross-entropy (Brants et al. 2007)
+    self-trained on the corpus. Oracle: trigram_xent_sql mirrors fold,
+    backoff chain, and alpha."""
+    from neo4j_graph_algorithms_ray.functions.text import trigram_xent
+    return trigram_xent(_docs(sf_dir), min_count=2)
+
+
 def _q_stratified_sample(sf_dir: str):
     from neo4j_graph_algorithms_ray.functions.text import stratified_sample
     from neo4j_graph_algorithms_ray.util import read_parquet_clean
@@ -4743,6 +4751,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         # window next round (never driver-verified yet) ---
         "boilerplate_strip": _q_boilerplate_strip,
         "page_meta": _q_page_meta,
+        "trigram_xent": _q_trigram_xent,
         "web_matching": _q_web_matching,
         "condensation_levels": _q_condensation_levels,
         "crawl_frontier": _q_crawl_frontier,
@@ -5197,6 +5206,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": od.LINE_DEDUP_SQL,
         "boilerplate_strip": od.BOILERPLATE_STRIP_SQL,
         "page_meta": ow.PAGE_META_SQL,
+        "trigram_xent": od.trigram_xent_sql(2),
         "corpus_clean": od.corpus_clean_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),
         "bm25_topk": od.bm25_topk_sql(BM25_TERMS, 25),

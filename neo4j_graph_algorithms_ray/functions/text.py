@@ -1031,6 +1031,147 @@ def bigram_xent(docs, *, min_count: int = 2, id_col: str = "doc_id",
         score, batch_format="pyarrow")
 
 
+def trigram_xent(docs, *, min_count: int = 2, alpha: float = 0.4,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc trigram-LM cross-entropy with STUPID BACKOFF (Brants et
+    al. 2007 — the web-scale smoothing: no discounting, a fixed
+    backoff factor, scores not probabilities). Self-trained with
+    ``<unk>`` folding (vocab = tokens with count ≥ ``min_count``):
+
+        S(z|x,y) = C(xyz)/C(xy)          if C(xyz) > 0
+                 = α · C(yz)/C(y)        elif C(yz) > 0
+                 = α² · C(z)/N           otherwise
+        xent(d)  = -(1/(T-2)) Σ_{i≥3} log2 S(t_i | t_{i-2}, t_{i-1})
+
+    over lowered whitespace tokens (0 for docs with < 3 tokens; folded
+    C(z) > 0 always since scoring corpus = training corpus).
+    → (doc_id, xent). Scale shape identical to :func:`bigram_xent`:
+    three map-side-combined count aggregates (bounded by distinct
+    folded grams) broadcast once via ``ray.put``, then batch-local
+    sorted-key searchsorted scoring — no shuffle touches the corpus.
+    Floor the vocab hard (min_count ≥ 100) at open-domain scale so the
+    folded trigram table stays worker-heap sized. Oracle:
+    trigram_xent_sql mirrors fold, backoff chain, and α."""
+    import pyarrow as pa
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _token_arrays
+    from neo4j_graph_algorithms_ray.util import collect_arrow, preagg_sum
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        _, toks = _token_arrays(b[text_col])
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n": np.bincount(codes, minlength=len(uniq))
+                                .astype(np.int64)})
+
+    uni = preagg_sum(docs.select_columns([text_col]).map_batches(
+        uni_partial, batch_format="pyarrow"), ["token"], "n")
+    utabs = [t for t in collect_arrow(uni) if t.num_rows]
+    utab = (pa.concat_tables(utabs) if utabs
+            else pa.table({"token": pa.array([], pa.string()),
+                           "n": pa.array([], pa.int64())}))
+    n_arr = utab["n"].to_numpy(zero_copy_only=False)
+    keep = n_arr >= min_count
+    vocab = pd.Index(np.asarray(utab["token"].to_pylist(), dtype=object)[keep])
+    vtot = len(vocab) + 1  # +1: <unk>
+    if vtot ** 3 >= 2 ** 62:  # packed int64 trigram keys would overflow
+        raise ValueError(
+            f"trigram_xent: folded vocab {vtot} too large for packed "
+            f"int64 keys — raise min_count (Brants-scale corpora floor "
+            f"the vocab aggressively anyway)")
+    uni_cnt = np.concatenate([n_arr[keep].astype(np.float64),
+                              [float(n_arr[~keep].sum())]])  # unk mass last
+    n_total = float(uni_cnt.sum())
+    vocab_ref = ray.put(vocab)
+    uni_ref = ray.put(uni_cnt)
+
+    def _codes(toks) -> np.ndarray:
+        voc = ray.get(vocab_ref)
+        c = voc.get_indexer(toks)
+        c[c < 0] = len(voc)  # fold OOV to <unk>
+        return c.astype(np.int64)
+
+    def gram_partial(order: int):
+        def part(b: pa.Table) -> pa.Table:
+            doc_idx, toks = _token_arrays(b[text_col])
+            if len(toks) < order:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            c = _codes(toks)
+            key = c[:len(c) - order + 1].copy()
+            same = np.ones(len(key), dtype=bool)
+            for j in range(1, order):
+                sl = slice(j, len(c) - order + 1 + j)
+                key = key * vtot + c[sl]
+                same &= doc_idx[:len(key)] == doc_idx[sl]
+            uk, cnt = np.unique(key[same], return_counts=True)
+            return pa.table({"k": pa.array(uk),
+                             "n": cnt.astype(np.int64)})
+        return part
+
+    def _collect_sorted(order: int):
+        g = preagg_sum(docs.select_columns([text_col]).map_batches(
+            gram_partial(order), batch_format="pyarrow"), ["k"], "n")
+        tabs = [t for t in collect_arrow(g) if t.num_rows]
+        if not tabs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        t = pa.concat_tables(tabs)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        order_ix = np.argsort(k)
+        return (k[order_ix],
+                t["n"].to_numpy(zero_copy_only=False)[order_ix]
+                 .astype(np.float64))
+
+    bk, bc = _collect_sorted(2)
+    tk, tc = _collect_sorted(3)
+    bk_ref, bc_ref = ray.put(bk), ray.put(bc)
+    tk_ref, tc_ref = ray.put(tk), ray.put(tc)
+
+    def _lookup(keys, sk, sc_):
+        out = np.zeros(len(keys), np.float64)
+        if len(sk) and len(keys):
+            pos = np.minimum(np.searchsorted(sk, keys), len(sk) - 1)
+            hit = sk[pos] == keys
+            out[hit] = sc_[pos[hit]]
+        return out
+
+    def score(b: pa.Table) -> pa.Table:
+        doc_idx, toks = _token_arrays(b[text_col])
+        xent = np.zeros(b.num_rows, np.float64)
+        if len(toks) >= 3:
+            uc = ray.get(uni_ref)
+            sbk, sbc = ray.get(bk_ref), ray.get(bc_ref)
+            stk, stc = ray.get(tk_ref), ray.get(tc_ref)
+            c = _codes(toks)
+            x, y, z = c[:-2], c[1:-1], c[2:]
+            d0, d1, d2 = doc_idx[:-2], doc_idx[1:-1], doc_idx[2:]
+            same = (d0 == d1) & (d1 == d2)
+            x, y, z, d = x[same], y[same], z[same], d0[same]
+            kxy, kyz = x * vtot + y, y * vtot + z
+            kxyz = kxy * vtot + z
+            cxyz = _lookup(kxyz, stk, stc)
+            cxy = _lookup(kxy, sbk, sbc)
+            cyz = _lookup(kyz, sbk, sbc)
+            s = np.where(
+                cxyz > 0, cxyz / np.maximum(cxy, 1.0),
+                np.where(cyz > 0, alpha * cyz / uc[y],
+                         alpha * alpha * uc[z] / n_total))
+            logp = np.log2(s)
+            tot = np.bincount(d, weights=-logp, minlength=b.num_rows)
+            ntri = np.bincount(d, minlength=b.num_rows)
+            nz = ntri > 0
+            xent[nz] = tot[nz] / ntri[nz]
+        return pa.table({id_col: b[id_col],
+                         "xent": pa.array(round6(xent))})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+
+
 def hash_features(docs, *, dims: int = 256, id_col: str = "doc_id",
                   text_col: str = "text"):
     """Hashing-trick featurizer (Weinberger et al. 2009): each doc's

@@ -747,6 +747,57 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
 
+def trigram_xent_sql(min_count: int = 2, alpha: float = 0.4) -> str:
+    """Mirror of functions/text.trigram_xent: self-trained trigram LM
+    with stupid backoff (Brants et al. 2007) and <unk> folding —
+    S(z|x,y) = C(xyz)/C(xy), else α·C(yz)/C(y), else α²·C(z)/N;
+    per-doc xent = -(1/(T-2)) Σ log2 S, 0 if < 3 tokens."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+occ AS MATERIALIZED (
+  SELECT doc_id, unnest(tk) AS token,
+         unnest(range(1, len(tk) + 1)) AS pos FROM tl),
+uni0 AS (SELECT token, count(*) AS n FROM occ GROUP BY token),
+voc AS (SELECT token FROM uni0 WHERE n >= {min_count}),
+m AS MATERIALIZED (
+  SELECT o.doc_id, o.pos,
+         CASE WHEN v.token IS NULL THEN chr(1) ELSE o.token END AS tok
+  FROM occ o LEFT JOIN voc v ON v.token = o.token),
+uni AS MATERIALIZED (SELECT tok, count(*) AS n FROM m GROUP BY tok),
+nt AS (SELECT sum(n) * 1.0 AS n FROM uni),
+big AS MATERIALIZED (
+  SELECT a.tok AS x, b.tok AS y, count(*) AS n
+  FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.tok, b.tok),
+trig AS MATERIALIZED (
+  SELECT a.tok AS x, b.tok AS y, c.tok AS z, count(*) AS n
+  FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN m c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  GROUP BY a.tok, b.tok, c.tok),
+triples AS (
+  SELECT a.doc_id, a.tok AS x, b.tok AS y, c.tok AS z
+  FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN m c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+sc AS (
+  SELECT t.doc_id,
+         -sum(log2(CASE
+            WHEN tg.n IS NOT NULL THEN tg.n * 1.0 / bxy.n
+            WHEN byz.n IS NOT NULL THEN {alpha} * byz.n / uy.n
+            ELSE {alpha} * {alpha} * uz.n / nt.n END)) / count(*) AS xe
+  FROM triples t
+  LEFT JOIN trig tg ON tg.x = t.x AND tg.y = t.y AND tg.z = t.z
+  LEFT JOIN big bxy ON bxy.x = t.x AND bxy.y = t.y
+  LEFT JOIN big byz ON byz.x = t.y AND byz.y = t.z
+  JOIN uni uy ON uy.tok = t.y
+  JOIN uni uz ON uz.tok = t.z
+  CROSS JOIN nt
+  GROUP BY t.doc_id)
+SELECT d.doc_id, round(coalesce(sc.xe, 0), 6) AS xent
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 def span_dedup_sql(k: int = 5, min_count: int = 2) -> str:
     """Mirror of functions/text.span_dedup: case-sensitive whitespace
     tokens, k-gram windows occurring >= min_count corpus-wide mark

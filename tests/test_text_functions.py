@@ -891,3 +891,50 @@ def test_pii_redact_masks_and_counts():
     assert rows[1] == {"doc_id": 1, "text": "clean", "n_redactions": 0}
     assert rows[2]["text"] == "<EMAIL> <EMAIL>"
     assert rows[2]["n_redactions"] == 2
+
+
+def test_trigram_xent_matches_bruteforce():
+    import math
+    from collections import Counter
+
+    from neo4j_graph_algorithms_ray.functions.text import trigram_xent
+    docs = [
+        {"doc_id": 1, "text": "a b c a b c a b"},
+        {"doc_id": 2, "text": "a b d c a b"},
+        {"doc_id": 3, "text": "b c x y a"},   # x/y fold to <unk>
+        {"doc_id": 4, "text": "a b"},          # < 3 tokens -> 0
+    ]
+    min_count, alpha = 2, 0.4
+    # brute-force reference: fold, count, stupid backoff
+    toks = {d["doc_id"]: d["text"].lower().split() for d in docs}
+    uni0 = Counter(t for tk in toks.values() for t in tk)
+    voc = {t for t, n in uni0.items() if n >= min_count}
+    fold = {d: [t if t in voc else "\x01" for t in tk]
+            for d, tk in toks.items()}
+    uni = Counter(t for tk in fold.values() for t in tk)
+    big = Counter((tk[i], tk[i + 1]) for tk in fold.values()
+                  for i in range(len(tk) - 1))
+    tri = Counter((tk[i], tk[i + 1], tk[i + 2]) for tk in fold.values()
+                  for i in range(len(tk) - 2))
+    n_total = sum(uni.values())
+    want = {}
+    for d, tk in fold.items():
+        if len(tk) < 3:
+            want[d] = 0.0
+            continue
+        tot = 0.0
+        for i in range(len(tk) - 2):
+            x, y, z = tk[i], tk[i + 1], tk[i + 2]
+            if tri[(x, y, z)]:
+                s = tri[(x, y, z)] / big[(x, y)]
+            elif big[(y, z)]:
+                s = alpha * big[(y, z)] / uni[y]
+            else:
+                s = alpha * alpha * uni[z] / n_total
+            tot -= math.log2(s)
+        want[d] = round(tot / (len(tk) - 2), 6)
+    got = {r["doc_id"]: r["xent"]
+           for r in trigram_xent(rd.from_items(docs),
+                                 min_count=min_count).take_all()}
+    assert got == want
+    assert got[4] == 0.0 and got[1] > 0.0
