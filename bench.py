@@ -330,6 +330,36 @@ def headline(num_cpus: int) -> dict:
     pr_sec = queries.pop(f"pii_redact_{n_big}d")
     extras["pii_redact_docs_per_sec"] = round(n_big / pr_sec, 1)
 
+    # round-4 session-10 corpus operators (throughput lines only):
+    # trigram stupid-backoff LM scoring (three count passes + broadcast
+    # tables + score pass) and per-host boilerplate stripping (count
+    # pass + threshold join + rebuild pass). boilerplate groups by a
+    # synthetic host key (doc_id % 64) since the replicated corpus
+    # carries no source column.
+    from neo4j_graph_algorithms_ray.functions.text import (boilerplate_strip,
+                                                           trigram_xent)
+
+    def trigram_pass():
+        return trigram_xent(big_docs, min_count=16).count()
+
+    timed(f"trigram_xent_{n_big}d", trigram_pass, repeats=2)
+    tx_sec = queries.pop(f"trigram_xent_{n_big}d")
+    extras["trigram_xent_docs_per_sec"] = round(n_big / tx_sec, 1)
+
+    def _with_host(b):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "source", _pa.array((ids % 64).astype("int64").astype(str)))
+
+    host_docs = big_docs.map_batches(_with_host, batch_format="pyarrow")
+
+    def boiler_pass():
+        return boilerplate_strip(host_docs, frac=0.3, min_docs=3).count()
+
+    timed(f"boilerplate_{n_big}d", boiler_pass, repeats=2)
+    bp_sec = queries.pop(f"boilerplate_{n_big}d")
+    extras["boilerplate_docs_per_sec"] = round(n_big / bp_sec, 1)
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",

@@ -152,6 +152,43 @@ def _merge_unique_driver(refs: list) -> pa.Array:
     return res.combine_chunks() if isinstance(res, pa.ChunkedArray) else res
 
 
+# The per-block unique-count sum double-counts endpoints shared across
+# blocks, so it GROWS with block count: the same 166M-edge/2M-node
+# table estimated 16M distinct at 8 input blocks but 64M at 32 — and
+# fell off the fast broadcast path exactly when parallelism increased
+# (measured: id-assign 18 s at 8 CPUs vs ~290 s at 32 through the
+# distributed groupby-distinct). When the overestimate is within this
+# factor of the limit, spend a cheap remote tree merge to resolve the
+# overlap EXACTLY before deciding the regime; far above it (true huge
+# graphs — at 10^12 docs the sum is 1000× the limit) go straight to
+# the distributed id-assign path.
+TREE_MERGE_OVERESTIMATE_FACTOR = 8
+
+
+@ray.remote
+def _arr_len(arr: pa.Array) -> int:
+    return len(arr)
+
+
+@ray.remote
+def _union_unique(*parts: pa.Array) -> pa.Array:
+    allv = pc.unique(pa.chunked_array(list(parts)))
+    order = pc.sort_indices(allv)
+    res = allv.take(order)
+    return res.combine_chunks() if isinstance(res, pa.ChunkedArray) else res
+
+
+def _tree_merge_unique(refs: list, fanin: int = 4):
+    """Remote tree merge of per-block unique arrays → one object ref
+    holding the sorted global distinct array. Each round unions
+    ``fanin`` sorted-unique inputs per task (peak task memory ≈ fanin ·
+    true-distinct ints); the driver never touches intermediates."""
+    while len(refs) > 1:
+        refs = [_union_unique.remote(*refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    return refs[0]
+
+
 def build_graph(
     edges: rd.Dataset,
     src_col: str = "src",
@@ -231,6 +268,16 @@ def build_graph(
         # a hash shuffle; this path is seconds and the result is the
         # broadcast vid map we need anyway)
         node_arr = _merge_unique_driver(uniq_refs)
+    elif (distinct_driver_limit > 0 and uniq_refs is not None
+          and est_distinct <= (TREE_MERGE_OVERESTIMATE_FACTOR
+                               * distinct_driver_limit)):
+        # the estimate is an overlap-inflated upper bound (see
+        # TREE_MERGE_OVERESTIMATE_FACTOR): resolve it exactly with a
+        # remote tree merge and pull the array only if genuinely small
+        merged = _tree_merge_unique(uniq_refs)
+        if int(ray.get(_arr_len.remote(merged))) <= distinct_driver_limit:
+            node_arr = ray.get(merged)
+    if node_arr is not None:
         n = len(node_arr)
         vt = pa.table({"node": node_arr,
                        "vid": pa.array(np.arange(n, dtype=np.int64))})

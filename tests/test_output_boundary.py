@@ -101,3 +101,42 @@ def test_distinct_gate_routes_on_endpoint_cardinality(monkeypatch):
     assert not calls, "high-cardinality table must take the distributed path"
     assert g_big.num_vertices == 6
     assert g_big.num_edges == g_small.num_edges
+
+
+def test_block_overlap_resolved_by_tree_merge(monkeypatch):
+    """The per-block unique-count SUM grows with block count (overlap
+    double-counting): at high parallelism the same graph used to fall
+    off the broadcast path into the minutes-long distributed distinct
+    (measured 18 s @ 8 CPUs vs ~290 s @ 32 on the 166M-edge scaling
+    graph). The remote tree merge must resolve the overlap exactly and
+    keep the broadcast regime."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import neo4j_graph_algorithms_ray.graph as gmod
+    from neo4j_graph_algorithms_ray.graph import build_graph
+
+    tree_calls, dist_calls = [], []
+    orig_tree = gmod._tree_merge_unique
+    monkeypatch.setattr(gmod, "_tree_merge_unique",
+                        lambda refs, **kw: tree_calls.append(1)
+                        or orig_tree(refs, **kw))
+    orig_dist = gmod._unique_endpoint_ids
+    monkeypatch.setattr(gmod, "_unique_endpoint_ids",
+                        lambda *a, **kw: dist_calls.append(1)
+                        or orig_dist(*a, **kw))
+
+    # 200 distinct nodes spread over 16 blocks (no dedup — its groupby
+    # would collapse the block structure): the per-block unique sum is
+    # ~16×200 ≈ 3200 (> limit 500, within the ×8 tree-merge window);
+    # the true distinct 200 <= 500
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 200, 4000).astype(np.int64)
+    dst = rng.randint(0, 200, 4000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(16)
+    monkeypatch.setenv("NGA_EDGE_DRIVER_DISTINCT_LIMIT", "500")
+    g = build_graph(ds, name="tree_gate")
+    assert tree_calls, "overlap-inflated estimate must trigger tree merge"
+    assert not dist_calls, "tree merge must keep the broadcast regime"
+    assert g.num_vertices == len(np.unique(np.concatenate([src, dst])))
