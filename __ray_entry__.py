@@ -1690,6 +1690,36 @@ def _q_boilerplate_strip(sf_dir: str):
     return boilerplate_strip(docs, frac=0.2, min_docs=2)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-snapshot dedup: corpus split by doc_id%3 into old (!=0) /
+    new (==0) snapshots with planted 'DUP CONTENT <doc_id%50>' overlap;
+    new docs whose normalized-text fingerprint exists in the old
+    snapshot are dropped. The Ray path Bloom-prefilters (16 bits/key)
+    and exact-verifies; oracle: INCREMENTAL_DEDUP_SQL is the plain
+    anti-join — identical output by construction."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from neo4j_graph_algorithms_ray.functions.dedup import incremental_dedup
+
+    def build(b: _pa.Table) -> _pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        base = _pc.fill_null(b["text"].cast(_pa.string()), "") \
+            .to_numpy(zero_copy_only=False).astype(object)
+        dup = _np.char.add("DUP CONTENT ", (ids % 50).astype(str)).astype(object)
+        txt = _np.where((ids % 15 == 0) | ((ids % 3 != 0) & (ids % 5 == 0)),
+                        dup, base)
+        return _pa.table({"doc_id": b["doc_id"],
+                          "text": _pa.array(txt, _pa.string()),
+                          "snap": _pa.array((ids % 3 == 0).astype("int8"))})
+
+    docs = _docs(sf_dir).map_batches(build, batch_format="pyarrow")
+    new = docs.filter(expr="snap == 1").select_columns(["doc_id", "text"])
+    old = docs.filter(expr="snap == 0").select_columns(["doc_id", "text"])
+    return incremental_dedup(new, old)
+
+
 def _q_corpus_clean(sf_dir: str):
     """End-to-end corpus cleaning (language+quality gate → corpus line
     dedup → exact collapse) over the line_dedup multi-line construction
@@ -4752,6 +4782,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": _q_boilerplate_strip,
         "page_meta": _q_page_meta,
         "trigram_xent": _q_trigram_xent,
+        "incremental_dedup": _q_incremental_dedup,
         "web_matching": _q_web_matching,
         "condensation_levels": _q_condensation_levels,
         "crawl_frontier": _q_crawl_frontier,
@@ -5207,6 +5238,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_strip": od.BOILERPLATE_STRIP_SQL,
         "page_meta": ow.PAGE_META_SQL,
         "trigram_xent": od.trigram_xent_sql(2),
+        "incremental_dedup": od.INCREMENTAL_DEDUP_SQL,
         "corpus_clean": od.corpus_clean_sql(),
         "tfidf_topk": od.tfidf_topk_sql(3),
         "bm25_topk": od.bm25_topk_sql(BM25_TERMS, 25),

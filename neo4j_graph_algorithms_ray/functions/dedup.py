@@ -1358,3 +1358,123 @@ def dedup_sensitivity(docs: rd.Dataset, *, thresholds=(0.3, 0.5, 0.8),
         "n_removed"]).astype({"n_pairs": "int64", "n_dup_clusters": "int64",
                               "n_docs_in_dups": "int64",
                               "n_removed": "int64"})
+
+
+def incremental_dedup(new_docs: rd.Dataset, old_docs: rd.Dataset, *,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      bits_per_key: int = 16, num_hashes: int = 4,
+                      bloom_limit_bits: int | None = None,
+                      num_partitions: int = 32) -> rd.Dataset:
+    """Cross-snapshot exact dedup with a Bloom prefilter — the rolling
+    corpus-build pattern: each new crawl snapshot is deduplicated
+    against the corpus-so-far WITHOUT joining the full new snapshot
+    against the full old corpus. Returns the ``id_col`` of new-snapshot
+    docs whose normalized-text fingerprint (md5 of
+    lower→collapse-ws→trim, = functions/text.Fingerprint) does NOT
+    appear in the old snapshot.
+
+    EXACT semantics — the Bloom only prunes: new docs that miss the
+    filter are definitely-new (no false negatives) and skip the join
+    entirely; the (few) hits — true duplicates plus the ~0.05% false
+    positives at 16 bits/key — are verified with an exact anti-join on
+    the full 128-bit hex fingerprint. Output is therefore identical to
+    the plain anti-join whatever the filter's FP rate.
+
+    Scale shape: the filter is sized ``bits_per_key`` · old-count and
+    broadcast once via ``ray.put`` (read zero-copy per node); per-batch
+    build partials are (word, bits) rows OR-merged into one numpy
+    scatter on the driver. Past ``bloom_limit_bits`` (default
+    NGA_INCR_BLOOM_LIMIT_BITS = 2^30 ≈ 134 MB packed — ~67M old docs
+    at 16 bits/key) the prefilter is skipped and every new doc goes to
+    the anti-join: same output, one shuffle more. Beyond-reference
+    corpus operator; oracle: INCREMENTAL_DEDUP_SQL (plain anti-join on
+    the same md5 expression)."""
+    import os
+
+    import ray
+
+    from neo4j_graph_algorithms_ray.functions.text import Fingerprint
+    from neo4j_graph_algorithms_ray.util import safe_join
+
+    new_fp = new_docs.map_batches(Fingerprint(id_col, text_col),
+                                  batch_format="pyarrow")
+    old_fp = old_docs.map_batches(Fingerprint(id_col, text_col),
+                                  batch_format="pyarrow") \
+        .select_columns(["fingerprint"])
+
+    limit = (bloom_limit_bits if bloom_limit_bits is not None
+             else int(os.environ.get("NGA_INCR_BLOOM_LIMIT_BITS", 1 << 30)))
+    n_old = old_docs.count()
+    m = max(1024, bits_per_key * n_old)
+    use_bloom = m <= limit
+    if use_bloom:
+        nwords = (m + 31) // 32
+
+        def bloom_partial(b: pa.Table) -> pa.Table:
+            fps = np.asarray(b["fingerprint"].to_pylist(), dtype=object)
+            if len(fps) == 0:
+                return pa.table({"word": pa.array([], pa.int64()),
+                                 "bits": pa.array([], pa.int64())})
+            pos_list = []
+            for j in range(num_hashes):
+                salted = np.char.add(fps.astype(str),
+                                     f"|incr:{j}").astype(object)
+                h, inv = _md5_u64(salted, 16)
+                pos_list.append((h[inv] % np.uint64(m)).astype(np.int64))
+            pos = np.concatenate(pos_list)
+            word = pos // 32
+            bit = (np.int64(1) << (pos % 32)).astype(np.int64)
+            order = np.argsort(word, kind="stable")
+            word, bit = word[order], bit[order]
+            uniq, starts = np.unique(word, return_index=True)
+            return pa.table({"word": pa.array(uniq),
+                             "bits": pa.array(
+                                 np.bitwise_or.reduceat(bit, starts))})
+
+        parts = [t for t in ray.get(
+            old_fp.map_batches(bloom_partial, batch_format="pyarrow")
+                  .to_arrow_refs()) if t.num_rows]
+        bloom = np.zeros(nwords, np.int64)
+        for t in parts:
+            w = t["word"].to_numpy(zero_copy_only=False)
+            v = t["bits"].to_numpy(zero_copy_only=False)
+            np.bitwise_or.at(bloom, w, v)
+        bloom_ref = ray.put(bloom)
+
+        def probe(b: pa.Table) -> pa.Table:
+            fps = np.asarray(b["fingerprint"].to_pylist(), dtype=object)
+            if len(fps) == 0:
+                return b.append_column("_hit", pa.array([], pa.bool_()))
+            blm = ray.get(bloom_ref)  # local plasma, zero-copy
+            hit = np.ones(len(fps), dtype=bool)
+            for j in range(num_hashes):
+                salted = np.char.add(fps.astype(str),
+                                     f"|incr:{j}").astype(object)
+                h, inv = _md5_u64(salted, 16)
+                pos = (h[inv] % np.uint64(m)).astype(np.int64)
+                hit &= (blm[pos // 32] >> (pos % 32)).astype(bool) & True
+            return b.append_column("_hit", pa.array(hit))
+
+        probed = new_fp.map_batches(probe, batch_format="pyarrow") \
+                       .materialize()
+        definite = probed.filter(expr="_hit == False") \
+                         .select_columns([id_col])
+        cand = probed.filter(expr="_hit == True") \
+                     .select_columns([id_col, "fingerprint"])
+    else:
+        definite = None
+        cand = new_fp
+
+    marks = old_fp.map_batches(
+        lambda b: pa.table({
+            "fingerprint": b["fingerprint"],
+            "_dup": pa.array(np.ones(b.num_rows, dtype=np.int8))}),
+        batch_format="pyarrow")
+    from neo4j_graph_algorithms_ray.util import predistinct
+    marks = predistinct(marks, ["fingerprint", "_dup"])
+    joined = safe_join(cand, marks, "left_outer", num_partitions,
+                       on=("fingerprint",))
+    kept = joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["_dup"])).select([id_col]),
+        batch_format="pyarrow")
+    return kept.union(definite) if definite is not None else kept

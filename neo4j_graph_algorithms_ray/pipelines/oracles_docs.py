@@ -145,6 +145,28 @@ FINGERPRINT_SQL = r"""SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY doc_id"""
 
+# Mirrors _q_incremental_dedup: the corpus splits into snapshots by
+# doc_id%3 (old: !=0, new: ==0); planted cross-snapshot duplicates
+# share 'DUP CONTENT <doc_id%50>' texts; semantics = plain anti-join of
+# new fingerprints against old (the Bloom prefilter in the Ray path is
+# exact-verified, so its FP rate never changes the output).
+INCREMENTAL_DEDUP_SQL = r"""WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 15 = 0 THEN 'DUP CONTENT ' || (doc_id % 50)
+              WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+                   THEN 'DUP CONTENT ' || (doc_id % 50)
+              ELSE coalesce(text, '') END AS text
+  FROM documents),
+fp AS (SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+       FROM docs2),
+oldf AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 <> 0)
+SELECT fp.doc_id FROM fp
+WHERE fp.doc_id % 3 = 0
+  AND NOT EXISTS (SELECT 1 FROM oldf WHERE oldf.f = fp.f)
+ORDER BY fp.doc_id"""
+
+
 SHINGLE_CTES = r"""toks3 AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
   FROM documents WHERE trim(text) <> ''),

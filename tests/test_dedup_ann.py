@@ -594,3 +594,28 @@ def test_pq_encode_dim_mismatch_raises():
     ds = rd.from_items([{"vec_id": 0, "embedding": [1.0] * 10}])
     with pytest.raises(ValueError):
         pq_train_codebooks(ds, m=4, k=2)
+
+
+def test_incremental_dedup_exact_and_bloom_parity():
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.functions.dedup import incremental_dedup
+    old = rd.from_items([
+        {"doc_id": 1, "text": "the old corpus document"},
+        {"doc_id": 2, "text": "  Shared   Text  "},   # normalizes
+        {"doc_id": 3, "text": "another old one"},
+    ])
+    new = rd.from_items([
+        {"doc_id": 10, "text": "shared text"},         # dup of 2 (normalized)
+        {"doc_id": 11, "text": "a genuinely new doc"},
+        {"doc_id": 12, "text": "the old corpus document"},  # dup of 1
+        {"doc_id": 13, "text": "shared  TEXT"},        # dup of 2 too
+        {"doc_id": 14, "text": "fresh content here"},
+    ])
+    kept = sorted(r["doc_id"]
+                  for r in incremental_dedup(new, old).take_all())
+    assert kept == [11, 14]
+    # prefilter disabled (limit 0 -> straight anti-join): same output
+    kept2 = sorted(r["doc_id"] for r in incremental_dedup(
+        new, old, bloom_limit_bits=0).take_all())
+    assert kept2 == kept
