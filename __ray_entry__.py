@@ -1720,6 +1720,21 @@ def _q_incremental_dedup(sf_dir: str):
     return incremental_dedup(new, old)
 
 
+def _q_balanced_partition(sf_dir: str):
+    """Balanced label-propagation partitioning (Ugander & Backstrom
+    WSDM'13) of the web link graph: locality-maximizing part
+    assignment under a ceil(n/P*(1+slack)) balance cap — the layout
+    optimization that cuts every BSP algorithm's exchange volume.
+    Deterministic (md5 priorities, swap+fill quotas); rows-only driver
+    check (iterative LP-relaxation semantics have no SQL equivalent;
+    pytest pins determinism, balance invariant, and locality gain)."""
+    from neo4j_graph_algorithms_ray.algorithms.partition import balanced_partition
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
+    g = get_web_graph(sf_dir)
+    return balanced_partition(g, num_parts=8, max_iterations=5,
+                              node_col="url").dataset
+
+
 def _q_corpus_clean(sf_dir: str):
     """End-to-end corpus cleaning (language+quality gate → corpus line
     dedup → exact collapse) over the line_dedup multi-line construction
@@ -4783,6 +4798,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "page_meta": _q_page_meta,
         "trigram_xent": _q_trigram_xent,
         "incremental_dedup": _q_incremental_dedup,
+        "balanced_partition": _q_balanced_partition,
         "web_matching": _q_web_matching,
         "condensation_levels": _q_condensation_levels,
         "crawl_frontier": _q_crawl_frontier,
