@@ -82,6 +82,8 @@ def balanced_partition(g: GraphTables, num_parts: int = 8, *,
                     kind="stable")] = np.arange(n, dtype=np.int32) % P
 
     def locality(part_arr: np.ndarray) -> float:
+        if g.num_edges == 0:
+            return 1.0
         ref = ray.put(part_arr)
 
         def count(b: pa.Table) -> pa.Table:
