@@ -4793,7 +4793,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "graph_catalog": _q_graph_catalog,
         "betweenness_maxdepth": _q_betweenness_maxdepth,
         # --- below here: outside the r04 window; rotate into the
-        # window next round (never driver-verified yet) ---
+        # window next round (never driver-verified yet). Session-10
+        # additions (boilerplate_strip, page_meta, trigram_xent,
+        # incremental_dedup, balanced_partition) lead the queue. ---
         "boilerplate_strip": _q_boilerplate_strip,
         "page_meta": _q_page_meta,
         "trigram_xent": _q_trigram_xent,
