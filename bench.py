@@ -360,6 +360,23 @@ def headline(num_cpus: int) -> dict:
     bp_sec = queries.pop(f"boilerplate_{n_big}d")
     extras["boilerplate_docs_per_sec"] = round(n_big / bp_sec, 1)
 
+    # incremental cross-snapshot dedup, worst case: new == old, so
+    # every document Bloom-hits and transits the exact verify join —
+    # the upper bound on per-doc cost (real crawls mostly miss the
+    # filter and skip the join entirely). Distinct Dataset objects per
+    # side: sharing one materialized handle across both trips a Ray
+    # core task-manager check (observed ray 2.49 crash).
+    from neo4j_graph_algorithms_ray.functions.dedup import incremental_dedup
+    big_docs2 = _rd.from_arrow(
+        _pa.concat_tables([_t] * reps)).repartition(num_cpus * 2).materialize()
+
+    def incr_pass():
+        return incremental_dedup(big_docs, big_docs2).count()
+
+    timed(f"incr_dedup_{n_big}d", incr_pass, repeats=2)
+    ic_sec = queries.pop(f"incr_dedup_{n_big}d")
+    extras["incr_dedup_alldup_docs_per_sec"] = round(n_big / ic_sec, 1)
+
     total = round(sum(queries.values()), 3)
     ray.shutdown()
     return {"metric": "headline_pipelines_total", "value": total, "unit": "sec",

@@ -1398,9 +1398,12 @@ def incremental_dedup(new_docs: rd.Dataset, old_docs: rd.Dataset, *,
 
     new_fp = new_docs.map_batches(Fingerprint(id_col, text_col),
                                   batch_format="pyarrow")
+    # consumed twice (filter build + verify marks): materialize the
+    # 32-byte-per-doc fp column once rather than re-running the md5
+    # pass over the full old corpus
     old_fp = old_docs.map_batches(Fingerprint(id_col, text_col),
                                   batch_format="pyarrow") \
-        .select_columns(["fingerprint"])
+        .select_columns(["fingerprint"]).materialize()
 
     limit = (bloom_limit_bits if bloom_limit_bits is not None
              else int(os.environ.get("NGA_INCR_BLOOM_LIMIT_BITS", 1 << 30)))
