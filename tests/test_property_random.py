@@ -149,3 +149,33 @@ def test_delta_stepping_matches_dijkstra(params):
             assert np.isinf(got[v]), v
         else:
             assert got[v] == pytest.approx(dv, abs=1e-9), v
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(graph_params)
+def test_balanced_partition_invariants(params):
+    """Invariants over random topologies: every vertex assigned exactly
+    once, no part above the balance cap, assignment deterministic.
+    (Locality improvement is asserted on clustered fixtures in
+    test_partition.py — random graphs have no structure to find.)"""
+    from neo4j_graph_algorithms_ray.algorithms.partition import \
+        balanced_partition
+    n, m, seed, P = params
+    e = _random_edges(n, m, seed)
+    if len(e) == 0:
+        return
+    g = build_graph(_edge_ds(e), name=f"blp_prop{next(_uid)}")
+    r = balanced_partition(g, num_parts=min(4, max(2, P * 2)),
+                           max_iterations=3)
+    rows = r.dataset.take_all()
+    assert len(rows) == g.num_vertices
+    assert len({x["node"] for x in rows}) == g.num_vertices
+    import numpy as _np
+    sizes = _np.array(r.stats["sizes_final"])
+    assert sizes.sum() == g.num_vertices
+    assert sizes.max() <= r.stats["balance_cap"]
+    r2 = balanced_partition(g, num_parts=min(4, max(2, P * 2)),
+                            max_iterations=3)
+    assert sorted((x["node"], x["part"]) for x in rows) == \
+        sorted((x["node"], x["part"]) for x in r2.dataset.take_all())
