@@ -4706,13 +4706,42 @@ def _quiet_point(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     return run
 
 
+# Round-5 driver window (the correctness gate checks the FIRST 50
+# queries() entries only). Composition per VERDICT r04 item 1: the two
+# permanently-`no_oracle` rows (kmeans_clusters, cluster_balanced_sample)
+# are evicted past position 50; 48 slots go to SQL-oracled queries that
+# have never had a driver-signed row — the session-9/10 additions, the
+# §2 stragglers (triangles_stream, avg_clustering, labelprop_seeded,
+# scc_condensation, radius_diameter, algo_list) and the north-rule
+# resume/incremental family (labelprop_resumed, web_pagerank_incremental,
+# wcc_incremental) — plus minhash_lsh_pairs / simhash_pairs kept as
+# regression sentinels for the round-5 Arrow-native dedup bucket rewrite
+# (VERDICT item 5).
+_WINDOW_R05 = [
+    "minhash_lsh_pairs", "simhash_pairs",
+    "hub_removal_wcc", "host_simrank", "wl_colors", "edge_percolation",
+    "negative_edges", "web_cheirank", "minhash_band_load",
+    "simhash_bit_balance", "triangles_stream", "avg_clustering",
+    "labelprop_seeded", "scc_condensation", "radius_diameter", "algo_list",
+    "labelprop_resumed", "web_pagerank_incremental", "wcc_incremental",
+    "boilerplate_strip", "page_meta", "trigram_xent", "incremental_dedup",
+    "condensation_levels", "web_matching", "crawl_frontier",
+    "canonical_dedup", "pii_redact", "event_transitions", "host_rank_hhi",
+    "url_templates", "lang_mixing", "lang_assortativity", "lang_rank_mass",
+    "rank_degree_corr", "host_lang_profile", "readability",
+    "ppr_sweep_cut", "rank_movers", "length_rank_corr", "snowball_sample",
+    "coupling", "square_count", "heaps_law", "tokenizer_fertility",
+    "host_hll_outlinks", "damping_sensitivity", "token_burstiness",
+    "crawl_budget", "conversion_lag",
+]
+
+
 def _queries_impl() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries only. Rounds 1-3 verified the graph/web/path queries
-    # (CORRECTNESS_r01-r03 all green, multi-round evidence), so those
-    # rotate to the back; the LLM-pipeline queries that never had a
-    # driver row (plus the r01-errored LSH trio) now occupy the window.
-    return {
+    # entries only; _WINDOW_R05 (above) is pulled to the front, the
+    # rest keep their round-4 relative order (multi-round-green queries
+    # stay at the back).
+    base = {
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -5006,6 +5035,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "algo_list": _q_algo_list,
         "doc_sample": _q_doc_sample,
     }
+    out = {k: base[k] for k in _WINDOW_R05}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
