@@ -8,8 +8,12 @@ handling" story builds on: a locality-improved assignment cuts the
 per-iteration exchange volume of every BSP algorithm in this engine.
 
 Semantics (deterministic):
-- init: ``part(v) = md5(v) mod P`` (the hash layout the engine would
-  use with no locality knowledge).
+- init: round-robin over the md5 ordering of vids — sort vids by
+  ``md5(v)`` and deal parts ``0,1,…,P-1,0,…`` in that order. As
+  locality-free as a hash-mod layout, but sizes start exactly
+  ``n/P ± 1`` so the grower's balance-cap invariant holds from
+  iteration 0 (a plain ``md5(v) mod P`` init can begin over-cap, and
+  gain-positive moves alone may never drain it).
 - each iteration every vertex tallies its neighbors' parts over the
   UNDIRECTED edge view and proposes moving to the part with the most
   neighbors (ties → lowest part id) when that strictly beats its
@@ -101,6 +105,7 @@ def balanced_partition(g: GraphTables, num_parts: int = 8, *,
 
     loc_init = locality(part)
     iters_run = 0
+    converged = False
     for _ in range(max_iterations):
         ref = ray.put(part)
 
@@ -148,6 +153,7 @@ def balanced_partition(g: GraphTables, num_parts: int = 8, *,
             votes.map_batches(best_partial, batch_format="pyarrow")
                  .to_arrow_refs()) if t.num_rows]
         if not tabs:
+            converged = True
             break
         allb = pa.concat_tables(tabs)
         v = allb["v"].to_numpy(zero_copy_only=False)
@@ -174,6 +180,7 @@ def balanced_partition(g: GraphTables, num_parts: int = 8, *,
         mv = (pbest != frm) & (gain > 0)
         if not mv.any():
             iters_run += 1
+            converged = True
             break
         mvv, mvf, mvt, mvg = v[mv], frm[mv], pbest[mv], gain[mv]
         pri = _md5_pri(mvv)
@@ -215,6 +222,7 @@ def balanced_partition(g: GraphTables, num_parts: int = 8, *,
         gt = mvt[order][granted]
         if len(gv) == 0:
             iters_run += 1
+            converged = True
             break
         part = part.copy()
         part[gv] = gt.astype(np.int32)
@@ -228,7 +236,7 @@ def balanced_partition(g: GraphTables, num_parts: int = 8, *,
     ds = attach_node_ids(g, ds, out_col=node_col)
     return IterativeResult(
         dataset=to_arrow_blocks(ds), iterations=iters_run,
-        converged=iters_run < max_iterations,
+        converged=converged,
         stats={"locality_init": round(loc_init, 6),
                "locality_final": round(loc_final, 6),
                "sizes_final": np.bincount(part, minlength=P).tolist(),

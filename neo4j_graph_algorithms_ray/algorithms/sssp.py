@@ -21,6 +21,7 @@ Reference parity (SURVEY.md §2.4):
 from __future__ import annotations
 
 import heapq
+import os
 import time
 from typing import Optional, Sequence
 
@@ -146,8 +147,29 @@ def _to_vid(g: GraphTables, node) -> int:
     return m[node]
 
 
+def driver_adjacency_edge_limit() -> int:
+    """Max edges _driver_adjacency may pull to the driver (override via
+    NGA_DRIVER_ADJ_EDGE_LIMIT). Mirrors vid_to_node_map's broadcast
+    guard (graph.py): the single-source oracle paths (Dijkstra/Prim/
+    exact betweenness) are legitimate only at oracle scale — above the
+    limit a stray call would OOM the driver, so raise and point at the
+    distributed equivalents instead."""
+    return int(os.environ.get("NGA_DRIVER_ADJ_EDGE_LIMIT", 50_000_000))
+
+
 def _driver_adjacency(g: GraphTables, weighted: bool):
-    """Dense-vid CSR pulled to the driver (oracle-scale paths only)."""
+    """Dense-vid CSR pulled to the driver (oracle-scale paths only).
+
+    Guarded by :func:`driver_adjacency_edge_limit`: callers needing
+    scale must use sssp_delta_stepping (SSSP), msf_boruvka (MST) or
+    betweenness_bsp (centrality), which keep edges sharded."""
+    limit = driver_adjacency_edge_limit()
+    if g.num_edges > limit:
+        raise RuntimeError(
+            f"_driver_adjacency(): {g.num_edges} edges exceeds the driver "
+            f"pull limit ({limit}); this path is for oracle-scale graphs "
+            "only — use sssp_delta_stepping / msf_boruvka / "
+            "betweenness_bsp, which keep the edge table sharded")
     cols = ["src", "dst"] + (["weight"] if weighted and g.weighted else [])
     tbl = pa.concat_tables(g.edges.select_columns(cols)
                            .iter_batches(batch_format="pyarrow", batch_size=1 << 20))

@@ -234,3 +234,19 @@ def test_betweenness_max_depth(f5_graph):
     # and max_depth=None reproduces nonzero centralities
     full = {r["node"]: r["centrality"] for r in betweenness(g).dataset.take_all()}
     assert any(v > 0 for v in full.values())
+
+
+def test_driver_adjacency_guard(f5_graph, monkeypatch):
+    """_driver_adjacency is an oracle-scale-only pull: above the edge
+    limit it must refuse (pointing at the sharded equivalents) instead
+    of concatenating the whole edge table on the driver — the same
+    contract as vid_to_node_map's broadcast guard (graph.py)."""
+    from neo4j_graph_algorithms_ray.algorithms.mst import mst_prim
+    nodes, edges, g = f5_graph
+    monkeypatch.setenv("NGA_DRIVER_ADJ_EDGE_LIMIT", "1")
+    with pytest.raises(RuntimeError, match="sssp_delta_stepping"):
+        shortest_path_dijkstra(g, nodes[0], nodes[-1])
+    with pytest.raises(RuntimeError, match="msf_boruvka"):
+        mst_prim(g, nodes[0])
+    monkeypatch.delenv("NGA_DRIVER_ADJ_EDGE_LIMIT")
+    assert shortest_path_dijkstra(g, nodes[0], nodes[-1])["found"] in (True, False)
