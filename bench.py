@@ -149,6 +149,19 @@ def headline(num_cpus: int) -> dict:
         gw, 0.85, max_iterations=100, tolerance=1e-6,
         node_col="url").dataset.materialize(), repeats=2)
 
+    # per-source BSP betweenness throughput (extras only — headline
+    # composition is pinned): 64 sampled sources through the sharded
+    # forward/backward wave engine; sources/s is the number that scales
+    # with cluster size (the task-parallel exact path broadcasts the
+    # whole CSR per actor instead)
+    from neo4j_graph_algorithms_ray.algorithms.betweenness import betweenness_bsp
+    bc_sources = int(os.environ.get("NGA_BENCH_BC_SOURCES", "64"))
+    timed("betweenness_bsp", lambda: betweenness_bsp(
+        gw, sample=bc_sources, node_col="url").dataset.materialize(),
+        repeats=2)
+    extras["betweenness_bsp_sources_per_sec"] = round(
+        bc_sources / queries.pop("betweenness_bsp"), 1)
+
     # batched multi-seed PPR: S rank vectors per exchange — report the
     # amortization vs S independent single-seed runs (4 singles timed,
     # extrapolated ×4)
@@ -186,6 +199,20 @@ def headline(num_cpus: int) -> dict:
     extras["extract_pages_per_sec"] = round(
         n_pages / queries[f"extract_links_{n_pages}p"], 1)
     extras["extract_edges"] = n_edges
+
+    # tolerant-mode extraction (real-crawl HTML variants + base-href
+    # resolution) — contract: within ~2x of the strict path's pages/s
+    def extract_tolerant():
+        from neo4j_graph_algorithms_ray.util import read_parquet_clean
+        pages = read_parquet_clean(pdir, columns=["url", "html"],
+                                   file_extensions=["parquet"])
+        edges = pages.map_batches(ExtractLinks(tolerant=True),
+                                  batch_format="pyarrow", batch_size=2048)
+        return edges.count()
+
+    timed("extract_tolerant", extract_tolerant, repeats=2)
+    extras["extract_tolerant_pages_per_sec"] = round(
+        n_pages / queries.pop("extract_tolerant"), 1)
 
     # training-data dedup throughput: MinHash signatures → LSH buckets →
     # verified pairs → WCC cluster resolution, end to end over documents

@@ -472,34 +472,47 @@ def _minhash_lsh_pairs_direct(docs: rd.Dataset, *, num_perm: int = 8,
     rows_per_band = num_perm // bands
     sig_stage = MinHashSignatures(num_perm, k, id_col, text_col)
 
-    def to_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-        sig = sig_stage.signature_matrix(batch[text_col].to_numpy())
-        ids = batch[id_col].to_numpy()
-        out_id = np.repeat(ids, bands)
-        out_band = np.tile(np.arange(bands, dtype=np.int64), len(ids))
-        cols = []
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        # Arrow-native (no per-batch pandas copy of the text column):
+        # band keys are built band-major — downstream consumption is a
+        # keyed groupby, so row order is free — with the ":"-joined
+        # decimal key strings rendered by one binary_join_element_wise
+        # C kernel per band (same key text as the former
+        # numpy-object-concat, which the SQL oracle mirrors).
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        sig = sig_stage.signature_matrix(texts)
+        n = len(texts)
+        out_id = batch[id_col].take(pa.array(np.tile(np.arange(n), bands)))
+        out_band = pa.array(np.repeat(np.arange(bands, dtype=np.int64), n))
+        keys = []
         for b in range(bands):
-            key = sig[:, b * rows_per_band].astype(str).astype(object)
-            for r in range(1, rows_per_band):
-                key = key + ":"
-                key = key + sig[:, b * rows_per_band + r].astype(str).astype(object)
-            cols.append(key)
-        bkey = np.stack(cols, axis=1).reshape(-1)
-        return pd.DataFrame({id_col: out_id, "band": out_band, "bkey": bkey})
+            parts = [pc.cast(pa.array(sig[:, b * rows_per_band + r]),
+                             pa.string())
+                     for r in range(rows_per_band)]
+            keys.append(parts[0] if len(parts) == 1
+                        else pc.binary_join_element_wise(*parts, ":"))
+        bkey = pa.concat_arrays([k.combine_chunks() if
+                                 isinstance(k, pa.ChunkedArray) else k
+                                 for k in keys])
+        return pa.table({id_col: out_id, "band": out_band, "bkey": bkey})
 
-    buckets = docs.map_batches(to_buckets, batch_format="pandas")
+    buckets = docs.map_batches(to_buckets, batch_format="pyarrow")
     cand = _bucketed_pairs(buckets, ["band", "bkey"], id_col).materialize()
 
     from neo4j_graph_algorithms_ray.functions.text import round6
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def verify(batch: pa.Table) -> pa.Table:
+        # Arrow-native: no pandas copy of the two wide text columns
         na, nb, inter = _pairwise_shingle_overlap(
-            batch["text_a"].to_numpy(), batch["text_b"].to_numpy(), k)
+            batch["text_a"].to_numpy(zero_copy_only=False),
+            batch["text_b"].to_numpy(zero_copy_only=False), k)
         union = na + nb - inter
-        ja = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        out = pd.DataFrame({"a": batch["a"], "b": batch["b"],
-                            "jaccard": round6(ja)})
-        return out[out["jaccard"] >= threshold]
+        ja = round6(np.where(union > 0, inter / np.maximum(union, 1), 0.0))
+        keep = ja >= threshold
+        return pa.table({
+            "a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[keep]),
+            "b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[keep]),
+            "jaccard": pa.array(ja[keep])})
 
     # small regime: candidate pairs fit the driver → fetch only the
     # candidate ids' texts with a distributed is_in filter (the corpus
@@ -521,12 +534,13 @@ def _minhash_lsh_pairs_direct(docs: rd.Dataset, *, num_perm: int = 8,
         tx = docs.select_columns([id_col, text_col]) \
                  .map_batches(pick, batch_format="pyarrow").to_pandas()
         m = pd.Series(tx[text_col].to_numpy(), index=tx[id_col].to_numpy())
-        cp["text_a"] = m.reindex(cp["a"]).to_numpy()
-        cp["text_b"] = m.reindex(cp["b"]).to_numpy()
-        out = verify(cp)
+        out = verify(pa.table({
+            "a": pa.array(cp["a"].to_numpy(dtype=np.int64)),
+            "b": pa.array(cp["b"].to_numpy(dtype=np.int64)),
+            "text_a": pa.array(m.reindex(cp["a"]).to_numpy(dtype=object)),
+            "text_b": pa.array(m.reindex(cp["b"]).to_numpy(dtype=object))}))
         return _ensure_pair_schema(
-            rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
-                          .replace_schema_metadata(None)),
+            rd.from_arrow(out),
             {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
 
     # scale path: pull candidate ids' texts via two hash joins
@@ -535,7 +549,7 @@ def _minhash_lsh_pairs_direct(docs: rd.Dataset, *, num_perm: int = 8,
     ca = ca.rename_columns({text_col: "text_a"}).select_columns(["a", "b", "text_a"])
     cb = safe_join(ca, texts, "inner", 4, on=("b",), right_on=(id_col,))
     cb = cb.rename_columns({text_col: "text_b"})
-    res = cb.map_batches(verify, batch_format="pandas")
+    res = cb.map_batches(verify, batch_format="pyarrow")
     return _ensure_pair_schema(res, {"a": pa.int64(), "b": pa.int64(),
                                      "jaccard": pa.float64()})
 
@@ -569,20 +583,28 @@ def _bucketed_pairs(ds: rd.Dataset, key_cols: list[str], id_col: str, *,
     (deterministically, pd.util.hash_array — NOT the per-process-salted
     builtin) into ``nbuckets`` groups so ONE vectorized map_groups call
     handles thousands of keys instead of one Python call per key."""
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch[key_cols[0]].astype(str)
-        for c in key_cols[1:]:
-            k = k + "\x1f" + batch[c].astype(str)
-        out = pd.DataFrame({"k": k.to_numpy(), id_col: batch[id_col]})
-        out["bucket"] = (pd.util.hash_array(out["k"].to_numpy(dtype=object))
-                         % nbuckets).astype(np.int64)
-        return out
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # Arrow-native: the "\x1f"-joined key renders through one
+        # binary_join_element_wise C kernel (same key text as the former
+        # pandas astype(str) concat — int casts format identically);
+        # only the finished key column materializes to objects, for the
+        # deterministic pd.util.hash_array bucket hash.
+        parts = [pc.cast(batch[c], pa.string()).combine_chunks()
+                 for c in key_cols]
+        k = (parts[0] if len(parts) == 1
+             else pc.binary_join_element_wise(*parts, "\x1f"))
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        bucket = (pd.util.hash_array(k.to_numpy(zero_copy_only=False))
+                  % nbuckets).astype(np.int64)
+        return pa.table({"k": k, id_col: batch[id_col],
+                         "bucket": pa.array(bucket)})
 
-    # 0-row PANDAS batches (e.g. from an upstream filter) convert to
-    # 0-COLUMN arrow blocks, which crash concat and hash shuffles alike
+    # 0-row batches from an upstream filter still carry the schema in
+    # pyarrow format (unlike the old pandas path) but drop them anyway
     from neo4j_graph_algorithms_ray.util import drop_empty_blocks
     keyed = drop_empty_blocks(
-        to_arrow_blocks(ds.map_batches(add_bucket, batch_format="pandas")))
+        to_arrow_blocks(ds.map_batches(add_bucket, batch_format="pyarrow")))
 
     def gen(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["k", id_col]).sort_values(["k", id_col])
@@ -723,17 +745,19 @@ def _ngram_jaccard_pairs_direct(docs: rd.Dataset, *, k: int = 3,
                                 df_cap: int = NGRAM_DF_CAP,
                                 id_col: str = "doc_id",
                                 text_col: str = "text") -> rd.Dataset:
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        di, sh = _dedupe_doc_strings(*_shingle_arrays(batch[text_col].to_numpy(), k))
-        ids = batch[id_col].to_numpy()
-        return pd.DataFrame({id_col: ids[di], "sh": sh})
+    def explode(batch: pa.Table) -> pa.Table:
+        # Arrow-native: the wide text column never transits pandas
+        di, sh = _dedupe_doc_strings(*_shingle_arrays(
+            batch[text_col].to_numpy(zero_copy_only=False), k))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[di]), "sh": pa.array(sh)})
 
     from neo4j_graph_algorithms_ray.util import drop_empty_blocks
     # drop_empty_blocks: 0-row pandas batches (empty/whitespace-only
     # docs, filtered upstreams) convert to 0-column arrow blocks that
     # crash concat and shuffles
     sh = drop_empty_blocks(to_arrow_blocks(
-        docs.map_batches(explode, batch_format="pandas")))
+        docs.map_batches(explode, batch_format="pyarrow")))
     # per-doc shingle counts: docs never span batches, so a per-batch
     # Arrow combine is exact and skips the full groupby shuffle
     from neo4j_graph_algorithms_ray.util import preagg_sum as _psum
@@ -758,14 +782,15 @@ def _ngram_jaccard_pairs_direct(docs: rd.Dataset, *, k: int = 3,
         a, b = _segmented_pairs(d, np.nonzero(newseg)[0], df_cap)
         return pd.DataFrame({"a": a, "b": b})
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"k": batch["sh"].to_numpy(), id_col: batch[id_col]})
-        out["bucket"] = (pd.util.hash_array(out["k"].to_numpy(dtype=object))
-                         % 128).astype(np.int64)
-        return out
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ksh = batch["sh"].combine_chunks()
+        bucket = (pd.util.hash_array(ksh.to_numpy(zero_copy_only=False))
+                  % 128).astype(np.int64)
+        return pa.table({"k": ksh, id_col: batch[id_col],
+                         "bucket": pa.array(bucket)})
 
     keyed = drop_empty_blocks(to_arrow_blocks(
-        sh.map_batches(add_bucket, batch_format="pandas")))
+        sh.map_batches(add_bucket, batch_format="pyarrow")))
 
     from neo4j_graph_algorithms_ray.functions.text import round6
     from neo4j_graph_algorithms_ray.util import SMALL_AGG_DRIVER_LIMIT
@@ -808,12 +833,18 @@ def _ngram_jaccard_pairs_direct(docs: rd.Dataset, *, k: int = 3,
     j2 = safe_join(j1, counts, "inner", 4, on=("b",), right_on=(id_col,))
     j2 = j2.rename_columns({"n_sh": "nb"})
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        jac = batch["inter"] / (batch["na"] + batch["nb"] - batch["inter"])
-        out = pd.DataFrame({"a": batch["a"], "b": batch["b"], "jaccard": round6(jac)})
-        return out[out["jaccard"] >= threshold]
+    def finish(batch: pa.Table) -> pa.Table:
+        inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = round6(inter / (na + nb - inter))
+        keep = jac >= threshold
+        return pa.table({
+            "a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[keep]),
+            "b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[keep]),
+            "jaccard": pa.array(jac[keep])})
 
-    return _ensure_pair_schema(j2.map_batches(finish, batch_format="pandas"),
+    return _ensure_pair_schema(j2.map_batches(finish, batch_format="pyarrow"),
                                {"a": pa.int64(), "b": pa.int64(),
                                 "jaccard": pa.float64()})
 
@@ -854,7 +885,13 @@ class SimHash:
     def simhash(text: str) -> int:
         return int(SimHash().simhash_all([text])[0])
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch):
+        # accepts pyarrow (hot path — no pandas copy of text) or pandas
+        if isinstance(batch, pa.Table):
+            sh = self.simhash_all(
+                batch[self.text_col].to_numpy(zero_copy_only=False))
+            return pa.table({self.id_col: batch[self.id_col],
+                             "simhash": pa.array(sh)})
         return pd.DataFrame({
             self.id_col: batch[self.id_col],
             "simhash": self.simhash_all(batch[self.text_col].to_numpy()),
@@ -894,18 +931,20 @@ def _simhash_pairs_direct(docs: rd.Dataset, *, max_hamming: int = 8,
                           id_col: str = "doc_id",
                           text_col: str = "text") -> rd.Dataset:
     sigs = to_arrow_blocks(docs.map_batches(SimHash(id_col, text_col),
-                                        batch_format="pandas")).materialize()
+                                        batch_format="pyarrow")).materialize()
 
-    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy(dtype=np.uint64)
-        ids = batch[id_col].to_numpy(dtype=np.int64)
+    def to_bands(batch: pa.Table) -> pa.Table:
+        # Arrow-native (zero-copy numeric view of both input columns)
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         out_ids = np.repeat(ids, 4)
         band = np.tile(np.arange(4, dtype=np.int64), len(ids))
         key = ((np.repeat(h, 4) >> (np.uint64(16) * band.astype(np.uint64)))
                & np.uint64(0xFFFF)).astype(np.int64)
-        return pd.DataFrame({id_col: out_ids, "band": band, "bkey": key})
+        return pa.table({id_col: pa.array(out_ids), "band": pa.array(band),
+                         "bkey": pa.array(key)})
 
-    buckets = sigs.map_batches(to_bands, batch_format="pandas")
+    buckets = sigs.map_batches(to_bands, batch_format="pyarrow")
     cand = _bucketed_pairs(buckets, ["band", "bkey"], id_col).materialize()
 
     # small regime: verify hamming on the driver from a broadcast-free
@@ -941,14 +980,18 @@ def _simhash_pairs_direct(docs: rd.Dataset, *, max_hamming: int = 8,
     sb = safe_join(sa, sigs, "inner", 4, on=("b",), right_on=(id_col,))
     sb = sb.rename_columns({"simhash": "hb"})
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        x = batch["ha"].to_numpy(dtype=np.uint64) ^ batch["hb"].to_numpy(dtype=np.uint64)
+    def verify(batch: pa.Table) -> pa.Table:
         from neo4j_graph_algorithms_ray.util import popcount64
-        d = popcount64(x)
-        out = pd.DataFrame({"a": batch["a"], "b": batch["b"], "hamming": d})
-        return out[out["hamming"] <= max_hamming]
+        x = (batch["ha"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             ^ batch["hb"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        d = popcount64(x).astype(np.int64)
+        keep = d <= max_hamming
+        return pa.table({
+            "a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[keep]),
+            "b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[keep]),
+            "hamming": pa.array(d[keep])})
 
-    return _ensure_pair_schema(sb.map_batches(verify, batch_format="pandas"),
+    return _ensure_pair_schema(sb.map_batches(verify, batch_format="pyarrow"),
                                {"a": pa.int64(), "b": pa.int64(),
                                 "hamming": pa.int64()})
 
@@ -1121,14 +1164,15 @@ def ngram_containment_pairs(docs: rd.Dataset, *, k: int = 3,
                                                  drop_empty_blocks, safe_join)
     from neo4j_graph_algorithms_ray.util import preagg_sum as _psum
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        di, sh = _dedupe_doc_strings(
-            *_shingle_arrays(batch[text_col].to_numpy(), k))
-        ids = batch[id_col].to_numpy()
-        return pd.DataFrame({id_col: ids[di], "sh": sh})
+    def explode(batch: pa.Table) -> pa.Table:
+        # Arrow-native: the wide text column never transits pandas
+        di, sh = _dedupe_doc_strings(*_shingle_arrays(
+            batch[text_col].to_numpy(zero_copy_only=False), k))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[di]), "sh": pa.array(sh)})
 
     sh = drop_empty_blocks(to_arrow_blocks(
-        docs.map_batches(explode, batch_format="pandas")))
+        docs.map_batches(explode, batch_format="pyarrow")))
     counts = _psum(sh.map_batches(
         lambda b: b.group_by(id_col).aggregate([("sh", "count")])
                    .rename_columns([id_col, "n_sh"]),
@@ -1147,14 +1191,15 @@ def ngram_containment_pairs(docs: rd.Dataset, *, k: int = 3,
         a, b = _segmented_pairs(d, np.nonzero(newseg)[0], df_cap)
         return pd.DataFrame({"a": a, "b": b})
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"k": batch["sh"].to_numpy(), id_col: batch[id_col]})
-        out["bucket"] = (pd.util.hash_array(out["k"].to_numpy(dtype=object))
-                         % 128).astype(np.int64)
-        return out
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ksh = batch["sh"].combine_chunks()
+        bucket = (pd.util.hash_array(ksh.to_numpy(zero_copy_only=False))
+                  % 128).astype(np.int64)
+        return pa.table({"k": ksh, id_col: batch[id_col],
+                         "bucket": pa.array(bucket)})
 
     keyed = drop_empty_blocks(to_arrow_blocks(
-        sh.map_batches(add_bucket, batch_format="pandas")))
+        sh.map_batches(add_bucket, batch_format="pyarrow")))
     empty = {"src": pa.int64(), "dst": pa.int64(),
              "containment": pa.float64()}
 
@@ -1199,18 +1244,21 @@ def ngram_containment_pairs(docs: rd.Dataset, *, k: int = 3,
     j2 = safe_join(j1, counts, "inner", 4, on=("b",), right_on=(id_col,))
     j2 = j2.rename_columns({"n_sh": "nb"})
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        inter = batch["inter"].to_numpy()
-        a, b = batch["a"].to_numpy(), batch["b"].to_numpy()
-        out = pd.DataFrame({
-            "src": np.concatenate([a, b]),
-            "dst": np.concatenate([b, a]),
-            "containment": round6(np.concatenate(
-                [inter / batch["na"].to_numpy(),
-                 inter / batch["nb"].to_numpy()]))})
-        return out[out["containment"] >= threshold]
+    def finish(batch: pa.Table) -> pa.Table:
+        inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        cont = round6(np.concatenate([inter / na, inter / nb]))
+        keep = cont >= threshold
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(dst[keep]),
+                         "containment": pa.array(cont[keep])})
 
-    return _ensure_pair_schema(j2.map_batches(finish, batch_format="pandas"),
+    return _ensure_pair_schema(j2.map_batches(finish, batch_format="pyarrow"),
                                empty)
 
 

@@ -61,42 +61,152 @@ class ExtractText:
         return pa.table(cols)
 
 
+# --- tolerant-mode patterns (real-crawl HTML; still deterministic) ---
+# anchor-tag opener, case-insensitive, any whitespace after the tag name
+TOLERANT_SPLIT_RE = r"(?i)<a\s"
+# href attribute inside the tag head: double-quoted / single-quoted /
+# unquoted values, whitespace around '=', other attributes before it.
+# `(?:[^>\s]*\s+)*?` walks whitespace-separated attribute tokens so a
+# `data-href=` token can never satisfy the `href=` match. (Known
+# tolerant-parser limit: a quoted attribute VALUE containing ` href=`
+# can still false-positive — acceptable noise on real crawl data.)
+TOLERANT_HREF_RE = (r'(?is)^(?:[^>\s]*\s+)*?href\s*=\s*'
+                    r'''(?:"(?P<d>[^"]*)"|'(?P<s>[^']*)'|(?P<u>[^\s>"']+))''')
+# first <base href> of the page, if any
+BASE_HREF_RE = (r'(?is)<base\s[^>]*?href\s*=\s*'
+                r'''["']?(?P<b>[^"'\s>]+)''')
+SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"
+# base directory: scheme://host[/path-through-last-slash]
+BASE_DIR_RE = r"^(?P<d>[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(?:[^?#]*/)?)"
+SCHEME_HOST_RE = r"^(?P<sh>[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
+
+
+def _coalesce_href(match: pa.StructArray) -> pa.Array:
+    """d / s / u capture groups → one url column (first non-empty)."""
+    d = pc.struct_field(match, "d")
+    s = pc.struct_field(match, "s")
+    u = pc.struct_field(match, "u")
+    out = pc.if_else(pc.not_equal(d, ""), d,
+                     pc.if_else(pc.not_equal(s, ""), s, u))
+    return out
+
+
 class ExtractLinks:
     """pages(url, html) → href edge list (src_url, dst_url).
 
-    Vectorized multi-match: split each html on ``<a href="`` (ListArray),
-    then anchor-extract the quoted url head from every flattened list
-    element. The first split element of each page is the text BEFORE the
-    first ``<a href="`` — it is masked out explicitly (not just left to
-    fail the regex) so page text containing a double quote can never
-    produce a spurious edge (byte-parity contract with PAGE_LINKS_SQL).
+    Strict mode (default — the byte-parity contract with
+    sources/pages.py and PAGE_LINKS_SQL): vectorized multi-match — split
+    each html on ``<a href="`` (ListArray), then anchor-extract the
+    quoted url head from every flattened list element. The first split
+    element of each page is the text BEFORE the first ``<a href="`` — it
+    is masked out explicitly (not just left to fail the regex) so page
+    text containing a double quote can never produce a spurious edge.
+
+    Tolerant mode (``tolerant=True`` — real-crawl HTML; the reference
+    accepts arbitrary Cypher edge projections,
+    HeavyCypherGraphFactory.java:93-100, and this is our raw-HTML
+    analogue): case-insensitive ``<a`` tags, single-quoted / unquoted
+    hrefs, whitespace around ``=``, attributes before ``href``. With
+    ``resolve_base=True`` relative urls are resolved against the page's
+    first ``<base href>`` (falling back to the page url): absolute urls
+    pass through, ``//h/p`` gets the base's scheme, ``/p`` joins
+    scheme://host, anything else joins the base directory; fragments
+    are stripped, empty hrefs dropped. Deterministic throughout — same
+    split + extract_regex shape as strict mode, one extra per-PAGE
+    regex pass for the base, so throughput stays within ~2× of strict
+    (bench line ``extract_tolerant_pages_per_sec``).
     """
 
-    def __init__(self):
+    def __init__(self, tolerant: bool = False, resolve_base: bool = True):
         self.href_open = HREF_OPEN
         self.url_head = URL_HEAD_RE
+        self.tolerant = tolerant
+        self.resolve_base = resolve_base
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        html = _html_utf8(batch)
-        urls = batch.column("url").combine_chunks()
-        parts = pc.split_pattern(html, self.href_open)
+    def _split_match(self, html: pa.Array):
+        """→ (flattened fragments, per-fragment match struct-or-null,
+        fragment→page index, first-fragment mask)."""
+        if self.tolerant:
+            parts = pc.split_pattern_regex(html, TOLERANT_SPLIT_RE)
+        else:
+            parts = pc.split_pattern(html, self.href_open)
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
         flat = parts.flatten()
         offsets = parts.offsets.to_numpy(zero_copy_only=False)
         counts = np.diff(offsets)
-        src_flat = np.repeat(np.arange(len(urls)), counts)
-        match = pc.extract_regex(flat, self.url_head)
-        valid = pc.is_valid(match).to_numpy(zero_copy_only=False)
-        # mask each page's first element: text before the first href is
-        # not a link even if it happens to contain a double quote
+        src_flat = np.repeat(np.arange(len(counts)), counts)
+        pat = TOLERANT_HREF_RE if self.tolerant else self.url_head
+        match = pc.extract_regex(flat, pat)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
         is_first = np.zeros(len(flat), dtype=bool)
         is_first[starts[counts > 0]] = True
+        return match, src_flat, is_first
+
+    def _resolve(self, html: pa.Array, urls: pa.Array,
+                 dsts: pa.Array, src_idx: np.ndarray) -> pa.Array:
+        """Resolve relative dsts against per-page base (tolerant mode)."""
+        base_m = pc.extract_regex(html, BASE_HREF_RE)
+        base = pc.if_else(pc.is_valid(base_m),
+                          pc.struct_field(base_m, "b"), urls)
+        # a <base href> without a scheme is itself relative — fall back
+        # to the page url rather than chaining resolutions
+        base = pc.if_else(pc.match_substring_regex(base, SCHEME_RE),
+                          base, urls)
+        dir_m = pc.extract_regex(base, BASE_DIR_RE)
+        bdir = pc.struct_field(dir_m, "d")
+        bdir = pc.if_else(pc.is_valid(bdir), bdir, base)
+        bdir = pc.if_else(pc.ends_with(bdir, "/"), bdir,
+                          pc.binary_join_element_wise(bdir, "/", ""))
+        sh_m = pc.extract_regex(base, SCHEME_HOST_RE)
+        shost = pc.struct_field(sh_m, "sh")
+        shost = pc.if_else(pc.is_valid(shost), shost, base)
+        scheme = pc.extract_regex(base, r"^(?P<sc>[a-zA-Z][a-zA-Z0-9+.\-]*):")
+        scheme = pc.struct_field(scheme, "sc")
+        idx = pa.array(src_idx)
+        bdir_f, shost_f, scheme_f = (a.take(idx) for a in (bdir, shost, scheme))
+        is_abs = pc.match_substring_regex(dsts, SCHEME_RE)
+        is_pr = pc.starts_with(dsts, "//")
+        is_root = pc.and_(pc.starts_with(dsts, "/"), pc.invert(is_pr))
+        joined_pr = pc.binary_join_element_wise(
+            pc.fill_null(scheme_f, ""), ":", dsts, "")
+        joined_root = pc.binary_join_element_wise(
+            pc.fill_null(shost_f, ""), dsts, "")
+        joined_rel = pc.binary_join_element_wise(
+            pc.fill_null(bdir_f, ""), dsts, "")
+        out = pc.if_else(is_abs, dsts,
+                         pc.if_else(is_pr, joined_pr,
+                                    pc.if_else(is_root, joined_root,
+                                               joined_rel)))
+        # strip fragments; drop of empties happens at the call site
+        return pc.replace_substring_regex(out, pattern="#.*$",
+                                          replacement="")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = _html_utf8(batch)
+        urls = batch.column("url").combine_chunks()
+        match, src_flat, is_first = self._split_match(html)
+        valid = pc.is_valid(match).to_numpy(zero_copy_only=False)
         keep = valid & ~is_first
         idx = pa.array(np.nonzero(keep)[0])
-        dsts = pc.struct_field(match.take(idx), "u")
-        srcs = urls.take(pa.array(src_flat[keep]))
+        kept = match.take(idx)
+        src_idx = src_flat[keep]
+        if self.tolerant:
+            dsts = _coalesce_href(kept)
+            # raw-empty hrefs (href="") carry no link information — drop
+            # BEFORE resolution (resolving would alias them to the base)
+            nonempty = pc.not_equal(dsts, "").to_numpy(zero_copy_only=False)
+            dsts = dsts.filter(pa.array(nonempty))
+            src_idx = src_idx[nonempty]
+            if self.resolve_base:
+                dsts = self._resolve(html, urls, dsts, src_idx)
+            # fragment-stripping can empty a '#frag'-only href — re-drop
+            nonempty = pc.not_equal(dsts, "").to_numpy(zero_copy_only=False)
+            dsts = dsts.filter(pa.array(nonempty))
+            src_idx = src_idx[nonempty]
+        else:
+            dsts = pc.struct_field(kept, "u")
+        srcs = urls.take(pa.array(src_idx))
         return pa.table({"src_url": srcs, "dst_url": dsts})
 
 

@@ -619,19 +619,52 @@ class ShardActor:
         return True
 
     # ---- message plumbing ----
-    def _route(self, uniq_idx: np.ndarray, *vals: np.ndarray) -> list:
+    def _route(self, uniq_idx: np.ndarray, *vals: np.ndarray,
+               dense_ok: bool = False) -> list:
         """Split (local_dst_idx, values...) message arrays by target shard.
-        Indices are LOCAL to the receiving shard (int32 when possible)."""
+        Indices are LOCAL to the receiving shard (int32 when possible).
+
+        ``dense_ok`` (sum-combine single-value ops only): when a
+        receiver-slice's unique-dst count exceeds ``NGA_DENSE_MSG_RATIO``
+        (default 0.35) of that receiver's vertex range, ship a DENSE
+        value block ``(None, zeros-filled array over the full range)``
+        instead of (idx, val) pairs. On web-scale graphs with mean
+        degree ≫ P the per-sender pre-aggregated messages cover most of
+        every receiver's range, so sparse pairs cost 8-12 B/entry where
+        the dense block costs 4 B/slot AND turns the receiver's
+        indexed-scatter add into one SIMD ``+=``. Receivers detect the
+        form by ``dsts is None`` (pr_update / set_sum_update /
+        add_update). Disabled during grouped (two-level) scatters —
+        the aggregator combiners assume sparse tuples."""
         out = []
         if uniq_idx is None:
             locs, dsts = self.uniq_local, self.uniq_dst
         else:
             locs, dsts = self.uniq_local[uniq_idx], self.uniq_dst[uniq_idx]
         cuts = np.searchsorted(dsts, self.bounds)
+        dense_ratio = (self._dense_ratio()
+                       if dense_ok and getattr(self, "_dense_enabled", True)
+                       else None)
         for j in range(self.P):
             sl = slice(cuts[j], cuts[j + 1])
+            if dense_ratio is not None and len(vals) == 1:
+                rsize = int(self.bounds[j + 1] - self.bounds[j])
+                n_msg = cuts[j + 1] - cuts[j]
+                if rsize and n_msg > dense_ratio * rsize:
+                    block = np.zeros(rsize, dtype=vals[0].dtype)
+                    block[locs[sl]] = vals[0][sl]
+                    out.append((None, block))
+                    continue
             out.append((locs[sl],) + tuple(v[sl] for v in vals))
         return out
+
+    @staticmethod
+    def _dense_ratio() -> float:
+        r = os.environ.get("NGA_DENSE_MSG_RATIO", "0.35")
+        try:
+            return float(r)
+        except ValueError:
+            return float("inf")  # any non-numeric value disables
 
     def _empty_msgs(self, nvals: int = 1) -> list:
         e = np.empty(0, dtype=np.int64)
@@ -685,7 +718,7 @@ class ShardActor:
                     vals = push[self.src_in_dst_order]
                     sums = np.add.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
-                return self._route(None, sums)
+                return self._route(None, sums, dense_ok=True)
             if op == "pr_push_w":
                 # weighted delta-push: each edge carries
                 # d * delta[src] * w_edge / Σ_out w — the weightProperty
@@ -706,13 +739,13 @@ class ShardActor:
                 vals = coef[self.src_in_dst_order] * self.w_dst
                 sums = np.add.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
-                return self._route(None, sums)
+                return self._route(None, sums, dense_ok=True)
             if op == "in_degree_count":
                 # per-unique-dst edge counts = scatter-segment lengths; one
                 # superstep computes global in-degrees without a reverse CSR
                 lens = np.diff(np.append(self.seg_starts, self.m)).astype(np.int64)
                 self.metrics["edges_scattered"] += self.m
-                return self._route(None, lens)
+                return self._route(None, lens, dense_ok=True)
             if op == "min_state":
                 vals = self.state[kw["name"]][self.src_in_dst_order]
                 mins = np.minimum.reduceat(vals, self.seg_starts)
@@ -724,7 +757,7 @@ class ShardActor:
                 vals = self.state[kw["name"]][self.src_in_dst_order]
                 sums = np.add.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
-                return self._route(None, sums)
+                return self._route(None, sums, dense_ok=True)
             if op == "min_state_delta":
                 # frontier-sparse variant: only edges whose source
                 # changed last superstep carry messages (the fixpoint
@@ -929,8 +962,13 @@ class ShardActor:
     def scatter_grouped(self, op: str, group_bounds, **kw):
         """Two-level exchange tier 1: run the scatter, then pack the
         per-shard slices into one object per aggregator group
-        (num_returns = #groups instead of P)."""
-        out = self.scatter(op, **kw)
+        (num_returns = #groups instead of P). Dense value blocks are
+        disabled here — the aggregator combiners assume sparse tuples."""
+        self._dense_enabled = False
+        try:
+            out = self.scatter(op, **kw)
+        finally:
+            self._dense_enabled = True
         return tuple(tuple(out[a:b])
                      for a, b in zip(group_bounds[:-1], group_bounds[1:]))
 
@@ -948,11 +986,15 @@ class ShardActor:
                     flat.extend(m)
             msgs = tuple(flat)
         try:
-            self.metrics["msgs_out"] += sum(len(m[0]) for m in msgs)
+            self.metrics["msgs_out"] += sum(
+                len(m[1]) if m[0] is None else len(m[0]) for m in msgs)
             if op == "pr_update":
                 incoming = np.zeros(self.n_local)
                 for dsts, vals in msgs:
-                    incoming[dsts] += vals
+                    if dsts is None:          # dense block (see _route)
+                        incoming += vals
+                    else:
+                        incoming[dsts] += vals
                 self.state["delta"] = incoming
                 self.state["rank"] += incoming
                 return {"max_delta": float(np.abs(incoming).max()) if self.n_local else 0.0}
@@ -961,12 +1003,18 @@ class ShardActor:
                 # sum of squares for driver-side L2 normalization
                 incoming = np.zeros(self.n_local)
                 for dsts, vals in msgs:
-                    incoming[dsts] += vals
+                    if dsts is None:          # dense block (see _route)
+                        incoming += vals
+                    else:
+                        incoming[dsts] += vals
                 self.state[kw["name"]] = incoming
                 return {"sumsq": float(np.square(incoming).sum())}
             if op == "add_update":
                 st = self.state[kw["name"]]
                 for dsts, vals in msgs:
+                    if dsts is None:          # dense block (see _route)
+                        st += vals.astype(st.dtype)
+                        continue
                     # dsts are unique within one sender's message but can
                     # repeat across senders — np.add.at, not fancy +=
                     np.add.at(st, dsts, vals.astype(st.dtype))
