@@ -92,26 +92,45 @@ def pagerank(
     # (bench opt-in; default float64 keeps exact SQL-oracle parity)
     msg_dtype = os.environ.get("NGA_PR_MSG_DTYPE", "float64")
     metrics, it, converged = [], start_iter, False
+    scatter_op = "pr_push_w" if weighted else "pr_push"
+    scatter_kw = ({"damping": damping} if weighted else
+                  {"damping": damping, "msg_dtype": msg_dtype})
+    # pipelined iteration (NGA_PIPELINE_PR=0 disables): submit superstep
+    # k+1 before collecting superstep k's stats — actor task order
+    # guarantees scatter(k+1) runs after update(k) on each shard, so the
+    # driver round-trip + resubmission latency leaves every superstep's
+    # critical path. Convergence then lags one superstep; the one
+    # speculative superstep is reversed exactly via a pre-update rank
+    # snapshot (rollback_pr), so results are bit-identical to the
+    # barriered loop's. Direct-exchange regime only; the checkpointing
+    # loop stays barriered (manifests must see settled state).
+    pipelined = (os.environ.get("NGA_PIPELINE_PR", "1") != "0"
+                 and 1 < eng.P < eng._two_level_threshold()
+                 and not checkpoint_every)
     t0 = time.perf_counter()
-    while it < max_iterations:
-        stats = eng.step("pr_push_w" if weighted else "pr_push", "pr_update",
-                         scatter_kw=({"damping": damping} if weighted else
-                                     {"damping": damping, "msg_dtype": msg_dtype}))
-        it += 1
-        max_delta = max(s["max_delta"] for s in stats)
-        if checkpoint_every and (it % checkpoint_every == 0):
-            ckpt = ensure_ckpt_dir("pagerank", g, checkpoint_dir)
-            iter_metrics = eng.drain_metrics()
-            for m in iter_metrics:
-                m["through_iteration"] = it
-            metrics.append(iter_metrics)
-            parts = eng.checkpoint(ckpt, it, ["rank", "delta"])
-            write_manifest(ckpt, iteration=it, algo="pagerank", config=config,
-                           partitions=parts, metrics=iter_metrics,
-                           extra={"max_delta": max_delta})
-        if tolerance is not None and max_delta <= tolerance:
-            converged = True
-            break
+    if pipelined:
+        it, converged = _pagerank_pipelined(
+            eng, scatter_op, scatter_kw, start_iter, max_iterations,
+            tolerance)
+    else:
+        while it < max_iterations:
+            stats = eng.step(scatter_op, "pr_update", scatter_kw=scatter_kw)
+            it += 1
+            max_delta = max(s["max_delta"] for s in stats)
+            if checkpoint_every and (it % checkpoint_every == 0):
+                ckpt = ensure_ckpt_dir("pagerank", g, checkpoint_dir)
+                iter_metrics = eng.drain_metrics()
+                for m in iter_metrics:
+                    m["through_iteration"] = it
+                metrics.append(iter_metrics)
+                parts = eng.checkpoint(ckpt, it, ["rank", "delta"])
+                write_manifest(ckpt, iteration=it, algo="pagerank",
+                               config=config, partitions=parts,
+                               metrics=iter_metrics,
+                               extra={"max_delta": max_delta})
+            if tolerance is not None and max_delta <= tolerance:
+                converged = True
+                break
     elapsed = time.perf_counter() - t0
     final_metrics = eng.drain_metrics()
     for m in final_metrics:
@@ -127,6 +146,55 @@ def pagerank(
                "edges": g.num_edges, "edges_scattered": edges_scattered,
                "edges_scattered_per_sec": edges_scattered / elapsed if elapsed else 0.0},
     )
+
+
+def _pagerank_pipelined(eng, scatter_op: str, scatter_kw: dict,
+                        start_iter: int, max_iterations: int,
+                        tolerance: Optional[float]) -> tuple[int, bool]:
+    """Pipelined PageRank supersteps (see the call site's comment).
+
+    With ``tolerance`` set the pipeline depth is 2: after submitting
+    wave k the driver collects wave k-1's stats while k executes; on
+    convergence at k-1 the already-queued wave k completes and is then
+    reversed via the pre-update rank snapshot, so final ranks equal
+    the barriered loop's bit for bit (the snapshot's extra copy per
+    superstep is why ``keep_prev`` is only sent in this mode). With
+    ``tolerance=None`` (fixed-iteration mode) no stats are needed
+    mid-run and the submission queue is drained lazily at depth 4.
+    Returns (iterations_applied_through, converged)."""
+    import ray
+
+    pending: list = []     # (iteration number, update refs)
+    it, submitted, converged = start_iter, start_iter, False
+    uk = {"keep_prev": True} if tolerance is not None else {}
+    while submitted < max_iterations:
+        upd = eng.step_async(scatter_op, "pr_update",
+                             scatter_kw=scatter_kw, update_kw=uk)
+        submitted += 1
+        pending.append((submitted, upd))
+        if tolerance is not None:
+            if len(pending) >= 2:
+                k, refs = pending.pop(0)
+                stats = ray.get(refs)
+                it = k
+                if max(s["max_delta"] for s in stats) <= tolerance:
+                    converged = True
+                    _, spec = pending.pop(0)   # the one speculative wave
+                    ray.get(spec)
+                    eng.rollback_pr()
+                    break
+        elif len(pending) >= 4:
+            k, refs = pending.pop(0)
+            ray.get(refs)
+            it = k
+    if not converged:
+        for k, refs in pending:
+            stats = ray.get(refs)
+            it = k
+            if (tolerance is not None and not converged
+                    and max(s["max_delta"] for s in stats) <= tolerance):
+                converged = True   # converged exactly on the final wave
+    return it, converged
 
 
 def _seed_vids(g: GraphTables, source_nodes: list):

@@ -601,6 +601,16 @@ class ShardActor:
                 self.state["changed"][ch] = 1
         return nch
 
+    def rollback_pr(self) -> bool:
+        """Discard the last pr_update by restoring the pre-update rank
+        snapshot taken under ``keep_prev`` (an arithmetic
+        ``rank -= delta`` would NOT round-trip in floating point). The
+        engine's pipelined convergence path uses this to reverse its
+        one speculative superstep, making final ranks bit-identical to
+        the barriered loop's."""
+        self.state["rank"] = self.state.pop("_rank_prev")
+        return True
+
     # ---- checkpoint / restore (per-partition lineage) ----
     def checkpoint(self, ckpt_dir: str, iteration: int, names: list[str]) -> dict:
         d = os.path.join(ckpt_dir, f"iter={iteration}")
@@ -989,6 +999,11 @@ class ShardActor:
             self.metrics["msgs_out"] += sum(
                 len(m[1]) if m[0] is None else len(m[0]) for m in msgs)
             if op == "pr_update":
+                if kw.get("keep_prev"):
+                    # pipelined loop: snapshot the pre-update rank so a
+                    # speculative superstep can be discarded EXACTLY
+                    # (float a+b-b does not round-trip; a copy does)
+                    self.state["_rank_prev"] = self.state["rank"].copy()
                 incoming = np.zeros(self.n_local)
                 for dsts, vals in msgs:
                     if dsts is None:          # dense block (see _route)
@@ -1471,6 +1486,32 @@ class ShardEngine:
 
         total = ds.map_batches(route, batch_format="pyarrow").sum("n")
         return int(total or 0)
+
+    def step_async(self, scatter_op: str, update_op: str, *,
+                   scatter_kw=None, update_kw=None) -> list:
+        """Submit one BSP superstep WITHOUT waiting — returns the update
+        ObjectRefs. Callers may submit the next superstep before
+        collecting these: Ray actors execute tasks in submission order,
+        so scatter(k+1) on shard j is guaranteed to run after
+        update_j(k) writes the state it reads. This removes the driver
+        round-trip + resubmission latency from every superstep's
+        critical path (pipelined iteration, see algorithms/pagerank.py).
+        Direct-exchange regime only — callers gate on
+        ``1 < P < _two_level_threshold()``."""
+        sk, uk = scatter_kw or {}, update_kw or {}
+        refs = [a.scatter.options(num_returns=self.P).remote(scatter_op, **sk)
+                for a in self.actors]
+        return [self.actors[j].update.remote(
+                    update_op, *[refs[i][j] for i in range(self.P)], **uk)
+                for j in range(self.P)]
+
+    def rollback_pr(self) -> None:
+        """Undo the last applied pr_update on every shard
+        (rank -= delta; delta holds exactly the last incoming vector) —
+        the pipelined convergence path lets one speculative superstep
+        complete, then reverses it, so final ranks are bit-identical to
+        the barriered loop's."""
+        ray.get([a.rollback_pr.remote() for a in self.actors])
 
     def step(self, scatter_op: str, update_op: str, *, actors=None,
              update_actors=None, scatter_kw=None, update_kw=None) -> list[dict]:
