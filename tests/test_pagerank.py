@@ -315,3 +315,23 @@ def test_pagerank_batch_matches_single_seed_columns():
         for r in pagerank(g, 0.85, max_iterations=20,
                           source_nodes=[s]).dataset.take_all():
             assert abs(bt[(s, r["node"])] - r["score"]) < 1e-12
+
+
+def test_pipelined_bit_parity_with_barriered(monkeypatch):
+    """The pipelined superstep loop (speculative wave + snapshot
+    rollback) must reproduce the barriered loop bit for bit — same
+    iteration count, converged flag, and scores — in both convergence
+    and fixed-iteration modes."""
+    tbl = fx.scale_free_edges(4000, mean_deg=6, seed=11)
+    import ray.data as rd
+    g = build_graph(rd.from_arrow(tbl).repartition(4), name="pipeparity")
+    for kwargs in ({"max_iterations": 200, "tolerance": 1e-4},
+                   {"max_iterations": 7}):
+        monkeypatch.setenv("NGA_PIPELINE_PR", "0")
+        r0 = pagerank(g, 0.85, num_partitions=4, **kwargs)
+        monkeypatch.setenv("NGA_PIPELINE_PR", "1")
+        r1 = pagerank(g, 0.85, num_partitions=4, **kwargs)
+        assert (r0.iterations, r0.converged) == (r1.iterations, r1.converged)
+        d0 = {r["node"]: r["score"] for r in r0.dataset.take_all()}
+        d1 = {r["node"]: r["score"] for r in r1.dataset.take_all()}
+        assert d0 == d1   # bit-identical, not approx
