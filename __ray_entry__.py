@@ -5036,6 +5036,46 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
     }
     out = {k: base[k] for k in _WINDOW_R05}
+    # after the window: queries with no driver-signed green row yet
+    # (the r06 rotation queue), then the multi-round-verified backlog —
+    # keeps "rotate the first 50 after the window" a one-list edit.
+    never_verified = [
+        "value_percentiles", "rank_residual", "degree_drift",
+        "orphan_pages", "host_rank_gini", "web_pagerank_anchor_weighted",
+        "reciprocal_rank_boost",
+        "quality_assortativity", "host_insularity", "host_reciprocity",
+        "dup_rank_report", "rank_flows", "anchor_entropy", "rank_by_depth",
+        "freq_spectrum", "bm25_topk", "nb_quality", "knn_graph",
+        "embedding_clusters", "chunk_documents", "pack_sequences",
+        "gopher_repetition", "weighted_sample", "mixture_weights",
+        "ngram_containment_pairs", "span_dedup", "bigram_xent",
+        "web_ktruss", "web_kcore_decomposition", "web_spam_mass",
+        "node2vec_walks", "web_salsa", "link_prediction", "web_opic",
+        "web_pagerank_dangling", "char_entropy", "dsir_weights",
+        "web_powerlaw", "host_triangles", "web_bowtie",
+        "lexical_diversity", "sentence_stats", "slice_kl",
+        "dup_ngram_frac", "winnow_fingerprints", "heavy_hitter_hosts",
+        "two_hop_size", "effective_diameter", "url_canonical",
+        "corpus_token_budget", "lang_length_percentiles", "mis_hosts",
+        "host_distinct_outlinks", "filter_report", "host_articlerank",
+        "web_graph_summary", "embedding_dim_stats", "modularity_score",
+        "rich_club", "global_transitivity", "zipf_alpha",
+        "vocab_coverage", "host_outlink_entropy", "local_bridges",
+        "simhash_clusters", "degree_gini", "dedup_rate_by_source",
+        "node_similarity", "minhash_eval", "vocab_novelty",
+        "lang_vocab_overlap", "dedup_sensitivity", "edge_prune_topm",
+        "web_ppr_batch", "simhash_eval", "host_features",
+        "tfidf_cosine_pairs", "latest_event_per_user", "window_topk_types",
+        "embedding_gram", "langid_confusion", "quality_by_source",
+        "embedding_quantize", "ann_eval", "induced_subgraph",
+        "url_depth_stats", "window_anomaly", "host_hits",
+        "ranked_anchor_report", "degree_percentiles", "doc_sample",
+        # rows-only (no SQL oracle — keep OUT of any driver window)
+        "kmeans_clusters", "cluster_balanced_sample", "balanced_partition",
+        "pq_codes", "compression_ratio", "logreg_quality", "anf",
+        "shard_plan", "embedding_pca",
+    ]
+    out.update((k, base[k]) for k in never_verified if k not in out)
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
