@@ -660,8 +660,16 @@ class ShardActor:
             if dense_ratio is not None and len(vals) == 1:
                 rsize = int(self.bounds[j + 1] - self.bounds[j])
                 n_msg = cuts[j + 1] - cuts[j]
-                if rsize and n_msg > dense_ratio * rsize:
-                    block = np.zeros(rsize, dtype=vals[0].dtype)
+                # 2-D (wave) messages carry S values per row, so the
+                # 4 B/row index overhead dense saves is marginal while
+                # zero-filled slots cost 8S B each — dense only pays
+                # off near-full density there (the win left is the
+                # receiver's contiguous += over the indexed scatter)
+                ratio = (dense_ratio if getattr(vals[0], "ndim", 1) == 1
+                         else max(dense_ratio, 0.9))
+                if rsize and n_msg > ratio * rsize:
+                    block = np.zeros((rsize,) + vals[0].shape[1:],
+                                     dtype=vals[0].dtype)
                     block[locs[sl]] = vals[0][sl]
                     out.append((None, block))
                     continue
@@ -900,7 +908,7 @@ class ShardActor:
                 idx = np.nonzero(keep)[0]
                 self.metrics["edges_scattered"] += int(
                     nz[self.src_in_dst_order].sum())
-                return self._route(idx, sums[keep])
+                return self._route(idx, sums[keep], dense_ok=True)
             if op == "brandes_fwd":
                 # forward Brandes superstep: frontier vertices (dist ==
                 # level, per source column) push their σ along out-edges;
@@ -921,7 +929,7 @@ class ShardActor:
                 idx = np.nonzero(keep)[0]
                 self.metrics["edges_scattered"] += int(
                     mask.any(axis=1)[self.src_in_dst_order].sum())
-                return self._route(idx, sums[keep])
+                return self._route(idx, sums[keep], dense_ok=True)
             if op == "brandes_bwd":
                 # backward dependency superstep over the REVERSE CSR:
                 # vertices w at dist == level send (1+δ_w)/σ_w to their
@@ -943,7 +951,7 @@ class ShardActor:
                 idx = np.nonzero(keep)[0]
                 self.metrics["edges_scattered"] += int(
                     mask.any(axis=1)[self.src_in_dst_order].sum())
-                return self._route(idx, sums[keep])
+                return self._route(idx, sums[keep], dense_ok=True)
             if op == "bwd_color":
                 # SCC backward pass over the reverse CSR: frontier vertices w
                 # (in_flag newly set) push their color to in-neighbors u of
@@ -1030,9 +1038,11 @@ class ShardActor:
                     if dsts is None:          # dense block (see _route)
                         st += vals.astype(st.dtype)
                         continue
-                    # dsts are unique within one sender's message but can
-                    # repeat across senders — np.add.at, not fancy +=
-                    np.add.at(st, dsts, vals.astype(st.dtype))
+                    # dsts are unique WITHIN one message (each sender
+                    # pre-aggregates per unique dst, _route), so fancy
+                    # += is exact here; cross-sender repeats are
+                    # handled by applying messages sequentially
+                    st[dsts] += vals.astype(st.dtype)
                 return {}
             if op == "min_update":
                 name = kw["name"]
@@ -1040,7 +1050,9 @@ class ShardActor:
                 cand = np.full(self.n_local, np.iinfo(np.int64).max
                                if st.dtype == np.int64 else np.inf, dtype=st.dtype)
                 for dsts, vals in msgs:
-                    np.minimum.at(cand, dsts, vals.astype(st.dtype))
+                    # unique per message (see add_update note)
+                    cand[dsts] = np.minimum(cand[dsts],
+                                            vals.astype(st.dtype))
                 changed = cand < st
                 st[changed] = cand[changed]
                 if kw.get("track_changed"):
@@ -1051,7 +1063,8 @@ class ShardActor:
                 act = self.state["active"] > 0
                 cand = np.full(self.n_local, -1, dtype=np.int64)
                 for dsts, vals in msgs:
-                    np.maximum.at(cand, dsts, vals.astype(np.int64))
+                    cand[dsts] = np.maximum(cand[dsts],
+                                            vals.astype(np.int64))
                 changed = act & (cand > st)
                 st[changed] = cand[changed]
                 return {"changed": int(changed.sum())}
@@ -1090,7 +1103,8 @@ class ShardActor:
                 depth = kw["depth"]
                 inc = np.zeros(self.n_local, dtype=np.uint64)
                 for dsts, vals in msgs:
-                    np.bitwise_or.at(inc, dsts, vals.astype(np.uint64))
+                    # unique per message (see add_update note)
+                    inc[dsts] |= vals.astype(np.uint64)
                 new = inc & ~self.state["seen"]
                 self.state["seen"] |= new
                 self.state["frontier"] = new
@@ -1132,8 +1146,7 @@ class ShardActor:
                 for m_ in msgs:
                     if len(m_[0]) == 0:
                         continue
-                    np.bitwise_or.at(inc, m_[0].astype(np.int64),
-                                     m_[1].astype(np.uint64))
+                    inc[m_[0].astype(np.int64)] |= m_[1].astype(np.uint64)
                 new = inc & ~seen
                 seen |= new
                 self.state["anf_frontier"] = new
@@ -1142,7 +1155,8 @@ class ShardActor:
                 st = self.state["dist"]
                 cand = np.full(self.n_local, np.inf)
                 for dsts, vals in msgs:
-                    np.minimum.at(cand, dsts, vals)
+                    # unique per message (see add_update note)
+                    cand[dsts] = np.minimum(cand[dsts], vals)
                 changed = cand < st
                 st[changed] = cand[changed]
                 if kw.get("track_changed"):
@@ -1152,8 +1166,10 @@ class ShardActor:
                 rank = self.state["rankM"]
                 acc = np.zeros_like(rank)
                 for m_ in msgs:
-                    if len(m_[0]):
-                        np.add.at(acc, m_[0].astype(np.int64), m_[1])
+                    if m_[0] is None:         # dense block (see _route)
+                        acc += m_[1]
+                    elif len(m_[0]):
+                        acc[m_[0].astype(np.int64)] += m_[1]
                 rank += acc
                 self.state["deltaM"] = acc
                 return {"max_delta": float(acc.max()) if acc.size else 0.0}
@@ -1163,9 +1179,12 @@ class ShardActor:
                 dist = self.state["dist2"]
                 acc = np.zeros_like(sig)
                 for m_ in msgs:
+                    if m_[0] is None:         # dense block (see _route)
+                        acc += m_[1]
+                        continue
                     if len(m_[0]) == 0:
                         continue
-                    np.add.at(acc, m_[0].astype(np.int64), m_[1])
+                    acc[m_[0].astype(np.int64)] += m_[1]
                 new = (acc > 0) & (dist < 0)
                 if new.any():
                     dist[new] = lv + 1
@@ -1178,9 +1197,12 @@ class ShardActor:
                 delta = self.state["delta"]
                 acc = np.zeros_like(sig)
                 for m_ in msgs:
+                    if m_[0] is None:         # dense block (see _route)
+                        acc += m_[1]
+                        continue
                     if len(m_[0]) == 0:
                         continue
-                    np.add.at(acc, m_[0].astype(np.int64), m_[1])
+                    acc[m_[0].astype(np.int64)] += m_[1]
                 mask = dist == lv - 1
                 delta += np.where(mask, sig * acc, 0.0)
                 return {}
