@@ -630,7 +630,7 @@ class ShardActor:
 
     # ---- message plumbing ----
     def _route(self, uniq_idx: np.ndarray, *vals: np.ndarray,
-               dense_ok: bool = False) -> list:
+               dense_ok: bool = False, fill=0) -> list:
         """Split (local_dst_idx, values...) message arrays by target shard.
         Indices are LOCAL to the receiving shard (int32 when possible).
 
@@ -667,9 +667,14 @@ class ShardActor:
                 # receiver's contiguous += over the indexed scatter)
                 ratio = (dense_ratio if getattr(vals[0], "ndim", 1) == 1
                          else max(dense_ratio, 0.9))
+                if fill != 0:
+                    # sentinel-filled (min/max) blocks: the empty slots
+                    # cost full value width with no index saving below
+                    # ~2/3 density, so demand more coverage than sums
+                    ratio = max(ratio, 0.67)
                 if rsize and n_msg > ratio * rsize:
-                    block = np.zeros((rsize,) + vals[0].shape[1:],
-                                     dtype=vals[0].dtype)
+                    block = np.full((rsize,) + vals[0].shape[1:], fill,
+                                    dtype=vals[0].dtype)
                     block[locs[sl]] = vals[0][sl]
                     out.append((None, block))
                     continue
@@ -765,10 +770,13 @@ class ShardActor:
                 self.metrics["edges_scattered"] += self.m
                 return self._route(None, lens, dense_ok=True)
             if op == "min_state":
-                vals = self.state[kw["name"]][self.src_in_dst_order]
+                st = self.state[kw["name"]]
+                vals = st[self.src_in_dst_order]
                 mins = np.minimum.reduceat(vals, self.seg_starts)
                 self.metrics["edges_scattered"] += self.m
-                return self._route(None, mins)
+                sent = (np.iinfo(st.dtype).max
+                        if np.issubdtype(st.dtype, np.integer) else np.inf)
+                return self._route(None, mins, dense_ok=True, fill=sent)
             if op == "sum_state":
                 # plain neighbor sum of a state vector (HITS hub/auth
                 # pull; pr_push without the out-degree division)
@@ -792,7 +800,8 @@ class ShardActor:
                 keep = mins < sentinel
                 idx = np.nonzero(keep)[0]
                 self.metrics["edges_scattered"] += int(sel.sum())
-                return self._route(idx, mins[keep])
+                return self._route(idx, mins[keep], dense_ok=True,
+                                   fill=sentinel)
             if op == "max_state_masked":
                 vals = self.state[kw["name"]][self.src_in_dst_order]
                 active = self.state["active"][self.src_in_dst_order] > 0
@@ -801,7 +810,8 @@ class ShardActor:
                 keep = maxs >= 0
                 self.metrics["edges_scattered"] += self.m
                 idx = np.nonzero(keep)[0]
-                return self._route(idx, maxs[keep])
+                return self._route(idx, maxs[keep], dense_ok=True,
+                                   fill=np.int64(-1))
             if op == "lpa":
                 lab = self.state["label"][self.src_in_dst_order]
                 wgt = self.w_dst if self.w_dst is not None else np.ones(self.m)
@@ -886,7 +896,8 @@ class ShardActor:
                 fin = np.isfinite(mins)
                 idx = np.nonzero(fin)[0]
                 self.metrics["edges_scattered"] += int(np.isfinite(vals).sum())
-                return self._route(idx, mins[fin])
+                return self._route(idx, mins[fin], dense_ok=True,
+                                   fill=np.inf)
             if op == "ppr_push_multi":
                 # batched personalized PageRank: all S delta columns
                 # push in ONE superstep — matrix messages amortize the
@@ -1050,6 +1061,9 @@ class ShardActor:
                 cand = np.full(self.n_local, np.iinfo(np.int64).max
                                if st.dtype == np.int64 else np.inf, dtype=st.dtype)
                 for dsts, vals in msgs:
+                    if dsts is None:          # sentinel-filled dense block
+                        np.minimum(cand, vals.astype(st.dtype), out=cand)
+                        continue
                     # unique per message (see add_update note)
                     cand[dsts] = np.minimum(cand[dsts],
                                             vals.astype(st.dtype))
@@ -1063,6 +1077,9 @@ class ShardActor:
                 act = self.state["active"] > 0
                 cand = np.full(self.n_local, -1, dtype=np.int64)
                 for dsts, vals in msgs:
+                    if dsts is None:          # sentinel-filled dense block
+                        np.maximum(cand, vals.astype(np.int64), out=cand)
+                        continue
                     cand[dsts] = np.maximum(cand[dsts],
                                             vals.astype(np.int64))
                 changed = act & (cand > st)
@@ -1155,6 +1172,9 @@ class ShardActor:
                 st = self.state["dist"]
                 cand = np.full(self.n_local, np.inf)
                 for dsts, vals in msgs:
+                    if dsts is None:          # sentinel-filled dense block
+                        np.minimum(cand, vals, out=cand)
+                        continue
                     # unique per message (see add_update note)
                     cand[dsts] = np.minimum(cand[dsts], vals)
                 changed = cand < st
