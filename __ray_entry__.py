@@ -2033,6 +2033,17 @@ def _q_page_links(sf_dir: str):
     return web_edge_ds(sf_dir)
 
 
+def _q_page_links_tolerant(sf_dir: str):
+    """Real-crawl HTML robustness, end to end: every page's anchors are
+    deterministically rewritten into one of four quoting/case/spacing
+    variants (messify_pages), then the TOLERANT extractor
+    (stages/extract.py, single/unquoted hrefs, case-insensitive tags,
+    base-href resolution) must recover the canonical edge set exactly —
+    the oracle is the same PAGE_LINKS_SQL as page_links."""
+    from neo4j_graph_algorithms_ray.pipelines.webgraph import web_edge_ds_tolerant
+    return web_edge_ds_tolerant(sf_dir)
+
+
 def _q_web_degrees(sf_dir: str):
     from neo4j_graph_algorithms_ray.algorithms.common import attach_node_ids, get_engine
     from neo4j_graph_algorithms_ray.pipelines.webgraph import get_web_graph
@@ -4992,6 +5003,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "labelprop": _q_labelprop,
         "page_text": _q_page_text,
         "page_links": _q_page_links,
+        "page_links_tolerant": _q_page_links_tolerant,
         "web_degrees": _q_web_degrees,
         "web_pagerank_topk": _q_web_pagerank_topk,
         "web_wcc_sizes": _q_web_wcc_sizes,
@@ -5040,6 +5052,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
     # (the r06 rotation queue), then the multi-round-verified backlog —
     # keeps "rotate the first 50 after the window" a one-list edit.
     never_verified = [
+        "page_links_tolerant",
         "value_percentiles", "rank_residual", "degree_drift",
         "orphan_pages", "host_rank_gini", "web_pagerank_anchor_weighted",
         "reciprocal_rank_boost",
@@ -5092,6 +5105,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "page_text": ow.PAGE_TEXT_SQL,
         "page_links": ow.PAGE_LINKS_SQL,
+        "page_links_tolerant": ow.PAGE_LINKS_SQL,
         "web_degrees": ow.WEB_DEGREES_SQL,
         "web_pagerank": ow.web_pagerank_sql(PR_ITERS),
         "web_pagerank_topk": ow.web_pagerank_sql(PR_ITERS, topk=TOPK),

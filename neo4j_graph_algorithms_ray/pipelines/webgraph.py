@@ -59,6 +59,58 @@ def web_edge_ds(sf_dir: str) -> rd.Dataset:
     return predistinct(edges, ["src_url", "dst_url"])
 
 
+def messify_pages(batch):
+    """Deterministically rewrite each page's anchors into one of four
+    real-crawl quoting/case variants chosen by md5(url) % 4 — the
+    tolerant-extraction test harness. Only the literal anchor
+    delimiters move: in the canonical page template ``<a href="`` and
+    ``">`` occur ONLY at href boundaries (raw ``>`` in body text is
+    entity-escaped, so a stray ``"`` in text can never be followed by
+    a real ``>``), making the rewrites semantics-preserving — a
+    tolerant parse of the messy page must recover the canonical edge
+    set exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
+    html = batch.column("html").cast(pa.string()).combine_chunks()
+    urls = batch.column("url").to_numpy(zero_copy_only=False)
+    h, inv = _md5_u64(urls.astype(object), hexdigits=8)
+    variant = (h[inv] % 4).astype(np.int64)
+    v1 = pc.replace_substring(pc.replace_substring(
+        html, pattern='<a href="', replacement="<a href='"),
+        pattern='">', replacement="'>")
+    v2 = pc.replace_substring(html, pattern='<a href="',
+                              replacement='<A  HREF = "')
+    v3 = pc.replace_substring(pc.replace_substring(
+        html, pattern='<a href="', replacement='<a href='),
+        pattern='">', replacement='>')
+    va = pa.array(variant)
+    out = pc.if_else(pc.equal(va, 1), v1,
+                     pc.if_else(pc.equal(va, 2), v2,
+                                pc.if_else(pc.equal(va, 3), v3, html)))
+    return pa.table({"url": batch.column("url"),
+                     "html": pc.cast(out, pa.binary())})
+
+
+def web_edge_ds_tolerant(sf_dir: str) -> rd.Dataset:
+    """Distinct (src_url, dst_url) edges recovered by the TOLERANT
+    extractor from deterministically-messified pages (messify_pages).
+    Oracle: PAGE_LINKS_SQL over the canonical pages — the rewrites are
+    semantics-preserving, so tolerant extraction must reproduce the
+    canonical edge set byte-for-byte."""
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    messy = pages.map_batches(messify_pages, batch_format="pyarrow",
+                              batch_size=EXTRACT_BATCH)
+    edges = messy.map_batches(ExtractLinks(tolerant=True),
+                              batch_format="pyarrow",
+                              batch_size=EXTRACT_BATCH)
+    edges = edges.filter(expr="src_url != dst_url")
+    from neo4j_graph_algorithms_ray.util import predistinct
+    return predistinct(edges, ["src_url", "dst_url"])
+
+
 def get_web_graph(sf_dir: str, *, undirected: bool = False) -> GraphTables:
     name = f"web:{sf_dir}:{'und' if undirected else 'dir'}"
     g = GraphCatalog.get(name)
