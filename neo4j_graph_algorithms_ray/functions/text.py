@@ -668,13 +668,24 @@ def stratified_sample(docs, *, key_col: str = "lang", per_group: int = 50,
     from neo4j_graph_algorithms_ray.functions.dedup import _md5_u64
     from neo4j_graph_algorithms_ray.util import to_arrow_blocks
 
-    def partial(b: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame({id_col: b[id_col].to_numpy(zero_copy_only=False),
-                           key_col: b[key_col].to_pylist()})
-        h, _ = _md5_u64(df[id_col].to_numpy().astype(str).astype(object), 15)
-        df["_h"] = h
-        df = df.sort_values([key_col, "_h", id_col])
-        return df.groupby(key_col, sort=False).head(per_group)
+    def partial(b: pa.Table) -> pa.Table:
+        # Arrow-native per-batch head-per-group (no pandas round-trip):
+        # lexsort by (key, md5(id), id), then rank-within-group < cap
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        h, inv = _md5_u64(ids.astype(str).astype(object), 15)
+        hh = h[inv]
+        order = np.lexsort((ids, hh, keys))
+        k_s = keys[order]
+        first = np.concatenate([[True], k_s[1:] != k_s[:-1]]) \
+            if len(k_s) else np.empty(0, bool)
+        starts = np.nonzero(first)[0]
+        grp = np.cumsum(first) - 1
+        rank = np.arange(len(k_s)) - starts[grp] if len(k_s) else first
+        sel = order[rank < per_group]
+        return pa.table({id_col: pa.array(ids[sel]),
+                         key_col: pa.array(keys[sel]),
+                         "_h": pa.array(hh[sel])})
 
     part = docs.select_columns([id_col, key_col]) \
                .map_batches(partial, batch_format="pyarrow")
