@@ -76,10 +76,36 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
+def _indexed_combine(kind, block, locs, vals):
+    """Fold one sparse (locs, vals) message into a dense block in place
+    (locs are unique per message, so indexed ops are exact)."""
+    if kind in ("sum", "sum2d"):
+        block[locs] += vals
+    elif kind == "min":
+        block[locs] = np.minimum(block[locs], vals)
+    elif kind == "max":
+        block[locs] = np.maximum(block[locs], vals)
+    else:  # "or" / "or2d"
+        block[locs] |= vals
+
+
 def _combine_member(kind, member_lists):
     """Merge one member shard's messages from all senders of a group
-    into a single (locs, vals) tuple (map-side combine, tier 2)."""
-    nz = [m for m in member_lists if len(m[0])]
+    into a single message tuple (map-side combine, tier 2). Mixed
+    sparse/dense inputs fold into one dense block: dense blocks carry
+    their op's combine identity in empty slots (0 for sums, the
+    sentinel for min/max — _route fills them), so elementwise ufuncs
+    and indexed combines compose exactly."""
+    dense = [m for m in member_lists if m[0] is None]
+    nz = [m for m in member_lists if m[0] is not None and len(m[0])]
+    if dense:
+        ufunc = _COMBINE_UFUNC[kind]
+        block = dense[0][1].copy()
+        for m in dense[1:]:
+            ufunc(block, m[1], out=block)
+        for locs, vals in nz:
+            _indexed_combine(kind, block, locs, vals)
+        return [(None, block)]
     if not nz:
         return [(np.empty(0, np.int64), np.empty(0))]
     locs = np.concatenate([m[0] for m in nz])
@@ -644,8 +670,9 @@ class ShardActor:
         the dense block costs 4 B/slot AND turns the receiver's
         indexed-scatter add into one SIMD ``+=``. Receivers detect the
         form by ``dsts is None`` (pr_update / set_sum_update /
-        add_update). Disabled during grouped (two-level) scatters —
-        the aggregator combiners assume sparse tuples."""
+        add_update / min_update / relax_update / …). Under the
+        two-level exchange _combine_member folds mixed sparse/dense
+        member messages into one dense block per receiver."""
         out = []
         if uniq_idx is None:
             locs, dsts = self.uniq_local, self.uniq_dst
@@ -991,13 +1018,12 @@ class ShardActor:
     def scatter_grouped(self, op: str, group_bounds, **kw):
         """Two-level exchange tier 1: run the scatter, then pack the
         per-shard slices into one object per aggregator group
-        (num_returns = #groups instead of P). Dense value blocks are
-        disabled here — the aggregator combiners assume sparse tuples."""
-        self._dense_enabled = False
-        try:
-            out = self.scatter(op, **kw)
-        finally:
-            self._dense_enabled = True
+        (num_returns = #groups instead of P). Dense value blocks flow
+        through: _combine_member folds mixed sparse/dense inputs into
+        one dense block per member, so at high P each receiver gets ONE
+        block per group instead of P sparse tuples — the multi-node
+        NIC-traffic shape the two-level topology exists for."""
+        out = self.scatter(op, **kw)
         return tuple(tuple(out[a:b])
                      for a, b in zip(group_bounds[:-1], group_bounds[1:]))
 

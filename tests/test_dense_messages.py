@@ -69,3 +69,20 @@ def test_sum_state_dense_parity(dense_graph, monkeypatch):
     a = outs["dense"].sort_values("vid").reset_index(drop=True)
     b = outs["sparse"].sort_values("vid").reset_index(drop=True)
     assert (a["y"].to_numpy() == b["y"].to_numpy()).all()
+
+
+def test_two_level_dense_parity(dense_graph, monkeypatch):
+    """Dense blocks through the two-level aggregators (_combine_member
+    folds mixed sparse/dense into one block per member) must match the
+    direct dense exchange exactly."""
+    monkeypatch.setenv("NGA_DENSE_MSG_RATIO", "0.0")
+    monkeypatch.setenv("NGA_TWO_LEVEL_P", "1000")   # direct
+    direct = {x["node"]: x["score"] for x in pagerank(
+        dense_graph, 0.85, max_iterations=8,
+        num_partitions=4).dataset.take_all()}
+    monkeypatch.setenv("NGA_TWO_LEVEL_P", "2")      # two-level at P=4
+    two = {x["node"]: x["score"] for x in pagerank(
+        dense_graph, 0.85, max_iterations=8,
+        num_partitions=4).dataset.take_all()}
+    for k, v in direct.items():
+        assert two[k] == pytest.approx(v, abs=1e-9), k
