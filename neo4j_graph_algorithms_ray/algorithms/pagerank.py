@@ -105,8 +105,7 @@ def pagerank(
     # barriered loop's. Direct-exchange regime only; the checkpointing
     # loop stays barriered (manifests must see settled state).
     pipelined = (os.environ.get("NGA_PIPELINE_PR", "1") != "0"
-                 and 1 < eng.P < eng._two_level_threshold()
-                 and not checkpoint_every)
+                 and eng.P > 1 and not checkpoint_every)
     t0 = time.perf_counter()
     if pipelined:
         it, converged = _pagerank_pipelined(

@@ -1564,9 +1564,13 @@ class ShardEngine:
         update_j(k) writes the state it reads. This removes the driver
         round-trip + resubmission latency from every superstep's
         critical path (pipelined iteration, see algorithms/pagerank.py).
-        Direct-exchange regime only — callers gate on
-        ``1 < P < _two_level_threshold()``."""
+        Works in both exchange regimes (direct P² refs below the
+        two-level threshold, grouped aggregators above); callers gate
+        on ``P > 1``."""
         sk, uk = scatter_kw or {}, update_kw or {}
+        if self.P >= self._two_level_threshold():
+            return self._submit_two_level(scatter_op, update_op,
+                                          self.actors, self.actors, sk, uk)
         refs = [a.scatter.options(num_returns=self.P).remote(scatter_op, **sk)
                 for a in self.actors]
         return [self.actors[j].update.remote(
@@ -1610,18 +1614,32 @@ class ShardEngine:
 
     @staticmethod
     def _two_level_threshold() -> int:
-        # measured crossover on a single 32-core node (166M-edge
-        # scale-free PageRank, f32 messages, 10 iters): P=64 direct
-        # 173M edges-scattered/s vs 123M two-level (the aggregator hop
-        # re-serializes every message byte); at P=128 the direct P²
-        # exchange (16k refs/superstep) did not finish inside a 25-min
-        # budget while two-level ran at 56M. Default 96 = between the
-        # two; multi-node clusters, where the P² refs cross the NIC,
-        # may want it lower.
-        return int(os.environ.get("NGA_TWO_LEVEL_P", "96"))
+        # Measured crossover on a single 32-core node (166M-edge
+        # scale-free PageRank, f32 messages, 10 iters). With SPARSE
+        # messages (round 2): P=64 direct 173M edges-scattered/s vs
+        # 123M two-level — the aggregator hop re-serialized every
+        # sparse byte, so the old default was 96. With DENSE blocks
+        # (round 5) the aggregator folds P sender blocks into ONE per
+        # receiver (SIMD adds, parallel tasks), flipping the economics:
+        # P=32 two-level 967M vs direct 434M (same warm phase), P=48
+        # 864M vs 730M, P=64 316M vs 200M, P=128 445M vs 56M (round-2
+        # sparse number). Default 32 = the measured break-even; below
+        # it the extra hop's latency still loses on this box. Pinned
+        # north-metric pair under two-level: T32 848.3M / T8 386.4M —
+        # both all-time records.
+        return int(os.environ.get("NGA_TWO_LEVEL_P", "32"))
 
     def _step_two_level(self, scatter_op, update_op, actors, update_actors,
                         sk, uk) -> list[dict]:
+        return ray.get(self._submit_two_level(scatter_op, update_op,
+                                              actors, update_actors, sk, uk))
+
+    def _submit_two_level(self, scatter_op, update_op, actors,
+                          update_actors, sk, uk) -> list:
+        """Submit one two-level superstep without waiting; returns the
+        update ObjectRefs (the step_async analogue for the P ≥
+        threshold regime — actor task order provides the same
+        scatter-after-update guarantee)."""
         P = self.P
         G = int(np.ceil(np.sqrt(P)))
         size = (P + G - 1) // G
@@ -1643,9 +1661,8 @@ class ShardEngine:
             else:
                 for m in range(nm):
                     member_refs[gb[g] + m] = out[m]
-        upd = [update_actors[j].update.remote(update_op, member_refs[j], **uk)
-               for j in range(P)]
-        return ray.get(upd)
+        return [update_actors[j].update.remote(update_op, member_refs[j], **uk)
+                for j in range(P)]
 
     def drain_metrics(self) -> list[dict]:
         out = ray.get([a.drain_metrics.remote() for a in self.actors])
